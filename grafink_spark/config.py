@@ -1,0 +1,182 @@
+"""Configuration model.
+
+Mirrors the reference's HOCON surface
+(common/src/main/scala/com/astrolabsoftware/grafink/models/Config.scala:26-124)
+as plain dataclasses loadable from a JSON/dict document. Field names keep
+the reference's spelling so a grafink user can translate a config 1:1.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+from typing import Any
+
+
+@dataclass
+class RenameColumn:
+    """keepColsRenamed entry: dot-path nested field → top-level name
+    (Config.scala:28, README.md:41-49)."""
+
+    f: str  # e.g. "candidate.jd"
+    t: str  # e.g. "jd"
+
+
+@dataclass
+class NewColumn:
+    """newCols entry: SQL expression evaluated over the read DataFrame
+    (Reader.scala:82-95), e.g. name="rowkey",
+    expr="objectId || '_' || jd"."""
+
+    name: str
+    expr: str
+
+
+@dataclass
+class ReaderConfig:
+    """readerConfig (Config.scala:26-34)."""
+
+    basePath: str
+    format: str = "parquet"  # parquet | csv | json (Format.scala:23-25)
+    keepCols: list[str] = field(default_factory=list)
+    keepColsRenamed: list[RenameColumn] = field(default_factory=list)
+    newCols: list[NewColumn] = field(default_factory=list)
+
+
+@dataclass
+class IDManagerConfig:
+    """idManager.spark (Config.scala:60-66): parquet store of ingested
+    rows + generated ids; ids 1..reservedIdSpace reserved for fixed
+    vertices (README.md:63-68)."""
+
+    dataPath: str
+    reservedIdSpace: int = 200
+    clearOnDelete: bool = False
+
+
+@dataclass
+class SimilarityRuleConfig:
+    """edgeLoader.rules.similarityClassifer (Config.scala:40-44)."""
+
+    similarityExp: str = ""
+
+
+@dataclass
+class TwoModeRuleConfig:
+    """edgeLoader.rules.twoModeClassifier: recipes to apply."""
+
+    recipes: list[str] = field(default_factory=list)
+
+
+@dataclass
+class SameValueRuleConfig:
+    """edgeLoader.rules.sameValueClassifier: columns whose equal values
+    connect vertices."""
+
+    colsToConnect: list[str] = field(default_factory=list)
+
+
+@dataclass
+class EdgePropertyConfig:
+    """Edge label declaration (Config.scala:47-52)."""
+
+    name: str
+    propertyKey: str
+    propertyType: str  # int | long | double | string | bool
+
+
+@dataclass
+class EdgeLoaderConfig:
+    """edgeLoader (Config.scala:36-56)."""
+
+    batchSize: int = 100
+    parallelism: int = 100
+    taskSize: int = 25000
+    rulesToApply: list[str] = field(default_factory=list)
+    similarityClassifer: SimilarityRuleConfig = field(
+        default_factory=SimilarityRuleConfig
+    )
+    twoModeClassifier: TwoModeRuleConfig = field(default_factory=TwoModeRuleConfig)
+    sameValueClassifier: SameValueRuleConfig = field(
+        default_factory=SameValueRuleConfig
+    )
+
+
+@dataclass
+class FixedVerticesConfig:
+    """Location of the fixed-vertex CSV (recipes)."""
+
+    path: str = ""
+
+
+@dataclass
+class GraphConfig:
+    """Where the output property graph lives (replaces janusgraph.* —
+    our sink is a pair of managed parquet tables + a JSON catalog)."""
+
+    storagePath: str = ""
+    vertexLabel: str = "alert"
+
+
+@dataclass
+class GrafinkConfig:
+    reader: ReaderConfig = field(default_factory=lambda: ReaderConfig(basePath=""))
+    idManager: IDManagerConfig = field(
+        default_factory=lambda: IDManagerConfig(dataPath="")
+    )
+    edgeLoader: EdgeLoaderConfig = field(default_factory=EdgeLoaderConfig)
+    fixedVertices: FixedVerticesConfig = field(default_factory=FixedVerticesConfig)
+    graph: GraphConfig = field(default_factory=GraphConfig)
+
+    @staticmethod
+    def from_dict(d: dict[str, Any]) -> "GrafinkConfig":
+        reader = d.get("reader", {})
+        rc = ReaderConfig(
+            basePath=reader.get("basePath", ""),
+            format=reader.get("format", "parquet"),
+            keepCols=list(reader.get("keepCols", [])),
+            keepColsRenamed=[
+                RenameColumn(**e) for e in reader.get("keepColsRenamed", [])
+            ],
+            newCols=[NewColumn(**e) for e in reader.get("newCols", [])],
+        )
+        idm = d.get("idManager", {})
+        ic = IDManagerConfig(
+            dataPath=idm.get("dataPath", ""),
+            reservedIdSpace=int(idm.get("reservedIdSpace", 200)),
+            clearOnDelete=bool(idm.get("clearOnDelete", False)),
+        )
+        el = d.get("edgeLoader", {})
+        ec = EdgeLoaderConfig(
+            batchSize=int(el.get("batchSize", 100)),
+            parallelism=int(el.get("parallelism", 100)),
+            taskSize=int(el.get("taskSize", 25000)),
+            rulesToApply=list(el.get("rulesToApply", [])),
+            similarityClassifer=SimilarityRuleConfig(
+                similarityExp=el.get("similarityClassifer", {}).get(
+                    "similarityExp", ""
+                )
+            ),
+            twoModeClassifier=TwoModeRuleConfig(
+                recipes=list(el.get("twoModeClassifier", {}).get("recipes", []))
+            ),
+            sameValueClassifier=SameValueRuleConfig(
+                colsToConnect=list(
+                    el.get("sameValueClassifier", {}).get("colsToConnect", [])
+                )
+            ),
+        )
+        fv = FixedVerticesConfig(path=d.get("fixedVertices", {}).get("path", ""))
+        g = d.get("graph", {})
+        gc = GraphConfig(
+            storagePath=g.get("storagePath", ""),
+            vertexLabel=g.get("vertexLabel", "alert"),
+        )
+        return GrafinkConfig(
+            reader=rc, idManager=ic, edgeLoader=ec, fixedVertices=fv, graph=gc
+        )
+
+    @staticmethod
+    def load(path: str) -> "GrafinkConfig":
+        with open(path) as f:
+            return GrafinkConfig.from_dict(json.load(f))

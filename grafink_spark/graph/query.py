@@ -1,0 +1,93 @@
+"""Read-side query surface over the graph tables.
+
+Covers the traversals the reference's users run from the Gremlin shell
+(README.md:419-489, docs/TestJGraph7_exploration.md:34-120):
+
+    g.V().count()                      → vertex_count()
+    g.V().has("objectId", x)           → V(objectId=x)
+    g.V().outE("similarity")
+         .has("value", 2)              → out_e("similarity", value=2)
+    g.V(id).outE(...)                  → neighbors(id, ...)
+    degree per vertex                  → degree()
+    valueMap(true)                     → value_map(id)
+
+Each maps to 1–2 filters/joins/aggregations over the vertices/edges
+parquet tables; edge tables are label-partitioned so ``outE(label)``
+prunes files, and the point lookups push predicates into the scan (the
+engine's answer to JanusGraph composite indexes).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from grafink_spark.graph.storage import GraphStore
+from grafink_spark.rules.base import DST, SRC
+
+
+@dataclass
+class GraphQuery:
+    store: GraphStore
+
+    # ------------------------------------------------------ vertex side
+
+    def V(self, **has) -> DataFrame:
+        """g.V().has(k, v)... — conjunctive property filter."""
+        df = self.store.vertices()
+        for k, v in has.items():
+            df = df.where(F.col(k) == F.lit(v))
+        return df
+
+    def vertex_count(self) -> int:
+        return self.store.vertices().count()
+
+    def count_by_label(self) -> DataFrame:
+        return self.store.vertices().groupBy("label").agg(
+            F.count(F.lit(1)).alias("count")
+        )
+
+    def value_map(self, vertex_id: int) -> dict:
+        """valueMap(true) — all properties of one vertex."""
+        rows = self.store.vertices().where(F.col("id") == vertex_id).limit(1).collect()
+        return rows[0].asDict() if rows else {}
+
+    # -------------------------------------------------------- edge side
+
+    def out_e(self, label: str | None = None, **has) -> DataFrame:
+        """g.V().outE(label).has(propVal, v). Edges are stored with both
+        directions materialized, so outE == one scan filtered by label."""
+        df = self.store.edges()
+        if label is not None:
+            df = df.where(F.col("label") == label)  # partition-pruned
+        for k, v in has.items():
+            df = df.where(F.col(k) == F.lit(str(v)))
+        return df
+
+    def neighbors(self, vertex_id: int, label: str | None = None) -> DataFrame:
+        """Ids reachable over out-edges from a vertex."""
+        return (
+            self.out_e(label)
+            .where(F.col(SRC) == vertex_id)
+            .select(F.col(DST).alias("neighbor_id"))
+        )
+
+    def degree(self, label: str | None = None) -> DataFrame:
+        """Out-degree per vertex (== total degree, both directions are
+        materialized). g.V().has(...).outE().count() composes as
+        V(...).join(degree(), 'id')."""
+        return (
+            self.out_e(label)
+            .groupBy(F.col(SRC).alias("id"))
+            .agg(F.count(F.lit(1)).alias("degree"))
+        )
+
+    # ---------------------------------------------------------- SQL view
+
+    def register_views(self, vertices_name: str = "vertices", edges_name: str = "edges") -> None:
+        """Expose the graph as temp views — the engine's 'Gremlin shell'
+        is plain Spark SQL (SURVEY §3.4)."""
+        self.store.vertices().createOrReplaceTempView(vertices_name)
+        self.store.edges().createOrReplaceTempView(edges_name)

@@ -1,0 +1,154 @@
+"""Similarity classifier — theta self-join over alert pairs.
+
+Reference: processor/edgerules/SimilarityClassifer.scala:44-108.
+
+Semantics: current batch (side 1) is joined against loaded ∪ current
+(side 2) with condition ``id1 > id2 AND <parsed expression>``; the
+``id1 > id2`` both dedups unordered pairs and blocks self-pairs. The
+edge property value counts how many column conditions hold for the
+pair — one increment **per token occurrence** in the expression,
+independent of AND/OR grouping (docs/classifiers/VertexClassifiers.md:48-50).
+
+Scale design. The reference ships the raw theta join to Catalyst, which
+(with a top-level OR) can only run a BroadcastNestedLoopJoin — its own
+benchmark pays 47 min for 128M edges. We instead expand the expression
+to DNF and run **one equi/hash join per OR-branch** (union + pair dedup):
+
+- branch tokens with an equality between sides (cdsxmatch, objectId,
+  any default ``<=>`` token) become hash-join keys Catalyst extracts;
+- side-independent threshold tokens (rfscore > 0.9 …) become pushed-down
+  filters on *both* inputs before the join, so a branch like
+  ``rfscore`` joins two small filtered subsets instead of everything.
+
+At 100 TB this is the difference between O(n·m) nested loops and a few
+shuffled hash joins on pre-filtered inputs. ``mode="reference"`` keeps
+the naive plan for plan-equivalence testing.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from grafink_spark.rules.base import DST, PROP_VAL, SRC, ClassifierRule
+from grafink_spark.rules.exp_parser import (
+    Disjunct,
+    col_name_to_condition,
+    expand_columns,
+    parse_similarity_exp,
+    to_dnf,
+)
+
+
+def _side_filter(token: str, side: int) -> Column | None:
+    """Single-side pre-filter implied by a token's pair condition (the
+    side-separable half), used to shrink join inputs. None → no filter."""
+    c = F.col(f"{token}{side}")
+    if token in ("rfscore", "snn_snia_vs_nonia"):
+        return c > 0.9
+    if token == "roid":
+        return c > 1
+    if token == "classtar":
+        return (c > 0.9) | (c < 0.1)
+    if token == "mulens":
+        return (F.col(f"mulens_class_1{side}") == "ML") & (
+            F.col(f"mulens_class_2{side}") == "ML"
+        )
+    if token == "cdsxmatch":
+        return c != "Unknown" if side == 1 else None
+    return None
+
+
+class SimilarityClassifier(ClassifierRule):
+    def __init__(self, similarity_exp: str, mode: str = "auto"):
+        self.expression = similarity_exp
+        self.parsed = parse_similarity_exp(similarity_exp)
+        if mode not in ("auto", "reference", "decomposed"):
+            raise ValueError(f"unknown mode {mode}")
+        self.mode = mode
+
+    @property
+    def name(self) -> str:
+        return "similarityClassifier"
+
+    @property
+    def edge_label(self) -> str:
+        return "similarity"
+
+    @property
+    def property_key(self) -> str:
+        return "value"
+
+    # ------------------------------------------------------------ plan
+
+    def classify(self, loaded: DataFrame, current: DataFrame) -> DataFrame:
+        tokens = self.parsed.columns  # per-occurrence
+        phys = expand_columns(tokens)
+        select_cols = ["id"] + phys
+
+        df1 = current.select(
+            *[F.col(c).alias(f"{c}1") for c in select_cols]
+        )
+        # side 2 = loaded ∪ current so new–new and new–old pairs both
+        # materialize (SimilarityClassifer.scala:70-74)
+        df2 = (
+            loaded.select(*select_cols)
+            .unionByName(current.select(*select_cols))
+            .select(*[F.col(c).alias(f"{c}2") for c in select_cols])
+        )
+
+        disjuncts = to_dnf(self.parsed.ast)
+        use_decomposed = self.mode == "decomposed" or (
+            self.mode == "auto" and len(disjuncts) > 1
+        )
+        if use_decomposed:
+            joined = self._join_decomposed(df1, df2, disjuncts)
+        else:
+            joined = df1.join(
+                df2,
+                (F.col("id1") > F.col("id2")) & self.parsed.condition,
+                "inner",
+            )
+
+        # similarity value: +1 per token occurrence whose condition holds
+        sim = reduce(
+            lambda acc, t: acc
+            + F.when(col_name_to_condition(t), 1).otherwise(0),
+            tokens,
+            F.lit(0),
+        )
+        return joined.select(
+            F.col("id1").alias(SRC),
+            F.col("id2").alias(DST),
+            sim.cast(T.IntegerType()).alias(PROP_VAL),
+        )
+
+    def _join_decomposed(
+        self, df1: DataFrame, df2: DataFrame, disjuncts: list[Disjunct]
+    ) -> DataFrame:
+        branches = []
+        for d in disjuncts:
+            cond = (F.col("id1") > F.col("id2")) & reduce(
+                lambda a, t: a & col_name_to_condition(t), d.tokens, F.lit(True)
+            )
+            left, right = df1, df2
+            for t in d.tokens:
+                f1 = _side_filter(t, 1)
+                f2 = _side_filter(t, 2)
+                if f1 is not None:
+                    left = left.where(f1)
+                if f2 is not None:
+                    right = right.where(f2)
+            # Catalyst extracts the equality terms of the conjunction as
+            # hash-join keys (ExtractEquiJoinKeys); threshold-only
+            # branches join pre-filtered subsets.
+            branches.append(left.join(right, cond, "inner"))
+        out = reduce(lambda a, b: a.unionByName(b), branches)
+        if len(branches) > 1:
+            # a pair can satisfy several OR-branches; column values are
+            # identical per pair, so pair-key dedup is sufficient
+            out = out.dropDuplicates(["id1", "id2"])
+        return out

@@ -1,0 +1,64 @@
+"""ID manager goldens (IDManagerSparkServiceSpec.scala:22-91):
+empty store → fetchID = reservedIdSpace; 5 rows + reserved 7 → ids {8..12}."""
+
+import pytest
+
+from grafink_spark.config import IDManagerConfig
+from grafink_spark.id_manager import IDManager, zip_with_index
+from tests.conftest import alert
+
+
+@pytest.fixture()
+def idm(spark, tmp_path):
+    return IDManager(
+        spark, IDManagerConfig(dataPath=str(tmp_path / "ids"), reservedIdSpace=7)
+    )
+
+
+def _batch(alerts_df, n=5, start=0):
+    rows = [
+        alert(0, f"ZTF19acmbx{i}", 0.5, 0.5, 0, 0.5, "Unknown", None, None)
+        for i in range(start, start + n)
+    ]
+    return alerts_df(rows).drop("id")
+
+
+def test_empty_store_max_id_is_reserved_space(spark, idm, alerts_df):
+    loaded = idm.read_all(_batch(alerts_df).schema)
+    assert loaded.count() == 0
+    assert loaded.columns[0] == "id"
+    assert idm.fetch_max_id(loaded) == 7
+
+
+def test_consecutive_ids_from_offset(spark, idm, alerts_df):
+    _, current = idm.process(_batch(alerts_df))
+    ids = sorted(r.id for r in current.select("id").collect())
+    assert ids == [8, 9, 10, 11, 12]
+
+
+def test_second_batch_continues_sequence(spark, idm, alerts_df):
+    idm.process(_batch(alerts_df))
+    loaded, current = idm.process(_batch(alerts_df, n=3, start=10))
+    assert sorted(r.id for r in current.select("id").collect()) == [13, 14, 15]
+    assert loaded.count() == 5
+    assert sorted(r.id for r in loaded.select("id").collect()) == [8, 9, 10, 11, 12]
+
+
+def test_zip_with_index_many_partitions(spark):
+    df = spark.range(0, 1000).repartition(13)
+    out = zip_with_index(df.toDF("v"), offset=100, id_col="id")
+    ids = [r.id for r in out.select("id").collect()]
+    assert sorted(ids) == list(range(101, 1101))
+
+
+def test_zip_with_index_ordered_is_deterministic(spark):
+    df = spark.range(0, 500).toDF("v").repartition(7)
+    out = zip_with_index(df, offset=0, order_by=["v"])
+    rows = out.orderBy("v").collect()
+    assert [r.id for r in rows] == [r.v + 1 for r in rows]
+
+
+def test_id_column_is_first_and_long(spark, idm, alerts_df):
+    _, current = idm.process(_batch(alerts_df))
+    assert current.columns[0] == "id"
+    assert dict(current.dtypes)["id"] == "bigint"

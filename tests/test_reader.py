@@ -1,0 +1,83 @@
+"""Reader + partition manager tests (ReaderSpec.scala:21-37,
+PartitionManagerSpec.scala:25-50)."""
+
+from datetime import date
+
+import pytest
+from pyspark.sql import functions as F
+
+from grafink_spark.config import NewColumn, ReaderConfig, RenameColumn
+from grafink_spark.errors import NoDataException
+from grafink_spark.sources.partitions import PartitionManager
+from grafink_spark.sources.reader import Reader
+
+
+@pytest.fixture()
+def alert_base(spark, tmp_path):
+    """Partitioned parquet with a nested candidate struct, like the
+    reference fixture (year=2019/month=02/day=01, 5 rows)."""
+    base = str(tmp_path / "alerts")
+    rows = [
+        (f"ZTF19acmbx{i}", (2458500.5 + i, 1, 1000 + i), "Unknown", 0.1 * i, 2019, 2, 1)
+        for i in range(5)
+    ] + [
+        ("ZTF19other", (2458501.5, 2, 2000), "WD*", 0.9, 2019, 2, 2)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "objectId string, candidate struct<jd double, programid int, candid long>, "
+        "cdsxmatch string, rfscore double, year int, month int, day int",
+    )
+    df.write.partitionBy("year", "month", "day").parquet(base)
+    return base
+
+
+def test_padded_and_unpadded_paths():
+    pm = PartitionManager(date(2019, 2, 1), 2, padded=True)
+    assert pm.partition_paths("/b") == [
+        "/b/year=2019/month=02/day=01",
+        "/b/year=2019/month=02/day=02",
+    ]
+    pm2 = PartitionManager(date(2019, 2, 1), 1, padded=False)
+    assert pm2.partition_paths("/b") == ["/b/year=2019/month=2/day=1"]
+
+
+def test_nonexistent_paths_filtered(alert_base):
+    pm = PartitionManager(date(2019, 2, 1), 7, padded=True)
+    valid = pm.valid_partition_paths(alert_base)
+    assert len(valid) == 2  # day=01 and day=02 exist
+
+
+def test_no_data_raises(alert_base):
+    pm = PartitionManager(date(2020, 1, 1), 2, padded=True)
+    with pytest.raises(NoDataException):
+        pm.valid_partition_paths(alert_base)
+
+
+def test_read_keeps_partition_columns(spark, alert_base):
+    reader = Reader(spark, ReaderConfig(basePath=alert_base))
+    df = reader.read(PartitionManager(date(2019, 2, 1), 1))
+    assert df.count() == 5  # ReaderSpec golden: partition read count = 5
+    assert {"year", "month", "day"} <= set(df.columns)
+    assert df.select("day").distinct().collect()[0][0] == 1
+
+
+def test_process_prune_flatten_derive(spark, alert_base):
+    cfg = ReaderConfig(
+        basePath=alert_base,
+        keepCols=["objectId", "rfscore"],
+        keepColsRenamed=[RenameColumn(f="candidate.jd", t="jd")],
+        newCols=[NewColumn(name="rowkey", expr="objectId || '_' || jd")],
+    )
+    reader = Reader(spark, cfg)
+    df = reader.read_and_process(PartitionManager(date(2019, 2, 1), 1))
+    assert set(df.columns) == {"objectId", "rfscore", "year", "month", "day", "jd", "rowkey"}
+    row = df.where(F.col("objectId") == "ZTF19acmbx0").first()
+    assert row.jd == 2458500.5
+    assert row.rowkey == "ZTF19acmbx0_2458500.5"
+
+
+def test_partition_filter_predicate(spark, alert_base):
+    pm = PartitionManager(date(2019, 2, 2), 1)
+    df = spark.read.parquet(alert_base).where(pm.partition_filter())
+    assert df.count() == 1
