@@ -1,0 +1,315 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Design for 100 TB:
+
+- **exact**: hash-groupBy on md5(text) — one shuffle keyed by a 128-bit
+  hash (perfectly uniform, no skew), keeper = min(id).
+- **MinHash + LSH**: signature and band keys are computed in a single
+  narrow projection (arrays of md5 minima — all JVM expressions); the
+  only shuffle is the explode+groupBy on band keys, and candidate pairs
+  are generated per-bucket. No pairwise work outside buckets → cost is
+  O(docs × hashes) + O(Σ bucket²) instead of O(docs²).
+- **SimHash**: one 32-bit signature per doc via expression-level
+  aggregate; near-dups = equal signatures (or banded Hamming buckets).
+- **n-gram Jaccard**: exact verification on candidate pairs only
+  (blocked or LSH-generated) — never all-pairs.
+- **embedding cosine**: blocked all-pairs within a coarse key.
+
+MinHash uses md5-string minima rather than integer permutations: the
+min over ``md5(seed || shingle)`` is a valid minwise hash family member
+and — being plain string functions — reproduces bit-for-bit in the
+duckdb oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from grafink_spark.llm.text import tokens
+
+
+# ------------------------------------------------------------- shingles
+
+
+def shingles(col: Column | str, k: int = 3) -> Column:
+    """Word k-shingles as an array of strings (space-joined); documents
+    shorter than k tokens yield a single shingle of all tokens."""
+    t = tokens(col)
+    n = F.size(t)
+    full = F.transform(
+        F.sequence(F.lit(0), n - k),
+        lambda i: F.concat_ws(" ", F.slice(t, i + 1, k)),
+    )
+    return F.when(n >= k, full).otherwise(F.array(F.concat_ws(" ", t)))
+
+
+# --------------------------------------------------------- exact dedup
+
+
+def exact_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact-duplicate groups: (content_hash, keeper_id, dup_count),
+    only groups with >1 member. Keeper = min id."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+        .where(F.col("dup_count") > 1)
+    )
+
+
+def drop_exact_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep one row (min id) per distinct text."""
+    w_min = (
+        df.groupBy(F.md5(F.col(text_col)).alias("_h"))
+        .agg(F.min(id_col).alias("_keep"))
+    )
+    return (
+        df.withColumn("_h", F.md5(F.col(text_col)))
+        .join(w_min, "_h")
+        .where(F.col(id_col) == F.col("_keep"))
+        .drop("_h", "_keep")
+    )
+
+
+# ------------------------------------------------------------- MinHash
+
+
+def minhash_signature(
+    col: Column | str, num_hashes: int = 16, k: int = 3
+) -> Column:
+    """Array of ``num_hashes`` minwise hashes: element i =
+    min(md5(i || '|' || shingle)). All string expressions → identical in
+    Spark and duckdb."""
+    sh = shingles(col, k)
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(sh, lambda s, i=i: F.md5(F.concat(F.lit(f"{i}|"), s)))
+            )
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def lsh_band_keys(signature: Column, bands: int, rows: int) -> Column:
+    """Band keys: band j hashes signature[j*rows : (j+1)*rows]."""
+    return F.array(
+        *[
+            F.md5(F.concat_ws("", F.slice(signature, j * rows + 1, rows)))
+            for j in range(bands)
+        ]
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    k: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (id_a < id_b, with the band that
+    collided) via banded MinHash LSH. rows = num_hashes // bands."""
+    rows = num_hashes // bands
+    sig = minhash_signature(F.col(text_col), num_hashes, k)
+    keyed = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(lsh_band_keys(sig, bands, rows)).alias("band", "band_key"),
+    )
+    a = keyed.select("band", "band_key", F.col("_id").alias("id_a"))
+    b = keyed.select(
+        F.col("band").alias("band_b"),
+        F.col("band_key").alias("band_key_b"),
+        F.col("_id").alias("id_b"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("band") == F.col("band_b"))
+        & (F.col("band_key") == F.col("band_key_b"))
+        & (F.col("id_a") < F.col("id_b")),
+        "inner",
+    ).select("id_a", "id_b")
+    return pairs.distinct()
+
+
+# ----------------------------------------------------- n-gram Jaccard
+
+
+def jaccard(sh_a: Column, sh_b: Column) -> Column:
+    """Jaccard similarity of two shingle arrays (as distinct sets)."""
+    da, db = F.array_distinct(sh_a), F.array_distinct(sh_b)
+    inter = F.size(F.array_intersect(da, db))
+    union = F.size(F.array_union(da, db))
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+    candidates: DataFrame | None = None,
+    block_by: list[str] | None = None,
+) -> DataFrame:
+    """Pairs with shingle-Jaccard ≥ threshold: (id_a, id_b, jaccard_sim).
+
+    Pair generation is never all-pairs: pass ``candidates`` (id_a, id_b —
+    e.g. from minhash_lsh_candidates) or ``block_by`` columns (equi-join
+    blocking). Verification joins the shingle arrays back by id."""
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        F.array_distinct(shingles(F.col(text_col), k)).alias("_sh"),
+        *[F.col(c) for c in (block_by or [])],
+    )
+    if candidates is None:
+        if not block_by:
+            raise ValueError("provide candidates or block_by (no all-pairs mode)")
+        a = sh.select(
+            *[F.col(c).alias(f"_b_{c}") for c in block_by],
+            F.col("_id").alias("id_a"),
+            F.col("_sh").alias("_sh_a"),
+        )
+        b = sh.select(
+            *[F.col(c).alias(f"_b2_{c}") for c in block_by],
+            F.col("_id").alias("id_b"),
+            F.col("_sh").alias("_sh_b"),
+        )
+        cond = (F.col("id_a") < F.col("id_b"))
+        for c in block_by:
+            cond = cond & (F.col(f"_b_{c}") == F.col(f"_b2_{c}"))
+        paired = a.join(b, cond, "inner")
+    else:
+        paired = (
+            candidates.join(
+                sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sh_a")),
+                "id_a",
+            ).join(
+                sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_sh_b")),
+                "id_b",
+            )
+        )
+    return (
+        paired.select(
+            "id_a",
+            "id_b",
+            jaccard(F.col("_sh_a"), F.col("_sh_b")).alias("jaccard_sim"),
+        )
+        .where(F.col("jaccard_sim") >= threshold)
+    )
+
+
+# -------------------------------------------------------------- SimHash
+
+
+def simhash(col: Column | str, k: int = 3, bits: int = 32) -> Column:
+    """SimHash signature as a Long: per shingle take a 32-bit hash
+    (from md5 hex → integer), vote ±1 per bit weighted by nothing,
+    signature bit b = 1 iff the vote sum is ≥ 0. Expression-level
+    aggregate — no UDF."""
+    sh = shingles(col, k)
+    hval = lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")  # noqa: E731
+    # bit b of h == floor(h / 2^b) % 2 — shiftright/shiftleft take only
+    # literal shift amounts, and 32-bit values are exact in doubles
+    pow2 = lambda b: F.pow(F.lit(2.0), b).cast("long")  # noqa: E731
+    bit = lambda h, b: (F.floor(h / pow2(b)) % 2).cast("int")  # noqa: E731
+    votes = F.aggregate(
+        sh,
+        F.array(*[F.lit(0)] * bits).cast("array<int>"),
+        lambda acc, s: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bits - 1)),
+                lambda b: F.when(bit(hval(s), b) == 1, 1).otherwise(-1),
+            ),
+            lambda a, v: a + v,
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            votes,
+            F.sequence(F.lit(0), F.lit(bits - 1)),
+            lambda v, b: F.when(v >= 0, pow2(b)).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def simhash_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """Groups of documents with identical SimHash: (simhash, keeper_id,
+    dup_count>1). For Hamming-distance ≤ d matching, band the signature
+    and bucket-join like MinHash LSH."""
+    return (
+        df.select(simhash(F.col(text_col), k).alias("simhash"), F.col(id_col))
+        .groupBy("simhash")
+        .agg(F.min(id_col).alias("keeper_id"), F.count(F.lit(1)).alias("dup_count"))
+        .where(F.col("dup_count") > 1)
+    )
+
+
+# ------------------------------------------------- embedding near-dup
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    """Cosine of two float arrays — JVM-side aggregate/zip_with."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda v: F.sqrt(  # noqa: E731
+        F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    denom = norm(a) * norm(b)
+    return F.when(denom > 0, dot / denom).otherwise(F.lit(0.0))
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    block_by: str | None = None,
+) -> DataFrame:
+    """Pairs (id_a < id_b) with cosine ≥ threshold. ``block_by`` (e.g. a
+    cluster/LSH-bucket column) bounds the pair space; without it this is
+    a documented small-N path."""
+    cols = [F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")]
+    if block_by:
+        cols.append(F.col(block_by).alias("_blk"))
+    base = df.select(*cols)
+    a = base.select(
+        *([F.col("_blk")] if block_by else []),
+        F.col("_id").alias("id_a"),
+        F.col("_v").alias("_va"),
+    )
+    b = base.select(
+        *([F.col("_blk").alias("_blk2")] if block_by else []),
+        F.col("_id").alias("id_b"),
+        F.col("_v").alias("_vb"),
+    )
+    cond = F.col("id_a") < F.col("id_b")
+    if block_by:
+        cond = cond & (F.col("_blk") == F.col("_blk2"))
+    return (
+        a.join(b, cond, "inner")
+        .select(
+            "id_a",
+            "id_b",
+            cosine_similarity(F.col("_va"), F.col("_vb")).alias("cosine_sim"),
+        )
+        .where(F.col("cosine_sim") >= threshold)
+    )

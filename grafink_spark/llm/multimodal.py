@@ -1,0 +1,154 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media payloads are opaque ``binary`` columns with a typed metadata
+struct; all heavy per-item work (decode, resize, feature-extract,
+frame-sample) runs as Arrow-batched ``mapInPandas`` so bytes stream
+through Python in columnar batches, never row-at-a-time, and the plan
+stays a narrow map (no shuffle).
+
+The actual codecs (PIL/ffmpeg/torchaudio) are NOT in this environment,
+so the decode kernel is pluggable: the default kernel is a
+deterministic fake (parses only our own fake header) and a real one
+raises NotImplementedError until a codec library is installed. The
+Spark-side contract — schemas, batching, partitioning — is real and
+tested; swapping in a real decoder changes one python function.
+
+The reference carries media the same way: ZTF cutout stamps are binary
+struct fields (cutoutScience.stampData — SURVEY §1.2) that grafink
+flattens and downcasts; we keep them as first-class binary columns
+instead.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_type", T.StringType()),  # image | audio | video
+        T.StructField("format", T.StringType()),  # png | wav | mp4 | fake
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+    ]
+)
+
+IMAGE_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sha1", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean_luma", T.DoubleType()),
+    ]
+)
+
+
+def make_fake_image(doc_id: int, width: int, height: int) -> bytes:
+    """Deterministic fake 'image': 8-byte header (w,h as int32 LE) +
+    pseudo-pixel bytes derived from doc_id. Stands in for PNG bytes in
+    tests and keeps every downstream step exercisable."""
+    header = struct.pack("<ii", width, height)
+    seed = hashlib.sha1(str(doc_id).encode()).digest()
+    body = (seed * ((width * height) // len(seed) + 1))[: width * height]
+    return header + body
+
+
+def fake_decode_kernel(doc_id: int, payload: bytes) -> dict:
+    """Default decode kernel: understands make_fake_image's layout."""
+    if payload is None or len(payload) < 8:
+        return {"width": None, "height": None, "mean_luma": None}
+    w, h = struct.unpack("<ii", payload[:8])
+    body = payload[8 : 8 + w * h]
+    mean = (sum(body) / len(body)) if body else None
+    return {"width": w, "height": h, "mean_luma": mean}
+
+
+def real_decode_kernel(doc_id: int, payload: bytes) -> dict:
+    """Swap-in point for a real decoder (PIL etc.) — not available in
+    this container."""
+    raise NotImplementedError(
+        "image codec libraries are not installed in this environment; "
+        "use fake_decode_kernel or install PIL and implement here"
+    )
+
+
+def extract_image_features(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    kernel: Callable[[int, bytes], dict] = fake_decode_kernel,
+    batch_hint: int = 1024,
+) -> DataFrame:
+    """mapInPandas feature extraction over binary payloads → one row per
+    media item (IMAGE_FEATURE_SCHEMA). Arrow moves the bytes in columnar
+    batches; per-batch python overhead is amortized."""
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("_p"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["_p"]):
+                payload = bytes(payload) if payload is not None else None
+                d = kernel(int(doc_id), payload)
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "sha1": hashlib.sha1(payload).hexdigest() if payload else None,
+                        "n_bytes": len(payload) if payload is not None else 0,
+                        "width": d.get("width"),
+                        "height": d.get("height"),
+                        "mean_luma": d.get("mean_luma"),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in IMAGE_FEATURE_SCHEMA])
+
+    return src.mapInPandas(run, IMAGE_FEATURE_SCHEMA)
+
+
+def sample_frames(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    every_n_bytes: int = 64,
+) -> DataFrame:
+    """'Frame sampling' plumbing: one output row per sampled frame
+    (doc_id, frame_idx, frame_bytes). The fake kernel slices the payload
+    every n bytes; a real video kernel would emit decoded frames. Shape
+    matters: this is a 1→N mapInPandas, the same contract a real
+    ffmpeg-based sampler needs."""
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("frame_bytes", T.BinaryType()),
+        ]
+    )
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("_p"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["_p"]):
+                if payload is None:
+                    continue
+                payload = bytes(payload)
+                for idx, off in enumerate(range(0, len(payload), every_n_bytes)):
+                    rows.append(
+                        {
+                            "doc_id": int(doc_id),
+                            "frame_idx": idx,
+                            "frame_bytes": payload[off : off + every_n_bytes],
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "frame_bytes"])
+
+    return src.mapInPandas(run, out_schema)

@@ -1,0 +1,157 @@
+"""Similarity search over an embedding column (array<float>).
+
+Two paths, same contract (query set → top-k neighbors per query):
+
+- **brute force** — broadcast the (small) query set, one pass over the
+  corpus computing cosine via zip_with/aggregate expressions, top-k by
+  window. Exact; scales linearly in corpus size and is
+  embarrassingly parallel (queries are broadcast, corpus partitions
+  stream) — the right baseline even at 100 TB when the query set is
+  small.
+- **LSH-bucketed (random hyperplanes)** — a deterministic seeded
+  hyperplane matrix (driver-side numpy, shipped as literals) gives each
+  vector a b-bit signature; candidates share a signature bucket
+  (multi-probe over signature bands), cosine re-rank inside buckets.
+  Approximate; pair space shrinks by ~2^b.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from grafink_spark.llm.dedup import cosine_similarity
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k: (query_id, neighbor_id, cosine_sim, rank). Self-pairs
+    (same id) are excluded. Ties broken by neighbor id (deterministic)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("_qv"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("_cv"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_similarity(F.col("_qv"), F.col("_cv")).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
+def _hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random unit hyperplanes (no numpy needed at
+    call sites — plain python RNG, stable across sessions)."""
+    import random
+
+    rnd = random.Random(seed)
+    planes = []
+    for _ in range(bits):
+        v = [rnd.gauss(0.0, 1.0) for _ in range(dim)]
+        n = math.sqrt(sum(x * x for x in v)) or 1.0
+        planes.append([x / n for x in v])
+    return planes
+
+
+def hyperplane_signature(
+    vec: Column, dim: int, bits: int = 8, seed: int = 42
+) -> Column:
+    """b-bit random-hyperplane signature as an int: bit i = sign(v·r_i)."""
+    planes = _hyperplanes(dim, bits, seed)
+    sig = F.lit(0)
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(x) for x in p])
+        dot = F.aggregate(
+            F.zip_with(vec, plane, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        sig = sig + F.when(dot >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return sig
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    bits: int = 8,
+    tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k with L independent hash tables: a candidate
+    shares a full b-bit bucket with the query in ANY table; cosine
+    re-rank over the unioned candidate set. Recall dial = (bits ↓,
+    tables ↑). Same output schema as brute_force_topk.
+
+    Plan shape: buckets per table are one array column; explode →
+    equi-join on (table, bucket) against the broadcast queries → dedup
+    (query, candidate) → rerank. Pair space ≈ L × corpus/2^b per query.
+    """
+    def sigs(df: DataFrame) -> Column:
+        v = F.col(vec_col).cast("array<double>")
+        return F.array(
+            *[
+                hyperplane_signature(v, dim, bits, seed + 1000 * t)
+                for t in range(tables)
+            ]
+        )
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("_cv"),
+        F.posexplode(sigs(corpus)).alias("_tbl", "_bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("_qv"),
+        F.posexplode(sigs(queries)).alias("_qtbl", "_qbucket"),
+    )
+    scored = (
+        c.join(
+            F.broadcast(q),
+            (F.col("_tbl") == F.col("_qtbl"))
+            & (F.col("_bucket") == F.col("_qbucket")),
+            "inner",
+        )
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", F.col("_qv"), F.col("_cv"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_similarity(F.col("_qv"), F.col("_cv")).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )

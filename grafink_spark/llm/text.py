@@ -1,0 +1,131 @@
+"""Text analysis operators for LLM training-data pipelines.
+
+All operators are pure Column expressions (whole-stage codegen, no
+Python in the data path) over a string column — designed to run as one
+projection pass over a 100 TB documents table. Where an operator feeds
+the duckdb correctness oracle, the expression sticks to functions with
+identical semantics in both engines (split/md5/filter/reduce on
+lowercase space-separated tokens).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword lists for the n-gram/stopword language
+# heuristic; order defines tie-breaking (first wins)
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"],
+    "fr": ["le", "la", "les", "de", "et", "un", "une", "est", "que", "pour"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "eine", "zu", "den", "nicht"],
+    "es": ["el", "la", "los", "de", "y", "un", "una", "es", "que", "por"],
+}
+
+DEFAULT_STOPWORDS = LANG_STOPWORDS["en"]
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization. ``split(trim(s), '\\s+')`` — empty string
+    gives an empty array, not [''] (guarded)."""
+    c = F.col(col) if isinstance(col, str) else col
+    trimmed = F.trim(c)
+    return F.when(F.length(trimmed) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(trimmed, r"\s+")
+    )
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def word_tokens(col_name: str) -> Column:
+    """BPE-ish regex tokenization: runs of letters, runs of digits, or a
+    single non-space symbol — the usual pre-tokenizer split. Takes a
+    column name (goes through SQL for regexp_extract_all)."""
+    return F.expr(
+        f"regexp_extract_all(lower({col_name}), '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0)"
+    )
+
+
+def stopword_hits(col: Column | str, stopwords: list[str] | None = None) -> Column:
+    """Occurrence count of stopwords among whitespace tokens."""
+    sw = stopwords if stopwords is not None else DEFAULT_STOPWORDS
+    arr = F.array(*[F.lit(w) for w in sw])
+    return F.size(F.filter(tokens(col), lambda t: F.array_contains(arr, t)))
+
+
+def quality_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality features: lengths, token stats, punctuation /
+    stopword / digit ratios. One projection, zero shuffles."""
+    t = tokens(text_col)
+    n_tok = F.size(t)
+    n_chars = F.length(F.col(text_col))
+    punct = n_chars - F.length(
+        F.regexp_replace(F.col(text_col), r"[^\w\s]", "")
+    )
+    digits = n_chars - F.length(F.regexp_replace(F.col(text_col), r"[0-9]", ""))
+    return df.select(
+        "*",
+        n_chars.alias("n_chars_m"),
+        n_tok.alias("n_tokens"),
+        F.when(n_tok > 0, (n_chars - n_tok + 1) / n_tok)
+        .otherwise(F.lit(0.0))
+        .alias("avg_token_len"),
+        F.when(n_chars > 0, punct / n_chars).otherwise(0.0).alias("punct_ratio"),
+        F.when(n_chars > 0, digits / n_chars).otherwise(0.0).alias("digit_ratio"),
+        F.when(n_tok > 0, stopword_hits(text_col) / n_tok)
+        .otherwise(0.0)
+        .alias("stopword_ratio"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Composite [0,1] quality score — a Gopher-rules-flavored heuristic:
+    reasonable length, some stopwords, not mostly punctuation/digits."""
+    m = quality_metrics(df, text_col)
+    score = (
+        F.when((F.col("n_tokens") >= 5) & (F.col("n_tokens") <= 100000), 0.25).otherwise(0.0)
+        + F.when((F.col("avg_token_len") >= 2) & (F.col("avg_token_len") <= 12), 0.25).otherwise(0.0)
+        + F.when(F.col("punct_ratio") <= 0.3, 0.25).otherwise(0.0)
+        + F.when(F.col("stopword_ratio") >= 0.01, 0.25).otherwise(0.0)
+    )
+    return m.withColumn("quality_score", score)
+
+
+def lang_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:
+    """Stopword-vote language identification. Counts per-language
+    stopword occurrences in one pass; argmax wins, zero hits → 'und'.
+    Pure expressions → distributes trivially; a real model (fastText)
+    would slot in as a Pandas UDF behind the same signature."""
+    t = tokens(text_col)
+    hit_cols = []
+    for lang, words in LANG_STOPWORDS.items():
+        arr = F.array(*[F.lit(w) for w in words])
+        hit_cols.append(
+            F.struct(
+                F.size(F.filter(t, lambda x: F.array_contains(arr, x))).alias("hits"),
+                F.lit(lang).alias("lang"),
+            )
+        )
+    # array_max on struct(hits, lang): max hits, ties → lexicographically
+    # greatest lang; to make ties deterministic-first-wins we order input
+    best = F.array_max(F.array(*reversed(hit_cols)))
+    return df.withColumn(
+        out_col,
+        F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")),
+    )
+
+
+def fingerprint(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "fingerprint",
+    prefix_tokens: int = 16,
+) -> DataFrame:
+    """Document fingerprint: md5 over the normalized (lowercased,
+    whitespace-collapsed) first-k tokens — a cheap rolling-hash-style
+    near-identity key for prefix-duplicate detection."""
+    t = tokens(F.lower(F.col(text_col)))
+    norm = F.concat_ws(" ", F.slice(t, 1, prefix_tokens))
+    return df.withColumn(out_col, F.md5(norm))

@@ -1,0 +1,99 @@
+"""Dedup operators: exact, shingles, minhash-LSH, jaccard, simhash,
+embedding near-dup."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from grafink_spark.llm import dedup as dd
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat and looked around the room"),
+            (2, "the cat sat on the mat and looked around the room"),  # exact dup of 1
+            (3, "the cat sat on the mat and looked around the house"),  # near dup
+            (4, "completely different content about spark query engines"),
+            (5, "another unrelated document mentioning databases and joins"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_exact_duplicates(spark, docs):
+    groups = dd.exact_duplicates(docs).collect()
+    assert len(groups) == 1
+    assert groups[0].keeper_id == 1 and groups[0].dup_count == 2
+
+
+def test_drop_exact_duplicates(spark, docs):
+    kept = dd.drop_exact_duplicates(docs)
+    assert sorted(r.doc_id for r in kept.collect()) == [1, 3, 4, 5]
+
+
+def test_shingles(spark):
+    df = spark.createDataFrame([(1, "a b c d"), (2, "a b")], "id long, text string")
+    got = {r.id: r.sh for r in df.select("id", dd.shingles("text", 3).alias("sh")).collect()}
+    assert got[1] == ["a b c", "b c d"]
+    assert got[2] == ["a b"]  # shorter than k → single shingle
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in dd.minhash_lsh_candidates(docs, num_hashes=16, bands=8).collect()
+    }
+    assert (1, 2) in pairs  # exact dups always collide
+    assert (1, 3) in pairs or (2, 3) in pairs  # near dup should band-collide
+    assert (4, 5) not in pairs
+
+
+def test_ngram_jaccard_verification(spark, docs):
+    cand = dd.minhash_lsh_candidates(docs, num_hashes=16, bands=8)
+    verified = dd.ngram_jaccard_pairs(docs, threshold=0.5, candidates=cand)
+    got = {(r.id_a, r.id_b): r.jaccard_sim for r in verified.collect()}
+    assert got[(1, 2)] == 1.0
+    assert (1, 3) in got and 0.5 <= got[(1, 3)] < 1.0
+
+
+def test_ngram_jaccard_blocked(spark, docs):
+    docs2 = docs.withColumn("blk", F.lit(1))
+    out = dd.ngram_jaccard_pairs(docs2, threshold=0.99, block_by=["blk"])
+    assert {(r.id_a, r.id_b) for r in out.collect()} == {(1, 2)}
+
+
+def test_simhash_identical_for_exact_dups(spark, docs):
+    groups = dd.simhash_duplicates(docs).collect()
+    assert any(g.keeper_id == 1 and g.dup_count >= 2 for g in groups)
+
+
+def test_simhash_is_similarity_preserving(spark, docs):
+    sh = {r.doc_id: r.s for r in docs.select("doc_id", dd.simhash("text").alias("s")).collect()}
+    ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+    assert ham(sh[1], sh[2]) == 0
+    assert ham(sh[1], sh[3]) < ham(sh[1], sh[4])
+
+
+def test_embedding_near_duplicates(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0], 0),
+        (2, [0.999, 0.04, 0.0], 0),  # ~same direction as 1
+        (3, [0.0, 1.0, 0.0], 0),
+        (4, [0.0, 0.0, 1.0], 1),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    pairs = dd.embedding_near_duplicates(df, threshold=0.95)
+    assert {(r.id_a, r.id_b) for r in pairs.collect()} == {(1, 2)}
+    blocked = dd.embedding_near_duplicates(df, threshold=0.0, block_by="label")
+    assert all(r.id_a != 4 and r.id_b != 4 for r in blocked.collect())
+
+
+def test_minhash_on_real_documents(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    cand = dd.minhash_lsh_candidates(docs, num_hashes=8, bands=4)
+    verified = dd.ngram_jaccard_pairs(docs, threshold=0.8, candidates=cand)
+    # sanity: runs end to end; candidates are a tiny fraction of all pairs
+    n_docs = docs.count()
+    assert cand.count() < n_docs * (n_docs - 1) / 20
+    verified.count()  # materializes without error

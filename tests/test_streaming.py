@@ -1,0 +1,72 @@
+"""Structured-streaming pipeline: events file-stream → watermarked
+windowed agg → parquet sink, batch-equivalence checked."""
+
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from grafink_spark.sources.tables import load_table
+from grafink_spark.streaming.pipeline import (
+    read_event_stream,
+    run_stream_to_parquet,
+    windowed_event_counts,
+)
+
+SRC = "/root/testdata/sf0.001/events.parquet"
+
+
+def test_stream_matches_batch(spark, tmp_path):
+    src_dir = str(tmp_path / "events_src")
+    os.makedirs(src_dir, exist_ok=True)
+    shutil.copy(SRC, os.path.join(src_dir, "part-0.parquet"))
+
+    stream = read_event_stream(spark, src_dir)
+    assert stream.isStreaming
+    result = windowed_event_counts(stream, "1 hour", "2 hours")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    run_stream_to_parquet(result, out, ckpt, available_now=True)
+
+    got = spark.read.parquet(out)
+    batch = (
+        load_table(spark, "/root/testdata/sf0.001", "events")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+    )
+    # append-mode stream emits only windows closed by the watermark;
+    # every emitted row must match the batch computation exactly
+    assert got.count() > 0
+    joined = got.join(
+        batch.select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            F.col("n_events").alias("b_n"),
+            F.col("sum_value").alias("b_sum"),
+        ),
+        ["window_start", "event_type"],
+        "inner",
+    )
+    assert joined.count() == got.count()
+    mismatches = joined.where(
+        (F.col("n_events") != F.col("b_n"))
+        | (F.abs(F.col("sum_value") - F.col("b_sum")) > 1e-9)
+    )
+    assert mismatches.count() == 0
+
+    # incremental: append a second file with 30-days-later events (keep
+    # ts as long nanos like the source), rerun with availableNow — only
+    # the new backlog is processed, output grows
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    later = spark.read.parquet(SRC).withColumn(
+        "ts", F.col("ts") + F.lit(30 * 24 * 3600 * 10**9)
+    )
+    later.coalesce(1).write.mode("append").parquet(src_dir)
+    run_stream_to_parquet(
+        windowed_event_counts(read_event_stream(spark, src_dir), "1 hour", "2 hours"),
+        out,
+        ckpt,
+        available_now=True,
+    )
+    got2 = spark.read.parquet(out)
+    assert got2.count() > got.count()

@@ -1,0 +1,68 @@
+"""Text-analysis operators over small fixtures + the sf0.001 documents."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from grafink_spark.llm import text as tx
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "le chat est sur la table et le chien est la"),
+    (3, ""),
+    (4, "x"),
+    (5, "der hund und die katze sind nicht da"),
+]
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_token_count(spark, docs):
+    got = {r.doc_id: r.n for r in docs.select("doc_id", tx.token_count("text").alias("n")).collect()}
+    assert got == {1: 9, 2: 11, 3: 0, 4: 1, 5: 8}
+
+
+def test_word_tokens_regex(spark):
+    df = spark.createDataFrame([(1, "Hello, world! abc123 x")], "id long, text string")
+    toks = df.select(tx.word_tokens("text").alias("t")).first().t
+    assert toks == ["hello", ",", "world", "!", "abc", "123", "x"]
+
+
+def test_quality_metrics_and_score(spark, docs):
+    m = tx.quality_score(docs, "text")
+    row = {r.doc_id: r for r in m.collect()}
+    assert row[1].n_tokens == 9
+    assert row[1].stopword_ratio > 0.2  # 'the' twice + 'over'
+    assert row[3].n_tokens == 0 and row[3].quality_score <= 0.5
+    assert row[1].quality_score == 1.0
+
+
+def test_lang_id(spark, docs):
+    got = {r.doc_id: r.lang_pred for r in tx.lang_id(docs).collect()}
+    assert got[1] == "en"
+    assert got[2] == "fr"
+    assert got[5] == "de"
+    assert got[3] == "und"
+
+
+def test_fingerprint_prefix_duplicates(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),
+            (2, "A  b C d e f"),  # same after normalization
+            (3, "totally different words here now ok"),
+        ],
+        "doc_id long, text string",
+    )
+    fp = tx.fingerprint(df, prefix_tokens=6)
+    vals = {r.doc_id: r.fingerprint for r in fp.collect()}
+    assert vals[1] == vals[2] != vals[3]
+
+
+def test_on_real_documents(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = tx.quality_score(tx.lang_id(docs), "text")
+    assert out.count() == docs.count()
+    assert out.where(F.col("n_tokens") <= 0).count() == 0
