@@ -1,0 +1,106 @@
+"""Benchmark harness: runs the engine's headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"q": sec, ...}, "sf": <float>}
+
+Timing is per-query wall time of plan + execute; results are drained
+with a count-shaped action (collect on aggregates, count on large edge
+sets) so the full plan executes without driver-side materialization of
+huge row sets.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from grafink_spark.benchqueries import QUERIES  # noqa: E402
+from grafink_spark.session import get_spark  # noqa: E402
+
+# Headline set: grafink's core operator pipeline (similarity theta-join is
+# the documented bottleneck — docs/Benchmarks.md §3), the graph read
+# surface, plus the LLM-pipeline operators that dominate 100 TB work
+# (dedup, similarity search, text analysis).
+HEADLINE = [
+    "similarity_edges",
+    "similarity_histogram",
+    "samevalue_clique",
+    "samevalue_new_old",
+    "twomode_direct",
+    "assign_ids",
+    "edge_degree",
+    "pricing_summary",
+    "hourly_windows",
+    "exact_dedup",
+    "minhash_signature",
+    "lsh_candidates",
+    "simhash",
+    "embedding_topk",
+    "text_stats",
+]
+
+# Queries whose full row set is large: drain with a `noop`-format write
+# instead of .collect() — executes the complete plan (no column pruning
+# of the result, unlike count()) without materializing on the driver.
+NOOP_DRAIN = {
+    "similarity_edges",
+    "samevalue_clique",
+    "samevalue_new_old",
+    "twomode_direct",
+    "assign_ids",
+    "exact_dedup",
+    "minhash_signature",
+    "lsh_candidates",
+    "simhash",
+    "text_stats",
+}
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+
+    spark = get_spark("grafink-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the JVM/parquet footers once so per-query numbers measure the
+    # queries, not session startup.
+    QUERIES["max_id"](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        if name in NOOP_DRAIN:
+            df.write.format("noop").mode("overwrite").save()
+        else:
+            df.collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,880 @@
+"""The engine's declared query inventory — one entry per operator from
+SURVEY §2 plus the LLM-pipeline operators — with ANSI-SQL oracles.
+
+Every entry is a pair:
+
+- a Spark callable ``(spark, sf_dir) -> DataFrame`` exercising the real
+  engine code path (classifier rules, dedup operators, …) over the
+  driver's test tables, and
+- a DuckDB oracle SQL string computing the same result.
+
+Parity rules used throughout (both engines must produce identical
+value hashes):
+
+- identical output column names (lowercase snake_case aliases)
+- floats only from deterministic expression folds (cosine, ratios) →
+  round(6); accumulation-order-dependent sums → round(2)
+- timestamps rendered as strings in UTC
+- double→int conversions always via floor() (Spark cast truncates,
+  duckdb cast rounds)
+- md5-based hashing only (identical hex in both engines)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from grafink_spark.id_manager import zip_with_index
+from grafink_spark.llm import dedup as dd
+from grafink_spark.llm import simsearch as ss
+from grafink_spark.llm import text as tx
+from grafink_spark.llm.multimodal import extract_image_features, make_fake_image
+from grafink_spark.rules.samevalue import SameValueClassifier
+from grafink_spark.rules.similarity import SimilarityClassifier
+from grafink_spark.rules.twomode import TwoModeClassifier
+from grafink_spark.sources.fixed_vertices import FixedVertex, FixedVertexProperty
+from grafink_spark.sources.tables import load_table
+from grafink_spark.streaming.pipeline import windowed_event_counts
+from grafink_spark.util import ensure_min_partitions
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+# ----------------------------------------------------------------- helpers
+
+TOKENS_SQL = "regexp_split_to_array(trim(text), '\\s+')"
+
+
+def _alertish_events(spark: SparkSession, sf_dir: str, current_mod: int = 20) -> tuple[DataFrame, DataFrame]:
+    """Map the events table onto the alert schema the classifier rules
+    expect: id, objectId (user), rfscore (scaled value), cdsxmatch
+    (event_type). current = ids divisible by current_mod, side2 = all."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_id").alias("id"),
+        F.col("user_id").cast("string").alias("objectId"),
+        (F.col("value") / 500.0).alias("rfscore"),
+        F.col("event_type").alias("cdsxmatch"),
+        (F.floor(F.col("value") / 200).cast("int")).alias("roid"),
+        F.when(F.col("event_type") == "click", "ML").alias("mulens_class_1"),
+        F.when(F.col("event_type") == "click", "ML").alias("mulens_class_2"),
+    )
+    current = ev.where(F.col("id") % current_mod == 0)
+    return ev, current
+
+
+_ALERTISH_SQL = """
+  SELECT event_id AS id, CAST(user_id AS VARCHAR) AS objectId,
+         value / 500.0 AS rfscore, event_type AS cdsxmatch,
+         CAST(FLOOR(value / 200) AS INT) AS roid,
+         CASE WHEN event_type = 'click' THEN 'ML' END AS mulens_class_1,
+         CASE WHEN event_type = 'click' THEN 'ML' END AS mulens_class_2
+  FROM events
+"""
+
+COSINE_SQL = (
+    "list_reduce(list_transform(range(1, len({a}) + 1), "
+    "i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE), (x, y) -> x + y) / "
+    "(sqrt(list_reduce(list_transform(range(1, len({a}) + 1), "
+    "i -> {a}[i]::DOUBLE * {a}[i]::DOUBLE), (x, y) -> x + y)) * "
+    "sqrt(list_reduce(list_transform(range(1, len({b}) + 1), "
+    "i -> {b}[i]::DOUBLE * {b}[i]::DOUBLE), (x, y) -> x + y)))"
+)
+
+
+# =================================================================
+# §2.2 projections / scalar expressions (P1-P3; Reader pipeline)
+# =================================================================
+
+
+def q_project_derive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column pruning + derived SQL column (rowkey concat — the
+    reference's canonical newCols example, README.md:50-57)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.selectExpr(
+        "doc_id",
+        "lang",
+        "source || '_' || CAST(doc_id AS STRING) AS rowkey",
+        "n_chars",
+    )
+
+
+SQL_PROJECT_DERIVE = """
+SELECT doc_id, lang, source || '_' || CAST(doc_id AS VARCHAR) AS rowkey, n_chars
+FROM documents
+"""
+
+
+def q_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-window scan + per-day aggregate (S2 partition pruning as a
+    pushed-down time predicate)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.where(
+            (F.col("ts") >= "2024-01-05") & (F.col("ts") < "2024-01-12")
+        )
+        .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+SQL_PARTITION_PRUNE = """
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-12'
+GROUP BY 1
+"""
+
+
+# =================================================================
+# §1.5 id management (zipWithIndex + reserved space)
+# =================================================================
+
+
+def q_assign_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive id assignment, deterministic order (offset = the
+    reference's default reservedIdSpace = 200)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return zip_with_index(docs, offset=200, id_col="id", order_by=["doc_id"])
+
+
+SQL_ASSIGN_IDS = """
+SELECT 200 + ROW_NUMBER() OVER (ORDER BY doc_id) AS id, doc_id
+FROM documents
+"""
+
+
+def q_max_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global max — the IDManager offset fetch (A1)."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .agg(F.max("o_orderkey").alias("max_id"))
+    )
+
+
+SQL_MAX_ID = "SELECT max(o_orderkey) AS max_id FROM orders"
+
+
+# =================================================================
+# §2.3/2.4 joins + same-value rule (J2, J3, A3)
+# =================================================================
+
+
+def q_samevalue_clique(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SameValueClassifier clique: connect all orders of one customer
+    (new×new pairs, J3)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("id"), F.col("o_custkey").cast("string").alias("ckey")
+    )
+    rule = SameValueClassifier(["ckey"])
+    empty = orders.limit(0)
+    return rule.classify(empty, orders).select(
+        F.col("src"), F.col("dst"), F.col("propVal").alias("prop_val")
+    )
+
+
+SQL_SAMEVALUE_CLIQUE = """
+SELECT a.o_orderkey AS src, b.o_orderkey AS dst, 'ckey' AS prop_val
+FROM orders a JOIN orders b
+  ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+"""
+
+
+def q_samevalue_new_old(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full SameValueClassifier semantics over an even/odd batch split:
+    new×new cliques plus new×old pairs (J2+J3)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("id"), F.col("o_custkey").cast("string").alias("ckey")
+    )
+    current = orders.where(F.col("id") % 2 == 0)
+    loaded = orders.where(F.col("id") % 2 == 1)
+    rule = SameValueClassifier(["ckey"])
+    return rule.classify(loaded, current).select(
+        "src", "dst", F.col("propVal").alias("prop_val")
+    )
+
+
+SQL_SAMEVALUE_NEW_OLD = """
+SELECT a.o_orderkey AS src, b.o_orderkey AS dst, 'ckey' AS prop_val
+FROM orders a JOIN orders b
+  ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+WHERE a.o_orderkey % 2 = 0 AND b.o_orderkey % 2 = 0
+UNION ALL
+SELECT a.o_orderkey AS src, b.o_orderkey AS dst, 'ckey' AS prop_val
+FROM orders a JOIN orders b ON a.o_custkey = b.o_custkey
+WHERE a.o_orderkey % 2 = 0 AND b.o_orderkey % 2 = 1
+"""
+
+
+# =================================================================
+# §2.3/2.5 similarity theta join + value fold (J1, J5, A5)
+# =================================================================
+
+
+def q_similarity_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimilarityClassifier ('rfscore OR objectId') over alert-shaped
+    events: current batch vs all, id1 > id2 dedup, similarity value =
+    #matching conditions. Runs the decomposed (equi-join union) path."""
+    ev, current = _alertish_events(spark, sf_dir)
+    rule = SimilarityClassifier("rfscore OR objectId", mode="decomposed")
+    # side 2 = loaded ∪ current; passing loaded = all-minus-current keeps
+    # the union equal to `ev` exactly
+    loaded = ev.where(F.col("id") % 20 != 0)
+    return rule.classify(loaded, current).select(
+        "src", "dst", F.col("propVal").alias("prop_val")
+    )
+
+
+SQL_SIMILARITY_EDGES = f"""
+WITH a AS ({_ALERTISH_SQL}),
+cur AS (SELECT * FROM a WHERE id % 20 = 0)
+SELECT c.id AS src, o.id AS dst,
+       (CASE WHEN c.rfscore > 0.9 AND o.rfscore > 0.9 THEN 1 ELSE 0 END
+      + CASE WHEN c.objectId = o.objectId THEN 1 ELSE 0 END)::INT AS prop_val
+FROM cur c JOIN a o
+  ON c.id > o.id
+ AND ((c.rfscore > 0.9 AND o.rfscore > 0.9) OR c.objectId = o.objectId)
+"""
+
+
+def q_similarity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge-property filter/readback (§2.8: outE('similarity')
+    .has('value', v)) — histogram of similarity values."""
+    edges = q_similarity_edges(spark, sf_dir)
+    return edges.groupBy(F.col("prop_val").alias("value")).agg(
+        F.count(F.lit(1)).alias("n_edges")
+    )
+
+
+SQL_SIMILARITY_HISTOGRAM = f"""
+WITH e AS ({SQL_SIMILARITY_EDGES})
+SELECT prop_val AS value, count(*) AS n_edges FROM e GROUP BY 1
+"""
+
+
+# =================================================================
+# §2.5 two-mode rule (J4) + catalog exact match + fixed vertices (S4)
+# =================================================================
+
+
+def q_twomode_direct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TwoModeClassifier direct recipes (microlensing, asteroids) over
+    alert-shaped events → (src, dst=fixed id, 0.0)."""
+    ev, current = _alertish_events(spark, sf_dir)
+    fixed = [
+        FixedVertex(2, "similarity", [FixedVertexProperty("recipe", "string", "microlensing")]),
+        FixedVertex(3, "similarity", [FixedVertexProperty("recipe", "string", "asteroids")]),
+    ]
+    rule = TwoModeClassifier(["microlensing", "asteroids"], fixed)
+    return rule.classify(ev.limit(0), current).select(
+        "src", "dst", F.col("propVal").alias("prop_val")
+    )
+
+
+SQL_TWOMODE_DIRECT = f"""
+WITH a AS ({_ALERTISH_SQL}),
+cur AS (SELECT * FROM a WHERE id % 20 = 0)
+SELECT id AS src, 2::BIGINT AS dst, 0.0::DOUBLE AS prop_val FROM cur
+WHERE mulens_class_1 = 'ML' AND mulens_class_2 = 'ML'
+UNION ALL
+SELECT id AS src, 3::BIGINT AS dst, 0.0::DOUBLE AS prop_val FROM cur
+WHERE roid > 1
+"""
+
+
+def q_twomode_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog exact-match recipe: one fixed vertex per language value;
+    documents link to the vertex whose `equals` matches (J4/S4)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"), F.col("lang").alias("cdsxmatch")
+    )
+    fixed = [
+        FixedVertex(1, "similarity", [FixedVertexProperty("recipe", "string", "catalog"),
+                                      FixedVertexProperty("equals", "string", "en")]),
+        FixedVertex(4, "similarity", [FixedVertexProperty("recipe", "string", "catalog"),
+                                      FixedVertexProperty("equals", "string", "fr")]),
+        FixedVertex(5, "similarity", [FixedVertexProperty("recipe", "string", "catalog"),
+                                      FixedVertexProperty("equals", "string", "de")]),
+    ]
+    rule = TwoModeClassifier(["catalog"], fixed)
+    return rule.classify(docs.limit(0), docs).select(
+        "src", "dst", F.col("propVal").alias("prop_val")
+    )
+
+
+SQL_TWOMODE_CATALOG = """
+SELECT doc_id AS src,
+       CASE lang WHEN 'en' THEN 1 WHEN 'fr' THEN 4 WHEN 'de' THEN 5 END::BIGINT AS dst,
+       0.0::DOUBLE AS prop_val
+FROM documents
+WHERE lang IN ('en', 'fr', 'de')
+"""
+
+
+# =================================================================
+# §2.1 edge sink semantics (S7 both directions) + §2.8 degree
+# =================================================================
+
+
+def q_edge_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same-nation supplier cliques → both edge directions materialized
+    (the sink's doubling, EdgeProcessor.scala:122-130) → degree per
+    vertex (§2.8 g.V().outE().count())."""
+    sup = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("id"),
+        F.col("s_nationkey").cast("string").alias("nkey"),
+    )
+    edges = SameValueClassifier(["nkey"]).classify(sup.limit(0), sup)
+    both = edges.select("src", "dst").unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return both.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+
+
+SQL_EDGE_DEGREE = """
+WITH p AS (
+  SELECT a.s_suppkey AS sa, b.s_suppkey AS sb
+  FROM supplier a JOIN supplier b
+    ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey
+),
+both_dirs AS (
+  SELECT sa AS id FROM p UNION ALL SELECT sb FROM p
+)
+SELECT id, count(*) AS degree FROM both_dirs GROUP BY 1
+"""
+
+
+def q_delete_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-path semantics (S8): vertices surviving an id anti-join —
+    customers with no finished order."""
+    cust = load_table(spark, sf_dir, "customer")
+    gone = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "F"
+    ).select(F.col("o_custkey").alias("c_custkey"))
+    return cust.join(gone, "c_custkey", "left_anti").select("c_custkey", "c_name")
+
+
+SQL_DELETE_ANTIJOIN = """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+)
+"""
+
+
+# =================================================================
+# §2.8 read-side query surface
+# =================================================================
+
+
+def q_count_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label counts (g.V().count() family)."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.col("event_type").alias("label"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+SQL_COUNT_BY_LABEL = "SELECT event_type AS label, count(*) AS n FROM events GROUP BY 1"
+
+
+def q_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point lookup by property (composite-index path)."""
+    return (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") == 42)
+        .select("doc_id", "lang", "source", "n_chars")
+    )
+
+
+SQL_POINT_LOOKUP = (
+    "SELECT doc_id, lang, source, n_chars FROM documents WHERE doc_id = 42"
+)
+
+
+def q_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort + limit surface: 20 longest documents (deterministic
+    tie-break on doc_id)."""
+    return (
+        load_table(spark, sf_dir, "documents")
+        .orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+        .limit(20)
+        .select("doc_id", "n_chars")
+    )
+
+
+SQL_TOP_DOCS = """
+SELECT doc_id, n_chars FROM documents ORDER BY n_chars DESC, doc_id ASC LIMIT 20
+"""
+
+
+# =================================================================
+# general SQL surface (the engine is full Spark SQL — TPC-H-ish checks)
+# =================================================================
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style aggregation over lineitem."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-dim join + aggregate: order revenue per market segment."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+SQL_SEGMENT_REVENUE = """
+SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY 1
+"""
+
+
+def q_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation — the streaming pipeline's transform
+    applied to a bounded input (identical code path, batch semantics)."""
+    ev = load_table(spark, sf_dir, "events")
+    out = windowed_event_counts(ev, "1 hour", "2 hours")
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n_events",
+        F.round("sum_value", 2).alias("sum_value"),
+    )
+
+
+SQL_HOURLY_WINDOWS = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+# =================================================================
+# LLM ops: dedup family
+# =================================================================
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate groups by md5(text)."""
+    return dd.exact_duplicates(load_table(spark, sf_dir, "documents"))
+
+
+SQL_EXACT_DEDUP = """
+SELECT md5(text) AS content_hash, min(doc_id) AS keeper_id, count(*) AS dup_count
+FROM documents GROUP BY 1 HAVING count(*) > 1
+"""
+
+
+def q_fingerprint_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-fingerprint duplicate groups (16-token md5 fingerprint)."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = tx.fingerprint(docs, prefix_tokens=16)
+    return (
+        fp.groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keeper_id"), F.count(F.lit(1)).alias("dup_count"))
+        .where(F.col("dup_count") > 1)
+    )
+
+
+SQL_FINGERPRINT_DUPS = f"""
+WITH fp AS (
+  SELECT doc_id,
+         md5(array_to_string(regexp_split_to_array(trim(lower(text)), '\\s+')[1:16], ' ')) AS fingerprint
+  FROM documents
+)
+SELECT fingerprint, min(doc_id) AS keeper_id, count(*) AS dup_count
+FROM fp GROUP BY 1 HAVING count(*) > 1
+"""
+
+
+def _sig_sql(num_hashes: int, k: int = 3) -> str:
+    """DuckDB expression list for minhash signature elements over a
+    shingle array column named s."""
+    return ", ".join(
+        f"list_min(list_transform(s, x -> md5('{i}|' || x))) AS m{i}"
+        for i in range(num_hashes)
+    )
+
+
+_SHINGLES_SQL = f"""
+  SELECT doc_id,
+         CASE WHEN len(t) >= 3
+              THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
+              ELSE [array_to_string(t, ' ')] END AS s
+  FROM (SELECT doc_id, {TOKENS_SQL} AS t FROM documents)
+"""
+
+
+def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 4 minhash signature elements per document — pins the
+    signature math itself."""
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    sig = dd.minhash_signature(F.col("text"), num_hashes=4, k=3)
+    return docs.select(
+        "doc_id",
+        *[sig.getItem(i).alias(f"m{i}") for i in range(4)],
+    )
+
+
+SQL_MINHASH_SIGNATURE = f"""
+WITH sh AS ({_SHINGLES_SQL})
+SELECT doc_id, {_sig_sql(4)} FROM sh
+"""
+
+
+def q_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded MinHash LSH candidate pairs (16 hashes, 4 bands)."""
+    return dd.minhash_lsh_candidates(
+        load_table(spark, sf_dir, "documents"), num_hashes=16, k=3, bands=4
+    )
+
+
+SQL_LSH_CANDIDATES = f"""
+WITH sh AS ({_SHINGLES_SQL}),
+sig AS (SELECT doc_id, {_sig_sql(16)} FROM sh),
+bands AS (
+  SELECT doc_id,
+         md5(m0 || m1 || m2 || m3)     AS b0,
+         md5(m4 || m5 || m6 || m7)     AS b1,
+         md5(m8 || m9 || m10 || m11)   AS b2,
+         md5(m12 || m13 || m14 || m15) AS b3
+  FROM sig
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a JOIN bands b
+  ON a.doc_id < b.doc_id
+ AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)
+"""
+
+
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidates verified by 3-shingle Jaccard ≥ 0.5."""
+    docs = load_table(spark, sf_dir, "documents")
+    cand = dd.minhash_lsh_candidates(docs, num_hashes=16, k=3, bands=4)
+    out = dd.ngram_jaccard_pairs(docs, k=3, threshold=0.5, candidates=cand)
+    return out.select("id_a", "id_b", F.round("jaccard_sim", 6).alias("jaccard_sim"))
+
+
+SQL_JACCARD_PAIRS = f"""
+WITH cand AS ({SQL_LSH_CANDIDATES}),
+sh AS (SELECT doc_id, list_distinct(s) AS ds FROM ({_SHINGLES_SQL})),
+j AS (
+  SELECT c.id_a, c.id_b,
+         len(list_intersect(a.ds, b.ds)) /
+         (len(a.ds) + len(b.ds) - len(list_intersect(a.ds, b.ds))) AS jaccard_sim
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.id_a
+  JOIN sh b ON b.doc_id = c.id_b
+)
+SELECT id_a, id_b, round(jaccard_sim, 6) AS jaccard_sim
+FROM j WHERE jaccard_sim >= 0.5
+"""
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document — pins the bitwise vote math."""
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    return docs.select("doc_id", dd.simhash(F.col("text"), k=3).alias("simhash"))
+
+
+SQL_SIMHASH = f"""
+WITH sh AS ({_SHINGLES_SQL}),
+hv AS (SELECT doc_id, ('0x' || substr(md5(sg), 1, 8))::BIGINT AS h
+       FROM (SELECT doc_id, unnest(s) AS sg FROM sh)),
+votes AS (
+  SELECT doc_id, b.b AS b,
+         sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM hv, (SELECT unnest(range(32)) AS b) b
+  GROUP BY 1, 2
+)
+SELECT doc_id,
+       sum(CASE WHEN v >= 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
+FROM votes GROUP BY 1
+"""
+
+
+# =================================================================
+# LLM ops: similarity search
+# =================================================================
+
+
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-3 for the 5 lowest vec_ids."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.orderBy("vec_id").limit(5)
+    out = ss.brute_force_topk(emb, queries, k=3)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round("cosine_sim", 6).alias("cosine_sim"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+SQL_EMBEDDING_TOPK = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings ORDER BY vec_id LIMIT 5),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         {COSINE_SQL.format(a="q.qv", b="e.embedding")} AS cs
+  FROM q, embeddings e WHERE e.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cs,
+         row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id ASC) AS rnk
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(cs, 6) AS cosine_sim, rnk AS rank
+FROM ranked WHERE rnk <= 3
+"""
+
+
+def q_embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-blocked embedding near-duplicate pairs (cosine ≥ 0.3)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = dd.embedding_near_duplicates(
+        emb, threshold=0.3, block_by="label"
+    )
+    return out.select("id_a", "id_b", F.round("cosine_sim", 6).alias("cosine_sim"))
+
+
+SQL_EMBEDDING_NEAR_PAIRS = f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round({COSINE_SQL.format(a="a.embedding", b="b.embedding")}, 6) AS cosine_sim
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE {COSINE_SQL.format(a="a.embedding", b="b.embedding")} >= 0.3
+"""
+
+
+# =================================================================
+# LLM ops: text analysis
+# =================================================================
+
+_SW = tx.DEFAULT_STOPWORDS
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counts, stopword ratio, quality score per document."""
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    m = tx.quality_score(docs, "text")
+    return m.select(
+        "doc_id",
+        "n_tokens",
+        F.round("avg_token_len", 6).alias("avg_token_len"),
+        F.round("stopword_ratio", 6).alias("stopword_ratio"),
+        F.round("quality_score", 6).alias("quality_score"),
+    )
+
+
+_SW_LIST = ", ".join(f"'{w}'" for w in _SW)
+
+SQL_TEXT_STATS = f"""
+WITH t AS (
+  SELECT doc_id, length(text) AS nc, {TOKENS_SQL} AS toks,
+         length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS clean_len
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         len(toks) AS n_tokens,
+         CASE WHEN len(toks) > 0
+              THEN (nc - len(toks) + 1) / len(toks) ELSE 0.0 END AS atl,
+         CASE WHEN len(toks) > 0
+              THEN len(list_filter(toks, x -> x IN ({_SW_LIST}))) / len(toks)
+              ELSE 0.0 END AS swr,
+         nc, clean_len
+  FROM t
+)
+SELECT doc_id, n_tokens,
+       round(atl, 6) AS avg_token_len,
+       round(swr, 6) AS stopword_ratio,
+       round(
+         (CASE WHEN n_tokens >= 5 AND n_tokens <= 100000 THEN 0.25::DOUBLE ELSE 0.0::DOUBLE END)
+       + (CASE WHEN atl >= 2 AND atl <= 12 THEN 0.25::DOUBLE ELSE 0.0::DOUBLE END)
+       + (CASE WHEN nc = 0 OR (nc - clean_len) / nc <= 0.3 THEN 0.25::DOUBLE ELSE 0.0::DOUBLE END)
+       + (CASE WHEN swr >= 0.01 THEN 0.25::DOUBLE ELSE 0.0::DOUBLE END), 6) AS quality_score
+FROM m
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-vote language id vs the labeled lang column (confusion
+    counts)."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = tx.lang_id(docs, "text")
+    return out.groupBy("lang", "lang_pred").agg(F.count(F.lit(1)).alias("n"))
+
+
+def _hits_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in tx.LANG_STOPWORDS[lang])
+    return f"len(list_filter({TOKENS_SQL}, x -> x IN ({words})))"
+
+
+# tie-break = lexicographically greatest language (array_max on
+# struct(hits, lang) in the Spark impl) → CASE chain in descending
+# lexicographic order: fr > es > en > de
+SQL_LANG_ID = f"""
+WITH h AS (
+  SELECT lang,
+         {_hits_sql("en")} AS h_en, {_hits_sql("fr")} AS h_fr,
+         {_hits_sql("de")} AS h_de, {_hits_sql("es")} AS h_es
+  FROM documents
+),
+p AS (
+  SELECT lang,
+         CASE
+           WHEN h_en = 0 AND h_fr = 0 AND h_de = 0 AND h_es = 0 THEN 'und'
+           WHEN h_fr >= h_en AND h_fr >= h_de AND h_fr >= h_es THEN 'fr'
+           WHEN h_es >= h_en AND h_es >= h_fr AND h_es >= h_de THEN 'es'
+           WHEN h_en >= h_fr AND h_en >= h_de AND h_en >= h_es THEN 'en'
+           ELSE 'de'
+         END AS lang_pred
+  FROM h
+)
+SELECT lang, lang_pred, count(*) AS n FROM p GROUP BY 1, 2
+"""
+
+
+# =================================================================
+# LLM ops: multimodal (rows-only check — python kernel, no SQL twin)
+# =================================================================
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media plumbing end-to-end: build deterministic fake image
+    payloads for the first 50 documents, extract features via the
+    Arrow mapInPandas kernel."""
+    docs = load_table(spark, sf_dir, "documents").orderBy("doc_id").limit(50)
+    rows = docs.select("doc_id").collect()
+    payloads = [
+        (int(r.doc_id), make_fake_image(int(r.doc_id), 32, 16)) for r in rows
+    ]
+    media = spark.createDataFrame(payloads, "doc_id long, payload binary")
+    return extract_image_features(media)
+
+
+def q_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate ANN (multi-table hyperplane LSH) — approximate by
+    construction, so rows-only check."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.orderBy("vec_id").limit(5)
+    out = ss.lsh_topk(emb, queries, k=3, dim=64, bits=4, tables=4)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round("cosine_sim", 6).alias("cosine_sim"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+# =================================================================
+# registry
+# =================================================================
+
+QUERIES: dict[str, QueryFn] = {
+    "project_derive": q_project_derive,
+    "partition_prune": q_partition_prune,
+    "assign_ids": q_assign_ids,
+    "max_id": q_max_id,
+    "samevalue_clique": q_samevalue_clique,
+    "samevalue_new_old": q_samevalue_new_old,
+    "similarity_edges": q_similarity_edges,
+    "similarity_histogram": q_similarity_histogram,
+    "twomode_direct": q_twomode_direct,
+    "twomode_catalog": q_twomode_catalog,
+    "edge_degree": q_edge_degree,
+    "delete_antijoin": q_delete_antijoin,
+    "count_by_label": q_count_by_label,
+    "point_lookup": q_point_lookup,
+    "top_docs": q_top_docs,
+    "pricing_summary": q_pricing_summary,
+    "segment_revenue": q_segment_revenue,
+    "hourly_windows": q_hourly_windows,
+    "exact_dedup": q_exact_dedup,
+    "fingerprint_dups": q_fingerprint_dups,
+    "minhash_signature": q_minhash_signature,
+    "lsh_candidates": q_lsh_candidates,
+    "jaccard_pairs": q_jaccard_pairs,
+    "simhash": q_simhash,
+    "embedding_topk": q_embedding_topk,
+    "embedding_near_pairs": q_embedding_near_pairs,
+    "text_stats": q_text_stats,
+    "lang_id": q_lang_id,
+    # rows-only (no SQL oracle): python media kernel / approximate ANN
+    "media_features": q_media_features,
+    "embedding_lsh_topk": q_embedding_lsh_topk,
+}
+
+ORACLES: dict[str, str] = {
+    "project_derive": SQL_PROJECT_DERIVE,
+    "partition_prune": SQL_PARTITION_PRUNE,
+    "assign_ids": SQL_ASSIGN_IDS,
+    "max_id": SQL_MAX_ID,
+    "samevalue_clique": SQL_SAMEVALUE_CLIQUE,
+    "samevalue_new_old": SQL_SAMEVALUE_NEW_OLD,
+    "similarity_edges": SQL_SIMILARITY_EDGES,
+    "similarity_histogram": SQL_SIMILARITY_HISTOGRAM,
+    "twomode_direct": SQL_TWOMODE_DIRECT,
+    "twomode_catalog": SQL_TWOMODE_CATALOG,
+    "edge_degree": SQL_EDGE_DEGREE,
+    "delete_antijoin": SQL_DELETE_ANTIJOIN,
+    "count_by_label": SQL_COUNT_BY_LABEL,
+    "point_lookup": SQL_POINT_LOOKUP,
+    "top_docs": SQL_TOP_DOCS,
+    "pricing_summary": SQL_PRICING_SUMMARY,
+    "segment_revenue": SQL_SEGMENT_REVENUE,
+    "hourly_windows": SQL_HOURLY_WINDOWS,
+    "exact_dedup": SQL_EXACT_DEDUP,
+    "fingerprint_dups": SQL_FINGERPRINT_DUPS,
+    "minhash_signature": SQL_MINHASH_SIGNATURE,
+    "lsh_candidates": SQL_LSH_CANDIDATES,
+    "jaccard_pairs": SQL_JACCARD_PAIRS,
+    "simhash": SQL_SIMHASH,
+    "embedding_topk": SQL_EMBEDDING_TOPK,
+    "embedding_near_pairs": SQL_EMBEDDING_NEAR_PAIRS,
+    "text_stats": SQL_TEXT_STATS,
+    "lang_id": SQL_LANG_ID,
+}

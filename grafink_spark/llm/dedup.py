@@ -28,6 +28,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from grafink_spark.llm.text import tokens
+from grafink_spark.util import ensure_min_partitions
 
 
 # ------------------------------------------------------------- shingles
@@ -83,21 +84,29 @@ def drop_exact_duplicates(
 # ------------------------------------------------------------- MinHash
 
 
+def signature_from_shingles(sh: Column, num_hashes: int = 16) -> Column:
+    """MinHash signature from a *pre-projected* shingle-array column.
+
+    Pass a plain column reference, not the shingles() expression: each of
+    the ``num_hashes`` terms references ``sh``, so an inline expression
+    tree would be duplicated num_hashes× per row."""
+
+    def min_hash(i: int) -> Column:
+        # NB: the lambda must be single-arg — a 2-arg lambda would make
+        # F.transform pass the element index as the 2nd param
+        prefix = F.lit(f"{i}|")
+        return F.array_min(F.transform(sh, lambda s: F.md5(F.concat(prefix, s))))
+
+    return F.array(*[min_hash(i) for i in range(num_hashes)])
+
+
 def minhash_signature(
     col: Column | str, num_hashes: int = 16, k: int = 3
 ) -> Column:
     """Array of ``num_hashes`` minwise hashes: element i =
     min(md5(i || '|' || shingle)). All string expressions → identical in
     Spark and duckdb."""
-    sh = shingles(col, k)
-    return F.array(
-        *[
-            F.array_min(
-                F.transform(sh, lambda s, i=i: F.md5(F.concat(F.lit(f"{i}|"), s)))
-            )
-            for i in range(num_hashes)
-        ]
-    )
+    return signature_from_shingles(shingles(col, k), num_hashes)
 
 
 def lsh_band_keys(signature: Column, bands: int, rows: int) -> Column:
@@ -118,28 +127,50 @@ def minhash_lsh_candidates(
     k: int = 3,
     bands: int = 4,
 ) -> DataFrame:
-    """Candidate near-duplicate pairs (id_a < id_b, with the band that
-    collided) via banded MinHash LSH. rows = num_hashes // bands."""
+    """Candidate near-duplicate pairs (id_a < id_b) via banded MinHash
+    LSH. rows = num_hashes // bands.
+
+    Plan shape (the 100 TB path): shingles → signature → band keys are
+    three *separate* projections so each expensive array is evaluated
+    once per row (inlining them builds a tree where the shingle scan is
+    re-evaluated hashes×bands times); then ONE shuffle groups ids by
+    (band, band_key) and pairs explode per bucket — cost O(Σ bucket²)
+    with no self-join and no second pass over the documents."""
     rows = num_hashes // bands
-    sig = minhash_signature(F.col(text_col), num_hashes, k)
-    keyed = df.select(
+    df = ensure_min_partitions(df)
+    sh = df.select(
         F.col(id_col).alias("_id"),
-        F.posexplode(lsh_band_keys(sig, bands, rows)).alias("band", "band_key"),
+        shingles(F.col(text_col), k).alias("_sh"),
     )
-    a = keyed.select("band", "band_key", F.col("_id").alias("id_a"))
-    b = keyed.select(
-        F.col("band").alias("band_b"),
-        F.col("band_key").alias("band_key_b"),
-        F.col("_id").alias("id_b"),
+    sig = sh.select(
+        "_id", signature_from_shingles(F.col("_sh"), num_hashes).alias("_sig")
     )
-    pairs = a.join(
-        b,
-        (F.col("band") == F.col("band_b"))
-        & (F.col("band_key") == F.col("band_key_b"))
-        & (F.col("id_a") < F.col("id_b")),
-        "inner",
-    ).select("id_a", "id_b")
-    return pairs.distinct()
+    keyed = sig.select(
+        "_id",
+        F.posexplode(lsh_band_keys(F.col("_sig"), bands, rows)).alias(
+            "band", "band_key"
+        ),
+    )
+    buckets = (
+        keyed.groupBy("band", "band_key")
+        .agg(F.array_sort(F.collect_list("_id")).alias("_ids"))
+        .where(F.size("_ids") > 1)
+    )
+    ids = F.col("_ids")
+    pair_structs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + F.lit(2), F.size(ids)),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    return (
+        buckets.select(F.explode(pair_structs).alias("_p"))
+        .select(F.col("_p.id_a"), F.col("_p.id_b"))
+        .distinct()
+    )
 
 
 # ----------------------------------------------------- n-gram Jaccard
@@ -167,6 +198,7 @@ def ngram_jaccard_pairs(
     Pair generation is never all-pairs: pass ``candidates`` (id_a, id_b —
     e.g. from minhash_lsh_candidates) or ``block_by`` columns (equi-join
     blocking). Verification joins the shingle arrays back by id."""
+    df = ensure_min_partitions(df)
     sh = df.select(
         F.col(id_col).alias("_id"),
         F.array_distinct(shingles(F.col(text_col), k)).alias("_sh"),
@@ -253,7 +285,8 @@ def simhash_duplicates(
     dup_count>1). For Hamming-distance ≤ d matching, band the signature
     and bucket-join like MinHash LSH."""
     return (
-        df.select(simhash(F.col(text_col), k).alias("simhash"), F.col(id_col))
+        ensure_min_partitions(df)
+        .select(simhash(F.col(text_col), k).alias("simhash"), F.col(id_col))
         .groupBy("simhash")
         .agg(F.min(id_col).alias("keeper_id"), F.count(F.lit(1)).alias("dup_count"))
         .where(F.col("dup_count") > 1)

@@ -30,6 +30,8 @@ NANO_TS_COLUMNS: dict[str, list[str]] = {
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one table; nano-timestamp longs become TimestampType."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # duckdb-oracle parity: timestamps are naive/UTC in the source data
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for c in NANO_TS_COLUMNS.get(name, []):
         if c in df.columns and dict(df.dtypes).get(c) == "bigint":
