@@ -38,6 +38,7 @@ HEADLINE = [
     "edge_degree",
     "pricing_summary",
     "hourly_windows",
+    "user_sessions",
     "exact_dedup",
     "minhash_signature",
     "lsh_candidates",
@@ -50,6 +51,7 @@ HEADLINE = [
 # instead of .collect() — executes the complete plan (no column pruning
 # of the result, unlike count()) without materializing on the driver.
 NOOP_DRAIN = {
+    "user_sessions",
     "similarity_edges",
     "samevalue_clique",
     "samevalue_new_old",

@@ -38,6 +38,7 @@ from grafink_spark.rules.twomode import TwoModeClassifier
 from grafink_spark.sources.fixed_vertices import FixedVertex, FixedVertexProperty
 from grafink_spark.sources.tables import load_table
 from grafink_spark.streaming.pipeline import windowed_event_counts
+from grafink_spark.streaming.sessionize import sessionize_batch
 from grafink_spark.util import ensure_min_partitions
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -492,6 +493,44 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min idle gap) — the batch twin of the
+    applyInPandasWithState streaming operator."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    sess = sessionize_batch(ev, gap_seconds=1800)
+    return sess.select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        "n_events",
+        F.round("sum_value", 2).alias("sum_value"),
+    )
+
+
+SQL_USER_SESSIONS = """
+WITH o AS (
+  SELECT user_id, ts, value,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR floor(epoch(ts)) - floor(epoch(LAG(ts) OVER w)) > 1800
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+  SELECT user_id, ts, value,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM o
+)
+SELECT user_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 2) AS sum_value
+FROM s GROUP BY user_id, session_seq
+"""
+
+
 # =================================================================
 # LLM ops: dedup family
 # =================================================================
@@ -796,6 +835,21 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_image_features(media)
 
 
+def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate ANN (IVF: deterministic centroids + nprobe search) —
+    approximate by construction, so rows-only check."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.orderBy("vec_id").limit(5)
+    cents = ss.ivf_train(emb, nlist=8, iters=1)
+    out = ss.ivf_topk(emb, queries, cents, k=3, nprobe=4)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round("cosine_sim", 6).alias("cosine_sim"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def q_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate ANN (multi-table hyperplane LSH) — approximate by
     construction, so rows-only check."""
@@ -833,6 +887,7 @@ QUERIES: dict[str, QueryFn] = {
     "pricing_summary": q_pricing_summary,
     "segment_revenue": q_segment_revenue,
     "hourly_windows": q_hourly_windows,
+    "user_sessions": q_user_sessions,
     "exact_dedup": q_exact_dedup,
     "fingerprint_dups": q_fingerprint_dups,
     "minhash_signature": q_minhash_signature,
@@ -846,6 +901,7 @@ QUERIES: dict[str, QueryFn] = {
     # rows-only (no SQL oracle): python media kernel / approximate ANN
     "media_features": q_media_features,
     "embedding_lsh_topk": q_embedding_lsh_topk,
+    "embedding_ivf_topk": q_embedding_ivf_topk,
 }
 
 ORACLES: dict[str, str] = {
@@ -867,6 +923,7 @@ ORACLES: dict[str, str] = {
     "pricing_summary": SQL_PRICING_SUMMARY,
     "segment_revenue": SQL_SEGMENT_REVENUE,
     "hourly_windows": SQL_HOURLY_WINDOWS,
+    "user_sessions": SQL_USER_SESSIONS,
     "exact_dedup": SQL_EXACT_DEDUP,
     "fingerprint_dups": SQL_FINGERPRINT_DUPS,
     "minhash_signature": SQL_MINHASH_SIGNATURE,

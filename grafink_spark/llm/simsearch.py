@@ -92,6 +92,118 @@ def hyperplane_signature(
     return sig
 
 
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (by cosine): adds a
+    ``list_id`` column. Centroids ship as literals (broadcast-by-value);
+    the assignment is a narrow projection — no shuffle."""
+    v = F.col(vec_col).cast("array<double>")
+    best_id, best_sim = F.lit(-1), F.lit(-2.0)
+    for cid, cvec in centroids:
+        sim = cosine_similarity(v, F.array(*[F.lit(x) for x in cvec]))
+        improved = sim > best_sim
+        best_id = F.when(improved, F.lit(cid)).otherwise(best_id)
+        best_sim = F.when(improved, sim).otherwise(best_sim)
+    return corpus.withColumn("list_id", best_id)
+
+
+def ivf_train(
+    corpus: DataFrame,
+    nlist: int = 16,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[tuple[int, list[float]]]:
+    """Deterministic IVF centroids: seed with the ``nlist`` lowest-id
+    vectors, refine with ``iters`` Lloyd steps. Each step is one
+    broadcast-assignment projection + one groupBy(list_id) mean — a
+    single shuffle of nlist×dim partial sums, independent of corpus
+    size (map-side partial aggregation)."""
+    seeds = (
+        corpus.select(id_col, F.col(vec_col).cast("array<double>").alias("_v"))
+        .orderBy(id_col)
+        .limit(nlist)
+        .collect()
+    )
+    centroids = [(i, list(r._v)) for i, r in enumerate(seeds)]
+    dim = len(centroids[0][1])
+    for _ in range(iters):
+        assigned = ivf_assign(corpus, centroids, vec_col)
+        v = F.col(vec_col).cast("array<double>")
+        means = (
+            assigned.select(
+                "list_id", *[v.getItem(i).alias(f"_d{i}") for i in range(dim)]
+            )
+            .groupBy("list_id")
+            .agg(*[F.avg(f"_d{i}").alias(f"_d{i}") for i in range(dim)])
+            .collect()
+        )
+        centroids = [
+            (int(r.list_id), [float(r[f"_d{i}"]) for i in range(dim)])
+            for r in sorted(means, key=lambda r: r.list_id)
+        ]
+    return centroids
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF search: each query probes its ``nprobe`` nearest inverted
+    lists; exact cosine re-rank within the probed lists. Same output
+    schema as brute_force_topk; scan fraction ≈ nprobe/nlist.
+
+    At scale the corpus is written partitioned/bucketed by ``list_id``
+    once at index-build time, so a probe prunes files — here the
+    assignment is recomputed inline (equivalent plan above the scan)."""
+    c = ivf_assign(corpus, centroids, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("_cv"),
+        "list_id",
+    )
+    qv = F.col(vec_col).cast("array<double>")
+    sims = F.array(
+        *[
+            F.struct(
+                cosine_similarity(qv, F.array(*[F.lit(x) for x in cvec])).alias("s"),
+                F.lit(cid).alias("c"),
+            )
+            for cid, cvec in centroids
+        ]
+    )
+    probes = F.slice(F.reverse(F.array_sort(sims)), 1, nprobe)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        qv.alias("_qv"),
+        F.explode(F.transform(probes, lambda p: p.getField("c"))).alias("list_id"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "list_id")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_similarity(F.col("_qv"), F.col("_cv")).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

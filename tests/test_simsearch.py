@@ -60,3 +60,34 @@ def test_lsh_topk_recall(spark, emb):
     assert recall >= 0.3
     # every approx hit must agree with the exact cosine (it re-ranks truly)
     assert a  # non-empty
+
+
+def test_ivf_topk_recall(spark):
+    from grafink_spark.llm import simsearch as ss
+    from grafink_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.orderBy("vec_id").limit(10)
+    cents = ss.ivf_train(emb, nlist=8, iters=1)
+    assert len(cents) == 8
+
+    exact = ss.brute_force_topk(emb, queries, k=5)
+    approx = ss.ivf_topk(emb, queries, cents, k=5, nprobe=4)
+
+    # contract: same schema, ranks 1..k, no self-pairs
+    assert approx.columns == ["query_id", "neighbor_id", "cosine_sim", "rank"]
+    assert approx.where("query_id = neighbor_id").count() == 0
+    per_q = approx.groupBy("query_id").count().collect()
+    assert all(r["count"] <= 5 for r in per_q)
+
+    # recall@5 vs brute force must clear 0.5 probing half the lists
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"recall@5 = {recall}"
+
+    # probing ALL lists makes IVF exact — results identical to brute force
+    full = ss.ivf_topk(emb, queries, cents, k=5, nprobe=8)
+    f = {(r.query_id, r.neighbor_id, r.rank) for r in full.collect()}
+    ex = {(r.query_id, r.neighbor_id, r.rank) for r in exact.collect()}
+    assert f == ex
