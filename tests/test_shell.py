@@ -1,0 +1,57 @@
+"""Shell bindings: graph + traversal helpers + SQL views over a real
+store."""
+
+from pyspark.sql import functions as F
+
+from grafink_spark.config import GrafinkConfig
+from grafink_spark.graph.storage import GraphStore
+from grafink_spark.rules.base import ClassifierRule
+from grafink_spark.shell import build_bindings
+
+
+class _FakeRule(ClassifierRule):
+    def classify(self, loaded, current):  # pragma: no cover
+        raise NotImplementedError
+
+    @property
+    def name(self):
+        return "fake"
+
+    @property
+    def edge_label(self):
+        return "similarity"
+
+    @property
+    def property_key(self):
+        return "value"
+
+
+def test_shell_bindings(spark, tmp_path):
+    root = str(tmp_path / "graph")
+    store = GraphStore(spark, root, task_size=100, parallelism=2)
+    store.write_vertices(
+        spark.createDataFrame(
+            [(1, "ZTFa"), (2, "ZTFb")], "id long, objectId string"
+        )
+    )
+    store.write_edges(
+        spark.createDataFrame([(2, 1, 3)], "src long, dst long, propVal int"),
+        _FakeRule(),
+    )
+
+    cfg = GrafinkConfig.from_dict({"graph": {"storagePath": root}})
+    b = build_bindings(cfg, spark=spark)
+    assert set(b) == {"spark", "store", "g"}
+    g = b["g"]
+    assert g.vertex_count() == 2
+    assert g.V(objectId="ZTFa").count() == 1
+    # both directions materialized at the sink
+    assert g.out_e("similarity").count() == 2
+    assert [r.neighbor_id for r in g.neighbors(2).collect()] == [1]
+    # SQL views registered
+    got = spark.sql(
+        "SELECT count(*) AS n FROM edges WHERE label = 'similarity'"
+    ).first()
+    assert got.n == 2
+    deg = {r.id: r.degree for r in g.degree().collect()}
+    assert deg == {1: 1, 2: 1}
