@@ -101,17 +101,6 @@ class SimilarityClassifier(ClassifierRule):
         )
 
         disjuncts = to_dnf(self.parsed.ast)
-        use_decomposed = self.mode == "decomposed" or (
-            self.mode == "auto" and len(disjuncts) > 1
-        )
-        if use_decomposed:
-            joined = self._join_decomposed(df1, df2, disjuncts)
-        else:
-            joined = df1.join(
-                df2,
-                (F.col("id1") > F.col("id2")) & self.parsed.condition,
-                "inner",
-            )
 
         # similarity value: +1 per token occurrence whose condition holds
         sim = reduce(
@@ -120,20 +109,43 @@ class SimilarityClassifier(ClassifierRule):
             tokens,
             F.lit(0),
         )
-        return joined.select(
-            F.col("id1").alias(SRC),
-            F.col("id2").alias(DST),
-            sim.cast(T.IntegerType()).alias(PROP_VAL),
+
+        def project(joined: DataFrame) -> DataFrame:
+            return joined.select(
+                F.col("id1").alias(SRC),
+                F.col("id2").alias(DST),
+                sim.cast(T.IntegerType()).alias(PROP_VAL),
+            )
+
+        use_decomposed = self.mode == "decomposed" or (
+            self.mode == "auto" and len(disjuncts) > 1
+        )
+        if use_decomposed:
+            return self._classify_decomposed(df1, df2, disjuncts, project)
+        return project(
+            df1.join(
+                df2,
+                (F.col("id1") > F.col("id2")) & self.parsed.condition,
+                "inner",
+            )
         )
 
-    def _join_decomposed(
-        self, df1: DataFrame, df2: DataFrame, disjuncts: list[Disjunct]
-    ) -> DataFrame:
-        branches = []
+    def _classify_decomposed(self, df1, df2, disjuncts, project) -> DataFrame:
+        """One join per OR-branch, branches made DISJOINT by adding
+        ``NOT (earlier branch condition is true)`` residuals — the union
+        needs no pair dedup (a dropDuplicates here would shuffle the
+        full edge set, which dwarfs the join cost when the output is
+        large). ``coalesce(cond, false)`` gives exact OR null semantics:
+        a pair lands in the first branch whose condition is TRUE."""
+        out = None
+        prev_not_true: list = []
         for d in disjuncts:
-            cond = (F.col("id1") > F.col("id2")) & reduce(
+            branch_cond = reduce(
                 lambda a, t: a & col_name_to_condition(t), d.tokens, F.lit(True)
             )
+            cond = (F.col("id1") > F.col("id2")) & branch_cond
+            for nt in prev_not_true:
+                cond = cond & nt
             left, right = df1, df2
             for t in d.tokens:
                 f1 = _side_filter(t, 1)
@@ -144,11 +156,9 @@ class SimilarityClassifier(ClassifierRule):
                     right = right.where(f2)
             # Catalyst extracts the equality terms of the conjunction as
             # hash-join keys (ExtractEquiJoinKeys); threshold-only
-            # branches join pre-filtered subsets.
-            branches.append(left.join(right, cond, "inner"))
-        out = reduce(lambda a, b: a.unionByName(b), branches)
-        if len(branches) > 1:
-            # a pair can satisfy several OR-branches; column values are
-            # identical per pair, so pair-key dedup is sufficient
-            out = out.dropDuplicates(["id1", "id2"])
+            # branches join pre-filtered subsets; the NOT-residuals of
+            # earlier branches stay post-join filters (no extra shuffle).
+            branch = project(left.join(right, cond, "inner"))
+            out = branch if out is None else out.unionByName(branch)
+            prev_not_true.append(~F.coalesce(branch_cond, F.lit(False)))
         return out
