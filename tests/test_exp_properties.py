@@ -1,0 +1,97 @@
+"""Property-based tests (hypothesis) for the similarity expression
+parser and its DNF expansion — pure Python, no Spark session.
+
+Properties pinned:
+1. printing a random AST and re-parsing it round-trips the tree,
+2. the column list is the in-order token occurrence sequence,
+3. DNF evaluates identically to the original AST under every truth
+   assignment (the disjoint-branch join in rules/similarity.py relies
+   on this equivalence exactly).
+"""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from grafink_spark.rules.exp_parser import (
+    BoolOp,
+    ColRef,
+    Node,
+    parse_similarity_exp,
+    to_dnf,
+)
+
+TOKENS = ["rfscore", "snn_snia_vs_nonia", "cdsxmatch", "roid", "classtar",
+          "mulens", "objectId", "customcol"]
+
+
+def asts(max_leaves: int = 6):
+    return st.recursive(
+        st.sampled_from(TOKENS).map(ColRef),
+        lambda children: st.tuples(
+            st.sampled_from(["AND", "OR"]), children, children
+        ).map(lambda t: BoolOp(*t)),
+        max_leaves=max_leaves,
+    )
+
+
+def render(node: Node, parens: bool = True) -> str:
+    if isinstance(node, ColRef):
+        return node.name
+    s = f"{render(node.left)} {node.op} {render(node.right)}"
+    return f"({s})" if parens else s
+
+
+def leaves(node: Node) -> list[str]:
+    if isinstance(node, ColRef):
+        return [node.name]
+    return leaves(node.left) + leaves(node.right)
+
+
+def eval_ast(node: Node, truth: dict[str, bool], occ: list[int]) -> bool:
+    """Evaluate with *per-occurrence* truth values (occ is a mutable
+    cursor) so duplicate tokens can differ — the strongest equivalence."""
+    if isinstance(node, ColRef):
+        v = truth[f"{node.name}#{occ[0]}"]
+        occ[0] += 1
+        return v
+    left = eval_ast(node.left, truth, occ)
+    right = eval_ast(node.right, truth, occ)
+    return (left and right) if node.op == "AND" else (left or right)
+
+
+@given(asts())
+@settings(max_examples=200, deadline=None)
+def test_parse_roundtrip(ast):
+    parsed = parse_similarity_exp(render(ast, parens=False))
+    assert parsed.ast == ast
+    assert parsed.columns == leaves(ast)
+
+
+@given(asts(), st.data())
+@settings(max_examples=200, deadline=None)
+def test_dnf_equivalent_to_ast(ast, data):
+    toks = leaves(ast)
+    # same-name occurrences share one truth value (column semantics:
+    # a token's condition has one value per row pair)
+    truth = {
+        t: data.draw(st.booleans(), label=t) for t in set(toks)
+    }
+    occ_truth = {}
+    for i, t in enumerate(toks):
+        occ_truth[f"{t}#{i}"] = truth[t]
+    original = eval_ast(ast, occ_truth, [0])
+    dnf = to_dnf(ast)
+    via_dnf = any(all(truth[t] for t in d.tokens) for d in dnf)
+    assert via_dnf == original
+    # disjoint-branch evaluation (what the join runs): first branch
+    # whose conjunction holds — union over branches equals the OR
+    fired = [
+        i
+        for i, d in enumerate(dnf)
+        if all(truth[t] for t in d.tokens)
+        and not any(
+            all(truth[t] for t in e.tokens) for e in dnf[:i]
+        )
+    ]
+    assert (len(fired) > 0) == original
+    assert len(fired) <= 1

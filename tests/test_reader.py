@@ -81,3 +81,28 @@ def test_partition_filter_predicate(spark, alert_base):
     pm = PartitionManager(date(2019, 2, 2), 1)
     df = spark.read.parquet(alert_base).where(pm.partition_filter())
     assert df.count() == 1
+
+
+def test_csv_and_json_formats(spark, tmp_path):
+    """S1: the reader's format enum covers parquet/csv/json
+    (common/models/Format.scala:23-25)."""
+    import os
+
+    for fmt in ("csv", "json"):
+        base = str(tmp_path / f"alerts_{fmt}")
+        day_dir = os.path.join(base, "year=2019", "month=2", "day=1")
+        os.makedirs(day_dir)
+        if fmt == "csv":
+            with open(os.path.join(day_dir, "part-0.csv"), "w") as f:
+                f.write("objectId,rfscore\nZTFa,0.95\nZTFb,0.5\n")
+        else:
+            with open(os.path.join(day_dir, "part-0.json"), "w") as f:
+                f.write('{"objectId": "ZTFa", "rfscore": 0.95}\n'
+                        '{"objectId": "ZTFb", "rfscore": 0.5}\n')
+        reader = Reader(spark, ReaderConfig(basePath=base, format=fmt))
+        pm = PartitionManager(date(2019, 2, 1), 1, padded=False)
+        df = reader.read(pm)
+        assert df.count() == 2
+        # partition columns survive via basePath
+        assert {"year", "month", "day"} <= set(df.columns)
+        assert df.where(F.col("objectId") == "ZTFa").first().rfscore == 0.95
