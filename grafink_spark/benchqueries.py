@@ -653,6 +653,49 @@ FROM j WHERE jaccard_sim >= 0.5
 """
 
 
+def q_near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over Jaccard-verified near-dup pairs —
+    iterative min-label propagation; component_id = min reachable id."""
+    docs = load_table(spark, sf_dir, "documents")
+    cand = dd.minhash_lsh_candidates(docs, num_hashes=16, k=3, bands=4)
+    verified = dd.ngram_jaccard_pairs(docs, k=3, threshold=0.5, candidates=cand)
+    return dd.connected_components(verified)
+
+
+SQL_NEAR_DUP_COMPONENTS = f"""
+WITH RECURSIVE
+vpairs AS ({SQL_JACCARD_PAIRS}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM vpairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM vpairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+)
+SELECT a AS doc_id, LEAST(a, MIN(b)) AS component_id
+FROM reach GROUP BY a
+"""
+
+
+def q_drop_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup drop: LSH → Jaccard ≥ 0.5 → components →
+    keep min-id doc per component; returns surviving (doc_id, lang)."""
+    docs = load_table(spark, sf_dir, "documents")
+    kept = dd.drop_near_duplicates(docs, threshold=0.5)
+    return kept.select("doc_id", "lang")
+
+
+SQL_DROP_NEAR_DUPS = f"""
+WITH comp AS ({SQL_NEAR_DUP_COMPONENTS})
+SELECT d.doc_id, d.lang FROM documents d
+LEFT JOIN comp ON comp.doc_id = d.doc_id
+WHERE comp.doc_id IS NULL OR comp.doc_id = comp.component_id
+"""
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash per document — pins the bitwise vote math."""
     docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
@@ -893,6 +936,8 @@ QUERIES: dict[str, QueryFn] = {
     "minhash_signature": q_minhash_signature,
     "lsh_candidates": q_lsh_candidates,
     "jaccard_pairs": q_jaccard_pairs,
+    "near_dup_components": q_near_dup_components,
+    "drop_near_dups": q_drop_near_dups,
     "simhash": q_simhash,
     "embedding_topk": q_embedding_topk,
     "embedding_near_pairs": q_embedding_near_pairs,
@@ -929,6 +974,8 @@ ORACLES: dict[str, str] = {
     "minhash_signature": SQL_MINHASH_SIGNATURE,
     "lsh_candidates": SQL_LSH_CANDIDATES,
     "jaccard_pairs": SQL_JACCARD_PAIRS,
+    "near_dup_components": SQL_NEAR_DUP_COMPONENTS,
+    "drop_near_dups": SQL_DROP_NEAR_DUPS,
     "simhash": SQL_SIMHASH,
     "embedding_topk": SQL_EMBEDDING_TOPK,
     "embedding_near_pairs": SQL_EMBEDDING_NEAR_PAIRS,

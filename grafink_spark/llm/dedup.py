@@ -293,6 +293,94 @@ def simhash_duplicates(
     )
 
 
+# ------------------------------------- near-dup clustering / dropping
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """(doc_id, component_id) for every id appearing in ``pairs``, where
+    component_id = min id reachable in the undirected pair graph.
+
+    Iterative min-label propagation: each round joins labels to the
+    (doubled) edge list and takes the min over neighbors; stops when no
+    label changed. Rounds needed = graph diameter — near-dup components
+    are stars/cliques from LSH buckets, so 2-4 in practice. Each round
+    is one shuffle join + one groupBy; ``localCheckpoint`` truncates the
+    growing lineage (the classic iterative-algorithm hazard)."""
+    edges = pairs.select(
+        F.col(id_a).cast("long").alias("a"), F.col(id_b).cast("long").alias("b")
+    )
+    edges = edges.unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    labels = (
+        edges.select(F.col("a").alias("doc_id"))
+        .distinct()
+        .withColumn("component_id", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(
+                labels.select(
+                    F.col("doc_id").alias("b"),
+                    F.col("component_id").alias("_nl"),
+                ),
+                "b",
+            )
+            .groupBy(F.col("a").alias("doc_id"))
+            .agg(F.min("_nl").alias("_nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("component_id"),
+                    F.coalesce(F.col("_nmin"), F.col("component_id")),
+                ).alias("component_id"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.component_id") != F.col("o.component_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def drop_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    k: int = 3,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """The end-to-end near-dup pipeline: LSH candidates → Jaccard verify
+    ≥ threshold → connected components → keep the min-id doc per
+    component. Returns df minus non-keeper near-duplicates."""
+    cand = minhash_lsh_candidates(df, text_col, id_col, num_hashes, k, bands)
+    verified = ngram_jaccard_pairs(
+        df, text_col, id_col, k, threshold, candidates=cand
+    )
+    comp = connected_components(verified)
+    losers = comp.where(F.col("doc_id") != F.col("component_id")).select("doc_id")
+    return df.join(
+        losers.withColumnRenamed("doc_id", id_col), id_col, "left_anti"
+    )
+
+
 # ------------------------------------------------- embedding near-dup
 
 

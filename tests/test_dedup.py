@@ -97,3 +97,38 @@ def test_minhash_on_real_documents(spark):
     n_docs = docs.count()
     assert cand.count() < n_docs * (n_docs - 1) / 20
     verified.count()  # materializes without error
+
+
+def test_connected_components_chain_and_cliques(spark):
+    from grafink_spark.llm.dedup import connected_components
+
+    # chain 1-2-3-4-5 (diameter 4 → needs several propagation rounds),
+    # plus separate triangle {10,11,12} and isolated pair {20,21}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "id_a long, id_b long",
+    )
+    got = {
+        (r.doc_id, r.component_id)
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (4, 1), (5, 1),
+        (10, 10), (11, 10), (12, 10),
+        (20, 20), (21, 20),
+    }
+
+
+def test_drop_near_duplicates_keeps_min_id(spark):
+    from grafink_spark.llm.dedup import drop_near_duplicates
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "the quick brown fox jumps over the lazy dog again and again!"),
+        (3, "a completely different document about spark query planning"),
+        (4, "the quick brown fox jumps over the lazy dog again and again"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = sorted(r.doc_id for r in drop_near_duplicates(df, threshold=0.5).collect())
+    # 1,2,4 are near-dups → keeper is 1; 3 survives untouched
+    assert kept == [1, 3]
