@@ -31,7 +31,12 @@ from grafink_spark.id_manager import zip_with_index
 from grafink_spark.llm import dedup as dd
 from grafink_spark.llm import simsearch as ss
 from grafink_spark.llm import text as tx
-from grafink_spark.llm.multimodal import extract_image_features, make_fake_image
+from grafink_spark.llm.multimodal import (
+    extract_audio_features,
+    extract_image_features,
+    make_fake_audio,
+    make_fake_image,
+)
 from grafink_spark.rules.samevalue import SameValueClassifier
 from grafink_spark.rules.similarity import SimilarityClassifier
 from grafink_spark.rules.twomode import TwoModeClassifier
@@ -878,6 +883,19 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_image_features(media)
 
 
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-column plumbing: fake audio payloads for the first 50
+    documents → duration/rms features via the mapInPandas kernel."""
+    docs = load_table(spark, sf_dir, "documents").orderBy("doc_id").limit(50)
+    rows = docs.select("doc_id").collect()
+    payloads = [
+        (int(r.doc_id), make_fake_audio(int(r.doc_id), 1000 + 10 * int(r.doc_id)))
+        for r in rows
+    ]
+    media = spark.createDataFrame(payloads, "doc_id long, payload binary")
+    return extract_audio_features(media)
+
+
 def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate ANN (IVF: deterministic centroids + nprobe search) —
     approximate by construction, so rows-only check."""
@@ -945,6 +963,7 @@ QUERIES: dict[str, QueryFn] = {
     "lang_id": q_lang_id,
     # rows-only (no SQL oracle): python media kernel / approximate ANN
     "media_features": q_media_features,
+    "audio_features": q_audio_features,
     "embedding_lsh_topk": q_embedding_lsh_topk,
     "embedding_ivf_topk": q_embedding_ivf_topk,
 }

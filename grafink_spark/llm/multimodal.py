@@ -114,6 +114,116 @@ def extract_image_features(
     return src.mapInPandas(run, IMAGE_FEATURE_SCHEMA)
 
 
+def resize_images(
+    df: DataFrame,
+    target_width: int,
+    target_height: int,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """1→1 mapInPandas resize: returns (doc_id, payload) with payloads
+    at the target dimensions. The fake kernel nearest-neighbor-samples
+    the fake-image body; a real kernel would call PIL — the Spark
+    contract (binary in, binary out, narrow map, no shuffle) is what
+    this pins down."""
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("_p"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["_p"]):
+                if payload is None or len(payload) < 8:
+                    rows.append({"doc_id": int(doc_id), "payload": None})
+                    continue
+                payload = bytes(payload)
+                w, h = struct.unpack("<ii", payload[:8])
+                body = payload[8:]
+                out = bytearray(struct.pack("<ii", target_width, target_height))
+                for y in range(target_height):
+                    sy = min(int(y * h / target_height), h - 1) if h else 0
+                    for x in range(target_width):
+                        sx = min(int(x * w / target_width), w - 1) if w else 0
+                        idx = sy * w + sx
+                        out.append(body[idx] if idx < len(body) else 0)
+                rows.append({"doc_id": int(doc_id), "payload": bytes(out)})
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    return src.mapInPandas(run, out_schema)
+
+
+AUDIO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("rms", T.DoubleType()),
+    ]
+)
+
+
+def make_fake_audio(doc_id: int, duration_ms: int, sample_rate: int = 8) -> bytes:
+    """Deterministic fake 'audio': 12-byte header (duration_ms int64 LE,
+    sample_rate int32 LE) + pseudo-sample bytes."""
+    header = struct.pack("<qi", duration_ms, sample_rate)
+    n = duration_ms * sample_rate // 1000
+    seed = hashlib.sha1(f"a{doc_id}".encode()).digest()
+    body = (seed * (n // len(seed) + 1))[:n]
+    return header + body
+
+
+def fake_audio_kernel(doc_id: int, payload: bytes) -> dict:
+    if payload is None or len(payload) < 12:
+        return {"duration_ms": None, "rms": None}
+    duration_ms, _rate = struct.unpack("<qi", payload[:12])
+    body = payload[12:]
+    rms = (sum(b * b for b in body) / len(body)) ** 0.5 if body else None
+    return {"duration_ms": duration_ms, "rms": rms}
+
+
+def real_audio_kernel(doc_id: int, payload: bytes) -> dict:
+    """Swap-in point for torchaudio/soundfile — not in this container."""
+    raise NotImplementedError(
+        "audio codec libraries are not installed in this environment; "
+        "use fake_audio_kernel or install soundfile and implement here"
+    )
+
+
+def extract_audio_features(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    kernel: Callable[[int, bytes], dict] = fake_audio_kernel,
+) -> DataFrame:
+    """mapInPandas audio feature extraction (AUDIO_FEATURE_SCHEMA)."""
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("_p"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["_p"]):
+                payload = bytes(payload) if payload is not None else None
+                d = kernel(int(doc_id), payload)
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "n_bytes": len(payload) if payload is not None else 0,
+                        "duration_ms": d.get("duration_ms"),
+                        "rms": d.get("rms"),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_FEATURE_SCHEMA]
+            )
+
+    return src.mapInPandas(run, AUDIO_FEATURE_SCHEMA)
+
+
 def sample_frames(
     df: DataFrame,
     payload_col: str = "payload",
