@@ -583,13 +583,17 @@ def _sig_sql(num_hashes: int, k: int = 3) -> str:
     )
 
 
-_SHINGLES_SQL = f"""
+def _shingles_sql(src: str = "documents") -> str:
+    return f"""
   SELECT doc_id,
          CASE WHEN len(t) >= 3
               THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
               ELSE [array_to_string(t, ' ')] END AS s
-  FROM (SELECT doc_id, {TOKENS_SQL} AS t FROM documents)
+  FROM (SELECT doc_id, {TOKENS_SQL} AS t FROM {src})
 """
+
+
+_SHINGLES_SQL = _shingles_sql()
 
 
 def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -616,8 +620,9 @@ def q_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_LSH_CANDIDATES = f"""
-WITH sh AS ({_SHINGLES_SQL}),
+def _lsh_candidates_sql(src: str = "documents") -> str:
+    return f"""
+WITH sh AS ({_shingles_sql(src)}),
 sig AS (SELECT doc_id, {_sig_sql(16)} FROM sh),
 bands AS (
   SELECT doc_id,
@@ -634,6 +639,9 @@ FROM bands a JOIN bands b
 """
 
 
+SQL_LSH_CANDIDATES = _lsh_candidates_sql()
+
+
 def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidates verified by 3-shingle Jaccard ≥ 0.5."""
     docs = load_table(spark, sf_dir, "documents")
@@ -642,9 +650,10 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("jaccard_sim", 6).alias("jaccard_sim"))
 
 
-SQL_JACCARD_PAIRS = f"""
-WITH cand AS ({SQL_LSH_CANDIDATES}),
-sh AS (SELECT doc_id, list_distinct(s) AS ds FROM ({_SHINGLES_SQL})),
+def _jaccard_pairs_sql(src: str = "documents") -> str:
+    return f"""
+WITH cand AS ({_lsh_candidates_sql(src)}),
+sh AS (SELECT doc_id, list_distinct(s) AS ds FROM ({_shingles_sql(src)})),
 j AS (
   SELECT c.id_a, c.id_b,
          len(list_intersect(a.ds, b.ds)) /
@@ -658,6 +667,9 @@ FROM j WHERE jaccard_sim >= 0.5
 """
 
 
+SQL_JACCARD_PAIRS = _jaccard_pairs_sql()
+
+
 def q_near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over Jaccard-verified near-dup pairs —
     iterative min-label propagation; component_id = min reachable id."""
@@ -667,9 +679,10 @@ def q_near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.connected_components(verified)
 
 
-SQL_NEAR_DUP_COMPONENTS = f"""
+def _near_dup_components_sql(src: str = "documents") -> str:
+    return f"""
 WITH RECURSIVE
-vpairs AS ({SQL_JACCARD_PAIRS}),
+vpairs AS ({_jaccard_pairs_sql(src)}),
 edges AS (
   SELECT id_a AS a, id_b AS b FROM vpairs
   UNION
@@ -683,6 +696,9 @@ reach(a, b) AS (
 SELECT a AS doc_id, LEAST(a, MIN(b)) AS component_id
 FROM reach GROUP BY a
 """
+
+
+SQL_NEAR_DUP_COMPONENTS = _near_dup_components_sql()
 
 
 def q_drop_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -865,6 +881,84 @@ SELECT lang, lang_pred, count(*) AS n FROM p GROUP BY 1, 2
 """
 
 
+def q_prepare_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end corpus pipeline: exact dedup → quality ≥ 0.75 →
+    predicted-lang filter → near-dup drop → token accounting."""
+    from grafink_spark.llm.corpus import prepare_corpus
+
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    out = prepare_corpus(
+        docs.select("doc_id", "text"), langs=("en", "fr"), min_quality=0.75
+    )
+    return out.select(
+        "doc_id",
+        "lang_pred",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round("quality_score", 6).alias("quality_score"),
+    )
+
+
+SQL_PREPARE_CORPUS = f"""
+WITH
+keep1 AS (
+  SELECT d.doc_id, d.text FROM documents d
+  JOIN (SELECT md5(text) AS h, min(doc_id) AS keeper
+        FROM documents GROUP BY 1) k
+    ON md5(d.text) = k.h AND d.doc_id = k.keeper
+),
+t AS (
+  SELECT doc_id, text, length(text) AS nc, {TOKENS_SQL} AS toks,
+         length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS clean_len
+  FROM keep1
+),
+m AS (
+  SELECT doc_id, text, toks,
+         len(toks) AS n_tokens,
+         CASE WHEN len(toks) > 0
+              THEN (nc - len(toks) + 1) / len(toks) ELSE 0.0 END AS atl,
+         CASE WHEN len(toks) > 0
+              THEN len(list_filter(toks, x -> x IN ({_SW_LIST}))) / len(toks)
+              ELSE 0.0 END AS swr,
+         nc, clean_len
+  FROM t
+),
+scored AS (
+  SELECT doc_id, text, toks, n_tokens,
+         (CASE WHEN n_tokens >= 5 AND n_tokens <= 100000 THEN 0.25::DOUBLE ELSE 0.0::DOUBLE END)
+       + (CASE WHEN atl >= 2 AND atl <= 12 THEN 0.25::DOUBLE ELSE 0.0::DOUBLE END)
+       + (CASE WHEN nc = 0 OR (nc - clean_len) / nc <= 0.3 THEN 0.25::DOUBLE ELSE 0.0::DOUBLE END)
+       + (CASE WHEN swr >= 0.01 THEN 0.25::DOUBLE ELSE 0.0::DOUBLE END) AS quality_score
+  FROM m
+),
+langed AS (
+  SELECT doc_id, text, n_tokens, quality_score,
+         {_hits_sql("en").replace(TOKENS_SQL, "toks")} AS h_en,
+         {_hits_sql("fr").replace(TOKENS_SQL, "toks")} AS h_fr,
+         {_hits_sql("de").replace(TOKENS_SQL, "toks")} AS h_de,
+         {_hits_sql("es").replace(TOKENS_SQL, "toks")} AS h_es
+  FROM scored WHERE quality_score >= 0.75
+),
+filtered AS (
+  SELECT * FROM (
+    SELECT doc_id, text, n_tokens, quality_score,
+           CASE
+             WHEN h_en = 0 AND h_fr = 0 AND h_de = 0 AND h_es = 0 THEN 'und'
+             WHEN h_fr >= h_en AND h_fr >= h_de AND h_fr >= h_es THEN 'fr'
+             WHEN h_es >= h_en AND h_es >= h_fr AND h_es >= h_de THEN 'es'
+             WHEN h_en >= h_fr AND h_en >= h_de AND h_en >= h_es THEN 'en'
+             ELSE 'de'
+           END AS lang_pred
+    FROM langed
+  ) WHERE lang_pred IN ('en', 'fr')
+),
+comp AS ({_near_dup_components_sql("filtered")})
+SELECT f.doc_id, f.lang_pred, f.n_tokens, round(f.quality_score, 6) AS quality_score
+FROM filtered f
+LEFT JOIN comp ON comp.doc_id = f.doc_id
+WHERE comp.doc_id IS NULL OR comp.doc_id = comp.component_id
+"""
+
+
 # =================================================================
 # LLM ops: multimodal (rows-only check — python kernel, no SQL twin)
 # =================================================================
@@ -961,6 +1055,7 @@ QUERIES: dict[str, QueryFn] = {
     "embedding_near_pairs": q_embedding_near_pairs,
     "text_stats": q_text_stats,
     "lang_id": q_lang_id,
+    "prepare_corpus": q_prepare_corpus,
     # rows-only (no SQL oracle): python media kernel / approximate ANN
     "media_features": q_media_features,
     "audio_features": q_audio_features,
@@ -1000,4 +1095,5 @@ ORACLES: dict[str, str] = {
     "embedding_near_pairs": SQL_EMBEDDING_NEAR_PAIRS,
     "text_stats": SQL_TEXT_STATS,
     "lang_id": SQL_LANG_ID,
+    "prepare_corpus": SQL_PREPARE_CORPUS,
 }
