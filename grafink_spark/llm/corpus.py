@@ -36,6 +36,11 @@ def prepare_corpus(
         F.col("quality_score") >= min_quality
     )
     tagged = lang_id(scored, text_col).where(F.col("lang_pred").isin(*langs))
+    # the survivor set feeds the LSH pipeline, the component losers
+    # anti-join, and the final projection — cache it once (the filters
+    # upstream are the expensive expressions: quality regexes + 4-lang
+    # stopword votes)
+    tagged = tagged.cache()
     kept_ids = drop_near_duplicates(
         tagged.select(*base_cols),
         text_col,

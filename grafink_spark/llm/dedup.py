@@ -314,9 +314,14 @@ def connected_components(
     edges = pairs.select(
         F.col(id_a).cast("long").alias("a"), F.col(id_b).cast("long").alias("b")
     )
-    edges = edges.unionByName(
-        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).distinct()
+    edges = (
+        edges.unionByName(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        # materialize ONCE: every iteration joins edges, and without this
+        # each action would re-execute the whole upstream pair pipeline
+        # (LSH + verify) per round
+        .localCheckpoint()
+    )
     labels = (
         edges.select(F.col("a").alias("doc_id"))
         .distinct()
