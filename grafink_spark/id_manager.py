@@ -11,26 +11,32 @@ org/apache/spark/sql/SparkExtensions.scala:36-55):
 
 The reference drops to InternalRow surgery + RDD.zipWithIndex to avoid
 row ser/de. In PySpark an RDD round-trip would pickle every row through
-Python — instead we keep the whole thing as one Catalyst plan:
+Python — instead we exploit ``monotonically_increasing_id()``'s bit
+layout (partition_id * 2^33 + within-partition row index, both exactly
+extractable with shifts):
 
-1. ``spark_partition_id()`` tags rows,
-2. ``row_number()`` over a *per-partition* window gives local positions
-   (sorts only within partitions — no global shuffle),
-3. per-partition counts (a tiny aggregate, rows = #partitions) get
-   cumulative offsets via a single-partition window and are broadcast
-   back.
+1. pass 1 aggregates per-partition row counts — map-side partial agg,
+   output = one row per partition, tiny driver collect;
+2. cumulative offsets per partition id are broadcast-joined back and
+   ``id = offset + local_index + 1``.
 
-Cost at scale: one narrow pass + one broadcast hash join; no driver
-collect of data, no Python serialization, no single-partition global
-sort. ``ordered=True`` adds a repartitionByRange so ids follow a key
-order deterministically (used by tests/oracles; same mechanics).
+Cost at scale: two narrow passes over the input (same as the
+reference's zipWithIndex) and a broadcast join of #partitions rows —
+**zero shuffles of the data**. (A window over spark_partition_id()
+looks cheaper but Catalyst must Exchange-hash the whole dataset to
+satisfy the window's clustering — verified in the physical plan.)
+Determinism: both passes must see the same partition layout — true for
+file scans and cached inputs; IDManager caches the batch at this point
+like the reference (IDManagerSparkService.scala:118-121).
+``order_by=[cols]`` prepends repartitionByRange + sortWithinPartitions
+so ids follow the key order globally.
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -57,25 +63,35 @@ def zip_with_index(
     """
     original_cols = df.columns
     if order_by:
-        df = df.repartitionByRange(*[F.col(c) for c in order_by])
-        local_order = [F.col(c) for c in order_by]
-    else:
-        local_order = [F.monotonically_increasing_id()]
+        cols = [F.col(c) for c in order_by]
+        # localCheckpoint pins the sampled range boundaries: the count
+        # pass and the id pass must see the identical partition layout
+        df = (
+            df.repartitionByRange(*cols)
+            .sortWithinPartitions(*cols)
+            .localCheckpoint()
+        )
 
-    tagged = df.withColumn(_PID, F.spark_partition_id())
-    # tiny: one row per partition → cumulative offset via 1-partition window
-    counts = tagged.groupBy(_PID).agg(F.count(F.lit(1)).alias("_c"))
-    cum = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
-    offsets = counts.select(
-        _PID, F.coalesce(F.sum("_c").over(cum), F.lit(0)).alias(_OFF)
+    # monotonically_increasing_id = pid * 2^33 + local row index
+    mid = F.monotonically_increasing_id()
+    tagged = df.withColumn(_PID, F.shiftright(mid, 33).cast("int")).withColumn(
+        _RN, mid.bitwiseAND(F.lit((1 << 33) - 1))
     )
-    local = Window.partitionBy(_PID).orderBy(*local_order)
+    counts = {
+        r[_PID]: r["_c"]
+        for r in tagged.groupBy(_PID).agg(F.count(F.lit(1)).alias("_c")).collect()
+    }
+    running, offsets = 0, []
+    for pid in sorted(counts):
+        offsets.append((pid, running))
+        running += counts[pid]
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(offsets, f"{_PID} int, {_OFF} long")
     out = (
-        tagged.withColumn(_RN, F.row_number().over(local))
-        .join(F.broadcast(offsets), _PID)
+        tagged.join(F.broadcast(off_df), _PID)
         .withColumn(
             id_col,
-            (F.col(_OFF) + F.col(_RN) + F.lit(offset)).cast(T.LongType()),
+            (F.col(_OFF) + F.col(_RN) + F.lit(offset + 1)).cast(T.LongType()),
         )
         .select(id_col, *original_cols)  # id first (IDManagerSparkService.scala:116)
     )

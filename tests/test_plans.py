@@ -1,0 +1,90 @@
+"""Physical-plan regression tests — pin the scale properties SCALE.md
+claims, so a refactor that silently reintroduces a shuffle/nested-loop
+fails CI, not a 100 TB run."""
+
+import re
+
+from pyspark.sql import functions as F
+
+from grafink_spark.id_manager import zip_with_index
+from grafink_spark.llm import dedup as dd
+from grafink_spark.rules.samevalue import SameValueClassifier
+from grafink_spark.rules.similarity import SimilarityClassifier
+
+
+def physical_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _alerts(spark, n=100):
+    return spark.createDataFrame(
+        [(i, f"obj{i % 10}", 0.8 + (i % 3) * 0.1, f"cat{i % 4}") for i in range(n)],
+        "id long, objectId string, rfscore double, cdsxmatch string",
+    )
+
+
+def test_zip_with_index_no_data_shuffle(spark):
+    df = _alerts(spark).repartition(4)  # the repartition is the INPUT's
+    plan = physical_plan(zip_with_index(df, offset=5))
+    # only allowed Exchanges: the input's own round-robin + the tiny
+    # broadcast of per-partition offsets
+    exchanges = [
+        l for l in plan.split("\n")
+        if "Exchange" in l and "BroadcastExchange" not in l
+    ]
+    assert all("REPARTITION_BY_NUM" in l for l in exchanges), exchanges
+    assert "BroadcastHashJoin" in plan
+
+
+def test_similarity_decomposed_uses_hash_join_for_equality_branch(spark):
+    rule = SimilarityClassifier("rfscore OR objectId", mode="decomposed")
+    df = _alerts(spark)
+    plan = physical_plan(rule.classify(df.limit(0), df))
+    # equality branch must be a real equi join (the threshold branch is
+    # legitimately a cartesian of PRE-FILTERED subsets — every surviving
+    # pair matches by construction)
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    if "CartesianProduct" in plan:
+        cart_idx = plan.index("CartesianProduct")
+        assert "Filter" in plan[cart_idx:], "cartesian inputs must be pre-filtered"
+        assert re.search(r"rfscore\d? ?#?\d* > 0.9", plan[cart_idx:])
+    # no dropDuplicates: dedup is via disjoint branch residuals
+    assert not re.search(r"HashAggregate.*keys=\[src", plan)
+
+
+def test_samevalue_clique_is_equi_join(spark):
+    rule = SameValueClassifier(["objectId"])
+    df = _alerts(spark)
+    plan = physical_plan(rule.classify(df.limit(0), df))
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # no collect_list: groups stream through the join
+    assert "collect_list" not in plan
+
+
+def test_lsh_candidates_no_self_join(spark):
+    docs = spark.createDataFrame(
+        [(i, f"word{i} common tokens for every document here {i % 5}")
+         for i in range(50)],
+        "doc_id long, text string",
+    )
+    plan = physical_plan(dd.minhash_lsh_candidates(docs))
+    # bucket-based pair generation: aggregates, no join at all
+    assert "Join" not in plan
+    assert "HashAggregate" in plan or "ObjectHashAggregate" in plan
+
+
+def test_scan_pruning_pushdown(spark, tmp_path):
+    p = str(tmp_path / "t")
+    _alerts(spark).write.parquet(p)
+    df = (
+        spark.read.parquet(p)
+        .where(F.col("rfscore") > 0.85)
+        .select("id", "objectId")
+    )
+    plan = physical_plan(df)
+    scan = next(l for l in plan.split("\n") if "Scan parquet" in l)
+    # projection pruned to the needed columns + filter pushed to the scan
+    assert "rfscore" in plan and "cdsxmatch" not in scan
+    assert "PushedFilters: [" in plan and "GreaterThan(rfscore" in plan
