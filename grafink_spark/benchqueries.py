@@ -249,6 +249,36 @@ FROM cur c JOIN a o
 """
 
 
+def q_similarity_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimilarityClassifier with the remaining §2.5 token kinds:
+    'cdsxmatch AND roid OR mulens' — equi token (+ != Unknown guard),
+    side-separable threshold token, and the 4-column mulens expansion;
+    DNF has an AND-branch so the disjoint-residual path is exercised."""
+    ev, current = _alertish_events(spark, sf_dir)
+    rule = SimilarityClassifier("cdsxmatch AND roid OR mulens", mode="decomposed")
+    loaded = ev.where(F.col("id") % 20 != 0)
+    return rule.classify(loaded, current).select(
+        "src", "dst", F.col("propVal").alias("prop_val")
+    )
+
+
+SQL_SIMILARITY_MULTI = f"""
+WITH a AS ({_ALERTISH_SQL}),
+cur AS (SELECT * FROM a WHERE id % 20 = 0)
+SELECT c.id AS src, o.id AS dst,
+       (CASE WHEN c.cdsxmatch <> 'Unknown' AND c.cdsxmatch = o.cdsxmatch THEN 1 ELSE 0 END
+      + CASE WHEN c.roid > 1 AND o.roid > 1 THEN 1 ELSE 0 END
+      + CASE WHEN c.mulens_class_1 = 'ML' AND c.mulens_class_2 = 'ML'
+              AND o.mulens_class_1 = 'ML' AND o.mulens_class_2 = 'ML' THEN 1 ELSE 0 END
+       )::INT AS prop_val
+FROM cur c JOIN a o
+  ON c.id > o.id
+ AND ((c.cdsxmatch <> 'Unknown' AND c.cdsxmatch = o.cdsxmatch AND c.roid > 1 AND o.roid > 1)
+   OR (c.mulens_class_1 = 'ML' AND c.mulens_class_2 = 'ML'
+       AND o.mulens_class_1 = 'ML' AND o.mulens_class_2 = 'ML'))
+"""
+
+
 def q_similarity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edge-property filter/readback (§2.8: outE('similarity')
     .has('value', v)) — histogram of similarity values."""
@@ -1031,6 +1061,7 @@ QUERIES: dict[str, QueryFn] = {
     "samevalue_clique": q_samevalue_clique,
     "samevalue_new_old": q_samevalue_new_old,
     "similarity_edges": q_similarity_edges,
+    "similarity_multi": q_similarity_multi,
     "similarity_histogram": q_similarity_histogram,
     "twomode_direct": q_twomode_direct,
     "twomode_catalog": q_twomode_catalog,
@@ -1071,6 +1102,7 @@ ORACLES: dict[str, str] = {
     "samevalue_clique": SQL_SAMEVALUE_CLIQUE,
     "samevalue_new_old": SQL_SAMEVALUE_NEW_OLD,
     "similarity_edges": SQL_SIMILARITY_EDGES,
+    "similarity_multi": SQL_SIMILARITY_MULTI,
     "similarity_histogram": SQL_SIMILARITY_HISTOGRAM,
     "twomode_direct": SQL_TWOMODE_DIRECT,
     "twomode_catalog": SQL_TWOMODE_CATALOG,
