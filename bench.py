@@ -30,6 +30,7 @@ from grafink_spark.session import get_spark  # noqa: E402
 # (dedup, similarity search, text analysis).
 HEADLINE = [
     "similarity_edges",
+    "similarity_multi",
     "similarity_histogram",
     "samevalue_clique",
     "samevalue_new_old",
@@ -53,6 +54,7 @@ HEADLINE = [
 NOOP_DRAIN = {
     "user_sessions",
     "similarity_edges",
+    "similarity_multi",
     "samevalue_clique",
     "samevalue_new_old",
     "twomode_direct",
