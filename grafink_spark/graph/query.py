@@ -74,6 +74,34 @@ class GraphQuery:
             .select(F.col(DST).alias("neighbor_id"))
         )
 
+    def neighborhood(
+        self, vertex_id: int, hops: int = 1, label: str | None = None
+    ) -> DataFrame:
+        """Ids reachable within ``hops`` out-edge steps (excluding the
+        start vertex): g.V(id).out().out()... Frontier-expansion joins —
+        each hop is one equi join against the edge table; fine for the
+        small hop counts interactive traversals use."""
+        edges = self.out_e(label).select(
+            F.col(SRC).alias("_s"), F.col(DST).alias("_d")
+        )
+        frontier = self.store.spark.createDataFrame(
+            [(int(vertex_id),)], "neighbor_id long"
+        )
+        seen = frontier
+        for _ in range(hops):
+            frontier = (
+                frontier.join(
+                    edges, frontier.neighbor_id == edges._s, "inner"
+                )
+                .select(F.col("_d").alias("neighbor_id"))
+                .distinct()
+                .join(seen, "neighbor_id", "left_anti")
+            )
+            if not frontier.take(1):
+                break
+            seen = seen.unionByName(frontier).distinct()
+        return seen.where(F.col("neighbor_id") != vertex_id)
+
     def degree(self, label: str | None = None) -> DataFrame:
         """Out-degree per vertex (== total degree, both directions are
         materialized). g.V().has(...).outE().count() composes as

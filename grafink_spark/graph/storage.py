@@ -120,6 +120,11 @@ class GraphStore:
             .withColumn("property_key", F.lit(rule.property_key))
             .withColumn(PROP_VAL, F.col(PROP_VAL).cast("string"))
             .repartition(nparts, SRC)
+            # sorted files give parquet row-group min/max stats on (src,
+            # propVal): point lookups and vertex-centric property filters
+            # skip row groups — the engine's answer to the reference's
+            # vertex-centric edge index (SchemaLoader.scala:177-185)
+            .sortWithinPartitions(SRC, PROP_VAL)
         )
         out.write.mode("append").partitionBy("label").parquet(self.edge_path)
         return 2 * n

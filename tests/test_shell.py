@@ -55,3 +55,28 @@ def test_shell_bindings(spark, tmp_path):
     assert got.n == 2
     deg = {r.id: r.degree for r in g.degree().collect()}
     assert deg == {1: 1, 2: 1}
+
+
+def test_neighborhood_multi_hop(spark, tmp_path):
+    from grafink_spark.graph.query import GraphQuery
+
+    root = str(tmp_path / "g2")
+    store = GraphStore(spark, root, task_size=100, parallelism=2)
+    store.write_vertices(
+        spark.createDataFrame([(i, f"v{i}") for i in range(1, 6)],
+                              "id long, objectId string")
+    )
+    # chain 1→2→3→4, plus 5 isolated (write_edges doubles directions)
+    store.write_edges(
+        spark.createDataFrame([(1, 2, 0), (2, 3, 0), (3, 4, 0)],
+                              "src long, dst long, propVal int"),
+        _FakeRule(),
+    )
+    g = GraphQuery(store)
+    hop1 = {r.neighbor_id for r in g.neighborhood(1, hops=1).collect()}
+    assert hop1 == {2}
+    hop2 = {r.neighbor_id for r in g.neighborhood(1, hops=2).collect()}
+    assert hop2 == {2, 3}
+    hop9 = {r.neighbor_id for r in g.neighborhood(1, hops=9).collect()}
+    assert hop9 == {2, 3, 4}  # early-exit when the frontier empties
+    assert g.neighborhood(5, hops=3).count() == 0
