@@ -769,6 +769,26 @@ FROM votes GROUP BY 1
 """
 
 
+def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash banded Hamming near-dups (≤ 3 of 32 bits differ). The
+    banding is exhaustive for the Hamming predicate (pigeonhole), so the
+    oracle is plain brute-force over all pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = dd.simhash_near_duplicates(docs, bands=4, max_hamming=3)
+    return out.select(
+        "id_a", "id_b", F.col("hamming_dist").cast("long").alias("hamming_dist")
+    )
+
+
+SQL_SIMHASH_NEAR_DUPS = f"""
+WITH sims AS ({SQL_SIMHASH})
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming_dist
+FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
 # =================================================================
 # LLM ops: similarity search
 # =================================================================
@@ -989,6 +1009,47 @@ WHERE comp.doc_id IS NULL OR comp.doc_id = comp.component_id
 """
 
 
+def q_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offset-bin shard packing: docs in id order, 5000-token shards."""
+    from grafink_spark.llm.corpus import assign_shards
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tx.token_count(F.col("text")).alias("n_tokens")
+    )
+    return assign_shards(docs, budget_tokens=5000)
+
+
+SQL_SHARD_PACKING = f"""
+WITH t AS (SELECT doc_id, len({TOKENS_SQL}) AS n_tokens FROM documents)
+SELECT doc_id, n_tokens,
+       (COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 5000)::BIGINT
+       AS shard_id
+FROM t
+"""
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic md5-hash stratified sample: 50% en, 25% fr, 10%
+    everything else."""
+    from grafink_spark.llm.corpus import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    out = stratified_sample(
+        docs, {"en": 0.5, "fr": 0.25}, default_fraction=0.10
+    )
+    return out.select("doc_id", "lang")
+
+
+SQL_STRATIFIED_SAMPLE = """
+SELECT doc_id, lang FROM documents
+WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::INT <
+      (CASE WHEN lang = 'en' THEN 0.5
+            WHEN lang = 'fr' THEN 0.25
+            ELSE 0.10 END) * 65536
+"""
+
+
 # =================================================================
 # LLM ops: multimodal (rows-only check — python kernel, no SQL twin)
 # =================================================================
@@ -1082,11 +1143,14 @@ QUERIES: dict[str, QueryFn] = {
     "near_dup_components": q_near_dup_components,
     "drop_near_dups": q_drop_near_dups,
     "simhash": q_simhash,
+    "simhash_near_dups": q_simhash_near_dups,
     "embedding_topk": q_embedding_topk,
     "embedding_near_pairs": q_embedding_near_pairs,
     "text_stats": q_text_stats,
     "lang_id": q_lang_id,
     "prepare_corpus": q_prepare_corpus,
+    "shard_packing": q_shard_packing,
+    "stratified_sample": q_stratified_sample,
     # rows-only (no SQL oracle): python media kernel / approximate ANN
     "media_features": q_media_features,
     "audio_features": q_audio_features,
@@ -1123,9 +1187,12 @@ ORACLES: dict[str, str] = {
     "near_dup_components": SQL_NEAR_DUP_COMPONENTS,
     "drop_near_dups": SQL_DROP_NEAR_DUPS,
     "simhash": SQL_SIMHASH,
+    "simhash_near_dups": SQL_SIMHASH_NEAR_DUPS,
     "embedding_topk": SQL_EMBEDDING_TOPK,
     "embedding_near_pairs": SQL_EMBEDDING_NEAR_PAIRS,
     "text_stats": SQL_TEXT_STATS,
     "lang_id": SQL_LANG_ID,
     "prepare_corpus": SQL_PREPARE_CORPUS,
+    "shard_packing": SQL_SHARD_PACKING,
+    "stratified_sample": SQL_STRATIFIED_SAMPLE,
 }

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from grafink_spark.llm.dedup import drop_exact_duplicates, drop_near_duplicates
 from grafink_spark.llm.text import lang_id, quality_score
+from pyspark.sql import types as T
 
 
 def prepare_corpus(
@@ -50,3 +51,75 @@ def prepare_corpus(
     return tagged.join(kept_ids, id_col).select(
         id_col, "lang_pred", "n_tokens", "quality_score"
     )
+
+
+def assign_shards(
+    df: DataFrame,
+    budget_tokens: int,
+    tokens_col: str = "n_tokens",
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """Pack documents (in ``order_col`` order) into training shards of
+    ≈ ``budget_tokens`` tokens: shard_id = floor(running_total_before /
+    budget) — the standard offset-bin packing.
+
+    Scale shape: a running sum needs global order, but a single global
+    window would serialize. Instead: range-repartition + local sort
+    (localCheckpoint pins the sampled layout), per-partition token sums
+    (one tiny aggregate), then an Arrow ``mapInPandas`` adds the
+    broadcast partition offset to a vectorized local cumsum — no
+    shuffle beyond the range partitioning, no single-partition stage."""
+    d = (
+        df.repartitionByRange(F.col(order_col))
+        .sortWithinPartitions(order_col)
+        .localCheckpoint()
+    )
+    tagged = d.withColumn("_pid", F.spark_partition_id())
+    sums = {
+        r["_pid"]: r["_s"]
+        for r in tagged.groupBy("_pid").agg(F.sum(tokens_col).alias("_s")).collect()
+    }
+    offsets, running = {}, 0
+    for pid in sorted(sums):
+        offsets[pid] = running
+        running += sums[pid] or 0
+
+    out_schema = T.StructType(
+        list(d.schema.fields) + [T.StructField("shard_id", T.LongType())]
+    )
+    cols = [f.name for f in out_schema.fields]
+
+    def run(batches):
+        start = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if start is None:
+                start = offsets[int(pdf["_pid"].iloc[0])]
+            cs = pdf[tokens_col].cumsum() + start
+            start = int(cs.iloc[-1])
+            out = pdf.copy()
+            out["shard_id"] = ((cs - pdf[tokens_col]) // budget_tokens).astype("int64")
+            yield out.drop(columns=["_pid"])[cols]
+
+    return tagged.mapInPandas(run, out_schema)
+
+
+def stratified_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Deterministic hash-based stratified sampling: a row survives iff
+    the first 4 hex digits of md5(id) fall under its stratum's fraction
+    of 0xFFFF. Reproducible across runs/engines (no RNG state), one
+    narrow filter — the sampling a 100 TB mixture pipeline needs."""
+    bucket = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10
+    ).cast("int")
+    frac = F.lit(default_fraction)
+    for stratum, p in fractions.items():
+        frac = F.when(F.col(stratum_col) == stratum, F.lit(p)).otherwise(frac)
+    return df.where(bucket < frac * 65536)

@@ -278,6 +278,78 @@ def simhash(col: Column | str, k: int = 3, bits: int = 32) -> Column:
     )
 
 
+def simhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance ≤ max_hamming,
+    found via banded bucketing: two signatures within distance d must
+    share at least one of d+1 bands untouched (pigeonhole), so with
+    bands > max_hamming the banded candidates are exhaustive — this is
+    EXACT for the Hamming predicate, not approximate.
+
+    Plan: signature (one projection) → explode band slices → ONE
+    groupBy-bucket shuffle → per-bucket pairs → popcount(xor) verify.
+    Returns (id_a, id_b, hamming_dist)."""
+    if bands <= max_hamming:
+        raise ValueError("need bands > max_hamming for exhaustive candidates")
+    band_bits = bits // bands
+    mask = (1 << band_bits) - 1
+    sh = ensure_min_partitions(df).select(
+        F.col(id_col).alias("_id"), simhash(F.col(text_col), k, bits).alias("_sig")
+    )
+    keyed = sh.select(
+        "_id",
+        "_sig",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("_sig"), j * band_bits).bitwiseAND(
+                        F.lit(mask)
+                    )
+                    for j in range(bands)
+                ]
+            )
+        ).alias("band", "band_val"),
+    )
+    buckets = (
+        keyed.groupBy("band", "band_val")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_id").alias("i"), F.col("_sig").alias("s")))
+            ).alias("_ms")
+        )
+        .where(F.size("_ms") > 1)
+    )
+    ms = F.col("_ms")
+    pair_structs = F.flatten(
+        F.transform(
+            ms,
+            lambda x, i: F.transform(
+                F.slice(ms, i + F.lit(2), F.size(ms)),
+                lambda y: F.struct(
+                    x.getField("i").alias("id_a"),
+                    y.getField("i").alias("id_b"),
+                    F.bit_count(
+                        x.getField("s").bitwiseXOR(y.getField("s"))
+                    ).alias("hamming_dist"),
+                ),
+            ),
+        )
+    )
+    return (
+        buckets.select(F.explode(pair_structs).alias("_p"))
+        .select("_p.id_a", "_p.id_b", "_p.hamming_dist")
+        .where(F.col("hamming_dist") <= max_hamming)
+        .distinct()
+    )
+
+
 def simhash_duplicates(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
 ) -> DataFrame:

@@ -24,3 +24,41 @@ def test_prepare_corpus_stages(spark):
     assert got[1].lang_pred == "en" and got[4].lang_pred == "fr"
     assert got[1].n_tokens == 12
     assert got[1].quality_score >= 0.75
+
+
+def test_assign_shards_budget_invariants(spark):
+    from pyspark.sql import functions as F
+
+    from grafink_spark.llm.corpus import assign_shards
+
+    docs = spark.createDataFrame(
+        [(i, 100 + (i % 7) * 50) for i in range(200)], "doc_id long, n_tokens long"
+    )
+    out = assign_shards(docs, budget_tokens=1000)
+    rows = sorted((r.doc_id, r.n_tokens, r.shard_id) for r in out.collect())
+    assert len(rows) == 200
+    # shard ids are non-decreasing in doc order and start at 0
+    shard_seq = [s for _, _, s in rows]
+    assert shard_seq[0] == 0
+    assert all(a <= b for a, b in zip(shard_seq, shard_seq[1:]))
+    # every shard holds <= budget tokens before its last (straddling) doc:
+    # the running total at each doc's start lands in its shard
+    running = 0
+    for _, n, s in rows:
+        assert running // 1000 == s
+        running += n
+
+
+def test_stratified_sample_deterministic(spark):
+    from grafink_spark.llm.corpus import stratified_sample
+
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "de") for i in range(2000)],
+        "doc_id long, lang string",
+    )
+    a = {r.doc_id for r in stratified_sample(docs, {"en": 0.5}, default_fraction=0.1).collect()}
+    b = {r.doc_id for r in stratified_sample(docs, {"en": 0.5}, default_fraction=0.1).collect()}
+    assert a == b  # deterministic
+    en = sum(1 for i in a if i % 2 == 0) / 1000
+    de = sum(1 for i in a if i % 2 == 1) / 1000
+    assert 0.4 < en < 0.6 and 0.05 < de < 0.16

@@ -132,3 +132,34 @@ def test_drop_near_duplicates_keeps_min_id(spark):
     kept = sorted(r.doc_id for r in drop_near_duplicates(df, threshold=0.5).collect())
     # 1,2,4 are near-dups → keeper is 1; 3 survives untouched
     assert kept == [1, 3]
+
+
+def test_simhash_near_duplicates_banding_is_exhaustive(spark):
+    from pyspark.sql import functions as F
+
+    from grafink_spark.llm.dedup import simhash, simhash_near_duplicates
+
+    rows = [(i, f"doc number {i} with some shared words " + "common " * (i % 4))
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    banded = {
+        (r.id_a, r.id_b, r.hamming_dist)
+        for r in simhash_near_duplicates(df, bands=4, max_hamming=3).collect()
+    }
+    # brute force over all pairs must find the identical set
+    sigs = df.select("doc_id", simhash(F.col("text")).alias("s"))
+    a = sigs.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa"))
+    b = sigs.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb"))
+    brute = {
+        (r.id_a, r.id_b, r.hd)
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b",
+                F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).alias("hd"))
+        .where(F.col("hd") <= 3)
+        .collect()
+    }
+    assert banded == brute
+    import pytest
+
+    with pytest.raises(ValueError):
+        simhash_near_duplicates(df, bands=3, max_hamming=3)
