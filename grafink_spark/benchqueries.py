@@ -931,6 +931,25 @@ SELECT lang, lang_pred, count(*) AS n FROM p GROUP BY 1, 2
 """
 
 
+def q_word_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish pre-tokenizer counts (letter runs / digit runs / single
+    symbols) alongside whitespace token counts."""
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    return docs.select(
+        "doc_id",
+        tx.token_count(F.col("text")).alias("n_ws_tokens"),
+        F.size(tx.word_tokens("text")).alias("n_word_tokens"),
+    )
+
+
+SQL_WORD_TOKEN_STATS = f"""
+SELECT doc_id,
+       len({TOKENS_SQL}) AS n_ws_tokens,
+       len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_word_tokens
+FROM documents
+"""
+
+
 def q_prepare_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end corpus pipeline: exact dedup → quality ≥ 0.75 →
     predicted-lang filter → near-dup drop → token accounting."""
@@ -1147,6 +1166,7 @@ QUERIES: dict[str, QueryFn] = {
     "embedding_topk": q_embedding_topk,
     "embedding_near_pairs": q_embedding_near_pairs,
     "text_stats": q_text_stats,
+    "word_token_stats": q_word_token_stats,
     "lang_id": q_lang_id,
     "prepare_corpus": q_prepare_corpus,
     "shard_packing": q_shard_packing,
@@ -1191,6 +1211,7 @@ ORACLES: dict[str, str] = {
     "embedding_topk": SQL_EMBEDDING_TOPK,
     "embedding_near_pairs": SQL_EMBEDDING_NEAR_PAIRS,
     "text_stats": SQL_TEXT_STATS,
+    "word_token_stats": SQL_WORD_TOKEN_STATS,
     "lang_id": SQL_LANG_ID,
     "prepare_corpus": SQL_PREPARE_CORPUS,
     "shard_packing": SQL_SHARD_PACKING,

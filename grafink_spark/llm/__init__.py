@@ -1,1 +1,1 @@
-from grafink_spark.llm import dedup, simsearch, text  # noqa: F401
+from grafink_spark.llm import corpus, dedup, multimodal, simsearch, text  # noqa: F401
