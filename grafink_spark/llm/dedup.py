@@ -251,18 +251,22 @@ def simhash(col: Column | str, k: int = 3, bits: int = 32) -> Column:
     aggregate — no UDF."""
     sh = shingles(col, k)
     hval = lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")  # noqa: E731
+    # hash each shingle ONCE — the vote lambda below references the hash
+    # per bit, and an inline hval there would re-run md5 `bits` times
+    # per shingle (measured 32x wasted md5 work)
+    hashes = F.transform(sh, hval)
     # bit b of h == floor(h / 2^b) % 2 — shiftright/shiftleft take only
     # literal shift amounts, and 32-bit values are exact in doubles
     pow2 = lambda b: F.pow(F.lit(2.0), b).cast("long")  # noqa: E731
     bit = lambda h, b: (F.floor(h / pow2(b)) % 2).cast("int")  # noqa: E731
     votes = F.aggregate(
-        sh,
+        hashes,
         F.array(*[F.lit(0)] * bits).cast("array<int>"),
-        lambda acc, s: F.zip_with(
+        lambda acc, h: F.zip_with(
             acc,
             F.transform(
                 F.sequence(F.lit(0), F.lit(bits - 1)),
-                lambda b: F.when(bit(hval(s), b) == 1, 1).otherwise(-1),
+                lambda b: F.when(bit(h, b) == 1, 1).otherwise(-1),
             ),
             lambda a, v: a + v,
         ),
