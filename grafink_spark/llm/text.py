@@ -57,16 +57,22 @@ def stopword_hits(col: Column | str, stopwords: list[str] | None = None) -> Colu
 
 def quality_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document quality features: lengths, token stats, punctuation /
-    stopword / digit ratios. One projection, zero shuffles."""
-    t = tokens(text_col)
+    stopword / digit ratios. Two stacked projections, zero shuffles —
+    the token array is staged as a real column so the regex split runs
+    once per row, not once per metric that mentions it (CollapseProject
+    keeps non-cheap exprs staged)."""
+    staged = df.select("*", tokens(text_col).alias("__toks"))
+    t = F.col("__toks")
     n_tok = F.size(t)
     n_chars = F.length(F.col(text_col))
     punct = n_chars - F.length(
         F.regexp_replace(F.col(text_col), r"[^\w\s]", "")
     )
     digits = n_chars - F.length(F.regexp_replace(F.col(text_col), r"[0-9]", ""))
-    return df.select(
-        "*",
+    sw = F.array(*[F.lit(w) for w in DEFAULT_STOPWORDS])
+    sw_hits = F.size(F.filter(t, lambda x: F.array_contains(sw, x)))
+    return staged.select(
+        *df.columns,
         n_chars.alias("n_chars_m"),
         n_tok.alias("n_tokens"),
         F.when(n_tok > 0, (n_chars - n_tok + 1) / n_tok)
@@ -74,7 +80,7 @@ def quality_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
         .alias("avg_token_len"),
         F.when(n_chars > 0, punct / n_chars).otherwise(0.0).alias("punct_ratio"),
         F.when(n_chars > 0, digits / n_chars).otherwise(0.0).alias("digit_ratio"),
-        F.when(n_tok > 0, stopword_hits(text_col) / n_tok)
+        F.when(n_tok > 0, sw_hits / n_tok)
         .otherwise(0.0)
         .alias("stopword_ratio"),
     )
@@ -98,7 +104,8 @@ def lang_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -
     stopword occurrences in one pass; argmax wins, zero hits → 'und'.
     Pure expressions → distributes trivially; a real model (fastText)
     would slot in as a Pandas UDF behind the same signature."""
-    t = tokens(text_col)
+    staged = df.select("*", tokens(text_col).alias("__lt"))
+    t = F.col("__lt")  # staged once — 4 language filters share one split
     hit_cols = []
     for lang, words in LANG_STOPWORDS.items():
         arr = F.array(*[F.lit(w) for w in words])
@@ -111,9 +118,9 @@ def lang_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -
     # array_max on struct(hits, lang): max hits, ties → lexicographically
     # greatest lang; to make ties deterministic-first-wins we order input
     best = F.array_max(F.array(*reversed(hit_cols)))
-    return df.withColumn(
-        out_col,
-        F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")),
+    return staged.select(
+        *df.columns,
+        F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")).alias(out_col),
     )
 
 
