@@ -630,10 +630,14 @@ def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First 4 minhash signature elements per document — pins the
     signature math itself."""
     docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
-    sig = dd.minhash_signature(F.col("text"), num_hashes=4, k=3)
-    return docs.select(
+    # stage the signature array once — four getItem projections over an
+    # inline expression would recompute the whole signature 4x per row
+    staged = docs.select(
+        "doc_id", dd.minhash_signature(F.col("text"), num_hashes=4, k=3).alias("_sig")
+    )
+    return staged.select(
         "doc_id",
-        *[sig.getItem(i).alias(f"m{i}") for i in range(4)],
+        *[F.col("_sig").getItem(i).alias(f"m{i}") for i in range(4)],
     )
 
 

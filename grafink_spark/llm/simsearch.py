@@ -34,21 +34,32 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact top-k: (query_id, neighbor_id, cosine_sim, rank). Self-pairs
     (same id) are excluded. Ties broken by neighbor id (deterministic)."""
+    norm = lambda v: F.sqrt(  # noqa: E731
+        F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    # norms staged per row BEFORE the join: a corpus row's norm is
+    # otherwise recomputed once per query it pairs with
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("_qv"),
-    )
+    ).withColumn("_qn", norm(F.col("_qv")))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("_cv"),
+    ).withColumn("_cn", norm(F.col("_cv")))
+    dot = F.aggregate(
+        F.zip_with(F.col("_qv"), F.col("_cv"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
     )
+    denom = F.col("_qn") * F.col("_cn")
     scored = (
         c.crossJoin(F.broadcast(q))
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            cosine_similarity(F.col("_qv"), F.col("_cv")).alias("cosine_sim"),
+            F.when(denom > 0, dot / denom).otherwise(F.lit(0.0)).alias("cosine_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
