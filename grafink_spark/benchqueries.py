@@ -630,10 +630,12 @@ def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First 4 minhash signature elements per document — pins the
     signature math itself."""
     docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
-    # stage the signature array once — four getItem projections over an
-    # inline expression would recompute the whole signature 4x per row
-    staged = docs.select(
-        "doc_id", dd.minhash_signature(F.col("text"), num_hashes=4, k=3).alias("_sig")
+    # stage shingles, then the signature, then the element extraction —
+    # each stage's expression is referenced multiple times downstream,
+    # so inlining would multiply the tokenize/md5 work per row
+    sh = docs.select("doc_id", dd.shingles(F.col("text"), 3).alias("_sh"))
+    staged = sh.select(
+        "doc_id", dd.signature_from_shingles(F.col("_sh"), num_hashes=4).alias("_sig")
     )
     return staged.select(
         "doc_id",

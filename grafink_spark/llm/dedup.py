@@ -34,16 +34,22 @@ from grafink_spark.util import ensure_min_partitions
 # ------------------------------------------------------------- shingles
 
 
-def shingles(col: Column | str, k: int = 3) -> Column:
-    """Word k-shingles as an array of strings (space-joined); documents
-    shorter than k tokens yield a single shingle of all tokens."""
-    t = tokens(col)
+def shingles_from_tokens(t: Column, k: int = 3) -> Column:
+    """k-shingles from a *pre-projected* token-array column (the token
+    expression is referenced three times below — pass a column ref, not
+    the tokenize expression, or the regex split runs 3x per row)."""
     n = F.size(t)
     full = F.transform(
         F.sequence(F.lit(0), n - k),
         lambda i: F.concat_ws(" ", F.slice(t, i + 1, k)),
     )
     return F.when(n >= k, full).otherwise(F.array(F.concat_ws(" ", t)))
+
+
+def shingles(col: Column | str, k: int = 3) -> Column:
+    """Word k-shingles as an array of strings (space-joined); documents
+    shorter than k tokens yield a single shingle of all tokens."""
+    return shingles_from_tokens(tokens(col), k)
 
 
 # --------------------------------------------------------- exact dedup
@@ -139,8 +145,9 @@ def minhash_lsh_candidates(
     rows = num_hashes // bands
     df = ensure_min_partitions(df)
     sh = df.select(
-        F.col(id_col).alias("_id"),
-        shingles(F.col(text_col), k).alias("_sh"),
+        F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_t")
+    ).select(
+        "_id", shingles_from_tokens(F.col("_t"), k).alias("_sh")
     )
     sig = sh.select(
         "_id", signature_from_shingles(F.col("_sh"), num_hashes).alias("_sig")
@@ -201,7 +208,11 @@ def ngram_jaccard_pairs(
     df = ensure_min_partitions(df)
     sh = df.select(
         F.col(id_col).alias("_id"),
-        F.array_distinct(shingles(F.col(text_col), k)).alias("_sh"),
+        tokens(F.col(text_col)).alias("_t"),
+        *[F.col(c) for c in (block_by or [])],
+    ).select(
+        "_id",
+        F.array_distinct(shingles_from_tokens(F.col("_t"), k)).alias("_sh"),
         *[F.col(c) for c in (block_by or [])],
     )
     if candidates is None:
