@@ -528,6 +528,76 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each purchase event picks the user's most
+    recent click at-or-before it (union + window formulation — one
+    shuffle, no per-key nested loop). Oracle = DuckDB's native ASOF."""
+    from grafink_spark.ops import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = asof_join(
+        purchases, clicks, on="user_id", ts="ts",
+        right_cols=["event_id", "value"], suffix="_click",
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return out.select(
+        "event_id",
+        F.date_format("ts", fmt).alias("ts"),
+        F.round("value", 2).alias("value"),
+        "event_id_click",
+        F.round("value_click", 2).alias("value_click"),
+        F.date_format("ts_click", fmt).alias("ts_click"),
+    )
+
+
+SQL_ASOF_JOIN = """
+WITH p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
+c AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click')
+SELECT p.event_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+       round(p.value, 2) AS value,
+       c.event_id AS event_id_click,
+       round(c.value, 2) AS value_click,
+       strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS ts_click
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded range self-join: part pairs whose retail prices differ by
+    ≤ 0.05 — bucketed equi join instead of an O(n²) theta join."""
+    from grafink_spark.ops import range_join
+
+    part = load_table(spark, sf_dir, "part")
+    a = part.select(F.col("p_partkey").alias("id_a"), F.col("p_retailprice"))
+    b = part.select(F.col("p_partkey").alias("id_b"), F.col("p_retailprice"))
+    out = range_join(a, b, "p_retailprice", 0.05)
+    return (
+        out.where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            F.round("_va", 2).alias("price_a"),
+            F.round("_vb", 2).alias("price_b"),
+        )
+    )
+
+
+SQL_RANGE_JOIN = """
+SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+       round(a.p_retailprice, 2) AS price_a,
+       round(b.p_retailprice, 2) AS price_b
+FROM part a JOIN part b
+  ON a.p_partkey < b.p_partkey
+ AND abs(a.p_retailprice - b.p_retailprice) <= 0.05
+"""
+
+
 def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min idle gap) — the batch twin of the
     applyInPandasWithState streaming operator."""
@@ -1159,6 +1229,8 @@ QUERIES: dict[str, QueryFn] = {
     "pricing_summary": q_pricing_summary,
     "segment_revenue": q_segment_revenue,
     "hourly_windows": q_hourly_windows,
+    "asof_join": q_asof_join,
+    "range_join": q_range_join,
     "user_sessions": q_user_sessions,
     "exact_dedup": q_exact_dedup,
     "fingerprint_dups": q_fingerprint_dups,
@@ -1204,6 +1276,8 @@ ORACLES: dict[str, str] = {
     "pricing_summary": SQL_PRICING_SUMMARY,
     "segment_revenue": SQL_SEGMENT_REVENUE,
     "hourly_windows": SQL_HOURLY_WINDOWS,
+    "asof_join": SQL_ASOF_JOIN,
+    "range_join": SQL_RANGE_JOIN,
     "user_sessions": SQL_USER_SESSIONS,
     "exact_dedup": SQL_EXACT_DEDUP,
     "fingerprint_dups": SQL_FINGERPRINT_DUPS,

@@ -1,0 +1,121 @@
+"""Relational operators Spark's DataFrame API lacks as primitives,
+re-expressed as compositions of built-in operators (no UDFs, no
+mapPartitions — Catalyst sees everything).
+
+- ``asof_join``: for each left row, the latest right row with
+  ``right.ts <= left.ts`` per key. A naive theta join is O(n·m) per
+  key; the union+window formulation is one shuffle on (key) and one
+  local sort — the same plan a native as-of join would produce.
+- ``range_join``: pairs with ``|a.val - b.val| <= delta`` via banded
+  bucketing — each row joins only its own and neighboring buckets, so
+  the pair space is O(Σ bucket²) instead of O(n·m); the exact predicate
+  filters the band residue.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts: str = "ts",
+    right_cols: list[str] | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """Backward as-of join: every left row picks the most recent right
+    row (greatest ``right.ts <= left.ts``) with the same ``on`` key;
+    left rows with no prior right row keep nulls (left-outer semantics).
+
+    Plan: union both sides tagged, one window per key ordered by
+    (ts, side) with ``last(ignorenulls)`` carrying the latest right
+    payload forward, then filter back to left rows. One hash shuffle on
+    the key + local sort — no per-key nested loop, no range condition
+    for the optimizer to degrade to BNLJ."""
+    right_cols = right_cols or [
+        c for c in right.columns if c not in (on, ts)
+    ]
+    l_tag = left.select(
+        F.col(on).alias("_k"),
+        F.col(ts).alias("_ts"),
+        F.lit(1).alias("_is_left"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_lrow"),
+        F.lit(None).cast(
+            right.select(
+                F.struct(
+                    F.col(ts).alias("_rts"), *[F.col(c) for c in right_cols]
+                ).alias("s")
+            ).schema["s"].dataType.simpleString()
+        ).alias("_rrow"),
+    )
+    r_tag = right.select(
+        F.col(on).alias("_k"),
+        F.col(ts).alias("_ts"),
+        F.lit(0).alias("_is_left"),
+        F.lit(None).cast(
+            left.select(
+                F.struct(*[F.col(c) for c in left.columns]).alias("s")
+            ).schema["s"].dataType.simpleString()
+        ).alias("_lrow"),
+        F.struct(
+            F.col(ts).alias("_rts"), *[F.col(c) for c in right_cols]
+        ).alias("_rrow"),
+    )
+    # right rows sort BEFORE left rows at equal ts → `<=` inclusive
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_ts").asc(), F.col("_is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = l_tag.unionByName(r_tag).withColumn(
+        "_match", F.last("_rrow", ignorenulls=True).over(w)
+    )
+    out = merged.where(F.col("_is_left") == 1).select(
+        *[F.col(f"_lrow.{c}").alias(c) for c in left.columns],
+        *[
+            F.col(f"_match.{c}").alias(f"{c}{suffix}" if c in left.columns else c)
+            for c in right_cols
+        ],
+        F.col("_match._rts").alias(f"{ts}{suffix}"),
+    )
+    return out
+
+
+def range_join(
+    a: DataFrame,
+    b: DataFrame,
+    val: str,
+    delta: float,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Pairs (id from a, id from b, both values) with
+    ``|a.val - b.val| <= delta``. Banded equi join: each a-row lands in
+    bucket floor(val/delta) and probes buckets {-1, 0, +1}, which is
+    exhaustive for the predicate; the exact |diff| filter removes band
+    residue. One hash shuffle on the bucket key."""
+    a_b = a.select(
+        F.col(id_a), F.col(val).alias("_va"),
+        F.explode(
+            F.array(
+                *[
+                    (F.floor(F.col(val) / delta) + off).cast("long")
+                    for off in (-1, 0, 1)
+                ]
+            )
+        ).alias("_bucket"),
+    )
+    b_b = b.select(
+        F.col(id_b), F.col(val).alias("_vb"),
+        F.floor(F.col(val) / delta).cast("long").alias("_bucket"),
+    )
+    return (
+        a_b.join(b_b, "_bucket")
+        .where(F.abs(F.col("_va") - F.col("_vb")) <= delta)
+        .select(id_a, id_b, "_va", "_vb")
+        .distinct()
+    )
