@@ -174,9 +174,14 @@ class GraphStore:
         e.write.mode("overwrite").partitionBy("label").parquet(tmp_e)
         self._swap(tmp_e, self.edge_path)
 
-    @staticmethod
-    def _swap(tmp: str, target: str) -> None:
-        import shutil
-
-        shutil.rmtree(target)
-        os.rename(tmp, target)
+    def _swap(self, tmp: str, target: str) -> None:
+        """Replace target dir with tmp via the Hadoop FileSystem API —
+        works for local paths AND hdfs://, s3a://, etc. (a shutil-based
+        swap would silently only support the local filesystem)."""
+        jvm = self.spark.sparkContext._jvm
+        conf = self.spark.sparkContext._jsc.hadoopConfiguration()
+        path_cls = jvm.org.apache.hadoop.fs.Path
+        t = path_cls(target)
+        fs = t.getFileSystem(conf)
+        fs.delete(t, True)
+        fs.rename(path_cls(tmp), t)

@@ -88,3 +88,27 @@ def test_scan_pruning_pushdown(spark, tmp_path):
     # projection pruned to the needed columns + filter pushed to the scan
     assert "rfscore" in plan and "cdsxmatch" not in scan
     assert "PushedFilters: [" in plan and "GreaterThan(rfscore" in plan
+
+
+def test_asof_join_single_shuffle_no_join(spark):
+    from datetime import datetime
+
+    from grafink_spark.ops import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100, datetime(2024, 1, 1, 10), 5.0)],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    right = spark.createDataFrame(
+        [(11, 100, datetime(2024, 1, 1, 9), 1.0)],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    plan = physical_plan(
+        asof_join(left, right, on="user_id", ts="ts", right_cols=["event_id"])
+    )
+    # union+window formulation: ONE hash exchange on the key, no join
+    # operator anywhere (the optimizer can't degrade it to BNLJ)
+    assert "Join" not in plan
+    exchanges = [l for l in plan.split("\n") if "Exchange" in l]
+    assert len(exchanges) == 1 and "hashpartitioning" in exchanges[0]
+    assert "Window" in plan
