@@ -41,6 +41,8 @@ HEADLINE = [
     "pricing_summary",
     "hourly_windows",
     "user_sessions",
+    "asof_join",
+    "range_join",
     "exact_dedup",
     "minhash_signature",
     "lsh_candidates",
@@ -54,6 +56,8 @@ HEADLINE = [
 # of the result, unlike count()) without materializing on the driver.
 NOOP_DRAIN = {
     "user_sessions",
+    "asof_join",
+    "range_join",
     "similarity_edges",
     "similarity_multi",
     "samevalue_clique",
