@@ -39,6 +39,7 @@ HEADLINE = [
     "assign_ids",
     "edge_degree",
     "pricing_summary",
+    "shipping_priority",
     "hourly_windows",
     "user_sessions",
     "asof_join",

@@ -508,6 +508,53 @@ GROUP BY 1
 """
 
 
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style shipping priority: fact×fact shuffle join with a
+    broadcast filtered dim, date-range filters pushed to the scans, top-10
+    by revenue (deterministic tie-break on l_orderkey)."""
+    cust = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < "1995-03-15"
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > "1995-03-15")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+        .select(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+            "revenue",
+        )
+    )
+
+
+SQL_SHIPPING_PRIORITY = """
+SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15'
+  AND l_shipdate > TIMESTAMP '1995-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
 def q_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window aggregation — the streaming pipeline's transform
     applied to a bounded input (identical code path, batch semantics)."""
@@ -1228,6 +1275,7 @@ QUERIES: dict[str, QueryFn] = {
     "top_docs": q_top_docs,
     "pricing_summary": q_pricing_summary,
     "segment_revenue": q_segment_revenue,
+    "shipping_priority": q_shipping_priority,
     "hourly_windows": q_hourly_windows,
     "asof_join": q_asof_join,
     "range_join": q_range_join,
@@ -1275,6 +1323,7 @@ ORACLES: dict[str, str] = {
     "top_docs": SQL_TOP_DOCS,
     "pricing_summary": SQL_PRICING_SUMMARY,
     "segment_revenue": SQL_SEGMENT_REVENUE,
+    "shipping_priority": SQL_SHIPPING_PRIORITY,
     "hourly_windows": SQL_HOURLY_WINDOWS,
     "asof_join": SQL_ASOF_JOIN,
     "range_join": SQL_RANGE_JOIN,
