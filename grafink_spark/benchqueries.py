@@ -1193,7 +1193,9 @@ WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::INT <
 
 
 # =================================================================
-# LLM ops: multimodal (rows-only check — python kernel, no SQL twin)
+# LLM ops: multimodal — the fake payloads are md5-seeded pure
+# arithmetic, so the oracle rebuilds them in hex-string space and
+# the media pipeline gets full value-level checks (VERDICT r1 #1c)
 # =================================================================
 
 
@@ -1210,6 +1212,34 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_image_features(media)
 
 
+# Payload layout (make_fake_image): 8-byte header = (32,16) as int32 LE
+# → hex '2000000010000000'; body = md5(doc_id) digest repeated 32× to
+# 512 bytes. payload_md5 = md5 of the lowercase-hex payload string;
+# mean_luma = mean of body bytes = (32 × digest_byte_sum) / 512 — all
+# exact power-of-two double arithmetic, so no rounding is needed.
+SQL_MEDIA_FEATURES = """
+WITH ids AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 50),
+p AS (
+  SELECT doc_id, md5(doc_id::VARCHAR) AS dh,
+         '2000000010000000' || repeat(md5(doc_id::VARCHAR), 32) AS ph
+  FROM ids
+),
+lum AS (
+  SELECT p.doc_id,
+         sum(('0x' || substr(p.dh, 2 * g.i - 1, 2))::BIGINT) AS dsum
+  FROM p, generate_series(1, 16) g(i)
+  GROUP BY p.doc_id
+)
+SELECT p.doc_id,
+       md5(p.ph) AS payload_md5,
+       (length(p.ph) // 2)::BIGINT AS n_bytes,
+       32::INT AS width,
+       16::INT AS height,
+       (32 * lum.dsum) / 512.0 AS mean_luma
+FROM p JOIN lum USING (doc_id)
+"""
+
+
 def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio-column plumbing: fake audio payloads for the first 50
     documents → duration/rms features via the mapInPandas kernel."""
@@ -1223,9 +1253,49 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_audio_features(media)
 
 
+# make_fake_audio: 12-byte header (duration int64 LE, rate int32 LE) +
+# n = duration*8//1000 body bytes = md5('a'||doc_id) digest cycled.
+# rms = sqrt(Σb² / n) where Σb² = (n//16)·digest_sq_sum + partial —
+# identical integer numerators and IEEE ops on both engines.
+SQL_AUDIO_FEATURES = """
+WITH ids AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 50),
+p AS (
+  SELECT doc_id,
+         (1000 + 10 * doc_id)::BIGINT AS duration_ms,
+         (((1000 + 10 * doc_id) * 8) // 1000)::BIGINT AS n,
+         md5('a' || doc_id::VARCHAR) AS dh
+  FROM ids
+),
+sq AS (
+  SELECT p.doc_id,
+         sum((('0x' || substr(p.dh, 2 * g.i - 1, 2))::BIGINT)
+             * (('0x' || substr(p.dh, 2 * g.i - 1, 2))::BIGINT)) AS full_sq,
+         sum(CASE WHEN g.i <= p.n % 16
+                  THEN (('0x' || substr(p.dh, 2 * g.i - 1, 2))::BIGINT)
+                       * (('0x' || substr(p.dh, 2 * g.i - 1, 2))::BIGINT)
+                  ELSE 0 END) AS rem_sq
+  FROM p, generate_series(1, 16) g(i)
+  GROUP BY p.doc_id
+)
+SELECT p.doc_id,
+       (12 + p.n)::BIGINT AS n_bytes,
+       p.duration_ms,
+       sqrt(((p.n // 16) * sq.full_sq + sq.rem_sq)::DOUBLE / p.n) AS rms
+FROM p JOIN sq USING (doc_id)
+"""
+
+
+# =================================================================
+# LLM ops: approximate ANN — both index builds are deterministic
+# (seeded hyperplanes / lowest-id seeds + Lloyd), so the full
+# train→probe→rerank pipeline is replayed in SQL (VERDICT r1 #1a/b)
+# =================================================================
+
+
 def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate ANN (IVF: deterministic centroids + nprobe search) —
-    approximate by construction, so rows-only check."""
+    """Approximate ANN (IVF: deterministic centroids + nprobe search).
+    Train is deterministic (lowest-id seeds, 1 Lloyd step), so the
+    oracle replays it in SQL."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.orderBy("vec_id").limit(5)
     cents = ss.ivf_train(emb, nlist=8, iters=1)
@@ -1238,9 +1308,77 @@ def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_oracle_sql(nlist: int = 8, dim: int = 64, nprobe: int = 4,
+                    k: int = 3, nq: int = 5) -> str:
+    """SQL replay of ivf_train(iters=1) + ivf_topk. Tie rules mirror
+    the Spark side exactly: assignment → lowest cid among maxima
+    (array_position of array_max), probe order → (sim DESC, cid DESC)
+    (reverse of ascending struct sort)."""
+    cos_sc = COSINE_SQL.format(a="e.embedding", b="s.cv")
+    cos_cc = COSINE_SQL.format(a="e.embedding", b="c.cv")
+    cos_qc = COSINE_SQL.format(a="q.qv", b="c.cv")
+    cos_qn = COSINE_SQL.format(a="p.qv", b="a.embedding")
+    return f"""
+WITH seeds AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+         list_transform(embedding, x -> x::DOUBLE) AS cv
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {nlist})
+),
+a0 AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT e.vec_id, e.embedding, s.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {cos_sc} DESC, s.cid ASC) AS rn
+    FROM embeddings e CROSS JOIN seeds s
+  ) WHERE rn = 1
+),
+cent AS (
+  SELECT cid, list(m ORDER BY pos) AS cv FROM (
+    SELECT a.cid, g.pos, avg(a.embedding[g.pos]::DOUBLE) AS m
+    FROM a0 a, generate_series(1, {dim}) g(pos)
+    GROUP BY a.cid, g.pos
+  ) GROUP BY cid
+),
+asgn AS (
+  SELECT vec_id, embedding, cid AS list_id FROM (
+    SELECT e.vec_id, e.embedding, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {cos_cc} DESC, c.cid ASC) AS rn
+    FROM embeddings e CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, embedding AS qv
+      FROM embeddings ORDER BY vec_id LIMIT {nq}),
+probes AS (
+  SELECT query_id, qv, cid AS list_id FROM (
+    SELECT q.query_id, q.qv, c.cid,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {cos_qc} DESC, c.cid DESC) AS rn
+    FROM q CROSS JOIN cent c
+  ) WHERE rn <= {nprobe}
+),
+scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id, {cos_qn} AS cs
+  FROM probes p JOIN asgn a ON p.list_id = a.list_id
+  WHERE p.query_id <> a.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cs,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cs DESC, neighbor_id ASC) AS rnk
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(cs, 6) AS cosine_sim, rnk AS rank
+FROM ranked WHERE rnk <= {k}
+"""
+
+
+SQL_EMBEDDING_IVF_TOPK = _ivf_oracle_sql()
+
+
 def q_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate ANN (multi-table hyperplane LSH) — approximate by
-    construction, so rows-only check."""
+    """Approximate ANN (multi-table hyperplane LSH). Hyperplanes are
+    seeded literals, so the oracle recomputes identical signatures."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.orderBy("vec_id").limit(5)
     out = ss.lsh_topk(emb, queries, k=3, dim=64, bits=4, tables=4)
@@ -1250,6 +1388,67 @@ def q_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("cosine_sim", 6).alias("cosine_sim"),
         F.col("rank").cast("long").alias("rank"),
     )
+
+
+def _lsh_oracle_sql(dim: int = 64, bits: int = 4, tables: int = 4,
+                    seed: int = 42, k: int = 3, nq: int = 5) -> str:
+    """SQL replay of lsh_topk: the seeded hyperplanes are embedded as
+    literal DOUBLE[] (repr() round-trips exactly); the signature dot
+    products are the same left-fold double sums as the Spark
+    aggregate/zip_with, so every sign bit matches."""
+    from grafink_spark.llm.simsearch import _hyperplanes
+
+    sig_exprs = []
+    for t in range(tables):
+        planes = _hyperplanes(dim, bits, seed + 1000 * t)
+        terms = []
+        for i, plane in enumerate(planes):
+            lits = ", ".join(repr(x) for x in plane)
+            dot = (
+                f"list_reduce(list_transform(range(1, {dim + 1}), "
+                f"i -> embedding[i]::DOUBLE * ([{lits}]::DOUBLE[])[i]), "
+                f"(x, y) -> x + y)"
+            )
+            terms.append(f"(CASE WHEN {dot} >= 0 THEN {1 << i} ELSE 0 END)")
+        sig_exprs.append(" + ".join(terms))
+    sig_list = ",\n    ".join(sig_exprs)
+    cos = COSINE_SQL.format(a="qv", b="cv")
+    tbl_values = ", ".join(f"({t})" for t in range(tables))
+    return f"""
+WITH sigs AS (
+  SELECT vec_id, embedding, [
+    {sig_list}
+  ] AS sg FROM embeddings
+),
+cx AS (
+  SELECT s.vec_id AS neighbor_id, s.embedding AS cv,
+         t.tbl, s.sg[t.tbl + 1] AS bucket
+  FROM sigs s, (VALUES {tbl_values}) t(tbl)
+),
+q AS (SELECT * FROM sigs ORDER BY vec_id LIMIT {nq}),
+qx AS (
+  SELECT s.vec_id AS query_id, s.embedding AS qv,
+         t.tbl, s.sg[t.tbl + 1] AS bucket
+  FROM q s, (VALUES {tbl_values}) t(tbl)
+),
+cand AS (
+  SELECT DISTINCT qx.query_id, cx.neighbor_id, qx.qv, cx.cv
+  FROM cx JOIN qx ON cx.tbl = qx.tbl AND cx.bucket = qx.bucket
+  WHERE qx.query_id <> cx.neighbor_id
+),
+scored AS (SELECT query_id, neighbor_id, {cos} AS cs FROM cand),
+ranked AS (
+  SELECT query_id, neighbor_id, cs,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cs DESC, neighbor_id ASC) AS rnk
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(cs, 6) AS cosine_sim, rnk AS rank
+FROM ranked WHERE rnk <= {k}
+"""
+
+
+SQL_EMBEDDING_LSH_TOPK = _lsh_oracle_sql()
 
 
 # =================================================================
@@ -1297,7 +1496,6 @@ QUERIES: dict[str, QueryFn] = {
     "prepare_corpus": q_prepare_corpus,
     "shard_packing": q_shard_packing,
     "stratified_sample": q_stratified_sample,
-    # rows-only (no SQL oracle): python media kernel / approximate ANN
     "media_features": q_media_features,
     "audio_features": q_audio_features,
     "embedding_lsh_topk": q_embedding_lsh_topk,
@@ -1345,4 +1543,8 @@ ORACLES: dict[str, str] = {
     "prepare_corpus": SQL_PREPARE_CORPUS,
     "shard_packing": SQL_SHARD_PACKING,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
+    "media_features": SQL_MEDIA_FEATURES,
+    "audio_features": SQL_AUDIO_FEATURES,
+    "embedding_lsh_topk": SQL_EMBEDDING_LSH_TOPK,
+    "embedding_ivf_topk": SQL_EMBEDDING_IVF_TOPK,
 }

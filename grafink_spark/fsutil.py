@@ -1,0 +1,57 @@
+"""Hadoop FileSystem helpers — one place for filesystem mutations.
+
+Everything that touches storage paths (swaps, partition deletes,
+commit markers) goes through the JVM Hadoop FileSystem API so the same
+code works for local paths AND hdfs:// / s3a:// URIs. A shutil/os-based
+implementation would silently no-op on remote URIs (ADVICE r1:
+sources/partitions.py:97).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+
+def _fs_and_path(spark: SparkSession, path: str):
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(conf), p, jvm
+
+
+def exists(spark: SparkSession, path: str) -> bool:
+    fs, p, _ = _fs_and_path(spark, path)
+    return bool(fs.exists(p))
+
+
+def delete(spark: SparkSession, path: str, recursive: bool = True) -> bool:
+    """Delete a file or directory tree. Returns True if something was
+    removed, False if the path did not exist."""
+    fs, p, _ = _fs_and_path(spark, path)
+    if not fs.exists(p):
+        return False
+    return bool(fs.delete(p, recursive))
+
+
+def rename(spark: SparkSession, src: str, dst: str) -> bool:
+    fs, p_dst, jvm = _fs_and_path(spark, dst)
+    return bool(fs.rename(jvm.org.apache.hadoop.fs.Path(src), p_dst))
+
+
+def swap(spark: SparkSession, tmp: str, target: str) -> None:
+    """Replace ``target`` with ``tmp`` (delete-then-rename)."""
+    fs, t, jvm = _fs_and_path(spark, target)
+    fs.delete(t, True)
+    fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), t)
+
+
+def mkdirs(spark: SparkSession, path: str) -> None:
+    fs, p, _ = _fs_and_path(spark, path)
+    fs.mkdirs(p)
+
+
+def touch(spark: SparkSession, path: str) -> None:
+    """Create an empty file (parents included) — used for commit
+    markers. Overwrites an existing file of the same name."""
+    fs, p, _ = _fs_and_path(spark, path)
+    fs.create(p, True).close()

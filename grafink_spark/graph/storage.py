@@ -100,14 +100,26 @@ class GraphStore:
             return False
         try:
             df = self.spark.read.parquet(p)
-        except Exception:
-            return False
+        except Exception as e:
+            from grafink_spark.id_manager import _is_path_empty_error
+
+            if _is_path_empty_error(e):
+                return False
+            raise
         return df.where(F.col("id") == first_id).limit(1).count() > 0
 
-    def write_edges(self, edges: DataFrame, rule: ClassifierRule) -> int:
+    def write_edges(
+        self,
+        edges: DataFrame,
+        rule: ClassifierRule,
+        tags: dict[str, object] | None = None,
+    ) -> int:
         """Materialize both directions, tag label/property key, write
-        partitioned by label. Returns edge-row count written."""
+        partitioned by label. ``tags`` adds literal bookkeeping columns
+        (e.g. the streaming ingest's batch id) to every written row.
+        Returns edge-row count written."""
         ClassifierRule.validate(edges)
+        edges = edges.select(SRC, DST, PROP_VAL)
         n = edges.count()  # sizes the repartition (EdgeProcessor.scala:166)
         nparts = get_parallelism(n, self.task_size, self.parallelism)
         both = edges.unionByName(
@@ -115,6 +127,8 @@ class GraphStore:
                 F.col(DST).alias(SRC), F.col(SRC).alias(DST), F.col(PROP_VAL)
             )
         )
+        for name, value in (tags or {}).items():
+            both = both.withColumn(name, F.lit(value))
         out = (
             both.withColumn("label", F.lit(rule.edge_label))
             .withColumn("property_key", F.lit(rule.property_key))
@@ -141,10 +155,14 @@ class GraphStore:
     def edges(self) -> DataFrame:
         try:
             return self.spark.read.parquet(self.edge_path)
-        except Exception:
-            # store exists but holds zero edge files (e.g. everything was
-            # deleted) — empty table with the canonical schema
-            return self.spark.createDataFrame([], self.EDGE_TABLE_SCHEMA)
+        except Exception as e:
+            from grafink_spark.id_manager import _is_path_empty_error
+
+            if _is_path_empty_error(e):
+                # store holds zero edge files (nothing ingested yet, or
+                # everything deleted) — empty table, canonical schema
+                return self.spark.createDataFrame([], self.EDGE_TABLE_SCHEMA)
+            raise  # unreadable ≠ empty: surface corrupt stores
 
     def fixed_vertices(self) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self.root, "fixed_vertices"))
@@ -163,9 +181,8 @@ class GraphStore:
         tmp_v = self.vertex_path + "__tmp"
         v.write.mode("overwrite").parquet(tmp_v)
         self._swap(tmp_v, self.vertex_path)
-        try:
-            e = self.edges()
-        except Exception:
+        e = self.edges()
+        if not e.take(1):
             return
         e = e.join(
             F.broadcast(ids), F.col(SRC) == F.col("_del_id"), "left_anti"
@@ -178,10 +195,6 @@ class GraphStore:
         """Replace target dir with tmp via the Hadoop FileSystem API —
         works for local paths AND hdfs://, s3a://, etc. (a shutil-based
         swap would silently only support the local filesystem)."""
-        jvm = self.spark.sparkContext._jvm
-        conf = self.spark.sparkContext._jsc.hadoopConfiguration()
-        path_cls = jvm.org.apache.hadoop.fs.Path
-        t = path_cls(target)
-        fs = t.getFileSystem(conf)
-        fs.delete(t, True)
-        fs.rename(path_cls(tmp), t)
+        from grafink_spark import fsutil
+
+        fsutil.swap(self.spark, tmp, target)

@@ -48,6 +48,30 @@ _RN = "__gs_rn"
 _OFF = "__gs_off"
 
 
+def _is_path_empty_error(e: Exception) -> bool:
+    """True iff the read failed because the path holds no data yet
+    (missing dir / no parquet files) — NOT because data is unreadable."""
+    try:
+        from pyspark.errors import AnalysisException
+    except ImportError:  # pragma: no cover
+        return False
+    if not isinstance(e, AnalysisException):
+        return False
+    cond = None
+    for attr in ("getCondition", "getErrorClass"):
+        fn = getattr(e, attr, None)
+        if fn is not None:
+            try:
+                cond = fn()
+                break
+            except Exception:
+                pass
+    if cond is not None:
+        return cond in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA")
+    msg = str(e)
+    return "PATH_NOT_FOUND" in msg or "UNABLE_TO_INFER_SCHEMA" in msg
+
+
 def zip_with_index(
     df: DataFrame,
     offset: int = 0,
@@ -107,19 +131,39 @@ class IDManager:
     config: IDManagerConfig
 
     def read_all(self, schema: T.StructType) -> DataFrame:
-        """Full store scan; missing path → empty DF with ``id`` prepended
-        to the batch schema (IDManagerSparkService.scala:88-100)."""
+        """Full store scan; missing/never-written path → empty DF with
+        ``id`` prepended to the batch schema
+        (IDManagerSparkService.scala:88-100).
+
+        Only *absence* falls back to empty. A store that exists but
+        cannot be read (corrupt files, permissions) raises GetIdException
+        (exit 3): silently restarting ids at reservedIdSpace would
+        collide new ids with existing vertices (VERDICT r1 item 3)."""
         import os
+
+        from grafink_spark.errors import GetIdException
 
         path = self.config.dataPath
         # existence pre-check avoids a noisy JVM AnalysisException stack
-        # trace on every first run; remote URIs still go the try/except way
-        exists = True if "://" in path else os.path.exists(path)
+        # trace on every first run; remote URIs ask the Hadoop FS
+        if "://" in path:
+            from grafink_spark import fsutil
+
+            exists = fsutil.exists(self.spark, path)
+        else:
+            exists = os.path.exists(path)
         if exists:
             try:
                 return self.spark.read.parquet(path)
-            except Exception:
-                pass
+            except Exception as e:
+                if _is_path_empty_error(e):
+                    pass  # dir exists but holds no parquet yet → empty store
+                else:
+                    raise GetIdException(
+                        f"id store at {path} exists but could not be read — "
+                        f"refusing to restart ids at reservedIdSpace "
+                        f"(would collide with existing vertices): {e}"
+                    ) from e
         full = T.StructType(
             [T.StructField("id", T.LongType(), True)] + list(schema.fields)
         )

@@ -22,6 +22,7 @@ instead.
 from __future__ import annotations
 
 import hashlib
+import math
 import struct
 from collections.abc import Callable, Iterator
 
@@ -43,7 +44,7 @@ MEDIA_META_SCHEMA = T.StructType(
 IMAGE_FEATURE_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
-        T.StructField("sha1", T.StringType()),
+        T.StructField("payload_md5", T.StringType()),
         T.StructField("n_bytes", T.LongType()),
         T.StructField("width", T.IntegerType()),
         T.StructField("height", T.IntegerType()),
@@ -52,12 +53,22 @@ IMAGE_FEATURE_SCHEMA = T.StructType(
 )
 
 
+def payload_checksum(payload: bytes) -> str:
+    """md5 of the payload's lowercase-hex encoding. Hashing the hex
+    string (not the raw bytes) is deliberate: it lets a pure-SQL oracle
+    (DuckDB md5 accepts VARCHAR only) rebuild the identical checksum,
+    so the media pipeline gets a value-level correctness gate instead of
+    a rows-only check."""
+    return hashlib.md5(payload.hex().encode()).hexdigest()
+
+
 def make_fake_image(doc_id: int, width: int, height: int) -> bytes:
     """Deterministic fake 'image': 8-byte header (w,h as int32 LE) +
-    pseudo-pixel bytes derived from doc_id. Stands in for PNG bytes in
-    tests and keeps every downstream step exercisable."""
+    pseudo-pixel bytes = md5(str(doc_id)) digest repeated to w*h bytes.
+    Stands in for PNG bytes in tests and keeps every downstream step
+    exercisable; md5-seeded so an SQL oracle can reconstruct it."""
     header = struct.pack("<ii", width, height)
-    seed = hashlib.sha1(str(doc_id).encode()).digest()
+    seed = hashlib.md5(str(doc_id).encode()).digest()
     body = (seed * ((width * height) // len(seed) + 1))[: width * height]
     return header + body
 
@@ -102,7 +113,7 @@ def extract_image_features(
                 rows.append(
                     {
                         "doc_id": int(doc_id),
-                        "sha1": hashlib.sha1(payload).hexdigest() if payload else None,
+                        "payload_md5": payload_checksum(payload) if payload else None,
                         "n_bytes": len(payload) if payload is not None else 0,
                         "width": d.get("width"),
                         "height": d.get("height"),
@@ -172,7 +183,7 @@ def make_fake_audio(doc_id: int, duration_ms: int, sample_rate: int = 8) -> byte
     sample_rate int32 LE) + pseudo-sample bytes."""
     header = struct.pack("<qi", duration_ms, sample_rate)
     n = duration_ms * sample_rate // 1000
-    seed = hashlib.sha1(f"a{doc_id}".encode()).digest()
+    seed = hashlib.md5(f"a{doc_id}".encode()).digest()
     body = (seed * (n // len(seed) + 1))[:n]
     return header + body
 
@@ -182,7 +193,7 @@ def fake_audio_kernel(doc_id: int, payload: bytes) -> dict:
         return {"duration_ms": None, "rms": None}
     duration_ms, _rate = struct.unpack("<qi", payload[:12])
     body = payload[12:]
-    rms = (sum(b * b for b in body) / len(body)) ** 0.5 if body else None
+    rms = math.sqrt(sum(b * b for b in body) / len(body)) if body else None
     return {"duration_ms": duration_ms, "rms": rms}
 
 

@@ -93,15 +93,41 @@ class PartitionManager:
 
     def delete_partitions(self, base_path: str) -> list[str]:
         """Remove day dirs for the window (PartitionManager.scala:100-112,
-        delete mode with clearOnDelete). Returns removed paths."""
+        delete mode with clearOnDelete). Returns removed paths.
+
+        Routed through the Hadoop FileSystem API (ADVICE r1) so
+        clearOnDelete works on hdfs:// / s3a:// URIs, not just the
+        local filesystem; falls back to shutil only for local paths
+        with no active SparkSession."""
+        spark = _active_session()
+        removed = []
+        if spark is not None:
+            from grafink_spark import fsutil
+
+            for p in self.partition_paths(base_path):
+                if fsutil.delete(spark, p):
+                    removed.append(p)
+            # prune now-empty month/year parents, like FS delete of a subtree
+            for p in removed:
+                parent = os.path.dirname(p)
+                while parent != base_path and fsutil.exists(spark, parent):
+                    fs, jp, _ = fsutil._fs_and_path(spark, parent)
+                    if fs.listStatus(jp):
+                        break
+                    fs.delete(jp, False)
+                    parent = os.path.dirname(parent)
+            return removed
+        if "://" in base_path:
+            raise NoDataException(
+                f"cannot delete remote partitions without an active "
+                f"SparkSession: {base_path}"
+            )
         import shutil
 
-        removed = []
         for p in self.partition_paths(base_path):
             if os.path.isdir(p):
                 shutil.rmtree(p)
                 removed.append(p)
-        # prune now-empty month/year parents, like FS delete of a subtree
         for p in removed:
             parent = os.path.dirname(p)
             while parent != base_path and os.path.isdir(parent) and not os.listdir(
@@ -112,10 +138,22 @@ class PartitionManager:
         return removed
 
 
+def _active_session():
+    from pyspark.sql import SparkSession
+
+    return SparkSession.getActiveSession()
+
+
 def _path_exists(path: str) -> bool:
-    """Local-FS existence check. On a real cluster this would go through
-    the Hadoop FileSystem API; the semantics (fail fast with exit code 9
-    when no partition exists) are what matters here."""
-    if "://" in path:  # e.g. hdfs:// s3a:// — assume it exists, let Spark fail
-        return True
+    """Partition-existence check. Local paths use os (no JVM
+    round-trip); remote URIs go through the Hadoop FileSystem API of
+    the active session (previously assumed-to-exist, which pushed the
+    failure into an opaque Spark read error)."""
+    if "://" in path:  # e.g. hdfs:// s3a://
+        spark = _active_session()
+        if spark is None:
+            return True  # no session to ask — let Spark's read fail loudly
+        from grafink_spark import fsutil
+
+        return fsutil.exists(spark, path)
     return os.path.isdir(path) or os.path.isfile(path)

@@ -20,9 +20,11 @@ def test_extract_image_features(spark, media):
     assert len(out) == 6
     assert out[1].width == 16 and out[1].height == 8
     assert out[1].n_bytes == 8 + 16 * 8
-    assert out[1].sha1 == hashlib.sha1(mm.make_fake_image(1, 16, 8)).hexdigest()
+    assert out[1].payload_md5 == hashlib.md5(
+        mm.make_fake_image(1, 16, 8).hex().encode()
+    ).hexdigest()
     assert 0 <= out[1].mean_luma <= 255
-    assert out[99].sha1 is None and out[99].n_bytes == 0
+    assert out[99].payload_md5 is None and out[99].n_bytes == 0
     # deterministic: same doc_id → same features
     again = {r.doc_id: r for r in mm.extract_image_features(media).collect()}
     assert again[2].mean_luma == out[2].mean_luma

@@ -91,3 +91,29 @@ def test_ivf_topk_recall(spark):
     f = {(r.query_id, r.neighbor_id, r.rank) for r in full.collect()}
     ex = {(r.query_id, r.neighbor_id, r.rank) for r in exact.collect()}
     assert f == ex
+
+
+def test_ivf_dimension_independent_plan(spark):
+    """dim=512 / nlist=64 must not blow up the plan: the centroid
+    matrix ships as broadcast data, so the analyzed plan stays O(1)
+    in nlist×dim (VERDICT r1 item 5)."""
+    import random
+
+    rnd = random.Random(7)
+    dim, nlist, n = 512, 64, 200
+    rows = [
+        (i, [rnd.gauss(0.0, 1.0) for _ in range(dim)]) for i in range(n)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = ss.ivf_train(emb, nlist=nlist, iters=1)
+    assert len(cents) == nlist and all(len(v) == dim for _, v in cents)
+
+    queries = emb.orderBy("vec_id").limit(3)
+    out = ss.ivf_topk(emb, queries, cents, k=3, nprobe=8)
+    # plan width check: the analyzed plan must not inline the matrix
+    # (previously O(nlist*dim) literals ≈ 32k nodes / MBs of text)
+    plan = out._jdf.queryExecution().analyzed().toString()
+    assert len(plan) < 200_000, f"plan blew up: {len(plan)} chars"
+    got = out.collect()
+    assert len(got) == 9
+    assert all(r.rank in (1, 2, 3) for r in got)
