@@ -127,6 +127,9 @@ class GrafinkConfig:
     edgeLoader: EdgeLoaderConfig = field(default_factory=EdgeLoaderConfig)
     fixedVertices: FixedVerticesConfig = field(default_factory=FixedVerticesConfig)
     graph: GraphConfig = field(default_factory=GraphConfig)
+    # raw job.schema block from a reference-shaped config (vertexLabels /
+    # edgeLabels / index declarations), kept verbatim for catalog setup
+    schema: dict[str, Any] = field(default_factory=dict)
 
     @staticmethod
     def from_dict(d: dict[str, Any]) -> "GrafinkConfig":
@@ -173,10 +176,71 @@ class GrafinkConfig:
             vertexLabel=g.get("vertexLabel", "alert"),
         )
         return GrafinkConfig(
-            reader=rc, idManager=ic, edgeLoader=ec, fixedVertices=fv, graph=gc
+            reader=rc,
+            idManager=ic,
+            edgeLoader=ec,
+            fixedVertices=fv,
+            graph=gc,
+            schema=dict(d.get("schema", {})),
         )
 
     @staticmethod
+    def _is_reference_shaped(d: dict[str, Any]) -> bool:
+        """True for a config in the reference's own HOCON layout
+        (idManager.spark nesting, job.* or janusgraph.* job block)."""
+        if "job" in d or "janusgraph" in d:
+            return True
+        idm = d.get("idManager", {})
+        return isinstance(idm, dict) and "spark" in idm
+
+    @staticmethod
+    def from_reference_dict(d: dict[str, Any]) -> "GrafinkConfig":
+        """Translate a config in the reference's own layout
+        (core/src/main/resources/application.conf — Config.scala:100-124)
+        into this engine's model, so existing grafink configs load
+        unmodified:
+
+        - ``idManager.spark``            → ``idManager``
+        - ``job.edgeLoader`` (+ flattened ``rules.*``) → ``edgeLoader``
+        - ``job.vertexLoader.label``     → ``graph.vertexLabel``
+        - ``job.vertexLoader.fixedVertices`` → ``fixedVertices.path``
+        - ``job.schema``                 → ``schema`` (verbatim)
+        - janusgraph/hbase storage blocks are ignored (this engine's
+          sink is managed parquet; set ``graph.storagePath`` yourself)
+        """
+        # older reference test configs use janusgraph.* instead of job.*
+        job = d.get("job", d.get("janusgraph", {})) or {}
+        el = dict(job.get("edgeLoader", {}))
+        rules = el.pop("rules", {})
+        el.update(rules)  # similarityClassifer / twoModeClassifier / ...
+        vl = job.get("vertexLoader", {})
+        flat: dict[str, Any] = {
+            "reader": d.get("reader", {}),
+            "idManager": d.get("idManager", {}).get(
+                "spark", d.get("idManager", {})
+            ),
+            "edgeLoader": el,
+            "fixedVertices": {"path": vl.get("fixedVertices", "")},
+            "graph": {
+                "storagePath": d.get("graph", {}).get("storagePath", ""),
+                "vertexLabel": vl.get("label", "alert"),
+            },
+            "schema": job.get("schema", {}),
+        }
+        return GrafinkConfig.from_dict(flat)
+
+    @staticmethod
     def load(path: str) -> "GrafinkConfig":
-        with open(path) as f:
-            return GrafinkConfig.from_dict(json.load(f))
+        """Load JSON or HOCON (by extension: .conf/.hocon → HOCON).
+        Both the engine's flat layout and the reference's original
+        layout are accepted."""
+        if path.endswith((".conf", ".hocon")):
+            from grafink_spark import hocon
+
+            d = hocon.load(path)
+        else:
+            with open(path) as f:
+                d = json.load(f)
+        if GrafinkConfig._is_reference_shaped(d):
+            return GrafinkConfig.from_reference_dict(d)
+        return GrafinkConfig.from_dict(d)

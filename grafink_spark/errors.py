@@ -47,6 +47,12 @@ class GraphSchemaError(GrafinkException):
     exit_code = 6
 
 
+class ConvergenceException(GrafinkException):
+    """An iterative algorithm (connected components) hit its round cap
+    without reaching a fixpoint; exit code 1 (no reference analogue —
+    the reference has no iterative operators)."""
+
+
 class NoDataException(GrafinkException):
     """None of the requested partitions exist; exit code 9
     (GrafinkException.scala:24,43,53 — fail-fast read semantics)."""

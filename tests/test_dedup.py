@@ -119,6 +119,37 @@ def test_connected_components_chain_and_cliques(spark):
     }
 
 
+def test_connected_components_long_chain_converges(spark):
+    """A 50-node path is min-label propagation's worst case (needs 49
+    rounds); large-star/small-star must converge within the default
+    20-round cap (O(log n))."""
+    from grafink_spark.llm.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(49)], "id_a long, id_b long"
+    )
+    got = {
+        (r.doc_id, r.component_id)
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {(i, 0) for i in range(50)}
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    """Exhausting max_iterations must raise, not return a silently
+    partial labeling."""
+    import pytest
+
+    from grafink_spark.errors import ConvergenceException
+    from grafink_spark.llm.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(49)], "id_a long, id_b long"
+    )
+    with pytest.raises(ConvergenceException):
+        connected_components(pairs, max_iterations=1)
+
+
 def test_drop_near_duplicates_keeps_min_id(spark):
     from grafink_spark.llm.dedup import drop_near_duplicates
 
