@@ -46,24 +46,52 @@ class CatalogCache:
         return cat
 
 
-def info_for(cache: CatalogCache, table_name: str) -> dict:
+def resolve_table_path(root: str, table_name: str) -> str:
+    """Map a request-body tableName to a graph directory under ``root``.
+
+    The tableName is an opaque table identifier (as in the reference,
+    where it names a JanusGraph table), NOT a filesystem path — absolute
+    paths, drive/URI prefixes, and ``..`` segments are rejected so a
+    request can't probe arbitrary readable paths on the host
+    (ADVICE r1: api.py path traversal)."""
+    import os
+
+    if not table_name:
+        raise ValueError("tableName is required")
+    if os.path.isabs(table_name) or "://" in table_name or "\\" in table_name:
+        raise ValueError(f"tableName must be relative: {table_name!r}")
+    parts = table_name.split("/")
+    if any(p in ("", ".", "..") for p in parts):
+        raise ValueError(f"tableName contains forbidden segments: {table_name!r}")
+    return os.path.join(root, table_name)
+
+
+def info_for(cache: CatalogCache, table_name: str, root: str = ".") -> dict:
     """The /info response; failures degrade to empty schema + error
     string rather than an HTTP error (MgmtApi.scala:46)."""
     try:
         import os
 
-        if not os.path.exists(os.path.join(table_name, "catalog.json")):
+        path = resolve_table_path(root, table_name)
+        if not os.path.exists(os.path.join(path, "catalog.json")):
             return {**EMPTY_INFO, "error": f"no catalog at {table_name}"}
-        return {**cache.get(table_name).info(), "error": None}
+        return {**cache.get(path).info(), "error": None}
     except CacheFullError as e:
         return {**EMPTY_INFO, "error": str(e)}
     except Exception as e:  # noqa: BLE001 — degrade, never 500
         return {**EMPTY_INFO, "error": f"{type(e).__name__}: {e}"}
 
 
-def make_server(host: str = "127.0.0.1", port: int = 0, cache_capacity: int = 10):
+def make_server(
+    host: str = "127.0.0.1",
+    port: int = 0,
+    cache_capacity: int = 10,
+    root: str = ".",
+):
     """Build (but don't start) the HTTP server; ``server.server_address``
-    carries the bound port when port=0."""
+    carries the bound port when port=0. ``root`` is the directory graph
+    tables live under — tableName in request bodies is resolved against
+    it and confined to it."""
     cache = CatalogCache(cache_capacity)
 
     class Handler(BaseHTTPRequestHandler):
@@ -77,7 +105,7 @@ def make_server(host: str = "127.0.0.1", port: int = 0, cache_capacity: int = 10
                 table = body.get("tableName", "")
             except (ValueError, json.JSONDecodeError):
                 table = ""
-            payload = json.dumps(info_for(cache, table)).encode()
+            payload = json.dumps(info_for(cache, table, root=root)).encode()
             self.send_response(200)
             self.send_header("Content-Type", "application/json")
             self.send_header("Content-Length", str(len(payload)))
@@ -97,8 +125,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=9073)
     p.add_argument("--cache-capacity", type=int, default=10)
+    p.add_argument(
+        "--root", default=".", help="directory graph tables are resolved under"
+    )
     args = p.parse_args(argv)
-    server = make_server(args.host, args.port, args.cache_capacity)
+    server = make_server(args.host, args.port, args.cache_capacity, root=args.root)
     print(f"grafink-spark /info API on {server.server_address}")
     server.serve_forever()
     return 0

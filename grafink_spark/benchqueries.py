@@ -605,14 +605,23 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_ASOF_JOIN = """
 WITH p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
-c AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click')
-SELECT p.event_id,
-       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS ts,
-       round(p.value, 2) AS value,
-       c.event_id AS event_id_click,
-       round(c.value, 2) AS value_click,
-       strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS ts_click
-FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+c AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'),
+ranked AS (
+  SELECT p.event_id, p.ts, p.value,
+         c.event_id AS event_id_click, c.value AS value_click, c.ts AS cts,
+         row_number() OVER (
+           PARTITION BY p.event_id
+           ORDER BY c.ts DESC, c.event_id DESC, c.value DESC
+         ) AS rn
+  FROM p LEFT JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts
+)
+SELECT event_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+       round(value, 2) AS value,
+       event_id_click,
+       round(value_click, 2) AS value_click,
+       strftime(cts, '%Y-%m-%d %H:%M:%S') AS ts_click
+FROM ranked WHERE rn = 1
 """
 
 

@@ -72,6 +72,19 @@ def _is_path_empty_error(e: Exception) -> bool:
     return "PATH_NOT_FOUND" in msg or "UNABLE_TO_INFER_SCHEMA" in msg
 
 
+def _plan_has_exchange(df: DataFrame) -> bool:
+    """True when the physical plan contains a shuffle (Exchange) — such
+    plans can lay out partitions differently across re-executions (AQE
+    coalescing, task retry nondeterminism), which would break the
+    two-pass id assignment's identical-layout requirement. Introspection
+    failure counts as 'has shuffle' (be safe, checkpoint)."""
+    try:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    except Exception:  # noqa: BLE001 — any introspection failure → pin
+        return True
+    return "Exchange" in plan
+
+
 def zip_with_index(
     df: DataFrame,
     offset: int = 0,
@@ -84,7 +97,13 @@ def zip_with_index(
     no shuffle beyond what the input already has; matches the reference's
     zipWithIndex). order_by=[cols]: globally deterministic id order via
     range repartition + local sort (adds one shuffle).
-    """
+
+    Correctness requires the count pass and the id pass to see the
+    identical partition layout. File scans and cached inputs satisfy
+    this; a shuffled lineage (post-join/agg/repartition under AQE) may
+    not, so such inputs are pinned with ``localCheckpoint`` before the
+    two passes (ADVICE r1: the constraint used to be documented but
+    unenforced)."""
     original_cols = df.columns
     if order_by:
         cols = [F.col(c) for c in order_by]
@@ -95,6 +114,8 @@ def zip_with_index(
             .sortWithinPartitions(*cols)
             .localCheckpoint()
         )
+    elif _plan_has_exchange(df):
+        df = df.localCheckpoint()
 
     # monotonically_increasing_id = pid * 2^33 + local row index
     mid = F.monotonically_increasing_id()

@@ -115,9 +115,12 @@ def lang_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -
                 F.lit(lang).alias("lang"),
             )
         )
-    # array_max on struct(hits, lang): max hits, ties → lexicographically
-    # greatest lang; to make ties deterministic-first-wins we order input
-    best = F.array_max(F.array(*reversed(hit_cols)))
+    # array_max on struct(hits, lang): max hits; equal hit counts tie-
+    # break to the lexicographically GREATEST lang code (fr > es > en >
+    # de) because struct comparison falls through to the second field.
+    # array_max is order-insensitive, so input order can't change this;
+    # the DuckDB oracle (benchqueries SQL_LANG_ID) encodes the same rule.
+    best = F.array_max(F.array(*hit_cols))
     return staged.select(
         *df.columns,
         F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")).alias(out_col),

@@ -32,10 +32,16 @@ def asof_join(
     left rows with no prior right row keep nulls (left-outer semantics).
 
     Plan: union both sides tagged, one window per key ordered by
-    (ts, side) with ``last(ignorenulls)`` carrying the latest right
-    payload forward, then filter back to left rows. One hash shuffle on
-    the key + local sort — no per-key nested loop, no range condition
-    for the optimizer to degrade to BNLJ."""
+    (ts, side, right-payload) with ``last(ignorenulls)`` carrying the
+    latest right payload forward, then filter back to left rows. One
+    hash shuffle on the key + local sort — no per-key nested loop, no
+    range condition for the optimizer to degrade to BNLJ.
+
+    Tie rule: among right rows sharing (key, ts), the lexicographically
+    greatest payload struct ``(ts, *right_cols)`` wins — the window's
+    final sort key is the payload itself, so the choice is deterministic
+    (a bare (ts, side) ordering would pick whichever equal-ts right row
+    the shuffle happened to order last)."""
     right_cols = right_cols or [
         c for c in right.columns if c not in (on, ts)
     ]
@@ -65,10 +71,12 @@ def asof_join(
             F.col(ts).alias("_rts"), *[F.col(c) for c in right_cols]
         ).alias("_rrow"),
     )
-    # right rows sort BEFORE left rows at equal ts → `<=` inclusive
+    # right rows sort BEFORE left rows at equal ts → `<=` inclusive;
+    # `_rrow` last makes equal-(key, ts) right rows deterministic (left
+    # rows all have _rrow null, so it never reorders them)
     w = (
         Window.partitionBy("_k")
-        .orderBy(F.col("_ts").asc(), F.col("_is_left").asc())
+        .orderBy(F.col("_ts").asc(), F.col("_is_left").asc(), F.col("_rrow").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     merged = l_tag.unionByName(r_tag).withColumn(

@@ -30,13 +30,13 @@ def _make_catalog(root):
 
 
 def test_info_endpoint(tmp_path):
-    _make_catalog(tmp_path)
-    server = make_server(port=0)
+    _make_catalog(tmp_path / "mygraph")
+    server = make_server(port=0, root=str(tmp_path))
     t = threading.Thread(target=server.serve_forever, daemon=True)
     t.start()
     try:
         port = server.server_address[1]
-        info = _post(port, {"tableName": str(tmp_path)})
+        info = _post(port, {"tableName": "mygraph"})
         assert info["error"] is None
         assert info["vertexLabels"] == ["alert"]
         assert info["edgeLabels"] == [{"name": "similarity", "multiplicity": "MULTI"}]
@@ -46,14 +46,32 @@ def test_info_endpoint(tmp_path):
         assert info["indexes"][0]["status"] == "ENABLED"
 
         # unknown table → empty schema + error string, still HTTP 200
-        bad = _post(port, {"tableName": str(tmp_path / "nope")})
+        bad = _post(port, {"tableName": "nope"})
         assert bad["vertexLabels"] == [] and bad["error"]
 
         # malformed body → degrades the same way
         worse = _post(port, {})
         assert worse["error"]
+
+        # path probes are rejected, not resolved (ADVICE r1)
+        for probe in ("/etc", "../outside", "a/../../b", str(tmp_path / "mygraph")):
+            out = _post(port, {"tableName": probe})
+            assert out["vertexLabels"] == [] and out["error"], probe
     finally:
         server.shutdown()
+
+
+def test_resolve_table_path(tmp_path):
+    from grafink_spark.api import resolve_table_path
+
+    assert resolve_table_path(str(tmp_path), "g1").endswith("g1")
+    assert resolve_table_path(str(tmp_path), "sub/g1").endswith("sub/g1")
+    for bad in ("", "/abs", "../up", "a/..", "a//b", ".", "s3a://bucket/x", "a\\..\\b"):
+        try:
+            resolve_table_path(str(tmp_path), bad)
+            raise AssertionError(f"expected ValueError for {bad!r}")
+        except ValueError:
+            pass
 
 
 def test_cache_capacity(tmp_path):
@@ -72,5 +90,5 @@ def test_cache_capacity(tmp_path):
     except CacheFullError:
         pass
     # the HTTP layer degrades it to an error payload
-    out = info_for(cache, str(d3))
+    out = info_for(cache, "g3", root=str(tmp_path))
     assert "full" in out["error"]
