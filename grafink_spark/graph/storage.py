@@ -26,6 +26,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from grafink_spark.graph.sink import GraphSink
 from grafink_spark.rules.base import DST, PROP_VAL, SRC, ClassifierRule
 
 
@@ -41,10 +42,18 @@ def get_parallelism(edge_count: int, task_size: int, parallelism: int) -> int:
 
 @dataclass
 class GraphStore:
+    """``sink=None`` writes the managed parquet tables (the engine's
+    native store); a :class:`GraphSink` routes the same materialized
+    batches to an external store instead (e.g. a per-partition
+    JanusGraph/HBase bulk loader — the reference's production path,
+    VertexProcessor.scala:203-219). Reads always come from the parquet
+    tables; an external sink is write-through for query availability."""
+
     spark: SparkSession
     root: str
     task_size: int = 25000
     parallelism: int = 100
+    sink: GraphSink | None = None
 
     @property
     def vertex_path(self) -> str:
@@ -63,6 +72,9 @@ class GraphStore:
         JanusGraph load time, VertexProcessor.scala:92-98 — a columnar
         store represents the same thing natively)."""
         out = df.withColumn("label", F.lit(label))
+        if self.sink is not None:
+            self.sink.write_vertices(out, label)
+            return
         parts = [c for c in ("year", "month", "day") if c in out.columns]
         writer = out.write.mode("append")
         if parts:
@@ -140,6 +152,9 @@ class GraphStore:
             # vertex-centric edge index (SchemaLoader.scala:177-185)
             .sortWithinPartitions(SRC, PROP_VAL)
         )
+        if self.sink is not None:
+            self.sink.write_edges(out, rule.edge_label)
+            return 2 * n
         out.write.mode("append").partitionBy("label").parquet(self.edge_path)
         return 2 * n
 

@@ -5,6 +5,7 @@ from pyspark.sql import functions as F
 
 from grafink_spark.graph.catalog import GraphCatalog, property_class_for
 from grafink_spark.graph.query import GraphQuery
+from grafink_spark.graph.sink import CallbackSink
 from grafink_spark.graph.storage import GraphStore, get_parallelism
 from grafink_spark.rules.samevalue import SameValueClassifier
 from grafink_spark.sources.fixed_vertices import read_fixed_vertices
@@ -61,6 +62,70 @@ def test_delete_vertices(spark, store, alerts_df):
     q = GraphQuery(store)
     assert q.vertex_count() == 2
     assert store.edges().count() == 0  # both directions touched id 3
+
+
+def _read_captured(capture_dir, kind):
+    import json
+    import os
+
+    out = []
+    for name in os.listdir(capture_dir):
+        if name.startswith(kind + "-"):
+            with open(os.path.join(capture_dir, name)) as f:
+                out.extend(json.loads(line) for line in f)
+    return out
+
+
+def test_pluggable_sink_receives_partitions(spark, tmp_path, alerts_df):
+    """A configured GraphSink gets the same materialized batches the
+    parquet writer would (both edge directions, label/property_key), via
+    per-partition iterators on the executors; the parquet tables are NOT
+    written (SURVEY S6's foreachPartition extension point)."""
+    capture = tmp_path / "captured"
+    capture.mkdir()
+    capture_dir = str(capture)
+
+    # partition callbacks run in executor worker processes, so a driver-
+    # side list can't capture — each dumps its rows to a unique JSONL
+    # file in a shared dir. Defined as closures: cloudpickle ships them
+    # by value (a test-module class isn't importable on the workers).
+    def _dump(kind, rows):
+        import json
+        import os
+        import uuid
+
+        rows = [r.asDict() for r in rows]
+        if not rows:
+            return
+        path = os.path.join(capture_dir, f"{kind}-{uuid.uuid4().hex}.jsonl")
+        with open(path, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    sink = CallbackSink(
+        lambda rows: _dump("v", rows), lambda rows: _dump("e", rows)
+    )
+    store = GraphStore(
+        spark, str(tmp_path / "graph"), task_size=2500, parallelism=4, sink=sink
+    )
+    _load_graph(store, alerts_df)
+
+    verts = _read_captured(str(capture), "v")
+    assert len(verts) == 3
+    assert {v["label"] for v in verts} == {"alert"}
+    assert {v["objectId"] for v in verts} == {"obj1", "obj2"}
+
+    edges = _read_captured(str(capture), "e")
+    # one (1,3) pair → both directions materialized before the sink sees it
+    assert {(e["src"], e["dst"]) for e in edges} == {(1, 3), (3, 1)}
+    assert all(e["label"] == "exactmatch" for e in edges)
+    assert all(e["property_key"] == "propertyname" for e in edges)
+
+    # external sink short-circuits the parquet tables
+    import os
+
+    assert not os.path.exists(store.vertex_path)
+    assert not os.path.exists(store.edge_path)
 
 
 def test_catalog_idempotent_and_info(spark, tmp_path, alerts_df):
