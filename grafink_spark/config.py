@@ -44,6 +44,17 @@ class ReaderConfig:
 
 
 @dataclass
+class HBaseColumnConfig:
+    """idManager.hbase (Config.scala:96): the KV cell holding the valid
+    max id for the alternative KV IDManager backend (sources/kvstore.py).
+    Defaults match the reference's application.conf."""
+
+    tableName: str = "IDManagement"
+    cf: str = "cf1"
+    qualifier: str = "id"
+
+
+@dataclass
 class IDManagerConfig:
     """idManager.spark (Config.scala:60-66): parquet store of ingested
     rows + generated ids; ids 1..reservedIdSpace reserved for fixed
@@ -52,6 +63,7 @@ class IDManagerConfig:
     dataPath: str
     reservedIdSpace: int = 200
     clearOnDelete: bool = False
+    hbase: HBaseColumnConfig = field(default_factory=HBaseColumnConfig)
 
 
 @dataclass
@@ -144,10 +156,16 @@ class GrafinkConfig:
             newCols=[NewColumn(**e) for e in reader.get("newCols", [])],
         )
         idm = d.get("idManager", {})
+        hb = idm.get("hbase", {})
         ic = IDManagerConfig(
             dataPath=idm.get("dataPath", ""),
             reservedIdSpace=int(idm.get("reservedIdSpace", 200)),
             clearOnDelete=bool(idm.get("clearOnDelete", False)),
+            hbase=HBaseColumnConfig(
+                tableName=hb.get("tableName", "IDManagement"),
+                cf=hb.get("cf", "cf1"),
+                qualifier=hb.get("qualifier", "id"),
+            ),
         )
         el = d.get("edgeLoader", {})
         ec = EdgeLoaderConfig(
@@ -216,9 +234,10 @@ class GrafinkConfig:
         vl = job.get("vertexLoader", {})
         flat: dict[str, Any] = {
             "reader": d.get("reader", {}),
-            "idManager": d.get("idManager", {}).get(
-                "spark", d.get("idManager", {})
-            ),
+            "idManager": {
+                **d.get("idManager", {}).get("spark", d.get("idManager", {})),
+                "hbase": d.get("idManager", {}).get("hbase", {}),
+            },
             "edgeLoader": el,
             "fixedVertices": {"path": vl.get("fixedVertices", "")},
             "graph": {

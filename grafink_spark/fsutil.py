@@ -55,3 +55,28 @@ def touch(spark: SparkSession, path: str) -> None:
     markers. Overwrites an existing file of the same name."""
     fs, p, _ = _fs_and_path(spark, path)
     fs.create(p, True).close()
+
+
+def read_text(spark: SparkSession, path: str) -> str | None:
+    """Read a small text file (KV tables, markers). None if absent."""
+    fs, p, jvm = _fs_and_path(spark, path)
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    try:
+        return jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+
+
+def write_text(spark: SparkSession, path: str, content: str) -> None:
+    """Atomically replace a small text file: write a sibling tmp, then
+    delete-and-rename (same pattern as swap())."""
+    tmp = path + ".__tmp__"
+    fs, p_tmp, _ = _fs_and_path(spark, tmp)
+    out = fs.create(p_tmp, True)
+    try:
+        out.write(bytearray(content.encode("utf-8")))
+    finally:
+        out.close()
+    swap(spark, tmp, path)

@@ -75,12 +75,28 @@ class GraphQuery:
         )
 
     def neighborhood(
-        self, vertex_id: int, hops: int = 1, label: str | None = None
+        self,
+        vertex_id: int,
+        hops: int = 1,
+        label: str | None = None,
+        checkpoint_interval: int = 3,
     ) -> DataFrame:
         """Ids reachable within ``hops`` out-edge steps (excluding the
         start vertex): g.V(id).out().out()... Frontier-expansion joins —
-        each hop is one equi join against the edge table; fine for the
-        small hop counts interactive traversals use."""
+        each hop is one equi join against the edge table.
+
+        Shallow traversals (hops <= 3, the interactive case) run the
+        joins lazily with a per-hop emptiness early-exit. Deeper
+        traversals switch to an iterative mode: NO per-hop blocking
+        driver action — frontiers and the seen-set are localCheckpoint-ed
+        every ``checkpoint_interval`` hops, which truncates lineage (hop
+        N's plan would otherwise contain all N joins, so analysis time
+        and per-hop re-execution both grow with depth; checkpointed, the
+        plan size is bounded by the interval regardless of hops — pinned
+        in tests/test_shell.py). Empty-frontier early exit is checked
+        only at checkpoint boundaries. Frontier/seen checkpoints are
+        frontier-sized (small); the edge table is re-scanned per hop
+        (standard Pregel-style iteration — the scan is label-pruned)."""
         edges = self.out_e(label).select(
             F.col(SRC).alias("_s"), F.col(DST).alias("_d")
         )
@@ -88,7 +104,8 @@ class GraphQuery:
             [(int(vertex_id),)], "neighbor_id long"
         )
         seen = frontier
-        for _ in range(hops):
+        deep = hops > 3
+        for h in range(1, hops + 1):
             frontier = (
                 frontier.join(
                     edges, frontier.neighbor_id == edges._s, "inner"
@@ -97,9 +114,18 @@ class GraphQuery:
                 .distinct()
                 .join(seen, "neighbor_id", "left_anti")
             )
-            if not frontier.take(1):
-                break
-            seen = seen.unionByName(frontier).distinct()
+            if deep:
+                seen = seen.unionByName(frontier)
+                # checkpoint boundary: pin both frontiers, check exit
+                if h % checkpoint_interval == 0 and h < hops:
+                    frontier = frontier.localCheckpoint(eager=True)
+                    seen = seen.localCheckpoint(eager=True)
+                    if frontier.isEmpty():
+                        break
+            else:
+                if not frontier.take(1):
+                    break
+                seen = seen.unionByName(frontier).distinct()
         return seen.where(F.col("neighbor_id") != vertex_id)
 
     def degree(self, label: str | None = None) -> DataFrame:

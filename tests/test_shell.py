@@ -80,3 +80,39 @@ def test_neighborhood_multi_hop(spark, tmp_path):
     hop9 = {r.neighbor_id for r in g.neighborhood(1, hops=9).collect()}
     assert hop9 == {2, 3, 4}  # early-exit when the frontier empties
     assert g.neighborhood(5, hops=3).count() == 0
+
+
+def test_neighborhood_deep_checkpointed(spark, tmp_path):
+    """Deep (hops > 3) traversal: iterative mode with checkpointed
+    frontiers — correct results, and the returned plan's size is bounded
+    by checkpoint_interval, NOT by hops (lineage truncation)."""
+    import re
+
+    from grafink_spark.graph.query import GraphQuery
+
+    root = str(tmp_path / "g3")
+    store = GraphStore(spark, root, task_size=100, parallelism=2)
+    store.write_vertices(
+        spark.createDataFrame([(i, f"v{i}") for i in range(1, 16)],
+                              "id long, objectId string")
+    )
+    # chain 1→2→…→15
+    store.write_edges(
+        spark.createDataFrame([(i, i + 1, 0) for i in range(1, 15)],
+                              "src long, dst long, propVal int"),
+        _FakeRule(),
+    )
+    g = GraphQuery(store)
+    got = {r.neighbor_id for r in g.neighborhood(1, hops=6).collect()}
+    assert got == {2, 3, 4, 5, 6, 7}
+
+    def njoins(df):
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        return len(re.findall(r"\bJoin\b", plan))
+
+    # Without checkpointing, the hops=11 plan would hold ~2 joins per
+    # hop; checkpoint boundaries truncate it to the post-checkpoint tail,
+    # so depth 5 and depth 11 plans are the same size.
+    j5, j11 = njoins(g.neighborhood(1, hops=5)), njoins(g.neighborhood(1, hops=11))
+    assert j11 == j5
+    assert j11 <= 10
