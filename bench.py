@@ -102,17 +102,37 @@ def main() -> int:
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+
+    # Scale-stress section (SCALE.md experiments as measured entries):
+    # synthetic workloads independent of sf_dir, run once each (they are
+    # sized in the tens-of-millions-of-edges range). Not folded into
+    # "value" so the headline metric stays comparable across rounds.
+    # SPARK_GRAFT_STRESS=0 skips; SPARK_GRAFT_STRESS_SCALE scales rows.
+    if os.environ.get("SPARK_GRAFT_STRESS", "1") != "0":
+        from grafink_spark.stress import STRESS  # noqa: E402
+
+        stress_scale = float(os.environ.get("SPARK_GRAFT_STRESS_SCALE", "1.0"))
+        # skew_clique emits C(hot,2) ≈ 800M pairs at scale 1 — run it at
+        # half scale (~200M pairs) to keep the bench round under a minute
+        per_entry = {"skew_clique": 0.5 * stress_scale}
+        stress: dict[str, float] = {}
+        for name, fn in STRESS.items():
+            t0 = time.perf_counter()
+            fn(spark, per_entry.get(name, stress_scale)).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            stress[name] = round(time.perf_counter() - t0, 3)
+            print(f"# stress {name}: {stress[name]:.3f}s", file=sys.stderr)
+        out["scale_stress"] = stress
+
+    print(json.dumps(out))
     return 0
 
 

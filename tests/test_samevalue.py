@@ -61,3 +61,28 @@ def test_empty_loaded_gives_clique_only(spark, alerts_df):
     rule = SameValueClassifier(["objectId"])
     edges = rule.classify(alerts_df([]), _current(alerts_df))
     assert edge_set(edges) == {(1, 3, "objectId")}
+
+
+def test_salted_hot_key_path_equivalence(spark):
+    """Output-skew salting: forcing the hot path (tiny threshold, odd
+    bucket count) must produce exactly the plain single-join edge set —
+    including null-key cliques and new×old pairs."""
+    from pyspark.sql import functions as F
+
+    rows = spark.range(400).select(
+        F.col("id"),
+        F.when(F.col("id") % 17 == 0, None)
+        .otherwise(F.concat(F.lit("k"), F.col("id") % 8))
+        .alias("objectId"),
+    )
+    cur = rows.where(F.col("id") % 3 != 0)
+    old = rows.where(F.col("id") % 3 == 0)
+    salted = SameValueClassifier(
+        ["objectId"], hot_threshold=3, salt_buckets=5
+    ).classify(old, cur)
+    plain = SameValueClassifier(["objectId"], hot_threshold=None).classify(old, cur)
+    assert edge_set(salted) == edge_set(plain)
+    # plan stays equi-join everywhere (no BNLJ/cartesian from salting)
+    plan = salted._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
