@@ -132,6 +132,34 @@ def main() -> int:
             print(f"# stress {name}: {stress[name]:.3f}s", file=sys.stderr)
         out["scale_stress"] = stress
 
+    # sf1 section: the headline set at 10× the default scale, over data
+    # synthesized from sf0.1 by key-offset replication (sfgen.py,
+    # generated once and cached in-repo) — catches operators whose
+    # constants hide at small scale. One iteration (throughput check,
+    # not a steady-state microbenchmark). similarity_multi is excluded:
+    # its threshold branch's OUTPUT is quadratic in sf (the query's
+    # semantics), so it measures pair materialization volume, not
+    # engine scaling. SPARK_GRAFT_SF1=0 skips.
+    if os.environ.get("SPARK_GRAFT_SF1", "1") != "0":
+        from grafink_spark.sfgen import ensure  # noqa: E402
+
+        sf1_dir = os.environ.get("SPARK_GRAFT_SF1_DIR") or ensure()
+        sf1_timings: dict[str, float] = {}
+        for name in [q for q in HEADLINE if q != "similarity_multi"]:
+            fn = QUERIES[name]
+            t0 = time.perf_counter()
+            df = fn(spark, sf1_dir)
+            if name in NOOP_DRAIN:
+                df.write.format("noop").mode("overwrite").save()
+            else:
+                df.collect()
+            sf1_timings[name] = round(time.perf_counter() - t0, 3)
+            print(f"# sf1 {name}: {sf1_timings[name]:.3f}s", file=sys.stderr)
+        out["sf1"] = {
+            "total": round(sum(sf1_timings.values()), 3),
+            "queries": sf1_timings,
+        }
+
     print(json.dumps(out))
     return 0
 

@@ -105,7 +105,16 @@ def range_join(
     ``|a.val - b.val| <= delta``. Banded equi join: each a-row lands in
     bucket floor(val/delta) and probes buckets {-1, 0, +1}, which is
     exhaustive for the predicate; the exact |diff| filter removes band
-    residue. One hash shuffle on the bucket key."""
+    residue. One hash shuffle on the bucket key.
+
+    No dedup pass is needed: each b-row has exactly ONE bucket and an
+    a-row's three probe buckets are distinct, so a qualifying pair
+    joins exactly once. (An earlier version ended with .distinct() — a
+    semantic no-op that shuffled the ENTIRE output through a hash
+    aggregate; removing it cut the sf1 bench entry from 42 s to the
+    join's own cost.)"""
+    from grafink_spark.util import ensure_min_partitions
+
     a_b = a.select(
         F.col(id_a), F.col(val).alias("_va"),
         F.explode(
@@ -117,6 +126,10 @@ def range_join(
             )
         ).alias("_bucket"),
     )
+    # the output can be orders of magnitude larger than the input (dense
+    # values → many pairs per bucket); a small input read as one split
+    # would produce it all in one task, so spread the probe side first
+    a_b = ensure_min_partitions(a_b)
     b_b = b.select(
         F.col(id_b), F.col(val).alias("_vb"),
         F.floor(F.col(val) / delta).cast("long").alias("_bucket"),
@@ -125,5 +138,4 @@ def range_join(
         a_b.join(b_b, "_bucket")
         .where(F.abs(F.col("_va") - F.col("_vb")) <= delta)
         .select(id_a, id_b, "_va", "_vb")
-        .distinct()
     )
