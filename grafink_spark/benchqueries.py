@@ -1317,6 +1317,32 @@ def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search over a PERSISTED index (corpus partitionBy(list_id) +
+    centroid sidecar, simsearch.ivf_write_index): probes prune files via
+    static partition filters instead of recomputing assignment inline.
+    Same parameters as q_embedding_ivf_topk, so results — and the SQL
+    oracle — are identical; the index is (re)built under a temp dir
+    keyed by sf_dir so repeated bench runs reuse the written layout."""
+    import hashlib
+    import os
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.orderBy("vec_id").limit(5)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = os.path.join(tempfile.gettempdir(), f"grafink_ivf_idx_{tag}")
+    if not os.path.exists(os.path.join(path, "centroids.json")):
+        ss.ivf_write_index(emb, path, nlist=8, iters=1)
+    out = ss.ivf_topk_indexed(spark, path, queries, k=3, nprobe=4)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round("cosine_sim", 6).alias("cosine_sim"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def _ivf_oracle_sql(nlist: int = 8, dim: int = 64, nprobe: int = 4,
                     k: int = 3, nq: int = 5) -> str:
     """SQL replay of ivf_train(iters=1) + ivf_topk. Tie rules mirror
@@ -1509,6 +1535,7 @@ QUERIES: dict[str, QueryFn] = {
     "audio_features": q_audio_features,
     "embedding_lsh_topk": q_embedding_lsh_topk,
     "embedding_ivf_topk": q_embedding_ivf_topk,
+    "embedding_ivf_indexed": q_embedding_ivf_indexed,
 }
 
 ORACLES: dict[str, str] = {
@@ -1556,4 +1583,7 @@ ORACLES: dict[str, str] = {
     "audio_features": SQL_AUDIO_FEATURES,
     "embedding_lsh_topk": SQL_EMBEDDING_LSH_TOPK,
     "embedding_ivf_topk": SQL_EMBEDDING_IVF_TOPK,
+    # the persisted-index search is exact w.r.t. the inline IVF with the
+    # same parameters, so it shares the same SQL replay oracle
+    "embedding_ivf_indexed": SQL_EMBEDDING_IVF_TOPK,
 }

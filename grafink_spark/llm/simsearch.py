@@ -183,29 +183,16 @@ def ivf_train(
     return centroids
 
 
-def ivf_topk(
-    corpus: DataFrame,
+def _ivf_query_probes(
     queries: DataFrame,
     centroids: list[tuple[int, list[float]]],
-    k: int = 10,
-    nprobe: int = 4,
-    vec_col: str = "embedding",
-    id_col: str = "vec_id",
+    nprobe: int,
+    vec_col: str,
+    id_col: str,
 ) -> DataFrame:
-    """IVF search: each query probes its ``nprobe`` nearest inverted
-    lists; exact cosine re-rank within the probed lists. Same output
-    schema as brute_force_topk; scan fraction ≈ nprobe/nlist.
-
-    At scale the corpus is written partitioned/bucketed by ``list_id``
-    once at index-build time, so a probe prunes files — here the
-    assignment is recomputed inline (equivalent plan above the scan).
+    """(query_id, _qv, list_id) — one row per probed inverted list.
     Probe selection ties (equal centroid cosine) resolve to the higher
-    cid (descending struct sort), as before."""
-    c = ivf_assign(corpus, centroids, vec_col).select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).cast("array<double>").alias("_cv"),
-        "list_id",
-    )
+    cid (descending struct sort)."""
     qv = F.col(vec_col).cast("array<double>")
     sims = F.transform(
         F.col("_cmat"),
@@ -215,7 +202,7 @@ def ivf_topk(
         ),
     )
     probes = F.slice(F.reverse(F.array_sort(sims)), 1, nprobe)
-    q = (
+    return (
         queries.select(
             F.col(id_col).alias("query_id"), qv.alias("_qv")
         )
@@ -228,6 +215,13 @@ def ivf_topk(
             ).alias("list_id"),
         )
     )
+
+
+def _probe_and_rerank(
+    c: DataFrame, q: DataFrame, k: int
+) -> DataFrame:
+    """Equi-join probed lists against broadcast query probes, exact
+    cosine re-rank, top-k per query."""
     scored = (
         c.join(F.broadcast(q), "list_id")
         .where(F.col("query_id") != F.col("neighbor_id"))
@@ -245,6 +239,101 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine_sim", "rank")
     )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF search: each query probes its ``nprobe`` nearest inverted
+    lists; exact cosine re-rank within the probed lists. Same output
+    schema as brute_force_topk; scan fraction ≈ nprobe/nlist.
+
+    The assignment is recomputed inline here (equivalent plan above the
+    scan); ``ivf_write_index`` + ``ivf_topk_indexed`` persist the
+    assignment so probes prune FILES instead."""
+    c = ivf_assign(corpus, centroids, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("_cv"),
+        "list_id",
+    )
+    q = _ivf_query_probes(queries, centroids, nprobe, vec_col, id_col)
+    return _probe_and_rerank(c, q, k)
+
+
+def ivf_write_index(
+    corpus: DataFrame,
+    path: str,
+    centroids: list[tuple[int, list[float]]] | None = None,
+    nlist: int = 16,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[tuple[int, list[float]]]:
+    """Materialize the IVF index: the corpus written
+    ``partitionBy(list_id)`` (one directory per inverted list — the
+    physical realization of "probes prune files") plus a
+    ``centroids.json`` sidecar, both through the Hadoop FileSystem API
+    paths so hdfs:// / s3a:// roots work. Returns the centroids
+    (trained here when not supplied)."""
+    import json
+
+    from grafink_spark import fsutil
+
+    if centroids is None:
+        centroids = ivf_train(corpus, nlist=nlist, iters=iters,
+                              vec_col=vec_col, id_col=id_col)
+    assigned = ivf_assign(corpus, centroids, vec_col)
+    assigned.write.partitionBy("list_id").mode("overwrite").parquet(
+        f"{path}/vectors"
+    )
+    fsutil.write_text(
+        corpus.sparkSession, f"{path}/centroids.json", json.dumps(centroids)
+    )
+    return centroids
+
+
+def ivf_topk_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF search over a persisted index: reads ONLY the probed
+    ``list_id=`` partitions. The union of all queries' probe lists is
+    collected (nq × nprobe ints — queries are broadcast-small by
+    contract) and applied as a static ``isin`` filter, which Spark turns
+    into partition pruning at the scan (PartitionFilters in the plan,
+    pinned in tests/test_simsearch.py) — unprobed lists are never read,
+    so the scan cost is ~nprobe/nlist of the corpus regardless of
+    corpus size. The per-query probe join then restricts candidates
+    further, exactly as the inline ivf_topk."""
+    import json
+
+    from grafink_spark import fsutil
+
+    raw = fsutil.read_text(spark, f"{path}/centroids.json")
+    centroids = [(int(c), list(map(float, v))) for c, v in json.loads(raw)]
+    q = _ivf_query_probes(queries, centroids, nprobe, vec_col, id_col)
+    probe_ids = [r.list_id for r in q.select("list_id").distinct().collect()]
+    c = (
+        spark.read.parquet(f"{path}/vectors")
+        .where(F.col("list_id").isin(probe_ids))
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).cast("array<double>").alias("_cv"),
+            "list_id",
+        )
+    )
+    return _probe_and_rerank(c, q, k)
 
 
 def lsh_topk(

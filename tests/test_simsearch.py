@@ -117,3 +117,37 @@ def test_ivf_dimension_independent_plan(spark):
     got = out.collect()
     assert len(got) == 9
     assert all(r.rank in (1, 2, 3) for r in got)
+
+
+def test_ivf_persisted_index_prunes_partitions(spark, tmp_path):
+    """ivf_write_index + ivf_topk_indexed: identical results to the
+    inline ivf_topk, and the probed scan reads ONLY the probed
+    list_id= partitions (static partition pruning, visible in the
+    physical plan)."""
+    from grafink_spark.llm import simsearch as ss
+    from grafink_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.orderBy("vec_id").limit(5)
+    path = str(tmp_path / "ivf_index")
+    cents = ss.ivf_write_index(emb, path, nlist=8, iters=1)
+    assert len(cents) == 8
+
+    inline = ss.ivf_topk(emb, queries, cents, k=3, nprobe=2)
+    indexed = ss.ivf_topk_indexed(spark, path, queries, k=3, nprobe=2)
+    a = {(r.query_id, r.neighbor_id, r.rank) for r in inline.collect()}
+    b = {(r.query_id, r.neighbor_id, r.rank) for r in indexed.collect()}
+    assert a == b and a
+
+    # file pruning: the scan's PartitionFilters carry the probe-id
+    # isin, so unprobed inverted lists are never read
+    plan = indexed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "list_id" in plan.split("PartitionFilters", 1)[1][:400]
+
+    # nprobe = nlist over the index reproduces brute force exactly
+    exact = ss.brute_force_topk(emb, queries, k=3)
+    full = ss.ivf_topk_indexed(spark, path, queries, k=3, nprobe=8)
+    e = {(r.query_id, r.neighbor_id, r.rank) for r in exact.collect()}
+    f = {(r.query_id, r.neighbor_id, r.rank) for r in full.collect()}
+    assert e == f
