@@ -119,9 +119,12 @@ def main() -> int:
         from grafink_spark.stress import STRESS  # noqa: E402
 
         stress_scale = float(os.environ.get("SPARK_GRAFT_STRESS_SCALE", "1.0"))
-        # skew_clique emits C(hot,2) ≈ 800M pairs at scale 1 — run it at
-        # half scale (~200M pairs) to keep the bench round under a minute
-        per_entry = {"skew_clique": 0.5 * stress_scale}
+        # the skew entries emit C(hot,2) ≈ 800M pairs at scale 1 — run
+        # them at half scale (~200M pairs) to keep the round short
+        per_entry = {
+            "skew_clique": 0.5 * stress_scale,
+            "similarity_skew": 0.5 * stress_scale,
+        }
         stress: dict[str, float] = {}
         for name, fn in STRESS.items():
             t0 = time.perf_counter()

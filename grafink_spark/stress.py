@@ -85,6 +85,17 @@ def similarity_ab(
     return rule.classify(empty, rows)
 
 
+def similarity_skew(spark: SparkSession, scale: float = 1.0) -> DataFrame:
+    """Flagship similarity join under worst-case key skew: one objectId
+    holding 2% of all rows (40k members at scale=1 → ~800M of the pairs
+    come from that single hash-join key). Exercises the equality-branch
+    hot-key salting in SimilarityClassifier."""
+    n = int(2_000_000 * scale)
+    rows = synthetic_alerts(spark, n, n_keys=max(1, n // 10), hot_frac=0.02)
+    rule = SimilarityClassifier("objectId", mode="decomposed")
+    return rule.classify(rows.limit(0), rows)
+
+
 def skew_clique(spark: SparkSession, scale: float = 1.0) -> DataFrame:
     """Same-value clique with one hot key: 2M rows, hot group of 40k →
     C(40k,2) ≈ 800M of the pairs come from a single key at scale=1."""
@@ -99,6 +110,7 @@ def skew_clique(spark: SparkSession, scale: float = 1.0) -> DataFrame:
 
 STRESS = {
     "similarity_50m": similarity_50m,
+    "similarity_skew": similarity_skew,
     "similarity_ab_decomposed": lambda spark, s=1.0: similarity_ab(
         spark, "decomposed", s
     ),

@@ -107,3 +107,30 @@ def test_modes_agree_on_larger_random_batch(spark, alerts_df):
     dec = edge_set(SimilarityClassifier(exp, mode="decomposed").classify(loaded, current))
     assert ref == dec
     assert len(ref) > 0
+
+
+def test_salted_hot_key_equivalence(spark):
+    """Output-skew salting in the decomposed equality branches: forcing
+    the hot path (tiny threshold, odd bucket count) must reproduce the
+    reference-mode edge set exactly, nulls included."""
+    from pyspark.sql import functions as F
+
+    rows = spark.range(600).select(
+        F.col("id"),
+        F.when(F.col("id") % 13 == 0, None)
+        .otherwise(F.concat(F.lit("obj"), F.col("id") % 12))
+        .alias("objectId"),
+        ((F.abs(F.hash(F.col("id") + 7)) % 1000) / 1000.0).alias("rfscore"),
+        F.lit("AGN").alias("cdsxmatch"),
+    )
+    cur = rows.where("id % 3 != 0")
+    old = rows.where("id % 3 = 0")
+    salted = SimilarityClassifier(
+        "objectId OR rfscore", mode="decomposed", hot_threshold=4, salt_buckets=5
+    ).classify(old, cur)
+    ref = SimilarityClassifier("objectId OR rfscore", mode="reference").classify(
+        old, cur
+    )
+    assert edge_set(salted) == edge_set(ref)
+    plan = salted._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
