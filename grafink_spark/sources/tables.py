@@ -34,10 +34,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for c in NANO_TS_COLUMNS.get(name, []):
-        if c in df.columns and dict(df.dtypes).get(c) == "bigint":
+        if c not in df.columns:
+            continue
+        dt = dict(df.dtypes)[c]
+        if dt == "bigint":
             df = df.withColumn(
                 c, F.timestamp_micros((F.col(c) / 1000).cast("long"))
             )
+        elif dt == "timestamp_ntz":
+            # TIMESTAMP(MICROS, ntz) source files: session tz is UTC, so
+            # the cast keeps the naive wall-clock duckdb reads
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

@@ -18,30 +18,54 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        # INT64 TIMESTAMP(NANOS) in the source files — read as long with
-        # the nanosAsLong flag, converted to TimestampType below
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+
+
+# legacy driver format: INT64 TIMESTAMP(NANOS), read as long with the
+# nanosAsLong flag and rebuilt via timestamp_micros below
+EVENTS_SCHEMA = _events_schema(T.LongType())
+
+
+def _source_ts_type(spark: SparkSession, path: str) -> T.DataType:
+    """Probe existing files for the physical ts encoding — the driver's
+    generator has shipped both TIMESTAMP(NANOS)-as-long and
+    TIMESTAMP(MICROS, ntz) over time."""
+    try:
+        schema = spark.read.parquet(path).schema
+    except Exception:
+        return T.LongType()
+    for f in schema.fields:
+        if f.name == "ts":
+            return f.dataType
+    return T.LongType()
 
 
 def read_event_stream(
     spark: SparkSession, path: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
-    """File-source stream over an events parquet directory."""
+    """File-source stream over an events parquet directory; ts is
+    normalized to TimestampType whatever the source encoding."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    ts_type = _source_ts_type(spark, path)
+    reader = spark.readStream.schema(_events_schema(ts_type))
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.parquet(path)
-    return df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    if isinstance(ts_type, T.LongType):
+        return df.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def windowed_event_counts(

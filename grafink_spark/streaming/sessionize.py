@@ -55,7 +55,8 @@ def sessionize_batch(
     (user_id, ts timestamp, value): (user_id, session_start,
     session_end, n_events, sum_value)."""
     w = Window.partitionBy("user_id").orderBy("ts")
-    secs = F.col("ts").cast("long")
+    # via timestamp: direct TIMESTAMP_NTZ→long casts are rejected
+    secs = F.col("ts").cast("timestamp").cast("long")
     prev = F.lag(secs).over(w)
     flagged = events.select(
         "user_id",

@@ -75,11 +75,14 @@ def test_stream_sessions_match_batch(spark, tmp_path):
     # push the watermark far forward with one sentinel event so idle
     # sessions time out and emit on the second pass
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = spark.read.parquet(SRC)
+    shift = (
+        F.col("ts") + F.lit(365 * 24 * 3600 * 10**9)
+        if dict(src.dtypes)["ts"] == "bigint"  # legacy long-nanos files
+        else F.col("ts") + F.expr("INTERVAL 365 DAYS")
+    )
     sentinel = (
-        spark.read.parquet(SRC)
-        .orderBy(F.col("ts").desc())
-        .limit(1)
-        .withColumn("ts", F.col("ts") + F.lit(365 * 24 * 3600 * 10**9))
+        src.orderBy(F.col("ts").desc()).limit(1).withColumn("ts", shift)
     )
     sentinel.coalesce(1).write.mode("append").parquet(src_dir)
     run()

@@ -58,8 +58,12 @@ def test_stream_matches_batch(spark, tmp_path):
     # ts as long nanos like the source), rerun with availableNow — only
     # the new backlog is processed, output grows
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    later = spark.read.parquet(SRC).withColumn(
-        "ts", F.col("ts") + F.lit(30 * 24 * 3600 * 10**9)
+    later = spark.read.parquet(SRC)
+    later = later.withColumn(
+        "ts",
+        F.col("ts") + F.lit(30 * 24 * 3600 * 10**9)
+        if dict(later.dtypes)["ts"] == "bigint"  # legacy long-nanos files
+        else F.col("ts") + F.expr("INTERVAL 30 DAYS"),
     )
     later.coalesce(1).write.mode("append").parquet(src_dir)
     run_stream_to_parquet(
