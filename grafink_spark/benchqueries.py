@@ -29,6 +29,8 @@ from pyspark.sql import functions as F
 
 from grafink_spark.id_manager import zip_with_index
 from grafink_spark.llm import dedup as dd
+from grafink_spark.llm import pii as pi
+from grafink_spark.llm import signals as sg
 from grafink_spark.llm import simsearch as ss
 from grafink_spark.llm import text as tx
 from grafink_spark.llm.multimodal import (
@@ -1343,18 +1345,14 @@ def q_embedding_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_oracle_sql(nlist: int = 8, dim: int = 64, nprobe: int = 4,
-                    k: int = 3, nq: int = 5) -> str:
-    """SQL replay of ivf_train(iters=1) + ivf_topk. Tie rules mirror
-    the Spark side exactly: assignment → lowest cid among maxima
-    (array_position of array_max), probe order → (sim DESC, cid DESC)
-    (reverse of ascending struct sort)."""
+def _ivf_asgn_ctes(nlist: int, dim: int) -> str:
+    """Shared CTE prefix replaying ivf_train(iters=1) + ivf_assign:
+    seeds → initial assignment → one Lloyd mean step → final assignment
+    (``asgn``: vec_id, embedding, list_id). Tie rule mirrors the Spark
+    side: lowest cid among cosine maxima."""
     cos_sc = COSINE_SQL.format(a="e.embedding", b="s.cv")
     cos_cc = COSINE_SQL.format(a="e.embedding", b="c.cv")
-    cos_qc = COSINE_SQL.format(a="q.qv", b="c.cv")
-    cos_qn = COSINE_SQL.format(a="p.qv", b="a.embedding")
-    return f"""
-WITH seeds AS (
+    return f"""seeds AS (
   SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
          list_transform(embedding, x -> x::DOUBLE) AS cv
   FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {nlist})
@@ -1381,7 +1379,19 @@ asgn AS (
                               ORDER BY {cos_cc} DESC, c.cid ASC) AS rn
     FROM embeddings e CROSS JOIN cent c
   ) WHERE rn = 1
-),
+)"""
+
+
+def _ivf_oracle_sql(nlist: int = 8, dim: int = 64, nprobe: int = 4,
+                    k: int = 3, nq: int = 5) -> str:
+    """SQL replay of ivf_train(iters=1) + ivf_topk. Tie rules mirror
+    the Spark side exactly: assignment → lowest cid among maxima
+    (array_position of array_max), probe order → (sim DESC, cid DESC)
+    (reverse of ascending struct sort)."""
+    cos_qc = COSINE_SQL.format(a="q.qv", b="c.cv")
+    cos_qn = COSINE_SQL.format(a="p.qv", b="a.embedding")
+    return f"""
+WITH {_ivf_asgn_ctes(nlist, dim)},
 q AS (SELECT vec_id AS query_id, embedding AS qv
       FROM embeddings ORDER BY vec_id LIMIT {nq}),
 probes AS (
@@ -1487,6 +1497,189 @@ SQL_EMBEDDING_LSH_TOPK = _lsh_oracle_sql()
 
 
 # =================================================================
+# LLM ops: repetition signals, PII, semantic dedup
+# =================================================================
+
+_SIGNAL_FRACS = [
+    "dup_line_fraction",
+    "bullet_line_fraction",
+    "ellipsis_line_fraction",
+    "top_1gram_fraction",
+    "dup_1gram_fraction",
+    "top_2gram_fraction",
+    "dup_2gram_fraction",
+    "top_3gram_fraction",
+    "dup_3gram_fraction",
+]
+
+
+def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style line-shape + n-gram repetition signals per doc."""
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    out = sg.document_signals(docs, ns=(1, 2, 3))
+    return out.select(
+        "doc_id",
+        F.col("n_lines").cast("long").alias("n_lines"),
+        *[F.round(F.col(c), 6).alias(c) for c in _SIGNAL_FRACS],
+    )
+
+
+SQL_REPETITION_SIGNALS = f"""
+WITH t AS (
+  SELECT doc_id, {TOKENS_SQL} AS toks, str_split(text, chr(10)) AS lines
+  FROM documents
+),
+ls AS (
+  SELECT doc_id, len(lines) AS n_lines,
+         CASE WHEN len(lines) > 0
+              THEN (len(lines) - len(list_distinct(lines))) / len(lines)
+              ELSE 0.0 END AS dup_line_fraction,
+         CASE WHEN len(lines) > 0
+              THEN len(list_filter(lines, l -> starts_with(l, '- ')
+                   OR starts_with(l, '* ') OR starts_with(l, '• ')))
+                   / len(lines)
+              ELSE 0.0 END AS bullet_line_fraction,
+         CASE WHEN len(lines) > 0
+              THEN len(list_filter(lines, l -> ends_with(l, '...')))
+                   / len(lines)
+              ELSE 0.0 END AS ellipsis_line_fraction
+  FROM t
+),
+g AS (
+  SELECT doc_id, n, unnest(grams) AS gram FROM (
+    SELECT doc_id, 1 AS n, toks AS grams FROM t
+    UNION ALL
+    SELECT doc_id, 2 AS n,
+           list_transform(range(1, len(toks)),
+                          i -> array_to_string(toks[i:i+1], ' ')) FROM t
+    UNION ALL
+    SELECT doc_id, 3 AS n,
+           list_transform(range(1, len(toks) - 1),
+                          i -> array_to_string(toks[i:i+2], ' ')) FROM t
+  )
+),
+c AS (SELECT doc_id, n, gram, count(*) AS cnt FROM g GROUP BY 1, 2, 3),
+d AS (
+  SELECT doc_id, n, max(cnt) AS top, sum(cnt) AS total,
+         coalesce(sum(cnt) FILTER (WHERE cnt > 1), 0) AS dup
+  FROM c GROUP BY 1, 2
+),
+w AS (
+  SELECT doc_id,
+         max(CASE WHEN n = 1 THEN top / total END) AS t1,
+         max(CASE WHEN n = 1 THEN dup / total END) AS d1,
+         max(CASE WHEN n = 2 THEN top / total END) AS t2,
+         max(CASE WHEN n = 2 THEN dup / total END) AS d2,
+         max(CASE WHEN n = 3 THEN top / total END) AS t3,
+         max(CASE WHEN n = 3 THEN dup / total END) AS d3
+  FROM d GROUP BY 1
+)
+SELECT ls.doc_id, ls.n_lines,
+       round(ls.dup_line_fraction, 6) AS dup_line_fraction,
+       round(ls.bullet_line_fraction, 6) AS bullet_line_fraction,
+       round(ls.ellipsis_line_fraction, 6) AS ellipsis_line_fraction,
+       round(coalesce(w.t1, 0.0), 6) AS top_1gram_fraction,
+       round(coalesce(w.d1, 0.0), 6) AS dup_1gram_fraction,
+       round(coalesce(w.t2, 0.0), 6) AS top_2gram_fraction,
+       round(coalesce(w.d2, 0.0), 6) AS dup_2gram_fraction,
+       round(coalesce(w.t3, 0.0), 6) AS top_3gram_fraction,
+       round(coalesce(w.d3, 0.0), 6) AS dup_3gram_fraction
+FROM ls LEFT JOIN w USING (doc_id)
+"""
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII counts + redaction. The corpus is PII-free, so each doc gets
+    a deterministic synthesized contact suffix (email, phone, IP) —
+    same expression on both sides — making the match counts and the
+    redacted-text hash non-trivial."""
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    d = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), s(d),
+            F.lit("@mail-"), s(d % 7), F.lit(".example.org or +1 "),
+            F.lpad(s(d % 1000), 3, "0"), F.lit("-"),
+            F.lpad(s((d * 3) % 1000), 3, "0"), F.lit("-"),
+            F.lpad(s((d * 7) % 10000), 4, "0"),
+            F.lit(" via 10."), s(d % 200), F.lit(".0.7 ok"),
+        ).alias("text"),
+    )
+    out = pi.redact_pii(pi.pii_counts(seeded), out_col="redacted")
+    return out.select(
+        "doc_id",
+        F.col("n_email").cast("long").alias("n_email"),
+        F.col("n_phone").cast("long").alias("n_phone"),
+        F.col("n_ipv4").cast("long").alias("n_ipv4"),
+        F.md5(F.col("redacted").cast("binary")).alias("redacted_md5"),
+    )
+
+
+_EMAIL_RE, _PHONE_RE, _IPV4_RE = (
+    pi.PII_PATTERNS["email"][0],
+    pi.PII_PATTERNS["phone"][0],
+    pi.PII_PATTERNS["ipv4"][0],
+)
+
+SQL_PII_REDACT = f"""
+WITH seeded AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id || '@mail-' || (doc_id % 7) ||
+         '.example.org or +1 ' || lpad((doc_id % 1000)::VARCHAR, 3, '0') ||
+         '-' || lpad(((doc_id * 3) % 1000)::VARCHAR, 3, '0') ||
+         '-' || lpad(((doc_id * 7) % 10000)::VARCHAR, 4, '0') ||
+         ' via 10.' || (doc_id % 200) || '.0.7 ok' AS text
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(text, '{_EMAIL_RE}')) AS n_email,
+       len(regexp_extract_all(text, '{_PHONE_RE}')) AS n_phone,
+       len(regexp_extract_all(text, '{_IPV4_RE}')) AS n_ipv4,
+       md5(regexp_replace(regexp_replace(regexp_replace(text,
+           '{_EMAIL_RE}', '<EMAIL>', 'g'),
+           '{_PHONE_RE}', '<PHONE>', 'g'),
+           '{_IPV4_RE}', '<IP>', 'g')) AS redacted_md5
+FROM seeded
+"""
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup survivors: IVF-cluster blocking, within-cluster cosine
+    ≥ 0.3, keep the lowest-id representative per ε-ball."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = dd.semantic_dedup(emb, nlist=8, iters=1, threshold=0.3)
+    return out.select(
+        "vec_id", F.col("list_id").cast("long").alias("list_id")
+    )
+
+
+def _semantic_dedup_sql(
+    nlist: int = 8, dim: int = 64, threshold: float = 0.3
+) -> str:
+    """SQL replay of semantic_dedup: shared IVF-assignment CTEs, then
+    the drop rule (any lower-id same-cluster neighbor at ≥ threshold)."""
+    cos_ab = COSINE_SQL.format(a="a.embedding", b="b.embedding")
+    return f"""
+WITH {_ivf_asgn_ctes(nlist, dim)},
+dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM asgn a JOIN asgn b
+    ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+  WHERE {cos_ab} >= {threshold}
+)
+SELECT s.vec_id, s.list_id
+FROM asgn s
+WHERE s.vec_id NOT IN (SELECT vec_id FROM dropped)
+"""
+
+
+SQL_SEMANTIC_DEDUP = _semantic_dedup_sql()
+
+
+# =================================================================
 # registry
 # =================================================================
 
@@ -1536,6 +1729,9 @@ QUERIES: dict[str, QueryFn] = {
     "embedding_lsh_topk": q_embedding_lsh_topk,
     "embedding_ivf_topk": q_embedding_ivf_topk,
     "embedding_ivf_indexed": q_embedding_ivf_indexed,
+    "repetition_signals": q_repetition_signals,
+    "pii_redact": q_pii_redact,
+    "semantic_dedup": q_semantic_dedup,
 }
 
 ORACLES: dict[str, str] = {
@@ -1586,4 +1782,7 @@ ORACLES: dict[str, str] = {
     # the persisted-index search is exact w.r.t. the inline IVF with the
     # same parameters, so it shares the same SQL replay oracle
     "embedding_ivf_indexed": SQL_EMBEDDING_IVF_TOPK,
+    "repetition_signals": SQL_REPETITION_SIGNALS,
+    "pii_redact": SQL_PII_REDACT,
+    "semantic_dedup": SQL_SEMANTIC_DEDUP,
 }

@@ -1,1 +1,9 @@
-from grafink_spark.llm import corpus, dedup, multimodal, simsearch, text  # noqa: F401
+from grafink_spark.llm import (  # noqa: F401
+    corpus,
+    dedup,
+    multimodal,
+    pii,
+    signals,
+    simsearch,
+    text,
+)

@@ -548,3 +548,37 @@ def embedding_near_duplicates(
         )
         .where(F.col("cosine_sim") >= threshold)
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    nlist: int = 8,
+    iters: int = 1,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """SemDeDup-style embedding dedup (Abbas et al. 2023): k-means the
+    corpus into ``nlist`` clusters (deterministic seeded IVF training),
+    compare pairs only WITHIN a cluster, and drop every vector that has
+    a lower-id neighbor at cosine ≥ threshold — i.e. keep exactly one
+    (the lowest-id) representative per ε-ball, deterministically.
+
+    Returns the surviving rows with their ``list_id`` cluster column.
+
+    At scale the cluster blocking is what makes this tractable: the
+    pair space is Σ cluster², not N², and the within-cluster join is an
+    equi join on list_id (one shuffle each side). The drop rule needs
+    only the qualifying pairs' b-side ids — a distinct + left_anti, no
+    connected components."""
+    from .simsearch import ivf_assign, ivf_train  # local: avoids cycle
+
+    centroids = ivf_train(
+        df, nlist=nlist, iters=iters, vec_col=vec_col, id_col=id_col
+    )
+    assigned = ivf_assign(df, centroids, vec_col)
+    pairs = embedding_near_duplicates(
+        assigned, vec_col, id_col, threshold, block_by="list_id"
+    )
+    dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return assigned.join(dropped, on=id_col, how="left_anti")

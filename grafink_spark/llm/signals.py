@@ -1,0 +1,155 @@
+"""Gopher-style repetition and document-shape signals.
+
+The reference engine is an alert-graph builder with no text layer
+(grafink `core/src/main/scala/com/astrolabsoftware/grafink/processor/`
+stops at classifier rules); these are the standard large-corpus quality
+filters (Rae et al. 2021, "Scaling Language Models ... Gopher",
+appendix A1.1) an LLM training-data pipeline runs alongside dedup:
+duplicate-line fractions, bullet/ellipsis line shape, and n-gram
+repetition (top-gram and duplicated-gram occupancy).
+
+Scale notes: line/word signals are pure per-row expressions — narrow,
+no shuffle, whole-stage codegen. N-gram repetition explodes tagged
+(id, n, gram) rows from a SINGLE scan (one flatten of per-n transforms,
+one explode) and aggregates with two keyed shuffles, both with map-side
+partial aggregation; the only skew bound is document length itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+BULLET_PREFIXES = ("- ", "* ", "• ")
+
+
+def _safe_frac(num: Column, den: Column) -> Column:
+    return F.when(den > 0, num / den).otherwise(F.lit(0.0))
+
+
+def line_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document line-shape features, computed row-local:
+    n_lines, dup_line_fraction (1 - distinct/total), bullet_line_fraction
+    (lines starting with -, * or a bullet), ellipsis_line_fraction
+    (lines ending in ...)."""
+    staged = df.select("*", F.split(F.col(text_col), "\n").alias("__lines"))
+    lines = F.col("__lines")
+    n = F.size(lines)
+    is_bullet = lambda l: (  # noqa: E731
+        l.startswith(BULLET_PREFIXES[0])
+        | l.startswith(BULLET_PREFIXES[1])
+        | l.startswith(BULLET_PREFIXES[2])
+    )
+    return staged.select(
+        *df.columns,
+        n.alias("n_lines"),
+        _safe_frac(n - F.size(F.array_distinct(lines)), n).alias(
+            "dup_line_fraction"
+        ),
+        _safe_frac(F.size(F.filter(lines, is_bullet)), n).alias(
+            "bullet_line_fraction"
+        ),
+        _safe_frac(
+            F.size(F.filter(lines, lambda l: l.endswith("..."))), n
+        ).alias("ellipsis_line_fraction"),
+    )
+
+
+def _gram_array(toks: Column, n: int) -> Column:
+    """Array of space-joined n-grams over a token array ([] if too short).
+    The sequence() is guarded: Spark's sequence(1, 0) counts DOWN."""
+    if n == 1:
+        return toks
+    joined = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
+        joined
+    )
+
+
+def ngram_counts(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ns: tuple[int, ...] = (1, 2, 3),
+) -> DataFrame:
+    """(id, n, gram, cnt) occurrence counts for every requested n-gram
+    order, from one scan: the per-n gram arrays are tagged with n,
+    flattened, and exploded once."""
+    staged = df.select(F.col(id_col), tokens(text_col).alias("__toks"))
+
+    def _tag(n: int):
+        # NB: the lambda must take exactly one arg — a second parameter
+        # would make F.transform pass the array index into it
+        return lambda g: F.struct(F.lit(n).alias("n"), g.alias("gram"))
+
+    tagged = F.flatten(
+        F.array(
+            *[
+                F.transform(_gram_array(F.col("__toks"), n), _tag(n))
+                for n in ns
+            ]
+        )
+    )
+    exploded = staged.select(id_col, F.explode(tagged).alias("__g")).select(
+        id_col, F.col("__g.n").alias("n"), F.col("__g.gram").alias("gram")
+    )
+    return exploded.groupBy(id_col, "n", "gram").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def repetition_signals(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ns: tuple[int, ...] = (1, 2, 3),
+) -> DataFrame:
+    """Per-document n-gram repetition: for each order n,
+    top_{n}gram_fraction (occurrences of the most frequent gram / total
+    occurrences) and dup_{n}gram_fraction (occurrences of grams seen
+    more than once / total). Documents with no tokens get 0.0."""
+    counts = ngram_counts(df, id_col, text_col, ns)
+    per_doc_n = counts.groupBy(id_col, "n").agg(
+        F.sum("cnt").alias("total"),
+        F.max("cnt").alias("top"),
+        F.coalesce(
+            F.sum(F.when(F.col("cnt") > 1, F.col("cnt"))), F.lit(0)
+        ).alias("dup"),
+    )
+    aggs = []
+    for n in ns:
+        hit = F.col("n") == n
+        aggs.append(
+            F.max(F.when(hit, F.col("top") / F.col("total"))).alias(
+                f"top_{n}gram_fraction"
+            )
+        )
+        aggs.append(
+            F.max(F.when(hit, F.col("dup") / F.col("total"))).alias(
+                f"dup_{n}gram_fraction"
+            )
+        )
+    wide = per_doc_n.groupBy(id_col).agg(*aggs)
+    out = df.join(wide, on=id_col, how="left")
+    frac_cols = [c for c in wide.columns if c != id_col]
+    return out.select(
+        *df.columns,
+        *[F.coalesce(F.col(c), F.lit(0.0)).alias(c) for c in frac_cols],
+    )
+
+
+def document_signals(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ns: tuple[int, ...] = (1, 2, 3),
+) -> DataFrame:
+    """Line-shape + n-gram repetition signals in one DataFrame."""
+    return repetition_signals(
+        line_signals(df, text_col), id_col, text_col, ns
+    )

@@ -194,3 +194,21 @@ def test_simhash_near_duplicates_banding_is_exhaustive(spark):
 
     with pytest.raises(ValueError):
         simhash_near_duplicates(df, bands=3, max_hamming=3)
+
+
+def test_semantic_dedup_exact_dups_dropped(spark):
+    # exact duplicates always land in the same cluster (identical
+    # cosines -> same argmax tie-break), so the golden is clustering-
+    # agnostic: 2 and 5 are dropped, lowest ids survive
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [1.0, 0.0, 0.0, 0.0]),
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [0.0, 0.0, 1.0, 0.0]),
+        (5, [0.0, 0.0, 1.0, 0.0]),
+        (6, [0.0, 0.0, 0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = dd.semantic_dedup(df, nlist=2, iters=1, threshold=0.95)
+    assert "list_id" in out.columns
+    assert sorted(r.vec_id for r in out.collect()) == [1, 3, 4, 6]

@@ -1,0 +1,59 @@
+"""Gopher-style repetition/shape signals: hand-checked goldens."""
+
+import pytest
+
+from grafink_spark.llm import signals as sg
+
+
+def _one(df):
+    return df.collect()[0].asDict()
+
+
+def test_line_signals(spark):
+    df = spark.createDataFrame(
+        [(1, "x\nx\n- b\nz...")], "doc_id long, text string"
+    )
+    r = _one(sg.line_signals(df))
+    assert r["n_lines"] == 4
+    assert r["dup_line_fraction"] == pytest.approx(0.25)
+    assert r["bullet_line_fraction"] == pytest.approx(0.25)
+    assert r["ellipsis_line_fraction"] == pytest.approx(0.25)
+
+
+def test_repetition_golden(spark):
+    # "a a b a c": unigrams 5 total / top 3 / dup 3;
+    # bigrams {a a, a b, b a, a c} all unique; trigrams 3 unique
+    df = spark.createDataFrame([(1, "a a b a c")], "doc_id long, text string")
+    r = _one(sg.repetition_signals(df))
+    assert r["top_1gram_fraction"] == pytest.approx(3 / 5)
+    assert r["dup_1gram_fraction"] == pytest.approx(3 / 5)
+    assert r["top_2gram_fraction"] == pytest.approx(1 / 4)
+    assert r["dup_2gram_fraction"] == 0.0
+    assert r["top_3gram_fraction"] == pytest.approx(1 / 3)
+    assert r["dup_3gram_fraction"] == 0.0
+
+
+def test_repeated_bigram(spark):
+    df = spark.createDataFrame(
+        [(1, "go go go go")], "doc_id long, text string"
+    )
+    r = _one(sg.repetition_signals(df))
+    # bigrams: "go go" ×3
+    assert r["top_2gram_fraction"] == 1.0
+    assert r["dup_2gram_fraction"] == 1.0
+
+
+def test_short_and_empty_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "only two"), (2, ""), (3, "one")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r.asDict() for r in sg.document_signals(df).collect()}
+    # doc 1: one bigram, no trigrams possible
+    assert rows[1]["top_3gram_fraction"] == 0.0
+    assert rows[1]["top_2gram_fraction"] == 1.0
+    # doc 2: no tokens at all -> every fraction 0, no dropped row
+    assert rows[2]["top_1gram_fraction"] == 0.0
+    assert rows[2]["dup_1gram_fraction"] == 0.0
+    # doc 3: single token
+    assert rows[3]["top_1gram_fraction"] == 1.0
+    assert rows[3]["dup_1gram_fraction"] == 0.0
