@@ -700,13 +700,25 @@ FROM s GROUP BY user_id, session_seq
 
 
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact-duplicate groups by md5(text)."""
-    return dd.exact_duplicates(load_table(spark, sf_dir, "documents"))
+    """Exact-duplicate groups by md5(text). The generated corpus is
+    duplicate-free, so every tenth doc is re-appended under a shifted id
+    (mirrored in the oracle) to keep the gate non-trivial."""
+    docs = load_table(spark, sf_dir, "documents")
+    dup = docs.where(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1000000
+    )
+    return dd.exact_duplicates(docs.unionByName(dup))
 
 
 SQL_EXACT_DEDUP = """
+WITH corpus AS (
+  SELECT * FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars
+  FROM documents WHERE doc_id % 10 = 0
+)
 SELECT md5(text) AS content_hash, min(doc_id) AS keeper_id, count(*) AS dup_count
-FROM documents GROUP BY 1 HAVING count(*) > 1
+FROM corpus GROUP BY 1 HAVING count(*) > 1
 """
 
 
@@ -1679,6 +1691,38 @@ WHERE s.vec_id NOT IN (SELECT vec_id FROM dropped)
 SQL_SEMANTIC_DEDUP = _semantic_dedup_sql()
 
 
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-decontamination hits: docs sharing an 8-gram with the
+    benchmark slice (doc_id % 20 == 7 stands in for an eval set)."""
+    from grafink_spark.llm.corpus import contamination
+
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    bench = docs.where(F.col("doc_id") % 20 == 7)
+    out = contamination(docs, bench, n=8)
+    return out.select(
+        "doc_id",
+        F.col("n_contaminated_grams").cast("long").alias(
+            "n_contaminated_grams"
+        ),
+    )
+
+
+SQL_CONTAMINATION = f"""
+WITH toks AS (
+  SELECT doc_id, {TOKENS_SQL} AS toks FROM documents
+),
+grams AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(toks) - 6),
+         i -> array_to_string(toks[i:i+7], ' '))) AS gram
+  FROM toks
+),
+bgrams AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 20 = 7)
+SELECT g.doc_id, count(DISTINCT g.gram) AS n_contaminated_grams
+FROM grams g JOIN bgrams b USING (gram)
+GROUP BY 1
+"""
+
+
 # =================================================================
 # registry
 # =================================================================
@@ -1732,6 +1776,7 @@ QUERIES: dict[str, QueryFn] = {
     "repetition_signals": q_repetition_signals,
     "pii_redact": q_pii_redact,
     "semantic_dedup": q_semantic_dedup,
+    "contamination": q_contamination,
 }
 
 ORACLES: dict[str, str] = {
@@ -1785,4 +1830,5 @@ ORACLES: dict[str, str] = {
     "repetition_signals": SQL_REPETITION_SIGNALS,
     "pii_redact": SQL_PII_REDACT,
     "semantic_dedup": SQL_SEMANTIC_DEDUP,
+    "contamination": SQL_CONTAMINATION,
 }

@@ -123,3 +123,55 @@ def stratified_sample(
     for stratum, p in fractions.items():
         frac = F.when(F.col(stratum_col) == stratum, F.lit(p)).otherwise(frac)
     return df.where(bucket < frac * 65536)
+
+
+def contamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Benchmark-contamination hits: for every corpus document sharing
+    at least one ``n``-gram with the benchmark set, the count of
+    distinct benchmark grams it contains — the standard eval-leakage
+    check run before a corpus ships.
+
+    At scale the benchmark side is tiny (thousands of eval documents)
+    next to the corpus: its distinct gram set broadcasts, so the only
+    big-data cost is one narrow explode of the corpus and a broadcast
+    semi-join — no corpus shuffle at all until the per-doc count, which
+    aggregates only the (rare) hit rows. Set broadcast_benchmark=False
+    if the benchmark gram set outgrows executor memory."""
+    from grafink_spark.llm.signals import gram_array
+    from grafink_spark.llm.text import tokens
+
+    bgrams = benchmark.select(
+        F.explode(gram_array(tokens(text_col), n)).alias("gram")
+    ).distinct()
+    if broadcast_benchmark:
+        bgrams = F.broadcast(bgrams)
+    dgrams = docs.select(
+        F.col(id_col), F.explode(gram_array(tokens(text_col), n)).alias("gram")
+    )
+    return (
+        dgrams.join(bgrams, "gram")
+        .groupBy(id_col)
+        .agg(F.count_distinct("gram").alias("n_contaminated_grams"))
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Corpus rows with every benchmark-contaminated document removed."""
+    hits = contamination(
+        docs, benchmark, id_col, text_col, n, broadcast_benchmark
+    )
+    return docs.join(hits.select(id_col), on=id_col, how="left_anti")

@@ -57,7 +57,7 @@ def line_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def _gram_array(toks: Column, n: int) -> Column:
+def gram_array(toks: Column, n: int) -> Column:
     """Array of space-joined n-grams over a token array ([] if too short).
     The sequence() is guarded: Spark's sequence(1, 0) counts DOWN."""
     if n == 1:
@@ -90,7 +90,7 @@ def ngram_counts(
     tagged = F.flatten(
         F.array(
             *[
-                F.transform(_gram_array(F.col("__toks"), n), _tag(n))
+                F.transform(gram_array(F.col("__toks"), n), _tag(n))
                 for n in ns
             ]
         )

@@ -62,3 +62,29 @@ def test_stratified_sample_deterministic(spark):
     en = sum(1 for i in a if i % 2 == 0) / 1000
     de = sum(1 for i in a if i % 2 == 1) / 1000
     assert 0.4 < en < 0.6 and 0.05 < de < 0.16
+
+
+def test_contamination_and_decontaminate(spark):
+    from grafink_spark.llm.corpus import contamination, decontaminate
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j"),          # shares 8-grams with bench
+            (2, "z y x w v u t s r q"),          # clean
+            (3, "b c d e f g h i extra words"),  # shares one 8-gram
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(99, "a b c d e f g h i")], "doc_id long, text string"
+    )
+    hits = {
+        r["doc_id"]: r["n_contaminated_grams"]
+        for r in contamination(docs, bench, n=8).collect()
+    }
+    # bench has two 8-grams: a..h and b..i; doc1 contains both, doc3 one
+    assert hits == {1: 2, 3: 1}
+    kept = sorted(
+        r.doc_id for r in decontaminate(docs, bench, n=8).collect()
+    )
+    assert kept == [2]
