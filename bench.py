@@ -50,6 +50,9 @@ HEADLINE = [
     "simhash",
     "embedding_topk",
     "text_stats",
+    "repetition_signals",
+    "contamination",
+    "semantic_dedup",
 ]
 
 # Queries whose full row set is large: drain with a `noop`-format write
@@ -68,6 +71,8 @@ NOOP_DRAIN = {
     "exact_dedup",
     "minhash_signature",
     "lsh_candidates",
+    "repetition_signals",
+    "semantic_dedup",
     "simhash",
     "text_stats",
 }

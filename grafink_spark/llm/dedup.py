@@ -518,11 +518,29 @@ def embedding_near_duplicates(
     id_col: str = "vec_id",
     threshold: float = 0.95,
     block_by: str | None = None,
+    salt: int | None = None,
 ) -> DataFrame:
     """Pairs (id_a < id_b) with cosine ≥ threshold. ``block_by`` (e.g. a
     cluster/LSH-bucket column) bounds the pair space; without it this is
-    a documented small-N path."""
-    cols = [F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")]
+    a documented small-N path.
+
+    ``salt`` > 1 spreads each block's quadratic pair work over that many
+    tasks: the a-side is bucketed by hash(id) % salt, the b-side
+    replicated to every bucket (same output, b-side shuffle volume ×
+    salt). Use when block_by has fewer distinct values than cores —
+    e.g. a small-nlist cluster id — since the pair-condition cost is
+    invisible to AQE's byte-based skew split."""
+    v = F.col(vec_col).cast("array<double>")
+    # norm staged once per ROW: the pair-condition cosine then reuses it
+    # across every pair the row participates in (same expression tree as
+    # cosine_similarity, so the value is bit-identical — the oracle's
+    # dot/(sqrt·sqrt) replay still matches)
+    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+    cols = [
+        F.col(id_col).alias("_id"),
+        v.alias("_v"),
+        norm.alias("_n"),
+    ]
     if block_by:
         cols.append(F.col(block_by).alias("_blk"))
     base = df.select(*cols)
@@ -530,22 +548,35 @@ def embedding_near_duplicates(
         *([F.col("_blk")] if block_by else []),
         F.col("_id").alias("id_a"),
         F.col("_v").alias("_va"),
+        F.col("_n").alias("_na"),
     )
     b = base.select(
         *([F.col("_blk").alias("_blk2")] if block_by else []),
         F.col("_id").alias("id_b"),
         F.col("_v").alias("_vb"),
+        F.col("_n").alias("_nb"),
     )
     cond = F.col("id_a") < F.col("id_b")
     if block_by:
         cond = cond & (F.col("_blk") == F.col("_blk2"))
+    if salt and salt > 1:
+        a = a.withColumn(
+            "_salt", F.pmod(F.xxhash64(F.col("id_a")), F.lit(salt))
+        )
+        b = b.withColumn(
+            "_salt2", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+        ).withColumn("_salt2", F.col("_salt2").cast("long"))
+        cond = cond & (F.col("_salt") == F.col("_salt2"))
+    dot = F.aggregate(
+        F.zip_with(F.col("_va"), F.col("_vb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    denom = F.col("_na") * F.col("_nb")
+    cos = F.when(denom > 0, dot / denom).otherwise(F.lit(0.0))
     return (
         a.join(b, cond, "inner")
-        .select(
-            "id_a",
-            "id_b",
-            cosine_similarity(F.col("_va"), F.col("_vb")).alias("cosine_sim"),
-        )
+        .select("id_a", "id_b", cos.alias("cosine_sim"))
         .where(F.col("cosine_sim") >= threshold)
     )
 
@@ -570,15 +601,21 @@ def semantic_dedup(
     pair space is Σ cluster², not N², and the within-cluster join is an
     equi join on list_id (one shuffle each side). The drop rule needs
     only the qualifying pairs' b-side ids — a distinct + left_anti, no
-    connected components."""
+    connected components. When nlist is smaller than the shuffle
+    partition count the join is salted so the quadratic pair work still
+    uses every core (nlist should really grow with the corpus)."""
     from .simsearch import ivf_assign, ivf_train  # local: avoids cycle
 
     centroids = ivf_train(
         df, nlist=nlist, iters=iters, vec_col=vec_col, id_col=id_col
     )
     assigned = ivf_assign(df, centroids, vec_col)
+    parts = int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    salt = -(-parts // nlist) if nlist < parts else None
     pairs = embedding_near_duplicates(
-        assigned, vec_col, id_col, threshold, block_by="list_id"
+        assigned, vec_col, id_col, threshold, block_by="list_id", salt=salt
     )
     dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return assigned.join(dropped, on=id_col, how="left_anti")

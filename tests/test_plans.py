@@ -112,3 +112,54 @@ def test_asof_join_single_shuffle_no_join(spark):
     exchanges = [l for l in plan.split("\n") if "Exchange" in l]
     assert len(exchanges) == 1 and "hashpartitioning" in exchanges[0]
     assert "Window" in plan
+
+
+def _docs(spark, n=60):
+    return spark.createDataFrame(
+        [(i, f"tok{i % 7} alpha beta gamma delta tok{i % 3} epsilon zeta "
+             f"eta theta iota kappa {i}") for i in range(n)],
+        "doc_id long, text string",
+    )
+
+
+def test_repetition_signals_single_explode(spark):
+    from grafink_spark.llm import signals as sg
+
+    plan = physical_plan(sg.document_signals(_docs(spark)))
+    # all n-gram orders ride ONE tagged explode from one scan
+    assert plan.count("Generate explode") == 1
+
+
+def test_pii_is_narrow(spark):
+    from grafink_spark.llm import pii as pi
+
+    plan = physical_plan(pi.redact_pii(pi.pii_counts(_docs(spark))))
+    # pure per-row projection: no exchange of any kind
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_contamination_broadcasts_benchmark(spark):
+    from grafink_spark.llm.corpus import contamination
+
+    docs = _docs(spark)
+    bench = docs.where(F.col("doc_id") % 10 == 0)
+    plan = physical_plan(contamination(docs, bench, n=8))
+    # benchmark gram set broadcasts; the corpus side never shuffles
+    # before the (hit-rows-only) per-doc count
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_semantic_dedup_salted_equi_join(spark):
+    rows = [(i, [float(i % 4 == j) for j in range(4)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    plan = physical_plan(dd.semantic_dedup(df, nlist=2, iters=1, threshold=0.9))
+    # within-cluster compare is a salted equi join: list_id+salt keys
+    assert "_salt" in plan
+    assert "CartesianProduct" not in plan
+    # the only nested-loop is the 1-row broadcast centroid matrix
+    for ln in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in ln:
+            assert "Cross" in ln
