@@ -53,6 +53,7 @@ HEADLINE = [
     "repetition_signals",
     "contamination",
     "semantic_dedup",
+    "bm25_search",
 ]
 
 # Queries whose full row set is large: drain with a `noop`-format write

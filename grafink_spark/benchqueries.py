@@ -1723,6 +1723,68 @@ GROUP BY 1
 """
 
 
+_BM25_QUERY = "table scan merge"
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 corpus retrieval for a 3-term query."""
+    from grafink_spark.llm.search import bm25_search
+
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    out = bm25_search(docs, _BM25_QUERY, k=10)
+    return out.select(
+        "doc_id",
+        F.round("score", 6).alias("score"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def _bm25_sql(query: str, k: int = 10, k1: float = 1.2, b: float = 0.75) -> str:
+    """Replay of bm25_search: same fixed-order term sum, same literal
+    constants, integer-exact aggregate inputs — scores match bitwise."""
+    qterms = list(dict.fromkeys(query.lower().split()))
+    in_list = ", ".join(f"'{t}'" for t in qterms)
+    tf_cols = ",\n         ".join(
+        f"sum(CASE WHEN term = '{t}' THEN 1 ELSE 0 END) AS tf_{i}"
+        for i, t in enumerate(qterms)
+    )
+    df_cols = ", ".join(
+        f"sum((tf_{i} > 0)::BIGINT) AS df_{i}" for i in range(len(qterms))
+    )
+    terms = " + ".join(
+        f"(ln((n_docs - df_{i} + 0.5) / (df_{i} + 0.5) + 1.0)"
+        f" * (tf_{i} * {k1 + 1.0!r})"
+        f" / (tf_{i} + {k1!r} * ({1.0 - b!r} + {b!r} * dl / avgdl)))"
+        for i in range(len(qterms))
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS dl,
+         regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+  FROM documents
+),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM base),
+hit AS (SELECT doc_id, dl, unnest(toks) AS term FROM base),
+tf AS (
+  SELECT doc_id, dl,
+         {tf_cols}
+  FROM hit WHERE term IN ({in_list})
+  GROUP BY 1, 2
+),
+dfreq AS (SELECT {df_cols} FROM tf),
+scored AS (
+  SELECT doc_id, {terms} AS score
+  FROM tf CROSS JOIN stats CROSS JOIN dfreq
+)
+SELECT doc_id, round(score, 6) AS score,
+       row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+FROM scored ORDER BY score DESC, doc_id LIMIT {k}
+"""
+
+
+SQL_BM25_SEARCH = _bm25_sql(_BM25_QUERY)
+
+
 # =================================================================
 # registry
 # =================================================================
@@ -1777,6 +1839,7 @@ QUERIES: dict[str, QueryFn] = {
     "pii_redact": q_pii_redact,
     "semantic_dedup": q_semantic_dedup,
     "contamination": q_contamination,
+    "bm25_search": q_bm25_search,
 }
 
 ORACLES: dict[str, str] = {
@@ -1831,4 +1894,5 @@ ORACLES: dict[str, str] = {
     "pii_redact": SQL_PII_REDACT,
     "semantic_dedup": SQL_SEMANTIC_DEDUP,
     "contamination": SQL_CONTAMINATION,
+    "bm25_search": SQL_BM25_SEARCH,
 }

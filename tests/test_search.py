@@ -1,0 +1,47 @@
+"""BM25 retrieval: ordering, exclusions, tie-breaks."""
+
+import math
+
+import pytest
+
+from grafink_spark.llm.search import bm25_search
+
+
+def _corpus(spark):
+    return spark.createDataFrame(
+        [
+            (1, "spark shuffle join of a table"),
+            (2, "table table table scan"),
+            (3, "scan and table and join words here"),
+            (4, "completely unrelated words only"),
+            (5, "Table SCAN"),  # case-folded match, shortest doc
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_ranking_and_exclusion(spark):
+    out = bm25_search(_corpus(spark), "table scan", k=10).collect()
+    ids = [r.doc_id for r in out]
+    # doc 4 shares no term -> absent entirely
+    assert 4 not in ids
+    assert [r.rank for r in out] == list(range(1, len(out) + 1))
+    # doc 5: both terms, dl=2 -> strongest length normalization, top rank
+    assert ids[0] == 5
+    # scores strictly ordered (ties broken by id, none here)
+    scores = [r.score for r in out]
+    assert scores == sorted(scores, reverse=True)
+    assert all(math.isfinite(s) and s > 0 for s in scores)
+
+
+def test_golden_single_term_score(spark):
+    # one doc, one query term: idf = ln((N - df + .5)/(df + .5) + 1)
+    # with N=df=1 -> ln(4/3); tf=1, dl=avgdl -> tf term = 2.2/(1+1.2)
+    docs = _corpus(spark).where("doc_id = 1")
+    r = bm25_search(docs, "spark", k=1).collect()[0]
+    assert r.score == pytest.approx(math.log(4 / 3) * 2.2 / 2.2)
+
+
+def test_empty_query_rejected(spark):
+    with pytest.raises(ValueError):
+        bm25_search(_corpus(spark), "   ")
