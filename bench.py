@@ -145,16 +145,19 @@ def main() -> int:
     # synthesized from sf0.1 by key-offset replication (sfgen.py,
     # generated once and cached in-repo) — catches operators whose
     # constants hide at small scale. One iteration (throughput check,
-    # not a steady-state microbenchmark). similarity_multi is excluded:
-    # its threshold branch's OUTPUT is quadratic in sf (the query's
-    # semantics), so it measures pair materialization volume, not
-    # engine scaling. SPARK_GRAFT_SF1=0 skips.
+    # not a steady-state microbenchmark). Excluded: similarity_multi
+    # (threshold-branch OUTPUT is quadratic in sf — the query's
+    # semantics) and semantic_dedup (its oracle pins nlist=8, so the
+    # per-cluster pair space grows quadratically with the corpus; the
+    # correctly-parameterized nlist∝N run is timed separately below as
+    # semantic_dedup_nlist64). SPARK_GRAFT_SF1=0 skips.
     if os.environ.get("SPARK_GRAFT_SF1", "1") != "0":
         from grafink_spark.sfgen import ensure  # noqa: E402
 
         sf1_dir = os.environ.get("SPARK_GRAFT_SF1_DIR") or ensure()
         sf1_timings: dict[str, float] = {}
-        for name in [q for q in HEADLINE if q != "similarity_multi"]:
+        sf1_skip = {"similarity_multi", "semantic_dedup"}
+        for name in [q for q in HEADLINE if q not in sf1_skip]:
             fn = QUERIES[name]
             t0 = time.perf_counter()
             df = fn(spark, sf1_dir)
@@ -164,6 +167,26 @@ def main() -> int:
                 df.collect()
             sf1_timings[name] = round(time.perf_counter() - t0, 3)
             print(f"# sf1 {name}: {sf1_timings[name]:.3f}s", file=sys.stderr)
+        # semantic dedup with nlist grown for the corpus (the engine's
+        # documented scaling rule): pair space stays ~linear per list
+        from grafink_spark.llm.dedup import semantic_dedup  # noqa: E402
+        from grafink_spark.sources.tables import load_table  # noqa: E402
+
+        t0 = time.perf_counter()
+        semantic_dedup(
+            load_table(spark, sf1_dir, "embeddings"),
+            nlist=64,
+            iters=1,
+            threshold=0.3,
+        ).write.format("noop").mode("overwrite").save()
+        sf1_timings["semantic_dedup_nlist64"] = round(
+            time.perf_counter() - t0, 3
+        )
+        print(
+            f"# sf1 semantic_dedup_nlist64: "
+            f"{sf1_timings['semantic_dedup_nlist64']:.3f}s",
+            file=sys.stderr,
+        )
         out["sf1"] = {
             "total": round(sum(sf1_timings.values()), 3),
             "queries": sf1_timings,

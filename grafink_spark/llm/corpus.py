@@ -28,15 +28,34 @@ def prepare_corpus(
     langs: tuple[str, ...] = ("en",),
     min_quality: float = 0.75,
     jaccard_threshold: float = 0.5,
+    max_dup_3gram: float | None = None,
+    benchmark: DataFrame | None = None,
+    contam_ngram: int = 8,
 ) -> DataFrame:
     """Surviving documents with (doc_id, lang_pred, n_tokens,
-    quality_score) — ready for tokenization/packing."""
+    quality_score) — ready for tokenization/packing.
+
+    Optional stages (both run BEFORE the pairwise near-dup work, so
+    they shrink the expensive part): ``max_dup_3gram`` drops documents
+    whose duplicated-3-gram occupancy exceeds the bound (Gopher
+    repetition rule); ``benchmark`` drops documents sharing any
+    ``contam_ngram``-gram with that eval set (decontamination)."""
     base_cols = df.columns
     deduped = drop_exact_duplicates(df, text_col, id_col)
     scored = quality_score(deduped, text_col).where(
         F.col("quality_score") >= min_quality
     )
     tagged = lang_id(scored, text_col).where(F.col("lang_pred").isin(*langs))
+    if max_dup_3gram is not None:
+        from grafink_spark.llm.signals import repetition_signals
+
+        tagged = repetition_signals(tagged, id_col, text_col, ns=(3,)).where(
+            F.col("dup_3gram_fraction") <= max_dup_3gram
+        ).drop("top_3gram_fraction", "dup_3gram_fraction")
+    if benchmark is not None:
+        tagged = decontaminate(
+            tagged, benchmark, id_col, text_col, n=contam_ngram
+        )
     # the survivor set feeds the LSH pipeline, the component losers
     # anti-join, and the final projection — cache it once (the filters
     # upstream are the expensive expressions: quality regexes + 4-lang

@@ -604,12 +604,20 @@ def semantic_dedup(
     connected components. When nlist is smaller than the shuffle
     partition count the join is salted so the quadratic pair work still
     uses every core (nlist should really grow with the corpus)."""
+    from grafink_spark.util import ensure_min_partitions
+
     from .simsearch import ivf_assign, ivf_train  # local: avoids cycle
 
+    # the interpreted higher-order cosine work is CPU-bound: fan a
+    # few-split input out to all cores (no-op at real scale, where
+    # inputs have thousands of splits)
+    df = ensure_min_partitions(df)
     centroids = ivf_train(
         df, nlist=nlist, iters=iters, vec_col=vec_col, id_col=id_col
     )
-    assigned = ivf_assign(df, centroids, vec_col)
+    # three consumers (both pair sides + the survivor anti-join) reuse
+    # the assignment — cache it (MEMORY_AND_DISK: spills, never OOMs)
+    assigned = ivf_assign(df, centroids, vec_col).cache()
     parts = int(
         df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
     )

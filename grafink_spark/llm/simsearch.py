@@ -106,15 +106,29 @@ def hyperplane_signature(
 def _centroid_matrix(df_like: DataFrame, centroids: list[tuple[int, list[float]]]):
     """One-row broadcastable DataFrame holding the full centroid matrix
     as ``_cmat: array<array<double>>`` (position = cid; cids are dense
-    0..nlist-1 by construction in ivf_train).
+    0..nlist-1 by construction in ivf_train) plus ``_cnorms``, the
+    centroids' L2 norms precomputed ONCE (strict left fold, the same
+    order as the Spark-side aggregate — bit-identical doubles).
 
     The matrix travels as *broadcast data*, not as plan literals, so
     analysis time and plan width are O(1) regardless of nlist×dim —
     a 4096×1024 index costs the same plan as 8×64 (VERDICT r1 item 5;
     the previous literal-expansion plan was O(nlist×dim))."""
+    import math
+
     mat = [list(map(float, vec)) for _, vec in sorted(centroids)]
+
+    def l2(vec: list[float]) -> float:
+        acc = 0.0
+        for x in vec:
+            acc += x * x
+        return math.sqrt(acc)
+
+    norms = [l2(vec) for vec in mat]
     spark = df_like.sparkSession
-    return spark.createDataFrame([(mat,)], "_cmat array<array<double>>")
+    return spark.createDataFrame(
+        [(mat, norms)], "_cmat array<array<double>>, _cnorms array<double>"
+    )
 
 
 def ivf_assign(
@@ -125,16 +139,33 @@ def ivf_assign(
     """Assign each vector to its nearest centroid (by cosine): adds a
     ``list_id`` column. The centroid matrix joins in as a broadcast
     single row (BroadcastNestedLoopJoin over one row — no shuffle);
-    the argmax is one transform + array_position expression, so the
+    the argmax is one zip_with + array_position expression, so the
     plan is dimension- and nlist-independent. Ties pick the lowest
-    cid (first maximum), matching the previous fold semantics."""
+    cid (first maximum), matching the previous fold semantics.
+
+    The row's norm is staged once per ROW and the centroid norms ride
+    the broadcast — the per-centroid lambda is just dot/(nv·nc), a ~3×
+    cut over recomputing both norms per centroid. Same expression tree
+    per value, so results (and the SQL oracle replays) are bit-equal."""
     v = F.col(vec_col).cast("array<double>")
-    sims = F.transform(F.col("_cmat"), lambda c: cosine_similarity(v, c))
+    nv = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+
+    def cos_to(c, nc):
+        dot = F.aggregate(
+            F.zip_with(v, c, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        denom = F.col("_nv") * nc
+        return F.when(denom > 0, dot / denom).otherwise(F.lit(0.0))
+
+    sims = F.zip_with(F.col("_cmat"), F.col("_cnorms"), cos_to)
     best = (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
     return (
         corpus.crossJoin(F.broadcast(_centroid_matrix(corpus, centroids)))
+        .withColumn("_nv", nv)
         .withColumn("list_id", best)
-        .drop("_cmat")
+        .drop("_cmat", "_cnorms", "_nv")
     )
 
 
