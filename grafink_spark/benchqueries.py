@@ -1113,8 +1113,9 @@ def q_prepare_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_PREPARE_CORPUS = f"""
-WITH
+# shared CTE prefix: exact-dedup keeper set -> quality scoring -> lang
+# filter (ends at the `filtered` CTE)
+_PREPARE_PREFIX = f"""
 keep1 AS (
   SELECT d.doc_id, d.text FROM documents d
   JOIN (SELECT md5(text) AS h, min(doc_id) AS keeper
@@ -1165,10 +1166,79 @@ filtered AS (
            END AS lang_pred
     FROM langed
   ) WHERE lang_pred IN ('en', 'fr')
-),
+)"""
+
+SQL_PREPARE_CORPUS = f"""
+WITH
+{_PREPARE_PREFIX},
 comp AS ({_near_dup_components_sql("filtered")})
 SELECT f.doc_id, f.lang_pred, f.n_tokens, round(f.quality_score, 6) AS quality_score
 FROM filtered f
+LEFT JOIN comp ON comp.doc_id = f.doc_id
+WHERE comp.doc_id IS NULL OR comp.doc_id = comp.component_id
+"""
+
+
+def q_prepare_corpus_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full modern pipeline: exact dedup → quality → lang →
+    repetition filter (dup-3-gram ≤ 0.05) → benchmark decontamination
+    (8-gram overlap vs the doc_id % 31 == 5 slice) → near-dup drop."""
+    from grafink_spark.llm.corpus import prepare_corpus
+
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    bench = docs.where(F.col("doc_id") % 31 == 5)
+    out = prepare_corpus(
+        docs.select("doc_id", "text"),
+        langs=("en", "fr"),
+        min_quality=0.75,
+        max_dup_3gram=0.05,
+        benchmark=bench,
+    )
+    return out.select(
+        "doc_id",
+        "lang_pred",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round("quality_score", 6).alias("quality_score"),
+    )
+
+
+SQL_PREPARE_CORPUS_FULL = f"""
+WITH
+{_PREPARE_PREFIX},
+rg AS (
+  SELECT doc_id, gram, count(*) AS cnt FROM (
+    SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1),
+           i -> array_to_string(toks[i:i+2], ' '))) AS gram
+    FROM (SELECT doc_id, {TOKENS_SQL} AS toks FROM filtered)
+  ) GROUP BY 1, 2
+),
+repdrop AS (
+  SELECT doc_id FROM (
+    SELECT doc_id,
+           coalesce(sum(cnt) FILTER (WHERE cnt > 1), 0) / sum(cnt) AS dupfrac
+    FROM rg GROUP BY 1
+  ) WHERE dupfrac > 0.05
+),
+bt AS (SELECT {TOKENS_SQL} AS toks FROM documents WHERE doc_id % 31 = 5),
+bgrams AS (
+  SELECT DISTINCT unnest(list_transform(range(1, len(toks) - 6),
+         i -> array_to_string(toks[i:i+7], ' '))) AS gram
+  FROM bt
+),
+cgrams AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(toks) - 6),
+         i -> array_to_string(toks[i:i+7], ' '))) AS gram
+  FROM (SELECT doc_id, {TOKENS_SQL} AS toks FROM filtered)
+),
+contam AS (SELECT DISTINCT c.doc_id FROM cgrams c JOIN bgrams b USING (gram)),
+kept2 AS (
+  SELECT f.* FROM filtered f
+  WHERE f.doc_id NOT IN (SELECT doc_id FROM repdrop)
+    AND f.doc_id NOT IN (SELECT doc_id FROM contam)
+),
+comp AS ({_near_dup_components_sql("kept2")})
+SELECT f.doc_id, f.lang_pred, f.n_tokens, round(f.quality_score, 6) AS quality_score
+FROM kept2 f
 LEFT JOIN comp ON comp.doc_id = f.doc_id
 WHERE comp.doc_id IS NULL OR comp.doc_id = comp.component_id
 """
@@ -1840,6 +1910,7 @@ QUERIES: dict[str, QueryFn] = {
     "semantic_dedup": q_semantic_dedup,
     "contamination": q_contamination,
     "bm25_search": q_bm25_search,
+    "prepare_corpus_full": q_prepare_corpus_full,
 }
 
 ORACLES: dict[str, str] = {
@@ -1895,4 +1966,5 @@ ORACLES: dict[str, str] = {
     "semantic_dedup": SQL_SEMANTIC_DEDUP,
     "contamination": SQL_CONTAMINATION,
     "bm25_search": SQL_BM25_SEARCH,
+    "prepare_corpus_full": SQL_PREPARE_CORPUS_FULL,
 }

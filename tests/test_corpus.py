@@ -88,3 +88,34 @@ def test_contamination_and_decontaminate(spark):
         r.doc_id for r in decontaminate(docs, bench, n=8).collect()
     )
     assert kept == [2]
+
+
+def test_prepare_corpus_optional_stages(spark):
+    from grafink_spark.llm.corpus import prepare_corpus
+
+    repeats = " ".join(["the dog ran"] * 10)  # dup 3-grams galore
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, repeats),
+            (3, "a fine day with the usual set of plain words in it"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        # shares an 8-gram with doc 1 only
+        [(99, "quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    base = prepare_corpus(docs, langs=("en",), min_quality=0.5)
+    kept = sorted(r.doc_id for r in base.collect())
+    assert kept == [1, 2, 3]
+    no_rep = prepare_corpus(
+        docs, langs=("en",), min_quality=0.5, max_dup_3gram=0.2
+    )
+    assert sorted(r.doc_id for r in no_rep.collect()) == [1, 3]
+    clean = prepare_corpus(
+        docs, langs=("en",), min_quality=0.5, max_dup_3gram=0.2,
+        benchmark=bench,
+    )
+    assert sorted(r.doc_id for r in clean.collect()) == [3]
