@@ -38,6 +38,7 @@ from grafink_spark.llm.multimodal import (
     extract_image_features,
     make_fake_audio,
     make_fake_image,
+    sample_frames,
 )
 from grafink_spark.rules.samevalue import SameValueClassifier
 from grafink_spark.rules.similarity import SimilarityClassifier
@@ -1378,6 +1379,45 @@ FROM p JOIN sq USING (doc_id)
 """
 
 
+def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-column plumbing: 1→N frame sampling (mapInPandas) over
+    deterministic fake payloads — one row per 64-byte 'frame'."""
+    docs = load_table(spark, sf_dir, "documents").orderBy("doc_id").limit(50)
+    rows = docs.select("doc_id").collect()
+    payloads = [
+        (int(r.doc_id), make_fake_image(int(r.doc_id), 32, 16)) for r in rows
+    ]
+    media = spark.createDataFrame(payloads, "doc_id long, payload binary")
+    frames = sample_frames(media, every_n_bytes=64)
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        F.md5(F.lower(F.hex(F.col("frame_bytes")))).alias("frame_md5"),
+        F.length("frame_bytes").cast("long").alias("n_bytes"),
+    )
+
+
+# payload = make_fake_image(doc_id, 32, 16): 520 bytes = 1040 hex chars
+# (8-byte header + md5 digest ×32); 64-byte frames = 128 hex chars, so
+# 9 frames with the last one 8 bytes. frame_md5 hashes the lowercase
+# hex (payload_checksum convention — DuckDB md5 is VARCHAR-only).
+SQL_VIDEO_FRAMES = """
+WITH ids AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 50),
+p AS (
+  SELECT doc_id,
+         '2000000010000000' || repeat(md5(doc_id::VARCHAR), 32) AS ph
+  FROM ids
+),
+f AS (
+  SELECT doc_id, g.i AS frame_idx, substr(ph, 128 * g.i + 1, 128) AS fh
+  FROM p, generate_series(0, 8) g(i)
+)
+SELECT doc_id, frame_idx::INT AS frame_idx, md5(fh) AS frame_md5,
+       (length(fh) // 2)::BIGINT AS n_bytes
+FROM f WHERE length(fh) > 0
+"""
+
+
 # =================================================================
 # LLM ops: approximate ANN — both index builds are deterministic
 # (seeded hyperplanes / lowest-id seeds + Lloyd), so the full
@@ -1911,6 +1951,7 @@ QUERIES: dict[str, QueryFn] = {
     "contamination": q_contamination,
     "bm25_search": q_bm25_search,
     "prepare_corpus_full": q_prepare_corpus_full,
+    "video_frames": q_video_frames,
 }
 
 ORACLES: dict[str, str] = {
@@ -1967,4 +2008,5 @@ ORACLES: dict[str, str] = {
     "contamination": SQL_CONTAMINATION,
     "bm25_search": SQL_BM25_SEARCH,
     "prepare_corpus_full": SQL_PREPARE_CORPUS_FULL,
+    "video_frames": SQL_VIDEO_FRAMES,
 }
