@@ -3,6 +3,7 @@ from grafink_spark.llm import (  # noqa: F401
     dedup,
     multimodal,
     pii,
+    search,
     signals,
     simsearch,
     text,
