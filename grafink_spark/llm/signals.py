@@ -103,6 +103,47 @@ def ngram_counts(
     )
 
 
+def _run_stats(grams: Column) -> Column:
+    """struct(top, dup, total) gram-occurrence stats, computed ROW-LOCAL:
+    sort the gram array, then one fold counts run lengths — top = longest
+    run, dup = occurrences inside runs longer than 1. Equivalent to the
+    explode→count→rollup values with zero data movement; per-row cost is
+    O(g log g) in the doc's own gram count."""
+    sorted_g = F.array_sort(grams)
+    zero = F.lit(0).cast("long")
+    init = F.struct(
+        F.lit("").alias("prev"),
+        zero.alias("run"),
+        zero.alias("top"),
+        zero.alias("dup"),
+    )
+
+    def step(acc: Column, g: Column) -> Column:
+        same = acc["prev"] == g
+        closed_top = F.greatest(acc["top"], acc["run"])
+        closed_dup = acc["dup"] + F.when(
+            acc["run"] > 1, acc["run"]
+        ).otherwise(zero)
+        return F.struct(
+            g.alias("prev"),
+            F.when(same, acc["run"] + 1).otherwise(F.lit(1).cast("long")).alias("run"),
+            F.when(same, acc["top"]).otherwise(closed_top).alias("top"),
+            F.when(same, acc["dup"]).otherwise(closed_dup).alias("dup"),
+        )
+
+    def finish(acc: Column) -> Column:
+        return F.struct(
+            F.greatest(acc["top"], acc["run"]).alias("top"),
+            (
+                acc["dup"]
+                + F.when(acc["run"] > 1, acc["run"]).otherwise(zero)
+            ).alias("dup"),
+            F.size(grams).cast("long").alias("total"),
+        )
+
+    return F.aggregate(sorted_g, init, step, finish)
+
+
 def repetition_signals(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -112,35 +153,29 @@ def repetition_signals(
     """Per-document n-gram repetition: for each order n,
     top_{n}gram_fraction (occurrences of the most frequent gram / total
     occurrences) and dup_{n}gram_fraction (occurrences of grams seen
-    more than once / total). Documents with no tokens get 0.0."""
-    counts = ngram_counts(df, id_col, text_col, ns)
-    per_doc_n = counts.groupBy(id_col, "n").agg(
-        F.sum("cnt").alias("total"),
-        F.max("cnt").alias("top"),
-        F.coalesce(
-            F.sum(F.when(F.col("cnt") > 1, F.col("cnt"))), F.lit(0)
-        ).alias("dup"),
+    more than once / total). Documents with no tokens get 0.0.
+
+    Entirely row-local (sorted run-length folds over the gram arrays) —
+    no explode, no shuffle, no join; the earlier explode→groupBy→join
+    formulation shuffled every gram occurrence twice."""
+    staged = df.select("*", tokens(text_col).alias("__toks"))
+    stats = staged.select(
+        "*",
+        *[
+            _run_stats(gram_array(F.col("__toks"), n)).alias(f"__st_{n}")
+            for n in ns
+        ],
     )
-    aggs = []
+    frac_cols = []
     for n in ns:
-        hit = F.col("n") == n
-        aggs.append(
-            F.max(F.when(hit, F.col("top") / F.col("total"))).alias(
-                f"top_{n}gram_fraction"
+        st = F.col(f"__st_{n}")
+        for which in ("top", "dup"):
+            frac_cols.append(
+                F.when(st["total"] > 0, st[which] / st["total"])
+                .otherwise(F.lit(0.0))
+                .alias(f"{which}_{n}gram_fraction")
             )
-        )
-        aggs.append(
-            F.max(F.when(hit, F.col("dup") / F.col("total"))).alias(
-                f"dup_{n}gram_fraction"
-            )
-        )
-    wide = per_doc_n.groupBy(id_col).agg(*aggs)
-    out = df.join(wide, on=id_col, how="left")
-    frac_cols = [c for c in wide.columns if c != id_col]
-    return out.select(
-        *df.columns,
-        *[F.coalesce(F.col(c), F.lit(0.0)).alias(c) for c in frac_cols],
-    )
+    return stats.select(*df.columns, *frac_cols)
 
 
 def document_signals(

@@ -122,12 +122,14 @@ def _docs(spark, n=60):
     )
 
 
-def test_repetition_signals_single_explode(spark):
+def test_repetition_signals_row_local(spark):
     from grafink_spark.llm import signals as sg
 
     plan = physical_plan(sg.document_signals(_docs(spark)))
-    # all n-gram orders ride ONE tagged explode from one scan
-    assert plan.count("Generate explode") == 1
+    # sorted run-length folds: no explode, no shuffle, no join
+    assert "Generate" not in plan
+    assert "Exchange" not in plan
+    assert "Join" not in plan
 
 
 def test_pii_is_narrow(spark):

@@ -57,3 +57,15 @@ def test_short_and_empty_docs(spark):
     # doc 3: single token
     assert rows[3]["top_1gram_fraction"] == 1.0
     assert rows[3]["dup_1gram_fraction"] == 0.0
+
+
+def test_ngram_counts_building_block(spark):
+    df = spark.createDataFrame([(1, "a a b")], "doc_id long, text string")
+    got = {
+        (r["n"], r["gram"]): r["cnt"]
+        for r in sg.ngram_counts(df, ns=(1, 2)).collect()
+    }
+    assert got == {
+        (1, "a"): 2, (1, "b"): 1,
+        (2, "a a"): 1, (2, "a b"): 1,
+    }
