@@ -1895,6 +1895,33 @@ FROM scored ORDER BY score DESC, doc_id LIMIT {k}
 SQL_BM25_SEARCH = _bm25_sql(_BM25_QUERY)
 
 
+def q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: 20 most frequent bigrams (count desc, gram
+    asc) — the exploded ngram_counts building block rolled up corpus-
+    wide; partial aggregation keeps the shuffle at distinct-gram volume."""
+    from grafink_spark.llm.signals import ngram_counts
+
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    counts = ngram_counts(docs, ns=(2,))
+    return (
+        counts.groupBy("gram")
+        .agg(F.sum("cnt").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("gram"))
+        .limit(20)
+    )
+
+
+SQL_TOP_BIGRAMS = f"""
+WITH g AS (
+  SELECT unnest(list_transform(range(1, len(toks)),
+         i -> array_to_string(toks[i:i+1], ' '))) AS gram
+  FROM (SELECT {TOKENS_SQL} AS toks FROM documents)
+)
+SELECT gram, count(*) AS n FROM g
+GROUP BY 1 ORDER BY n DESC, gram LIMIT 20
+"""
+
+
 # =================================================================
 # registry
 # =================================================================
@@ -1952,6 +1979,7 @@ QUERIES: dict[str, QueryFn] = {
     "bm25_search": q_bm25_search,
     "prepare_corpus_full": q_prepare_corpus_full,
     "video_frames": q_video_frames,
+    "top_bigrams": q_top_bigrams,
 }
 
 ORACLES: dict[str, str] = {
@@ -2009,4 +2037,5 @@ ORACLES: dict[str, str] = {
     "bm25_search": SQL_BM25_SEARCH,
     "prepare_corpus_full": SQL_PREPARE_CORPUS_FULL,
     "video_frames": SQL_VIDEO_FRAMES,
+    "top_bigrams": SQL_TOP_BIGRAMS,
 }
