@@ -69,3 +69,48 @@ def test_ngram_counts_building_block(spark):
         (1, "a"): 2, (1, "b"): 1,
         (2, "a a"): 1, (2, "a b"): 1,
     }
+
+
+def test_run_stats_matches_bruteforce(spark):
+    # 60 randomized docs (fixed seed), fold vs Counter reference
+    import random
+    from collections import Counter
+
+    rng = random.Random(7)
+    vocab = ["a", "b", "c", "dd", "ee"]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 12))))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in sg.repetition_signals(df, ns=(1, 2)).collect()
+    }
+    for doc_id, text in docs:
+        toks = text.split() if text.strip() else []
+        for n in (1, 2):
+            grams = [
+                " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+            ]
+            c = Counter(grams)
+            total = sum(c.values())
+            top = max(c.values()) / total if total else 0.0
+            dup = (
+                sum(v for v in c.values() if v > 1) / total if total else 0.0
+            )
+            assert got[doc_id][f"top_{n}gram_fraction"] == pytest.approx(top)
+            assert got[doc_id][f"dup_{n}gram_fraction"] == pytest.approx(dup)
+
+
+def test_redact_is_idempotent(spark):
+    from grafink_spark.llm import pii as pi
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "a@b.co and +1 222-333-4444 at 1.2.3.4")],
+        "doc_id long, text string",
+    )
+    once = pi.redact_pii(df)
+    twice = pi.redact_pii(once)
+    assert once.collect() == twice.collect()
