@@ -747,11 +747,19 @@ FROM fp GROUP BY 1 HAVING count(*) > 1
 
 def _sig_sql(num_hashes: int, k: int = 3) -> str:
     """DuckDB expression list for minhash signature elements over a
-    shingle array column named s."""
+    base-hash array column named bh (see _BASE_HASH_SQL); constants come
+    from the same minhash_constants() the Spark side uses."""
+    p = dd.MINHASH_PRIME
     return ", ".join(
-        f"list_min(list_transform(s, x -> md5('{i}|' || x))) AS m{i}"
-        for i in range(num_hashes)
+        f"list_min(list_transform(bh, h -> ({a} * h + {b}) % {p})) AS m{i}"
+        for i, (a, b) in enumerate(dd.minhash_constants(num_hashes))
     )
+
+
+# one md5 per shingle: 32-bit base hash from the first 8 md5 hex chars
+_BASE_HASH_SQL = (
+    "list_transform(s, x -> ('0x' || substr(md5(x), 1, 8))::BIGINT) AS bh"
+)
 
 
 def _shingles_sql(src: str = "documents") -> str:
@@ -775,8 +783,9 @@ def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     # each stage's expression is referenced multiple times downstream,
     # so inlining would multiply the tokenize/md5 work per row
     sh = docs.select("doc_id", dd.shingles(F.col("text"), 3).alias("_sh"))
-    staged = sh.select(
-        "doc_id", dd.signature_from_shingles(F.col("_sh"), num_hashes=4).alias("_sig")
+    bh = sh.select("doc_id", dd.shingle_hashes(F.col("_sh")).alias("_bh"))
+    staged = bh.select(
+        "doc_id", dd.signature_from_hashes(F.col("_bh"), num_hashes=4).alias("_sig")
     )
     return staged.select(
         "doc_id",
@@ -785,8 +794,9 @@ def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_MINHASH_SIGNATURE = f"""
-WITH sh AS ({_SHINGLES_SQL})
-SELECT doc_id, {_sig_sql(4)} FROM sh
+WITH sh AS ({_SHINGLES_SQL}),
+bh AS (SELECT doc_id, {_BASE_HASH_SQL} FROM sh)
+SELECT doc_id, {_sig_sql(4)} FROM bh
 """
 
 
@@ -800,7 +810,8 @@ def q_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _lsh_candidates_sql(src: str = "documents") -> str:
     return f"""
 WITH sh AS ({_shingles_sql(src)}),
-sig AS (SELECT doc_id, {_sig_sql(16)} FROM sh),
+bh AS (SELECT doc_id, {_BASE_HASH_SQL} FROM sh),
+sig AS (SELECT doc_id, {_sig_sql(16)} FROM bh),
 bands AS (
   SELECT doc_id,
          md5(m0 || m1 || m2 || m3)     AS b0,

@@ -90,28 +90,61 @@ def drop_exact_duplicates(
 # ------------------------------------------------------------- MinHash
 
 
+# universal-hash minhash family: element i = min((a_i·h + b_i) mod P)
+# over 32-bit shingle base hashes h. P is the smallest prime > 2^32;
+# a_i, b_i are fixed seeded 31-BIT constants, so a·h + b < 2^63 — exact
+# BIGINT arithmetic in both Spark (ANSI, overflow-checked) and DuckDB.
+MINHASH_PRIME = 4294967311
+
+
+def minhash_constants(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) pairs (seeded; a odd, both < 2^31 so the
+    64-bit product can't overflow) — imported by the SQL oracle builder
+    so both sides stay in sync."""
+    import random
+
+    rng = random.Random(0x5EED)
+    return [
+        (rng.randrange(1, 1 << 31) | 1, rng.randrange(0, 1 << 31))
+        for _ in range(num_hashes)
+    ]
+
+
+def shingle_hashes(sh: Column) -> Column:
+    """32-bit base hash per shingle: first 8 hex chars of md5, as long.
+    ONE md5 per shingle — stage this as a real column; the signature's
+    num_hashes min-terms then reuse it with cheap integer mixing."""
+    return F.transform(
+        sh, lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+    )
+
+
+def signature_from_hashes(bh: Column, num_hashes: int = 16) -> Column:
+    """MinHash signature from a *pre-projected* base-hash array column.
+
+    Pass a plain column reference, not the shingle_hashes() expression:
+    each of the ``num_hashes`` terms references ``bh``, so an inline
+    expression tree would re-run the md5 scan num_hashes× per row."""
+
+    def min_hash(a: int, b: int) -> Column:
+        return F.array_min(
+            F.transform(bh, lambda h: (a * h + b) % MINHASH_PRIME)
+        )
+
+    return F.array(*[min_hash(a, b) for a, b in minhash_constants(num_hashes)])
+
+
 def signature_from_shingles(sh: Column, num_hashes: int = 16) -> Column:
-    """MinHash signature from a *pre-projected* shingle-array column.
-
-    Pass a plain column reference, not the shingles() expression: each of
-    the ``num_hashes`` terms references ``sh``, so an inline expression
-    tree would be duplicated num_hashes× per row."""
-
-    def min_hash(i: int) -> Column:
-        # NB: the lambda must be single-arg — a 2-arg lambda would make
-        # F.transform pass the element index as the 2nd param
-        prefix = F.lit(f"{i}|")
-        return F.array_min(F.transform(sh, lambda s: F.md5(F.concat(prefix, s))))
-
-    return F.array(*[min_hash(i) for i in range(num_hashes)])
+    """Signature straight from a shingle array — convenience for small
+    inputs; the staged path (shingle_hashes → signature_from_hashes)
+    is the one that evaluates md5 once per shingle."""
+    return signature_from_hashes(shingle_hashes(sh), num_hashes)
 
 
 def minhash_signature(
     col: Column | str, num_hashes: int = 16, k: int = 3
 ) -> Column:
-    """Array of ``num_hashes`` minwise hashes: element i =
-    min(md5(i || '|' || shingle)). All string expressions → identical in
-    Spark and duckdb."""
+    """Array of ``num_hashes`` minwise hashes over k-token shingles."""
     return signature_from_shingles(shingles(col, k), num_hashes)
 
 
@@ -149,8 +182,9 @@ def minhash_lsh_candidates(
     ).select(
         "_id", shingles_from_tokens(F.col("_t"), k).alias("_sh")
     )
-    sig = sh.select(
-        "_id", signature_from_shingles(F.col("_sh"), num_hashes).alias("_sig")
+    bh = sh.select("_id", shingle_hashes(F.col("_sh")).alias("_bh"))
+    sig = bh.select(
+        "_id", signature_from_hashes(F.col("_bh"), num_hashes).alias("_sig")
     )
     keyed = sig.select(
         "_id",
