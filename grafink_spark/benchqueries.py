@@ -807,19 +807,23 @@ def q_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bands_sql(src: str) -> str:
+    """(doc_id, b0..b3) band keys for any source relation — the full
+    shingle → base-hash → signature → band chain as one subquery."""
+    return f"""
+SELECT doc_id,
+       md5(m0 || m1 || m2 || m3)     AS b0,
+       md5(m4 || m5 || m6 || m7)     AS b1,
+       md5(m8 || m9 || m10 || m11)   AS b2,
+       md5(m12 || m13 || m14 || m15) AS b3
+FROM (SELECT doc_id, {_sig_sql(16)}
+      FROM (SELECT doc_id, {_BASE_HASH_SQL} FROM ({_shingles_sql(src)})))
+"""
+
+
 def _lsh_candidates_sql(src: str = "documents") -> str:
     return f"""
-WITH sh AS ({_shingles_sql(src)}),
-bh AS (SELECT doc_id, {_BASE_HASH_SQL} FROM sh),
-sig AS (SELECT doc_id, {_sig_sql(16)} FROM bh),
-bands AS (
-  SELECT doc_id,
-         md5(m0 || m1 || m2 || m3)     AS b0,
-         md5(m4 || m5 || m6 || m7)     AS b1,
-         md5(m8 || m9 || m10 || m11)   AS b2,
-         md5(m12 || m13 || m14 || m15) AS b3
-  FROM sig
-)
+WITH bands AS ({_bands_sql(src)})
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
 FROM bands a JOIN bands b
   ON a.doc_id < b.doc_id
@@ -1933,6 +1937,47 @@ GROUP BY 1 ORDER BY n DESC, gram LIMIT 20
 """
 
 
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-ingest dedup: the doc_id % 5 == 0 slice plays the new
+    batch, the rest the historical corpus — new docs surviving LSH +
+    Jaccard against the corpus and then within-batch near-dup drop."""
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    new = docs.where(F.col("doc_id") % 5 == 0)
+    corp = docs.where(F.col("doc_id") % 5 != 0)
+    out = dd.drop_incremental_near_duplicates(new, corp)
+    return out.select("doc_id")
+
+
+SQL_INCREMENTAL_DEDUP = f"""
+WITH newd AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+corp AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+nb AS ({_bands_sql("newd")}),
+cb AS ({_bands_sql("corp")}),
+xcand AS (
+  -- NB: named xcand, not cand — comp's nested WITH RECURSIVE defines
+  -- its own cand, and DuckDB's recursive binder treats the outer
+  -- homonym as a circular reference
+  SELECT DISTINCT n.doc_id AS id_a, c.doc_id AS id_b
+  FROM nb n JOIN cb c
+    ON (n.b0 = c.b0 OR n.b1 = c.b1 OR n.b2 = c.b2 OR n.b3 = c.b3)
+),
+shn AS (SELECT doc_id, list_distinct(s) AS ds FROM ({_shingles_sql("newd")})),
+shc AS (SELECT doc_id, list_distinct(s) AS ds FROM ({_shingles_sql("corp")})),
+crosshit AS (
+  SELECT DISTINCT c.id_a FROM xcand c
+  JOIN shn a ON a.doc_id = c.id_a
+  JOIN shc b ON b.doc_id = c.id_b
+  WHERE len(list_intersect(a.ds, b.ds)) /
+        (len(a.ds) + len(b.ds) - len(list_intersect(a.ds, b.ds))) >= 0.5
+),
+surv AS (SELECT * FROM newd WHERE doc_id NOT IN (SELECT id_a FROM crosshit)),
+comp AS ({_near_dup_components_sql("surv")})
+SELECT s.doc_id FROM surv s
+LEFT JOIN comp ON comp.doc_id = s.doc_id
+WHERE comp.doc_id IS NULL OR comp.doc_id = comp.component_id
+"""
+
+
 # =================================================================
 # registry
 # =================================================================
@@ -1991,6 +2036,7 @@ QUERIES: dict[str, QueryFn] = {
     "prepare_corpus_full": q_prepare_corpus_full,
     "video_frames": q_video_frames,
     "top_bigrams": q_top_bigrams,
+    "incremental_dedup": q_incremental_dedup,
 }
 
 ORACLES: dict[str, str] = {
@@ -2049,4 +2095,5 @@ ORACLES: dict[str, str] = {
     "prepare_corpus_full": SQL_PREPARE_CORPUS_FULL,
     "video_frames": SQL_VIDEO_FRAMES,
     "top_bigrams": SQL_TOP_BIGRAMS,
+    "incremental_dedup": SQL_INCREMENTAL_DEDUP,
 }

@@ -16,10 +16,11 @@ Design for 100 TB:
   (blocked or LSH-generated) — never all-pairs.
 - **embedding cosine**: blocked all-pairs within a coarse key.
 
-MinHash uses md5-string minima rather than integer permutations: the
-min over ``md5(seed || shingle)`` is a valid minwise hash family member
-and — being plain string functions — reproduces bit-for-bit in the
-duckdb oracle.
+MinHash uses the universal-hash family min((a_i·h + b_i) mod P) over a
+single 32-bit md5-derived base hash per shingle — one md5 per shingle
+instead of hashes×shingles, with 31-bit seeded constants so every
+product stays in exact BIGINT; integer-and-md5 expressions reproduce
+bit-for-bit in the duckdb oracle.
 """
 
 from __future__ import annotations
@@ -158,6 +159,33 @@ def lsh_band_keys(signature: Column, bands: int, rows: int) -> Column:
     )
 
 
+def _band_keyed(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int,
+    k: int,
+    bands: int,
+) -> DataFrame:
+    """(_id, band, band_key) rows — the staged shingle → base-hash →
+    signature → band pipeline shared by batch and incremental LSH."""
+    rows = num_hashes // bands
+    df = ensure_min_partitions(df)
+    sh = df.select(
+        F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_t")
+    ).select("_id", shingles_from_tokens(F.col("_t"), k).alias("_sh"))
+    bh = sh.select("_id", shingle_hashes(F.col("_sh")).alias("_bh"))
+    sig = bh.select(
+        "_id", signature_from_hashes(F.col("_bh"), num_hashes).alias("_sig")
+    )
+    return sig.select(
+        "_id",
+        F.posexplode(lsh_band_keys(F.col("_sig"), bands, rows)).alias(
+            "band", "band_key"
+        ),
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str = "text",
@@ -175,23 +203,7 @@ def minhash_lsh_candidates(
     re-evaluated hashes×bands times); then ONE shuffle groups ids by
     (band, band_key) and pairs explode per bucket — cost O(Σ bucket²)
     with no self-join and no second pass over the documents."""
-    rows = num_hashes // bands
-    df = ensure_min_partitions(df)
-    sh = df.select(
-        F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_t")
-    ).select(
-        "_id", shingles_from_tokens(F.col("_t"), k).alias("_sh")
-    )
-    bh = sh.select("_id", shingle_hashes(F.col("_sh")).alias("_bh"))
-    sig = bh.select(
-        "_id", signature_from_hashes(F.col("_bh"), num_hashes).alias("_sig")
-    )
-    keyed = sig.select(
-        "_id",
-        F.posexplode(lsh_band_keys(F.col("_sig"), bands, rows)).alias(
-            "band", "band_key"
-        ),
-    )
+    keyed = _band_keyed(df, text_col, id_col, num_hashes, k, bands)
     buckets = (
         keyed.groupBy("band", "band_key")
         .agg(F.array_sort(F.collect_list("_id")).alias("_ids"))
@@ -661,3 +673,60 @@ def semantic_dedup(
     )
     dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return assigned.join(dropped, on=id_col, how="left_anti")
+
+
+def incremental_lsh_candidates(
+    new: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    k: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Candidate near-dup pairs (id_a from the NEW batch, id_b from the
+    existing corpus) that share any LSH band key — the daily-ingest
+    pattern: only the new batch is banded against the historical side,
+    never corpus×corpus.
+
+    At scale the equi join on (band, band_key) shuffles each side once;
+    the new batch is typically orders of magnitude smaller than the
+    corpus, so the pair space is bounded by the new side's bucket
+    membership."""
+    kn = _band_keyed(new, text_col, id_col, num_hashes, k, bands).select(
+        F.col("_id").alias("id_a"), "band", "band_key"
+    )
+    kc = _band_keyed(corpus, text_col, id_col, num_hashes, k, bands).select(
+        F.col("_id").alias("id_b"), "band", "band_key"
+    )
+    return kn.join(kc, ["band", "band_key"]).select("id_a", "id_b").distinct()
+
+
+def drop_incremental_near_duplicates(
+    new: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    k: int = 3,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """New-batch rows surviving dedup against BOTH the historical corpus
+    (LSH candidates → Jaccard ≥ threshold → drop the new side) and then
+    the batch itself (drop_near_duplicates). Ids must be unique across
+    the two inputs."""
+    cand = incremental_lsh_candidates(
+        new, corpus, text_col, id_col, num_hashes, k, bands
+    )
+    both = new.select(F.col(id_col), F.col(text_col)).unionByName(
+        corpus.select(F.col(id_col), F.col(text_col))
+    )
+    hits = ngram_jaccard_pairs(
+        both, text_col, id_col, k, threshold, candidates=cand
+    )
+    dropped = hits.select(F.col("id_a").alias(id_col)).distinct()
+    survivors = new.join(dropped, id_col, "left_anti")
+    return drop_near_duplicates(
+        survivors, text_col, id_col, num_hashes, k, bands, threshold
+    )

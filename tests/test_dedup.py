@@ -212,3 +212,23 @@ def test_semantic_dedup_exact_dups_dropped(spark):
     out = dd.semantic_dedup(df, nlist=2, iters=1, threshold=0.95)
     assert "list_id" in out.columns
     assert sorted(r.vec_id for r in out.collect()) == [1, 3, 4, 6]
+
+
+def test_incremental_dedup_against_corpus(spark):
+    corpus = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),  # corpus dup
+            (2, "totally different words appear right here now"),
+            (3, "totally different words appear right here now"),  # in-batch dup of 2
+            (4, "yet another clean and unrelated document body"),
+        ],
+        "doc_id long, text string",
+    )
+    cand = dd.incremental_lsh_candidates(new, corpus)
+    assert (1, 100) in {(r.id_a, r.id_b) for r in cand.collect()}
+    out = dd.drop_incremental_near_duplicates(new, corpus)
+    assert sorted(r.doc_id for r in out.collect()) == [2, 4]
