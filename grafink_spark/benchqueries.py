@@ -1978,6 +1978,59 @@ WHERE comp.doc_id IS NULL OR comp.doc_id = comp.component_id
 """
 
 
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (3 iterations, d=0.85) over the undirected similarity
+    graph — both directions of each classifier edge."""
+    from grafink_spark.graph.algorithms import pagerank
+
+    ev, current = _alertish_events(spark, sf_dir)
+    rule = SimilarityClassifier("rfscore OR objectId", mode="decomposed")
+    loaded = ev.where(F.col("id") % 20 != 0)
+    pairs = rule.classify(loaded, current).select("src", "dst")
+    edges = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    pr = pagerank(edges, iters=3)
+    return pr.select("id", F.round("rank", 6).alias("rank"))
+
+
+def _pagerank_sql(iters: int = 3, damping: float = 0.85) -> str:
+    """Unrolled replay of graph.algorithms.pagerank: identical literal
+    constants (repr round-trips the Python doubles) and identical
+    expression shape per iteration, so ranks agree to fp noise far
+    below the round-6 output."""
+    base_lit = repr(1.0 - damping)
+    d_lit = repr(damping)
+    blocks = []
+    for i in range(1, iters + 1):
+        blocks.append(f"""pr{i} AS (
+  SELECT v.id, {base_lit} / nn.c + {d_lit} * coalesce(s.x, 0.0) AS rank
+  FROM verts v CROSS JOIN nn
+  LEFT JOIN (SELECT ed.dst, sum(p.rank / ed.deg) AS x
+             FROM ed JOIN pr{i - 1} p ON p.id = ed.src GROUP BY 1) s
+    ON s.dst = v.id
+)""")
+    chain = ",\n".join(blocks)
+    return f"""
+WITH pairs AS ({SQL_SIMILARITY_EDGES}),
+e AS (
+  SELECT src, dst FROM pairs
+  UNION ALL
+  SELECT dst AS src, src AS dst FROM pairs
+),
+verts AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+nn AS (SELECT count(*) AS c FROM verts),
+deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+ed AS (SELECT e.src, e.dst, d.deg FROM e JOIN deg d USING (src)),
+pr0 AS (SELECT id, 1.0 / nn.c AS rank FROM verts CROSS JOIN nn),
+{chain}
+SELECT id, round(rank, 6) AS rank FROM pr{iters}
+"""
+
+
+SQL_PAGERANK = _pagerank_sql()
+
+
 # =================================================================
 # registry
 # =================================================================
@@ -2037,6 +2090,7 @@ QUERIES: dict[str, QueryFn] = {
     "video_frames": q_video_frames,
     "top_bigrams": q_top_bigrams,
     "incremental_dedup": q_incremental_dedup,
+    "pagerank": q_pagerank,
 }
 
 ORACLES: dict[str, str] = {
@@ -2096,4 +2150,5 @@ ORACLES: dict[str, str] = {
     "video_frames": SQL_VIDEO_FRAMES,
     "top_bigrams": SQL_TOP_BIGRAMS,
     "incremental_dedup": SQL_INCREMENTAL_DEDUP,
+    "pagerank": SQL_PAGERANK,
 }

@@ -1,0 +1,38 @@
+"""PageRank goldens on hand-checkable graphs."""
+
+import pytest
+
+from grafink_spark.graph.algorithms import pagerank
+
+
+def _edges(spark, pairs):
+    both = pairs + [(b, a) for a, b in pairs]
+    return spark.createDataFrame(both, "src long, dst long")
+
+
+def test_two_node_cycle_is_uniform(spark):
+    pr = {r.id: r.rank for r in pagerank(_edges(spark, [(1, 2)]), iters=5).collect()}
+    assert pr[1] == pytest.approx(0.5)
+    assert pr[2] == pytest.approx(0.5)
+
+
+def test_star_center_dominates_and_mass_conserved(spark):
+    # undirected star: center 0, leaves 1..4 — no dangling nodes, so
+    # total mass stays 1
+    pr = {
+        r.id: r.rank
+        for r in pagerank(
+            _edges(spark, [(0, i) for i in range(1, 5)]), iters=4
+        ).collect()
+    }
+    assert pr[0] > max(pr[i] for i in range(1, 5))
+    assert sum(pr.values()) == pytest.approx(1.0)
+    # leaves are symmetric
+    leaf = pr[1]
+    assert all(pr[i] == pytest.approx(leaf) for i in range(2, 5))
+
+
+def test_directed_chain_ranks_increase_downstream(spark):
+    df = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    pr = {r.id: r.rank for r in pagerank(df, iters=3).collect()}
+    assert pr[1] < pr[2] < pr[3]
