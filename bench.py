@@ -54,6 +54,7 @@ HEADLINE = [
     "contamination",
     "semantic_dedup",
     "bm25_search",
+    "pagerank",
 ]
 
 # Queries whose full row set is large: drain with a `noop`-format write
@@ -76,6 +77,7 @@ NOOP_DRAIN = {
     "semantic_dedup",
     "simhash",
     "text_stats",
+    "pagerank",
 }
 
 
