@@ -165,3 +165,17 @@ def test_semantic_dedup_salted_equi_join(spark):
     for ln in plan.splitlines():
         if "BroadcastNestedLoopJoin" in ln:
             assert "Cross" in ln
+
+
+def test_bm25_no_wide_shuffle(spark):
+    from grafink_spark.llm.search import bm25_search
+
+    plan = physical_plan(bm25_search(_docs(spark), "alpha beta", k=5))
+    # allowed exchanges: the 1-row stats SinglePartition agg, broadcasts,
+    # and local-scale round-robin fanout — never a keyed data shuffle
+    bad = [
+        l for l in plan.splitlines() if "Exchange hashpartitioning" in l
+    ]
+    assert not bad, bad
+    assert "TakeOrderedAndProject" in plan
+    assert "Generate" not in plan  # term counts are row-local, no explode
