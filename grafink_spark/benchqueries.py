@@ -2031,6 +2031,29 @@ SELECT id, round(rank, 6) AS rank FROM pr{iters}
 SQL_PAGERANK = _pagerank_sql()
 
 
+def q_auto_stopwords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-discovered stopwords: tokens present in ≥ 30% of docs."""
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    out = tx.auto_stopwords(docs, min_doc_fraction=0.3)
+    return out.select(
+        "token",
+        F.col("df").cast("long").alias("df"),
+        F.round("doc_fraction", 6).alias("doc_fraction"),
+    )
+
+
+SQL_AUTO_STOPWORDS = f"""
+WITH n AS (SELECT count(*) AS c FROM documents),
+t AS (
+  SELECT unnest(list_distinct({TOKENS_SQL})) AS token FROM documents
+),
+d AS (SELECT token, count(*) AS df FROM t GROUP BY 1)
+SELECT d.token, d.df, round(d.df / n.c, 6) AS doc_fraction
+FROM d CROSS JOIN n
+WHERE d.df / n.c >= 0.3
+"""
+
+
 # =================================================================
 # registry
 # =================================================================
@@ -2091,6 +2114,7 @@ QUERIES: dict[str, QueryFn] = {
     "top_bigrams": q_top_bigrams,
     "incremental_dedup": q_incremental_dedup,
     "pagerank": q_pagerank,
+    "auto_stopwords": q_auto_stopwords,
 }
 
 ORACLES: dict[str, str] = {
@@ -2151,4 +2175,5 @@ ORACLES: dict[str, str] = {
     "top_bigrams": SQL_TOP_BIGRAMS,
     "incremental_dedup": SQL_INCREMENTAL_DEDUP,
     "pagerank": SQL_PAGERANK,
+    "auto_stopwords": SQL_AUTO_STOPWORDS,
 }

@@ -139,3 +139,34 @@ def fingerprint(
     t = tokens(F.lower(F.col(text_col)))
     norm = F.concat_ws(" ", F.slice(t, 1, prefix_tokens))
     return df.withColumn(out_col, F.md5(norm))
+
+
+def document_frequencies(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(token, df, doc_fraction): how many documents contain each
+    distinct token. Per-row array_distinct BEFORE the explode keeps the
+    shuffled volume at distinct-tokens-per-doc, and the groupBy count
+    partial-aggregates map-side — one shuffle keyed by token."""
+    n_docs = df.count()
+    toks = df.select(
+        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("token")
+    )
+    return toks.groupBy("token").agg(
+        F.count(F.lit(1)).alias("df"),
+        (F.count(F.lit(1)) / F.lit(n_docs)).alias("doc_fraction"),
+    )
+
+
+def auto_stopwords(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_doc_fraction: float = 0.5,
+) -> DataFrame:
+    """Corpus-discovered stopwords: tokens appearing in at least
+    ``min_doc_fraction`` of documents — the IDF-based vocabulary-pruning
+    step a pipeline runs before TF-IDF/BM25 indexing."""
+    return document_frequencies(df, text_col, id_col).where(
+        F.col("doc_fraction") >= min_doc_fraction
+    )

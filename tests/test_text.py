@@ -66,3 +66,22 @@ def test_on_real_documents(spark):
     out = tx.quality_score(tx.lang_id(docs), "text")
     assert out.count() == docs.count()
     assert out.where(F.col("n_tokens") <= 0).count() == 0
+
+
+def test_document_frequencies_and_auto_stopwords(spark):
+    from grafink_spark.llm.text import auto_stopwords, document_frequencies
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat"),
+            (2, "the dog ran ran"),   # 'ran' twice, counted once
+            (3, "a the bird"),
+            (4, "plain words only"),
+        ],
+        "doc_id long, text string",
+    )
+    freqs = {r.token: (r.df, r.doc_fraction) for r in document_frequencies(df).collect()}
+    assert freqs["the"] == (3, 0.75)
+    assert freqs["ran"] == (1, 0.25)  # distinct-per-doc before counting
+    sw = {r.token for r in auto_stopwords(df, min_doc_fraction=0.75).collect()}
+    assert sw == {"the"}
