@@ -67,3 +67,20 @@ def test_cross_batch_dedup_and_replay(spark, tmp_path):
     _run(spark, src, corpus, str(tmp_path / "ckpt2"))
     got3 = spark.read.parquet(corpus)
     assert sorted(r.doc_id for r in got3.collect()) == [1, 3, 11]
+
+
+def test_crash_mid_append_is_purged_on_replay(spark, tmp_path):
+    # simulate batch 0 having crashed mid-append: tagged rows exist in
+    # the corpus but no commit marker was written
+    src = str(tmp_path / "src")
+    corpus = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        [(99, "leftover row from the crashed attempt", 0)],
+        "doc_id long, text string, _ingest_batch_id long",
+    ).write.parquet(corpus)
+
+    _write_batch(spark, src, [(1, "the real document of batch zero")])
+    _run(spark, src, corpus, str(tmp_path / "ckpt"))
+    got = spark.read.parquet(corpus)
+    # the replayed batch 0 purged the crashed rows and wrote its own
+    assert sorted(r.doc_id for r in got.collect()) == [1]
