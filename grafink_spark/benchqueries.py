@@ -2054,6 +2054,39 @@ WHERE d.df / n.c >= 0.3
 """
 
 
+def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style chunk-level exact dedup: 20-token chunks, keep-first
+    corpus-wide, documents rebuilt from surviving chunks."""
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    out = dd.chunk_dedup(docs, chunk_words=20)
+    return out.select(
+        "doc_id", "n_chunks", "n_kept", F.md5(F.col("text")).alias("text_md5")
+    )
+
+
+SQL_CHUNK_DEDUP = f"""
+WITH toks AS (
+  SELECT doc_id, {TOKENS_SQL} AS t FROM documents
+),
+chunks AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(t[(i*20+1):(i*20+20)], ' ') AS chunk
+  FROM toks, unnest(range(0, cast(ceil(len(t)/20.0) AS BIGINT))) AS u(i)
+  WHERE len(t) > 0
+),
+ranked AS (
+  SELECT doc_id, pos, chunk,
+         row_number() OVER (PARTITION BY md5(chunk) ORDER BY doc_id, pos) AS rn
+  FROM chunks
+)
+SELECT doc_id, count(*) AS n_chunks,
+       sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept,
+       md5(string_agg(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY pos))
+         AS text_md5
+FROM ranked GROUP BY doc_id HAVING n_kept > 0
+"""
+
+
 # =================================================================
 # registry
 # =================================================================
@@ -2115,6 +2148,7 @@ QUERIES: dict[str, QueryFn] = {
     "incremental_dedup": q_incremental_dedup,
     "pagerank": q_pagerank,
     "auto_stopwords": q_auto_stopwords,
+    "chunk_dedup": q_chunk_dedup,
 }
 
 ORACLES: dict[str, str] = {
@@ -2176,4 +2210,5 @@ ORACLES: dict[str, str] = {
     "incremental_dedup": SQL_INCREMENTAL_DEDUP,
     "pagerank": SQL_PAGERANK,
     "auto_stopwords": SQL_AUTO_STOPWORDS,
+    "chunk_dedup": SQL_CHUNK_DEDUP,
 }

@@ -730,3 +730,75 @@ def drop_incremental_near_duplicates(
     return drop_near_duplicates(
         survivors, text_col, id_col, num_hashes, k, bands, threshold
     )
+
+
+# --------------------------------------------------------- chunk dedup
+
+
+def chunk_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_words: int = 20,
+) -> DataFrame:
+    """C4/RefinedWeb-style chunk-level exact dedup: split every document
+    into consecutive ``chunk_words``-token chunks, keep each distinct
+    chunk only at its first corpus occurrence (lowest (id, position)),
+    and rebuild documents from their surviving chunks. Documents whose
+    chunks are all duplicates elsewhere disappear entirely.
+
+    The natural unit is the paragraph/line (C4 dedups lines); with no
+    newline structure the fixed token window is the equivalent —
+    callers with newline-structured text can pre-split instead.
+
+    Returns (id, n_chunks, n_kept, text) with text rebuilt in original
+    chunk order from the kept chunks.
+
+    Plan/scale: one narrow projection builds the chunk array per row
+    (no join); the first-occurrence rank is ONE hash shuffle keyed by
+    md5(chunk) — 128-bit uniform, skew-free even when one boilerplate
+    chunk dominates, because identical chunks hash to one partition but
+    the window only ranks them (no pairwise work). Reassembly is one
+    groupBy(id) shuffle. Total: two shuffles, both linear in chunk
+    count — the same shape C4 runs at web scale.
+    """
+    from pyspark.sql import Window
+
+    t = df.select(
+        F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_t")
+    )
+    n_chunks = F.ceil(F.size("_t") / F.lit(float(chunk_words))).cast("int")
+    chunk_arr = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(
+            " ", F.slice(F.col("_t"), i * chunk_words + 1, chunk_words)
+        ),
+    )
+    chunks = t.where(F.size("_t") > 0).select(
+        "_id", F.posexplode(chunk_arr).alias("_pos", "_chunk")
+    )
+    w = Window.partitionBy(F.md5(F.col("_chunk"))).orderBy("_id", "_pos")
+    ranked = chunks.withColumn("_rn", F.row_number().over(w))
+    return (
+        ranked.groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("_rn") == 1, 1).otherwise(0)).alias(
+                "n_kept"
+            ),
+            F.array_sort(
+                F.collect_list(
+                    F.when(F.col("_rn") == 1, F.struct("_pos", "_chunk"))
+                )
+            ).alias("_kept"),
+        )
+        .where(F.col("n_kept") > 0)
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("n_chunks").cast("long").alias("n_chunks"),
+            F.col("n_kept").cast("long").alias("n_kept"),
+            F.array_join(
+                F.transform("_kept", lambda s: s["_chunk"]), " "
+            ).alias(text_col),
+        )
+    )

@@ -232,3 +232,38 @@ def test_incremental_dedup_against_corpus(spark):
     assert (1, 100) in {(r.id_a, r.id_b) for r in cand.collect()}
     out = dd.drop_incremental_near_duplicates(new, corpus)
     assert sorted(r.doc_id for r in out.collect()) == [2, 4]
+
+
+def test_chunk_dedup_keep_first_and_rebuild(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),
+            (2, "a b c x y z"),
+            (3, "x y z q"),
+            (4, "d e f"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dd.chunk_dedup(df, chunk_words=3).collect()
+    }
+    # doc 1 keeps both chunks (first occurrences)
+    assert out[1]["text"] == "a b c d e f"
+    assert (out[1]["n_chunks"], out[1]["n_kept"]) == (2, 2)
+    # doc 2 loses "a b c" (first seen in doc 1), keeps "x y z"
+    assert out[2]["text"] == "x y z"
+    # doc 3 loses "x y z" (first kept at doc 2), keeps the tail chunk
+    assert out[3]["text"] == "q"
+    # doc 4 is entirely duplicate chunks -> dropped
+    assert 4 not in out
+
+
+def test_chunk_dedup_within_doc_repeats(spark):
+    df = spark.createDataFrame(
+        [(7, "p q r p q r p q")], "doc_id long, text string"
+    )
+    row = dd.chunk_dedup(df, chunk_words=3).collect()[0]
+    # chunks: "p q r" / "p q r" / "p q" -- the repeat inside the doc dedups
+    assert (row["n_chunks"], row["n_kept"]) == (3, 2)
+    assert row["text"] == "p q r p q"
