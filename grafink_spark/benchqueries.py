@@ -2087,6 +2087,39 @@ FROM ranked GROUP BY doc_id HAVING n_kept > 0
 """
 
 
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex triangle counts over the similarity graph (degree-
+    oriented wedge enumeration, each triangle found exactly once)."""
+    from grafink_spark.graph.algorithms import triangle_counts
+
+    edges = q_similarity_edges(spark, sf_dir).select("src", "dst")
+    return triangle_counts(edges).select(
+        "id", F.col("n_triangles").cast("long").alias("n_triangles")
+    )
+
+
+# The oracle enumerates each triangle once via the u<v normalized edge
+# list (a<b<c ordering); the engine's degree-oriented enumeration finds
+# the same triangle set, so per-vertex counts agree exactly.
+SQL_TRIANGLE_COUNT = f"""
+WITH pairs AS ({SQL_SIMILARITY_EDGES}),
+und AS (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM pairs WHERE src <> dst
+),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM und e1
+  JOIN und e2 ON e1.v = e2.u
+  JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v
+)
+SELECT id, count(*) AS n_triangles
+FROM (SELECT a AS id FROM tri UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri)
+GROUP BY 1
+"""
+
+
 # =================================================================
 # registry
 # =================================================================
@@ -2149,6 +2182,7 @@ QUERIES: dict[str, QueryFn] = {
     "pagerank": q_pagerank,
     "auto_stopwords": q_auto_stopwords,
     "chunk_dedup": q_chunk_dedup,
+    "triangle_count": q_triangle_count,
 }
 
 ORACLES: dict[str, str] = {
@@ -2211,4 +2245,5 @@ ORACLES: dict[str, str] = {
     "pagerank": SQL_PAGERANK,
     "auto_stopwords": SQL_AUTO_STOPWORDS,
     "chunk_dedup": SQL_CHUNK_DEDUP,
+    "triangle_count": SQL_TRIANGLE_COUNT,
 }

@@ -58,3 +58,64 @@ def pagerank(
             .localCheckpoint()
         )
     return pr
+
+
+def triangle_counts(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-vertex triangle counts (id, n_triangles) over the undirected
+    simple graph induced by ``edges`` (direction and duplicates are
+    normalized away; self-loops dropped). Vertices in no triangle are
+    omitted.
+
+    Algorithm: degree orientation — each undirected edge points from
+    its lower-(degree, id) endpoint to the higher one, wedges are
+    enumerated only at their lowest-ranked apex, and a wedge closes
+    into a triangle iff the third edge exists. Every triangle's
+    orientation is an acyclic tournament with exactly one out-degree-2
+    vertex, so each triangle is found exactly once.
+
+    Scale: the classic O(m^1.5) bound — out-degrees are capped near
+    sqrt(m) because a vertex only points at higher-degree neighbors, so
+    hub vertices (the skew hazard of the naive id-ordered wedge join)
+    never fan out. Three hash shuffles: degree agg, wedge self-join on
+    the apex, closure equi-join on the (y1, y2) pair key.
+    """
+    e = edges.select(F.col(src).alias("_a"), F.col(dst).alias("_b"))
+    und = (
+        e.where(F.col("_a") != F.col("_b"))
+        .select(
+            F.least("_a", "_b").alias("u"), F.greatest("_a", "_b").alias("v")
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("id"))
+        .unionByName(und.select(F.col("v").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("_deg"))
+    )
+    j = (
+        und.join(deg.select(F.col("id").alias("u"), F.col("_deg").alias("_du")), "u")
+        .join(deg.select(F.col("id").alias("v"), F.col("_deg").alias("_dv")), "v")
+    )
+    u_first = (F.col("_du") < F.col("_dv")) | (
+        (F.col("_du") == F.col("_dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = j.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("x"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("y"),
+    )
+    e1 = oriented.select("x", F.col("y").alias("y1"))
+    e2 = oriented.select("x", F.col("y").alias("y2"))
+    wedges = e1.join(e2, "x").where(F.col("y1") < F.col("y2"))
+    tri = wedges.join(
+        und,
+        (wedges["y1"] == und["u"]) & (wedges["y2"] == und["v"]),
+    ).select("x", "y1", "y2")
+    verts = (
+        tri.select(F.col("x").alias("id"))
+        .unionByName(tri.select(F.col("y1").alias("id")))
+        .unionByName(tri.select(F.col("y2").alias("id")))
+    )
+    return verts.groupBy("id").agg(F.count(F.lit(1)).alias("n_triangles"))

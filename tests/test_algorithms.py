@@ -36,3 +36,26 @@ def test_directed_chain_ranks_increase_downstream(spark):
     df = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
     pr = {r.id: r.rank for r in pagerank(df, iters=3).collect()}
     assert pr[1] < pr[2] < pr[3]
+
+
+def test_triangle_counts_k4_pendant_and_disjoint(spark):
+    from grafink_spark.graph.algorithms import triangle_counts
+
+    edges = spark.createDataFrame(
+        # K4 on 1-4, pendant 5, disjoint triangle 6-7-8; includes
+        # reverse duplicates and a self-loop to exercise normalization
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5),
+         (6, 7), (7, 8), (8, 6), (2, 1), (3, 1), (5, 5)],
+        "src long, dst long",
+    )
+    out = {r["id"]: r["n_triangles"] for r in triangle_counts(edges).collect()}
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3, 6: 1, 7: 1, 8: 1}
+
+
+def test_triangle_counts_star_has_none(spark):
+    from grafink_spark.graph.algorithms import triangle_counts
+
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)], "src long, dst long"
+    )
+    assert triangle_counts(edges).count() == 0
