@@ -2120,6 +2120,43 @@ GROUP BY 1
 """
 
 
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style self-perplexity: add-0.1 bigram LM trained on the
+    corpus, every doc scored by mean ln P(w2|w1) in position order."""
+    from grafink_spark.llm.lm import lm_score
+
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    out = lm_score(docs, alpha=0.1)
+    return out.select(
+        "doc_id",
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        F.round("avg_logp", 6).alias("avg_logp"),
+    )
+
+
+SQL_LM_SCORE = f"""
+WITH toks AS (SELECT doc_id, {TOKENS_SQL} AS t FROM documents),
+bg AS (
+  SELECT doc_id, i AS pos, t[i+1] AS w1, t[i+2] AS w2
+  FROM toks, unnest(range(0, len(t) - 1)) AS u(i)
+  WHERE len(t) >= 2
+),
+c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+c1 AS (SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY 1),
+v AS (SELECT count(DISTINCT x) AS v
+      FROM (SELECT unnest(t) AS x FROM toks)),
+lp AS (
+  SELECT b.doc_id, b.pos,
+         ln((c12.c12 + 0.1) / (c1.c1 + 0.1 * v.v)) AS logp
+  FROM bg b JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+)
+SELECT doc_id, count(*) AS n_bigrams,
+       round(list_reduce(list(logp ORDER BY pos), (x, y) -> x + y)
+             / count(*), 6) AS avg_logp
+FROM lp GROUP BY doc_id
+"""
+
+
 # =================================================================
 # registry
 # =================================================================
@@ -2183,6 +2220,7 @@ QUERIES: dict[str, QueryFn] = {
     "auto_stopwords": q_auto_stopwords,
     "chunk_dedup": q_chunk_dedup,
     "triangle_count": q_triangle_count,
+    "lm_score": q_lm_score,
 }
 
 ORACLES: dict[str, str] = {
@@ -2246,4 +2284,5 @@ ORACLES: dict[str, str] = {
     "auto_stopwords": SQL_AUTO_STOPWORDS,
     "chunk_dedup": SQL_CHUNK_DEDUP,
     "triangle_count": SQL_TRIANGLE_COUNT,
+    "lm_score": SQL_LM_SCORE,
 }

@@ -1,0 +1,60 @@
+"""Bigram LM scoring (llm/lm.py) golden tests."""
+
+import math
+
+import pytest
+
+from grafink_spark.llm.lm import bigram_counts, lm_score, vocab_size
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c"), (3, "z")],
+        "doc_id long, text string",
+    )
+
+
+def test_bigram_counts(spark, docs):
+    got = {
+        (r["w1"], r["w2"]): r["c12"] for r in bigram_counts(docs).collect()
+    }
+    assert got == {("a", "b"): 3, ("b", "a"): 1, ("b", "c"): 1}
+
+
+def test_vocab_size(spark, docs):
+    assert vocab_size(docs) == 4
+
+
+def test_lm_score_golden(spark, docs):
+    out = {r["doc_id"]: r for r in lm_score(docs, alpha=0.1).collect()}
+    lp_ab = math.log((3 + 0.1) / (3 + 0.1 * 4))
+    lp_ba = math.log((1 + 0.1) / (2 + 0.1 * 4))
+    lp_bc = math.log((1 + 0.1) / (2 + 0.1 * 4))
+    assert out[1]["n_bigrams"] == 3
+    assert out[1]["avg_logp"] == pytest.approx(
+        (lp_ab + lp_ba + lp_ab) / 3, abs=1e-12
+    )
+    assert out[2]["avg_logp"] == pytest.approx(
+        (lp_ab + lp_bc) / 2, abs=1e-12
+    )
+    # single-token doc has no bigrams and is omitted
+    assert 3 not in out
+
+
+def test_lm_score_separate_train_corpus(spark, docs):
+    # score unseen docs against the LM trained on `docs`: 'b' is a seen
+    # left context (marginal 2) but (b, z) is unseen; 'q' is an unseen
+    # context, backing off to alpha / (alpha*V)
+    target = spark.createDataFrame(
+        [(10, "b z"), (11, "q q")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r["avg_logp"]
+        for r in lm_score(target, train=docs, alpha=0.1).collect()
+    }
+    v = 4
+    assert out[10] == pytest.approx(
+        math.log(0.1 / (2 + 0.1 * v)), abs=1e-12
+    )
+    assert out[11] == pytest.approx(math.log(0.1 / (0.1 * v)), abs=1e-12)
