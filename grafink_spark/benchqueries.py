@@ -2157,6 +2157,65 @@ FROM lp GROUP BY doc_id
 """
 
 
+def q_grouped_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source top-3 documents by (n_chars desc, doc_id) — the
+    WindowGroupLimit rank-pushdown path (plan-pinned)."""
+    from grafink_spark.ops import grouped_topk
+
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    out = grouped_topk(
+        docs, ["source"], [F.col("n_chars").desc(), F.col("doc_id")], 3
+    )
+    return out.select(
+        "source", "doc_id", "n_chars", F.col("rank").cast("long").alias("rank")
+    )
+
+
+SQL_GROUPED_TOPK = """
+SELECT source, doc_id, n_chars, rank FROM (
+  SELECT source, doc_id, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS rank
+  FROM documents
+) WHERE rank <= 3
+"""
+
+
+def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events whose value is > 2 population standard deviations from
+    their user's mean — per-key standardized anomaly detection."""
+    from grafink_spark.ops import zscore_outliers
+
+    ev = ensure_min_partitions(load_table(spark, sf_dir, "events"))
+    out = zscore_outliers(ev, "user_id", "value", 2.0)
+    return out.select("event_id", "user_id", F.round("z", 3).alias("z"))
+
+
+SQL_ZSCORE_OUTLIERS = """
+SELECT event_id, user_id, round(z, 3) AS z FROM (
+  SELECT event_id, user_id,
+         (value - avg(value) OVER (PARTITION BY user_id)) /
+         stddev_pop(value) OVER (PARTITION BY user_id) AS z
+  FROM events
+) WHERE z IS NOT NULL AND abs(z) > 2.0
+"""
+
+
+def q_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents at or above the exact corpus p75 of n_chars — exact
+    percentile threshold broadcast back as the filter bound."""
+    from grafink_spark.ops import quantile_filter
+
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    return quantile_filter(docs, "n_chars", 0.75).select("doc_id", "n_chars")
+
+
+SQL_QUANTILE_FILTER = """
+SELECT doc_id, n_chars FROM documents
+WHERE n_chars >= (SELECT quantile_cont(n_chars, 0.75) FROM documents)
+"""
+
+
 # =================================================================
 # registry
 # =================================================================
@@ -2221,6 +2280,9 @@ QUERIES: dict[str, QueryFn] = {
     "chunk_dedup": q_chunk_dedup,
     "triangle_count": q_triangle_count,
     "lm_score": q_lm_score,
+    "grouped_topk": q_grouped_topk,
+    "zscore_outliers": q_zscore_outliers,
+    "quantile_filter": q_quantile_filter,
 }
 
 ORACLES: dict[str, str] = {
@@ -2285,4 +2347,7 @@ ORACLES: dict[str, str] = {
     "chunk_dedup": SQL_CHUNK_DEDUP,
     "triangle_count": SQL_TRIANGLE_COUNT,
     "lm_score": SQL_LM_SCORE,
+    "grouped_topk": SQL_GROUPED_TOPK,
+    "zscore_outliers": SQL_ZSCORE_OUTLIERS,
+    "quantile_filter": SQL_QUANTILE_FILTER,
 }

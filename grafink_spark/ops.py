@@ -139,3 +139,82 @@ def range_join(
         .where(F.abs(F.col("_va") - F.col("_vb")) <= delta)
         .select(id_a, id_b, "_va", "_vb")
     )
+
+
+def grouped_topk(
+    df: DataFrame,
+    keys: list[str],
+    order_by: list,
+    k: int,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Top-k rows per group: ``row_number`` over (keys, order_by),
+    filtered to ``<= k``. Pass fully-deterministic ``order_by``
+    columns/Columns (include a unique id as the final tie-break).
+
+    Plan/scale: Spark rewrites rank-filter windows into
+    WindowGroupLimit — each map task keeps only its local top-k per
+    group BEFORE the shuffle, so the exchange carries at most
+    k×groups×tasks rows instead of the full table. The filter must
+    stay directly above the window for the rewrite to fire (pinned in
+    tests/test_plans.py)."""
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .where(F.col(rank_col) <= k)
+    )
+
+
+def zscore_outliers(
+    df: DataFrame,
+    key: str,
+    value: str,
+    threshold: float = 2.0,
+) -> DataFrame:
+    """Rows whose ``value`` deviates from their group's mean by more
+    than ``threshold`` population standard deviations; adds ``z``.
+    Groups with zero variance (or a single row) yield no outliers.
+
+    Plan/scale: one hash shuffle on the key; mean/stddev are window
+    aggregates over the whole partition (no ordering → single pass),
+    then the filter is local. Skewed keys: a hot key's partition holds
+    all its rows — for pathological single-key data, pre-aggregate
+    (groupBy → join) instead; for typical key cardinality the window
+    form saves the join."""
+    w = Window.partitionBy(key)
+    mean = F.avg(value).over(w)
+    sd = F.stddev_pop(value).over(w)
+    # zero-variance groups produce null z (not a div-by-zero — the
+    # session runs ANSI mode, where x/0 raises)
+    z = (F.col(value) - mean) / F.when(sd != 0, sd)
+    return (
+        df.withColumn("z", z)
+        .where(F.col("z").isNotNull() & (F.abs("z") > threshold))
+    )
+
+
+def quantile_filter(
+    df: DataFrame,
+    value: str,
+    q: float,
+    keep: str = "ge",
+) -> DataFrame:
+    """Rows at or beyond the exact corpus ``q``-quantile of ``value``
+    (linear interpolation, the SQL ``percentile_cont`` rule).
+    ``keep='ge'`` keeps rows >= the threshold, ``'le'`` rows <=.
+
+    Plan/scale: the exact percentile is one global aggregation to a
+    1-row DataFrame, broadcast back as the filter bound — two jobs, no
+    driver round-trip through Python values. At 100 TB swap
+    ``percentile`` for ``percentile_approx`` (t-digest, fixed memory);
+    the exact form here keeps the oracle bit-exact."""
+    thr = df.agg(
+        F.expr(f"percentile({value}, {q!r})").alias("_thr")
+    )
+    out = df.crossJoin(F.broadcast(thr))
+    cond = (
+        F.col(value) >= F.col("_thr")
+        if keep == "ge"
+        else F.col(value) <= F.col("_thr")
+    )
+    return out.where(cond).drop("_thr")

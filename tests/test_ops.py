@@ -2,6 +2,8 @@
 
 from datetime import datetime
 
+from pyspark.sql import functions as F
+
 from grafink_spark.ops import asof_join, range_join
 
 
@@ -58,3 +60,44 @@ def test_range_join_bucket_boundaries(spark):
     # 0.25, lower bucket; 2↔13: diff 0 same bucket; 2↔12 diff 0.75 out;
     # 3 matches nothing
     assert got == {(1, 10), (1, 11), (2, 13)}
+
+
+def test_grouped_topk(spark):
+    from grafink_spark.ops import grouped_topk
+
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, 30.0), ("a", 3, 20.0),
+         ("b", 4, 5.0), ("b", 5, 1.0)],
+        "g string, id long, v double",
+    )
+    out = sorted(
+        (r["g"], r["id"], r["rank"])
+        for r in grouped_topk(df, ["g"], [F.col("v").desc(), "id"], 2).collect()
+    )
+    assert out == [("a", 2, 1), ("a", 3, 2), ("b", 4, 1), ("b", 5, 2)]
+
+
+def test_zscore_outliers(spark):
+    from grafink_spark.ops import zscore_outliers
+
+    rows = [("u", float(x)) for x in [10] * 20 + [100]]
+    rows += [("w", 5.0)]  # single row -> sd null -> never an outlier
+    rows += [("c", 3.0), ("c", 3.0)]  # zero variance -> no outliers
+    df = spark.createDataFrame(rows, "k string, v double")
+    out = zscore_outliers(df, "k", "v", 2.0).collect()
+    assert [(r["k"], r["v"]) for r in out] == [("u", 100.0)]
+    assert out[0]["z"] > 4
+
+
+def test_quantile_filter_interpolated_threshold(spark):
+    from grafink_spark.ops import quantile_filter
+
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate([1, 2, 3, 4])],
+        "id long, v double",
+    )
+    # p75 of [1,2,3,4] (linear interpolation) = 3.25 -> keeps only 4.0
+    ge = quantile_filter(df, "v", 0.75).collect()
+    assert [r["v"] for r in ge] == [4.0]
+    le = quantile_filter(df, "v", 0.25, keep="le").collect()
+    assert sorted(r["v"] for r in le) == [1.0]

@@ -179,3 +179,27 @@ def test_bm25_no_wide_shuffle(spark):
     assert not bad, bad
     assert "TakeOrderedAndProject" in plan
     assert "Generate" not in plan  # term counts are row-local, no explode
+
+
+def test_grouped_topk_rank_pushdown(spark):
+    from grafink_spark.ops import grouped_topk
+
+    df = _alerts(spark, 200)
+    plan = physical_plan(
+        grouped_topk(df, ["objectId"], [F.col("rfscore").desc(), "id"], 3)
+    )
+    # the rank filter must rewrite into a partial WindowGroupLimit
+    # below the exchange (map-side top-k before the shuffle)
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan
+
+
+def test_chunk_dedup_two_shuffles(spark):
+    df = spark.createDataFrame(
+        [(i, "w " * 50) for i in range(100)], "doc_id long, text string"
+    )
+    plan = physical_plan(dd.chunk_dedup(df))
+    # one hash shuffle on md5(chunk) for the window + one on doc_id for
+    # reassembly; no joins anywhere
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2
+    assert "Join" not in plan
