@@ -2216,6 +2216,77 @@ WHERE n_chars >= (SELECT quantile_cont(n_chars, 0.75) FROM documents)
 """
 
 
+def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass data profiling over lineitem: numeric, string, and
+    timestamp columns in a single aggregation job."""
+    from grafink_spark.profile import column_profile
+
+    li = ensure_min_partitions(load_table(spark, sf_dir, "lineitem"))
+    out = column_profile(
+        li, ["l_orderkey", "l_quantity", "l_returnflag", "l_shipdate"]
+    )
+    return out.select(
+        "column", "n_rows", "n_null", "n_distinct",
+        "min_num", "max_num", F.round("mean", 6).alias("mean"),
+        "min_str", "max_str",
+    )
+
+
+def _profile_sql_num(c: str) -> str:
+    return f"""
+SELECT '{c}' AS "column", count(*) AS n_rows,
+       count(*) - count({c}) AS n_null,
+       count(DISTINCT {c}) AS n_distinct,
+       min({c})::DOUBLE AS min_num, max({c})::DOUBLE AS max_num,
+       round(avg({c}), 6) AS mean,
+       NULL::VARCHAR AS min_str, NULL::VARCHAR AS max_str
+FROM lineitem"""
+
+
+def _profile_sql_str(c: str) -> str:
+    return f"""
+SELECT '{c}' AS "column", count(*) AS n_rows,
+       count(*) - count({c}) AS n_null,
+       count(DISTINCT {c}) AS n_distinct,
+       NULL::DOUBLE AS min_num, NULL::DOUBLE AS max_num,
+       NULL::DOUBLE AS mean,
+       min({c})::VARCHAR AS min_str, max({c})::VARCHAR AS max_str
+FROM lineitem"""
+
+
+SQL_COLUMN_PROFILE = " UNION ALL ".join(
+    [
+        _profile_sql_num("l_orderkey"),
+        _profile_sql_num("l_quantity"),
+        _profile_sql_str("l_returnflag"),
+        _profile_sql_str("l_shipdate"),
+    ]
+)
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source mixture sampling (alpha=0.5, expected
+    30% of rows) — small sources boosted, deterministic md5 draw."""
+    from grafink_spark.llm.corpus import mixture_sample
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return mixture_sample(docs, alpha=0.5, target_fraction=0.3)
+
+
+SQL_MIXTURE_SAMPLE = """
+WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+t AS (SELECT sum(n) AS nn, sum(pow(n, 0.5)) AS w FROM c),
+r AS (
+  SELECT source,
+         least(1.0, 0.3 * t.nn * pow(c.n, 0.5) / t.w / c.n) AS rate
+  FROM c CROSS JOIN t
+)
+SELECT d.doc_id, d.source
+FROM documents d JOIN r USING (source)
+WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 4))::INT < rate * 65536
+"""
+
+
 # =================================================================
 # registry
 # =================================================================
@@ -2283,6 +2354,8 @@ QUERIES: dict[str, QueryFn] = {
     "grouped_topk": q_grouped_topk,
     "zscore_outliers": q_zscore_outliers,
     "quantile_filter": q_quantile_filter,
+    "column_profile": q_column_profile,
+    "mixture_sample": q_mixture_sample,
 }
 
 ORACLES: dict[str, str] = {
@@ -2350,4 +2423,6 @@ ORACLES: dict[str, str] = {
     "grouped_topk": SQL_GROUPED_TOPK,
     "zscore_outliers": SQL_ZSCORE_OUTLIERS,
     "quantile_filter": SQL_QUANTILE_FILTER,
+    "column_profile": SQL_COLUMN_PROFILE,
+    "mixture_sample": SQL_MIXTURE_SAMPLE,
 }

@@ -13,7 +13,7 @@ scale quality/lang drop most rows before any pairwise work happens).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from grafink_spark.llm.dedup import drop_exact_duplicates, drop_near_duplicates
@@ -194,3 +194,49 @@ def decontaminate(
         docs, benchmark, id_col, text_col, n, broadcast_benchmark
     )
     return docs.join(hits.select(id_col), on=id_col, how="left_anti")
+
+
+def mixture_sample(
+    df: DataFrame,
+    alpha: float = 0.5,
+    target_fraction: float = 0.3,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-based mixture sampling: sample each source at a rate
+    that reweights the corpus toward p_s ∝ n_s^alpha (alpha < 1 boosts
+    small sources — the standard multilingual/source-mixture rule), at
+    an expected ``target_fraction`` of total rows. Rates cap at 1 (no
+    upsampling); row selection is the same deterministic md5-bucket
+    rule as stratified_sample, so the draw is reproducible across runs
+    and engines.
+
+    rate_s = min(1, target_fraction · N · n_s^alpha / Σ_t n_t^alpha / n_s)
+
+    Plan/scale: one groupBy(source) to the per-source counts (rows =
+    source cardinality), a 1-row total, and a broadcast join of the
+    tiny rates table back onto the corpus — the big table is touched
+    once, filtered by a narrow expression."""
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("_n"))
+    # totals as whole-partition window aggs over the tiny counts table
+    # (rows = source cardinality), avoiding a self-join on its lineage
+    w = Window.partitionBy(F.lit(1))
+    rates = counts.select(
+        source_col,
+        F.least(
+            F.lit(1.0),
+            F.lit(target_fraction)
+            * F.sum("_n").over(w)
+            * F.pow("_n", F.lit(alpha))
+            / F.sum(F.pow("_n", F.lit(alpha))).over(w)
+            / F.col("_n"),
+        ).alias("_rate"),
+    )
+    bucket = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10
+    ).cast("int")
+    return (
+        df.join(F.broadcast(rates), source_col)
+        .where(bucket < F.col("_rate") * 65536)
+        .drop("_rate")
+    )

@@ -1,0 +1,109 @@
+"""Data profiling: one-pass per-column statistics.
+
+The ``ANALYZE TABLE`` / data-quality-report primitive every ingest
+pipeline runs before trusting a new drop of data: row/null/distinct
+counts, min/max, and mean per column, computed in a SINGLE aggregation
+pass over the table (one job, one 1-row result), then pivoted to one
+row per column — never one scan per column.
+
+Scale notes: with ``exact_distinct=True`` the plan uses Spark's
+multi-count-distinct Expand (each row duplicated once per distinct
+aggregate) — exact, but shuffle volume is columns × rows. At 100 TB
+pass ``exact_distinct=False`` for approx_count_distinct (HyperLogLog++,
+fixed memory, no Expand); the exact form exists so the DuckDB oracle
+can match bit-for-bit. Min/max/mean stay native-typed until the final
+1-row pivot, so numeric columns compare numerically (no lexicographic
+min on doubles).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DateType,
+    NumericType,
+    StringType,
+    TimestampNTZType,
+    TimestampType,
+)
+
+
+def column_profile(
+    df: DataFrame,
+    cols: list[str] | None = None,
+    exact_distinct: bool = True,
+) -> DataFrame:
+    """One row per column: (column, n_rows, n_null, n_distinct,
+    min_num, max_num, mean, min_str, max_str).
+
+    Numeric columns fill the ``*_num``/``mean`` fields; string and
+    timestamp columns fill ``*_str`` (timestamps render as ISO
+    strings). All metrics come from one aggregation pass.
+    """
+    cols = cols or df.columns
+    types = {f.name: f.dataType for f in df.schema.fields}
+    aggs = [F.count(F.lit(1)).alias("_rows")]
+    for c in cols:
+        nd = (
+            F.countDistinct(F.col(c))
+            if exact_distinct
+            else F.approx_count_distinct(F.col(c))
+        )
+        aggs += [
+            F.count(F.col(c)).alias(f"_cnt_{c}"),
+            nd.alias(f"_nd_{c}"),
+            F.min(F.col(c)).alias(f"_min_{c}"),
+            F.max(F.col(c)).alias(f"_max_{c}"),
+        ]
+        if isinstance(types[c], NumericType):
+            aggs.append(F.avg(F.col(c)).alias(f"_avg_{c}"))
+    row = df.agg(*aggs)
+
+    def entry(c: str):
+        numeric = isinstance(types[c], NumericType)
+        if not (
+            numeric
+            or isinstance(
+                types[c],
+                (StringType, TimestampType, TimestampNTZType, DateType),
+            )
+        ):
+            raise ValueError(
+                f"column_profile: unsupported type {types[c]} for {c!r}"
+            )
+        return F.struct(
+            F.lit(c).alias("column"),
+            F.col("_rows").cast("long").alias("n_rows"),
+            (F.col("_rows") - F.col(f"_cnt_{c}")).cast("long").alias("n_null"),
+            F.col(f"_nd_{c}").cast("long").alias("n_distinct"),
+            (
+                F.col(f"_min_{c}").cast("double")
+                if numeric
+                else F.lit(None).cast("double")
+            ).alias("min_num"),
+            (
+                F.col(f"_max_{c}").cast("double")
+                if numeric
+                else F.lit(None).cast("double")
+            ).alias("max_num"),
+            (
+                F.col(f"_avg_{c}").cast("double")
+                if numeric
+                else F.lit(None).cast("double")
+            ).alias("mean"),
+            (
+                F.lit(None).cast("string")
+                if numeric
+                else F.col(f"_min_{c}").cast("string")
+            ).alias("min_str"),
+            (
+                F.lit(None).cast("string")
+                if numeric
+                else F.col(f"_max_{c}").cast("string")
+            ).alias("max_str"),
+        )
+
+    return row.select(
+        F.explode(F.array(*[entry(c) for c in cols])).alias("p")
+    ).select("p.*")

@@ -1,5 +1,7 @@
 """End-to-end corpus preparation pipeline."""
 
+from pyspark.sql import functions as F
+
 from grafink_spark.llm.corpus import prepare_corpus
 
 
@@ -119,3 +121,30 @@ def test_prepare_corpus_optional_stages(spark):
         benchmark=bench,
     )
     assert sorted(r.doc_id for r in clean.collect()) == [3]
+
+
+def test_mixture_sample_boosts_small_sources(spark):
+    from grafink_spark.llm.corpus import mixture_sample
+
+    rows = [(i, "big") for i in range(900)] + [
+        (1000 + i, "small") for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = mixture_sample(df, alpha=0.5, target_fraction=0.5)
+    got = {r["source"]: r["cnt"] for r in
+           out.groupBy("source").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    # expected rates: w_big=30, w_small=10 -> rate_big=.375, rate_small=1.25->1
+    assert got["small"] == 100  # rate capped at 1: everything kept
+    assert 250 < got["big"] < 420  # ~0.375 * 900 with md5-draw noise
+
+
+def test_mixture_sample_deterministic(spark):
+    from grafink_spark.llm.corpus import mixture_sample
+
+    df = spark.createDataFrame(
+        [(i, "s" + str(i % 3)) for i in range(300)],
+        "doc_id long, source string",
+    )
+    a = sorted(r["doc_id"] for r in mixture_sample(df).collect())
+    b = sorted(r["doc_id"] for r in mixture_sample(df).collect())
+    assert a == b and len(a) > 0
