@@ -2287,6 +2287,96 @@ WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 4))::INT < rate * 65536
 """
 
 
+def q_rollup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-level aggregation: ROLLUP over (returnflag, linestatus)
+    with grouping-id markers — subtotals and grand total in one pass
+    (Expand feeds a single hash aggregation; no per-level rescans)."""
+    li = ensure_min_partitions(load_table(spark, sf_dir, "lineitem"))
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("qty"),
+        )
+        .select("l_returnflag", "l_linestatus", "gid", "n", "qty")
+    )
+
+
+SQL_ROLLUP_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       GROUPING(l_returnflag, l_linestatus)::BIGINT AS gid,
+       count(*) AS n, round(sum(l_quantity), 2) AS qty
+FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""
+
+
+def q_group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group p50/p95 (linear interpolation) — the latency-
+    summary aggregation; at 100 TB swap for percentile_approx."""
+    ev = ensure_min_partitions(load_table(spark, sf_dir, "events"))
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+    )
+
+
+SQL_GROUP_PERCENTILES = """
+SELECT event_type, round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.95), 6) AS p95
+FROM events GROUP BY 1
+"""
+
+
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width binning of lineitem prices — the profiling
+    histogram: one narrow projection + one keyed count."""
+    li = ensure_min_partitions(load_table(spark, sf_dir, "lineitem"))
+    return (
+        li.groupBy(
+            F.floor(F.col("l_extendedprice") / 500).cast("long").alias("bin")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+SQL_VALUE_HISTOGRAM = """
+SELECT floor(l_extendedprice / 500)::BIGINT AS bin, count(*) AS n
+FROM lineitem GROUP BY 1
+"""
+
+
+def q_latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style compaction: the latest event per (user, event_type) by
+    (ts, event_id) — grouped_topk k=1, i.e. upsert-resolution via the
+    same WindowGroupLimit rank pushdown."""
+    from grafink_spark.ops import grouped_topk
+
+    ev = ensure_min_partitions(load_table(spark, sf_dir, "events"))
+    out = grouped_topk(
+        ev,
+        ["user_id", "event_type"],
+        [F.col("ts").desc(), F.col("event_id").desc()],
+        1,
+    )
+    return out.select(
+        "user_id", "event_type", "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        F.round("value", 2).alias("value"),
+    )
+
+
+SQL_LATEST_BY_KEY = """
+SELECT user_id, event_type, event_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, round(value, 2) AS value
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC
+  ) AS rn FROM events
+) WHERE rn = 1
+"""
+
+
 # =================================================================
 # registry
 # =================================================================
@@ -2356,6 +2446,10 @@ QUERIES: dict[str, QueryFn] = {
     "quantile_filter": q_quantile_filter,
     "column_profile": q_column_profile,
     "mixture_sample": q_mixture_sample,
+    "rollup_summary": q_rollup_summary,
+    "group_percentiles": q_group_percentiles,
+    "value_histogram": q_value_histogram,
+    "latest_by_key": q_latest_by_key,
 }
 
 ORACLES: dict[str, str] = {
@@ -2425,4 +2519,8 @@ ORACLES: dict[str, str] = {
     "quantile_filter": SQL_QUANTILE_FILTER,
     "column_profile": SQL_COLUMN_PROFILE,
     "mixture_sample": SQL_MIXTURE_SAMPLE,
+    "rollup_summary": SQL_ROLLUP_SUMMARY,
+    "group_percentiles": SQL_GROUP_PERCENTILES,
+    "value_histogram": SQL_VALUE_HISTOGRAM,
+    "latest_by_key": SQL_LATEST_BY_KEY,
 }
