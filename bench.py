@@ -55,6 +55,10 @@ HEADLINE = [
     "semantic_dedup",
     "bm25_search",
     "pagerank",
+    "chunk_dedup",
+    "lm_score",
+    "triangle_count",
+    "grouped_topk",
 ]
 
 # Queries whose full row set is large: drain with a `noop`-format write
@@ -78,6 +82,10 @@ NOOP_DRAIN = {
     "simhash",
     "text_stats",
     "pagerank",
+    "chunk_dedup",
+    "lm_score",
+    "triangle_count",
+    "grouped_topk",
 }
 
 
