@@ -88,6 +88,11 @@ def triangle_counts(
             F.least("_a", "_b").alias("u"), F.greatest("_a", "_b").alias("v")
         )
         .distinct()
+        # the normalized edge list feeds three consumers (degree agg,
+        # orientation join, closure join) — cut lineage once instead of
+        # re-running the upstream edge derivation (often a full
+        # classifier pipeline) three times
+        .localCheckpoint()
     )
     deg = (
         und.select(F.col("u").alias("id"))
@@ -102,10 +107,11 @@ def triangle_counts(
     u_first = (F.col("_du") < F.col("_dv")) | (
         (F.col("_du") == F.col("_dv")) & (F.col("u") < F.col("v"))
     )
+    # materialized once: both sides of the wedge self-join read it
     oriented = j.select(
         F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("x"),
         F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("y"),
-    )
+    ).localCheckpoint()
     e1 = oriented.select("x", F.col("y").alias("y1"))
     e2 = oriented.select("x", F.col("y").alias("y2"))
     wedges = e1.join(e2, "x").where(F.col("y1") < F.col("y2"))
