@@ -2377,6 +2377,30 @@ FROM (
 """
 
 
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus inverted index: per-token document frequency, total term
+    frequency, and the doc-sorted postings list."""
+    from grafink_spark.llm.search import inverted_index
+
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    return inverted_index(docs, min_df=5).select(
+        "token", "df", "total_tf", "postings"
+    )
+
+
+SQL_INVERTED_INDEX = f"""
+WITH tf AS (
+  SELECT doc_id, unnest({TOKENS_SQL}) AS token FROM documents
+),
+per_doc AS (
+  SELECT token, doc_id, count(*) AS tf FROM tf GROUP BY 1, 2
+)
+SELECT token, count(*) AS df, sum(tf) AS total_tf,
+       string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id) AS postings
+FROM per_doc GROUP BY token HAVING count(*) >= 5
+"""
+
+
 # =================================================================
 # registry
 # =================================================================
@@ -2450,6 +2474,7 @@ QUERIES: dict[str, QueryFn] = {
     "group_percentiles": q_group_percentiles,
     "value_histogram": q_value_histogram,
     "latest_by_key": q_latest_by_key,
+    "inverted_index": q_inverted_index,
 }
 
 ORACLES: dict[str, str] = {
@@ -2523,4 +2548,5 @@ ORACLES: dict[str, str] = {
     "group_percentiles": SQL_GROUP_PERCENTILES,
     "value_histogram": SQL_VALUE_HISTOGRAM,
     "latest_by_key": SQL_LATEST_BY_KEY,
+    "inverted_index": SQL_INVERTED_INDEX,
 }

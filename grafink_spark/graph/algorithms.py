@@ -29,7 +29,12 @@ def pagerank(
 ) -> DataFrame:
     """(id, rank) after ``iters`` iterations over the DIRECTED edge set
     (pass both directions for an undirected graph)."""
-    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+    # cut lineage on the raw edge list FIRST: verts/deg/ed all consume
+    # it, and the upstream derivation is often a whole classifier
+    # pipeline — without this it re-executes once per consumer
+    e = edges.select(
+        F.col(src).alias("_s"), F.col(dst).alias("_d")
+    ).localCheckpoint()
     verts = (
         e.select(F.col("_s").alias("id"))
         .unionByName(e.select(F.col("_d").alias("id")))
@@ -38,7 +43,10 @@ def pagerank(
     )
     n = verts.count()
     deg = e.groupBy("_s").agg(F.count(F.lit(1)).alias("_deg"))
-    ed = e.join(deg, "_s").localCheckpoint()
+    # pre-partition the (static) weighted edge list on the per-iteration
+    # join key; the checkpoint preserves the hash partitioning, so each
+    # iteration shuffles only the vertex-sized rank table, never the edges
+    ed = e.join(deg, "_s").repartition("_s").localCheckpoint()
     pr = verts.withColumn("rank", F.lit(1.0 / n))
     base = (1.0 - damping) / n
     for _ in range(iters):

@@ -93,3 +93,50 @@ def bm25_search(
     return topk.select(
         id_col, "score", F.row_number().over(w).alias("rank")
     )
+
+
+def inverted_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 1,
+) -> DataFrame:
+    """Materialize the corpus inverted index: one row per token with
+    (token, df, total_tf, postings), postings being the doc-sorted
+    "id:tf" list rendered as a string (engine-portable; a real sink
+    would keep the array<struct> form).
+
+    Scale design: per-doc term frequencies aggregate BEFORE the posting
+    build (explode → groupBy(id, token)), so the token shuffle carries
+    one row per (doc, distinct term), not per occurrence; the posting
+    list then assembles with ONE groupBy(token). Stopword-token rows
+    are the classic hot keys — their postings lists are large but each
+    is a single aggregation value built via map-side partial
+    collect_list; a production sink would cap or shard giant postings
+    (Lucene's skip lists), noted here as the extension point.
+    """
+    tf = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.explode(tokens(F.col(text_col))).alias("token"),
+        )
+        .groupBy("_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return (
+        tf.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sum("tf").alias("total_tf"),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_id", "tf"))),
+                    lambda s: F.concat_ws(
+                        ":", s["_id"].cast("string"), s["tf"].cast("string")
+                    ),
+                ),
+            ).alias("postings"),
+        )
+        .where(F.col("df") >= min_df)
+    )

@@ -45,3 +45,26 @@ def test_golden_single_term_score(spark):
 def test_empty_query_rejected(spark):
     with pytest.raises(ValueError):
         bm25_search(_corpus(spark), "   ")
+
+
+def test_inverted_index_postings(spark):
+    from grafink_spark.llm.search import inverted_index
+
+    df = spark.createDataFrame(
+        [(1, "a b a"), (2, "b c"), (3, "a")], "doc_id long, text string"
+    )
+    out = {r["token"]: r for r in inverted_index(df).collect()}
+    assert (out["a"]["df"], out["a"]["total_tf"]) == (2, 3)
+    assert out["a"]["postings"] == "1:2,3:1"
+    assert out["b"]["postings"] == "1:1,2:1"
+    assert out["c"]["postings"] == "2:1"
+
+
+def test_inverted_index_min_df(spark):
+    from grafink_spark.llm.search import inverted_index
+
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a c")], "doc_id long, text string"
+    )
+    toks = [r["token"] for r in inverted_index(df, min_df=2).collect()]
+    assert toks == ["a"]
