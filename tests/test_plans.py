@@ -203,3 +203,41 @@ def test_chunk_dedup_two_shuffles(spark):
     # reassembly; no joins anywhere
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2
     assert "Join" not in plan
+
+
+def test_mixture_sample_broadcasts_rates(spark):
+    from grafink_spark.llm.corpus import mixture_sample
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 5}") for i in range(500)], "doc_id long, source string"
+    )
+    plan = physical_plan(mixture_sample(df))
+    # the corpus side joins the tiny rates table by broadcast — the big
+    # table must never hash-shuffle
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_lm_score_no_nested_loop(spark):
+    from grafink_spark.llm.lm import lm_score
+
+    df = spark.createDataFrame(
+        [(i, "a b c d e " * 5) for i in range(50)], "doc_id long, text string"
+    )
+    plan = physical_plan(lm_score(df))
+    # count-table joins must stay equi (hash/SMJ) — a nested loop here
+    # would be quadratic in corpus size
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_inverted_index_two_aggs_no_join(spark):
+    from grafink_spark.llm.search import inverted_index
+
+    df = spark.createDataFrame(
+        [(i, "x y z") for i in range(50)], "doc_id long, text string"
+    )
+    plan = physical_plan(inverted_index(df))
+    assert "Join" not in plan
+    # per-doc tf pre-agg + postings build: two hash shuffles
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2
