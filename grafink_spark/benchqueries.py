@@ -2402,6 +2402,210 @@ FROM per_doc GROUP BY token HAVING count(*) >= 5
 
 
 # =================================================================
+# time-series operators (timeseries.py)
+# =================================================================
+
+
+def q_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window aggregation: 1-hour windows hopping every 15
+    minutes — each event contributes to 4 overlapping windows."""
+    from grafink_spark.timeseries import sliding_window_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    out = sliding_window_agg(ev, window="1 hour", slide="15 minutes")
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias(
+            "window_start"
+        ),
+        "event_type",
+        "n_events",
+        F.round("sum_value", 2).alias("sum_value"),
+    )
+
+
+# Spark's sliding windows are epoch-aligned; DuckDB's time_bucket origin
+# (2000-01-03) sits on a 15-minute epoch boundary, so the two agree for
+# these widths. Every event is in exactly window/slide = 4 windows.
+SQL_SLIDING_WINDOWS = """
+WITH x AS (
+  SELECT event_type, value,
+         time_bucket(INTERVAL '15 minutes', ts)
+           - k * INTERVAL '15 minutes' AS wstart
+  FROM events CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k)
+)
+SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
+       count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM x GROUP BY 1, 2
+"""
+
+
+def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user daily resample with forward-fill: one row per (user,
+    day) from the user's first to last active day, empty days carrying
+    the last observed value (deterministic last-in-bucket)."""
+    from grafink_spark.timeseries import resample_ffill
+
+    ev = load_table(spark, sf_dir, "events")
+    out = resample_ffill(
+        ev, key="user_id", ts="ts", value="value", unique="event_id"
+    )
+    return out.select(
+        "user_id",
+        F.date_format("bucket", "yyyy-MM-dd").alias("day"),
+        F.round("value", 2).alias("value"),
+    )
+
+
+SQL_RESAMPLE_FFILL = """
+WITH obs AS (
+  SELECT user_id, bucket, value FROM (
+    SELECT user_id, date_trunc('day', ts) AS bucket, value,
+           row_number() OVER (
+             PARTITION BY user_id, date_trunc('day', ts)
+             ORDER BY ts DESC, event_id DESC
+           ) AS rn
+    FROM events) WHERE rn = 1
+),
+g AS (
+  SELECT user_id, bucket, value,
+         lead(bucket) OVER (PARTITION BY user_id ORDER BY bucket) AS nxt
+  FROM obs
+)
+SELECT user_id,
+       strftime(unnest(generate_series(
+         bucket, coalesce(nxt - INTERVAL '1 day', bucket),
+         INTERVAL '1 day')), '%Y-%m-%d') AS day,
+       round(value, 2) AS value
+FROM g
+"""
+
+
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view → click → purchase funnel: users reaching each
+    stage (stage i counted only at-or-after the first stage-(i-1))."""
+    from grafink_spark.timeseries import funnel_counts
+
+    ev = load_table(spark, sf_dir, "events")
+    return funnel_counts(ev, stages=["view", "click", "purchase"])
+
+
+SQL_FUNNEL = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY 1
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.ts >= s1.t1 GROUP BY 1
+),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= s2.t2 GROUP BY 1
+)
+SELECT (SELECT count(*) FROM s1) AS n_view,
+       (SELECT count(*) FROM s2) AS n_click,
+       (SELECT count(*) FROM s3) AS n_purchase
+"""
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle: distinct users active per
+    (first-event week, weeks since that week)."""
+    from grafink_spark.timeseries import cohort_retention
+
+    ev = load_table(spark, sf_dir, "events")
+    out = cohort_retention(ev, key="user_id", ts="ts", period="week")
+    return out.select(
+        F.date_format("cohort", "yyyy-MM-dd").alias("cohort_week"),
+        "offset",
+        "n_active",
+    )
+
+
+SQL_COHORT_RETENTION = """
+WITH c AS (
+  SELECT user_id, date_trunc('week', ts) AS p,
+         min(date_trunc('week', ts))
+           OVER (PARTITION BY user_id) AS cohort
+  FROM events
+),
+d AS (
+  SELECT DISTINCT cohort,
+         CAST(floor((epoch(p) - epoch(cohort)) / 604800) AS BIGINT)
+           AS "offset",
+         user_id
+  FROM c
+)
+SELECT strftime(cohort, '%Y-%m-%d') AS cohort_week, "offset",
+       count(*) AS n_active
+FROM d GROUP BY 1, 2
+"""
+
+
+# =================================================================
+# LLM ops: chunking + edit-distance verify
+# =================================================================
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (window 32, stride 24) — the
+    pre-tokenization split before sequence packing."""
+    from grafink_spark.llm.chunking import chunk_documents
+
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    return chunk_documents(docs, window=32, stride=24)
+
+
+SQL_DOC_CHUNKS = f"""
+WITH t AS (
+  SELECT doc_id, {TOKENS_SQL} AS toks FROM documents
+),
+s AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(0, len(toks) - 1, 24)) AS start
+  FROM t
+)
+SELECT doc_id, CAST(start / 24 AS INT) AS chunk_id,
+       least(start + 32, len(toks)) - start AS n_chunk_tokens,
+       array_to_string(toks[start + 1:least(start + 32, len(toks))], ' ')
+         AS chunk_text
+FROM s
+"""
+
+
+def q_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level (Levenshtein) verification of the LSH candidate
+    pairs — the strictest near-dup verifier, run on candidates only."""
+    docs = load_table(spark, sf_dir, "documents")
+    cand = dd.minhash_lsh_candidates(docs, num_hashes=16, k=3, bands=4)
+    out = dd.edit_distance_pairs(docs, cand, max_ratio=0.4)
+    return out.select(
+        "id_a", "id_b", "edit_distance",
+        F.round("edit_ratio", 6).alias("edit_ratio"),
+    )
+
+
+SQL_EDIT_DISTANCE_PAIRS = f"""
+WITH cand AS ({_lsh_candidates_sql()}),
+j AS (
+  SELECT c.id_a, c.id_b,
+         levenshtein(a.text, b.text) AS edit_distance,
+         CASE WHEN greatest(len(a.text), len(b.text)) > 0
+              THEN levenshtein(a.text, b.text) * 1.0
+                   / greatest(len(a.text), len(b.text))
+              ELSE 0.0 END AS edit_ratio
+  FROM cand c
+  JOIN documents a ON a.doc_id = c.id_a
+  JOIN documents b ON b.doc_id = c.id_b
+)
+SELECT id_a, id_b, edit_distance, round(edit_ratio, 6) AS edit_ratio
+FROM j WHERE edit_ratio <= 0.4
+"""
+
+
+# =================================================================
 # registry
 # =================================================================
 
@@ -2475,6 +2679,12 @@ QUERIES: dict[str, QueryFn] = {
     "value_histogram": q_value_histogram,
     "latest_by_key": q_latest_by_key,
     "inverted_index": q_inverted_index,
+    "sliding_windows": q_sliding_windows,
+    "resample_ffill": q_resample_ffill,
+    "funnel": q_funnel,
+    "cohort_retention": q_cohort_retention,
+    "doc_chunks": q_doc_chunks,
+    "edit_distance_pairs": q_edit_distance_pairs,
 }
 
 ORACLES: dict[str, str] = {
@@ -2549,4 +2759,10 @@ ORACLES: dict[str, str] = {
     "value_histogram": SQL_VALUE_HISTOGRAM,
     "latest_by_key": SQL_LATEST_BY_KEY,
     "inverted_index": SQL_INVERTED_INDEX,
+    "sliding_windows": SQL_SLIDING_WINDOWS,
+    "resample_ffill": SQL_RESAMPLE_FFILL,
+    "funnel": SQL_FUNNEL,
+    "cohort_retention": SQL_COHORT_RETENTION,
+    "doc_chunks": SQL_DOC_CHUNKS,
+    "edit_distance_pairs": SQL_EDIT_DISTANCE_PAIRS,
 }

@@ -802,3 +802,51 @@ def chunk_dedup(
             ).alias(text_col),
         )
     )
+
+
+# -------------------------------------------------- edit-distance verify
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    candidates: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_ratio: float = 0.3,
+) -> DataFrame:
+    """Character-level verification of candidate near-duplicate pairs:
+    Levenshtein distance and its normalized ratio
+    ``distance / greatest(len_a, len_b)``, filtered to
+    ``edit_ratio <= max_ratio``. The strictest verifier in the family —
+    O(len_a·len_b) per pair — so it only ever runs on a candidate set
+    (LSH buckets, fingerprint collisions), never all-pairs.
+
+    Plan/scale: two id equi-joins hydrate the texts (broadcast when the
+    candidate set is small, shuffle hash otherwise — AQE picks), then
+    the distance is a row-local JVM expression (``levenshtein``) inside
+    whole-stage codegen; no Python, no extra shuffle. Bound the per-pair
+    cost upstream by chunk/truncate for very long documents.
+    """
+    t = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
+    paired = (
+        candidates.join(
+            t.select(F.col("_id").alias("id_a"), F.col("_t").alias("_ta")),
+            "id_a",
+        ).join(
+            t.select(F.col("_id").alias("id_b"), F.col("_t").alias("_tb")),
+            "id_b",
+        )
+    )
+    dist = F.levenshtein(F.col("_ta"), F.col("_tb"))
+    denom = F.greatest(F.length("_ta"), F.length("_tb"))
+    return (
+        paired.select(
+            "id_a",
+            "id_b",
+            dist.alias("edit_distance"),
+            F.when(denom > 0, dist / denom).otherwise(F.lit(0.0)).alias(
+                "edit_ratio"
+            ),
+        )
+        .where(F.col("edit_ratio") <= max_ratio)
+    )

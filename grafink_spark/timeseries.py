@@ -1,0 +1,185 @@
+"""Time-series operators over event tables: sliding-window aggregation,
+gap-filling resample with forward-fill, funnel analysis, and cohort
+retention. All pure DataFrame compositions — no UDFs, no driver loops —
+so Catalyst sees every expression and the plans survive a 100× scale-up.
+
+The reference engine has no time-series surface (its only temporal logic
+is the daily batch-date partition pruning, SURVEY §2.1); these are part
+of the beyond-reference analytics layer a 100 TB event store needs.
+
+Scale notes per operator are in the docstrings; the common theme is ONE
+hash shuffle on the entity key, with every later step either local to
+that partitioning or a pre-aggregated (and therefore small) rollup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sliding_window_agg(
+    events: DataFrame,
+    ts: str = "ts",
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    group_cols: list[str] | None = None,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Sliding (hopping) window counts + value sum: each event lands in
+    ``window/slide`` overlapping epoch-aligned windows.
+
+    Works unchanged on a bounded DataFrame or a stream (pass
+    ``watermark`` to bound streaming state; on a batch input the
+    watermark is a no-op). Spark's WindowExec expands each row into its
+    containing windows BEFORE the shuffle, so the exchange carries
+    window/slide × input rows — keep the ratio small (4 here) and
+    pre-filter columns; there is exactly one shuffle, on
+    (window, group_cols).
+    """
+    src = events.withWatermark(ts, watermark) if watermark else events
+    gcols = group_cols if group_cols is not None else ["event_type"]
+    return (
+        src.groupBy(F.window(ts, window, slide).alias("win"), *gcols)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            *gcols,
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def resample_ffill(
+    df: DataFrame,
+    key: str,
+    ts: str = "ts",
+    value: str = "value",
+    unique: str = "event_id",
+    step: str = "1 day",
+    trunc: str = "day",
+) -> DataFrame:
+    """Gap-filled regular resample per key: one row per (key, bucket)
+    from the key's first to its last observed bucket, carrying the most
+    recent observed value forward through empty buckets.
+
+    Last-in-bucket is deterministic: the observation with the greatest
+    (ts, unique) wins (``max`` over a struct — lexicographic, no
+    row_number pass needed).
+
+    Plan/scale: gap-fill WITHOUT a calendar join — each observation
+    emits its own bucket plus the empty buckets up to the next
+    observation (``lead`` + ``sequence`` explode), so the plan is one
+    groupBy shuffle on (key, bucket), one window shuffle on (key), and
+    a narrow generate. No grid × observations join, no second
+    forward-fill window over the filled output. State per key is one
+    row per OBSERVED bucket; the explode emits gap rows straight into
+    the output. A pathological key observed once with a years-long gap
+    to ... emits nothing extra (its single row has no lead), so skew is
+    bounded by real observation counts.
+    """
+    bucket = F.date_trunc(trunc, F.col(ts)).alias("bucket")
+    obs = (
+        df.groupBy(F.col(key), bucket)
+        .agg(
+            F.max(F.struct(F.col(ts), F.col(unique), F.col(value)))
+            .getField(value)
+            .alias("value")
+        )
+    )
+    w = Window.partitionBy(key).orderBy("bucket")
+    gaps = obs.withColumn("_next", F.lead("bucket").over(w))
+    return gaps.select(
+        F.col(key),
+        F.explode(
+            F.sequence(
+                F.col("bucket"),
+                F.coalesce(
+                    F.col("_next") - F.expr(f"interval {step}"),
+                    F.col("bucket"),
+                ),
+                F.expr(f"interval {step}"),
+            )
+        ).alias("bucket"),
+        F.col("value"),
+    )
+
+
+def funnel_counts(
+    events: DataFrame,
+    stages: list[str],
+    key: str = "user_id",
+    ts: str = "ts",
+    stage_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-funnel conversion: one output row with, per stage, how
+    many keys reached it — where "reached stage i" means an event of
+    stage i at-or-after the key's first qualifying stage i-1 event.
+
+    Plan/scale: ONE hash shuffle on the key; each stage is an
+    unordered-frame window aggregate over the same partitioning
+    (Catalyst reuses the exchange across the chained selects), then a
+    global count rollup over one boolean row per event — partial
+    aggregation makes the final exchange a few rows per task.
+    """
+    out = events.select(key, ts, stage_col)
+    w = Window.partitionBy(key)
+    prev = None
+    for i, stage in enumerate(stages):
+        cond = F.col(stage_col) == stage
+        if prev is not None:
+            cond = cond & (F.col(ts) >= F.col(prev))
+        t = f"_t{i}"
+        out = out.withColumn(t, F.min(F.when(cond, F.col(ts))).over(w))
+        prev = t
+    # one row per key (any event row carries the same window values)
+    per_key = out.groupBy(key).agg(
+        *[F.first(f"_t{i}").alias(f"_t{i}") for i in range(len(stages))]
+    )
+    return per_key.agg(
+        *[
+            F.count(F.col(f"_t{i}")).alias(f"n_{stage}")
+            for i, stage in enumerate(stages)
+        ]
+    )
+
+
+def cohort_retention(
+    events: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    period: str = "week",
+) -> DataFrame:
+    """Cohort retention triangle: keys are cohorted by the period of
+    their first event; output counts distinct keys active per
+    (cohort_period, periods_since_cohort).
+
+    Plan/scale: one window shuffle on the key for the cohort min, a
+    distinct on (cohort, offset, key) — which partial-aggregates
+    map-side — then the small (cohorts × offsets) rollup. No join of a
+    per-key cohort table back onto the events (the window form reuses
+    the single key partitioning instead).
+    """
+    secs = {"day": 86400, "week": 604800}[period]
+    p = F.date_trunc(period, F.col(ts))
+    w = Window.partitionBy(key)
+    with_cohort = events.select(
+        F.col(key), p.alias("_p")
+    ).withColumn("cohort", F.min("_p").over(w))
+    return (
+        with_cohort.select(
+            "cohort",
+            F.floor(
+                (F.unix_timestamp("_p") - F.unix_timestamp("cohort")) / secs
+            ).alias("offset"),
+            F.col(key),
+        )
+        .distinct()
+        .groupBy("cohort", "offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )

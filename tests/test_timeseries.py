@@ -1,0 +1,118 @@
+"""Golden tests for the time-series operators (timeseries.py)."""
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from grafink_spark.timeseries import (
+    cohort_retention,
+    funnel_counts,
+    resample_ffill,
+    sliding_window_agg,
+)
+
+
+def _ts(s):
+    return datetime.fromisoformat(s)
+
+
+EV_SCHEMA = "event_id long, user_id long, ts timestamp, event_type string, value double"
+
+
+def test_sliding_windows_membership(spark):
+    # one event at 10:20 → windows starting 09:30, 09:45, 10:00, 10:15
+    ev = spark.createDataFrame(
+        [(1, 1, _ts("2024-01-01T10:20:00"), "view", 2.0)], EV_SCHEMA
+    )
+    out = sliding_window_agg(ev, window="1 hour", slide="15 minutes")
+    starts = sorted(
+        r.window_start.strftime("%H:%M") for r in out.collect()
+    )
+    assert starts == ["09:30", "09:45", "10:00", "10:15"]
+    row = out.where(F.col("n_events") != 1).collect()
+    assert row == []
+
+
+def test_sliding_windows_overlap_counts(spark):
+    # two events 10 min apart share 3 of their 4 windows
+    ev = spark.createDataFrame(
+        [
+            (1, 1, _ts("2024-01-01T10:20:00"), "view", 1.0),
+            (2, 1, _ts("2024-01-01T10:31:00"), "view", 1.0),
+        ],
+        EV_SCHEMA,
+    )
+    out = sliding_window_agg(ev, window="1 hour", slide="15 minutes")
+    counts = {
+        r.window_start.strftime("%H:%M"): r.n_events for r in out.collect()
+    }
+    assert counts == {
+        "09:30": 1, "09:45": 2, "10:00": 2, "10:15": 2, "10:30": 1,
+    }
+
+
+def test_resample_ffill_gap_fill(spark):
+    # user 1: days 1 and 4 observed → days 2, 3 carry day-1's value;
+    # two same-day events → the later ts wins the bucket
+    ev = spark.createDataFrame(
+        [
+            (1, 1, _ts("2024-01-01T08:00:00"), "view", 10.0),
+            (2, 1, _ts("2024-01-01T09:00:00"), "view", 11.0),
+            (3, 1, _ts("2024-01-04T08:00:00"), "view", 40.0),
+            (4, 2, _ts("2024-01-02T08:00:00"), "view", 20.0),
+        ],
+        EV_SCHEMA,
+    )
+    out = resample_ffill(ev, key="user_id")
+    got = {
+        (r.user_id, r.bucket.strftime("%m-%d")): r.value
+        for r in out.collect()
+    }
+    assert got == {
+        (1, "01-01"): 11.0,
+        (1, "01-02"): 11.0,
+        (1, "01-03"): 11.0,
+        (1, "01-04"): 40.0,
+        (2, "01-02"): 20.0,
+    }
+
+
+def test_funnel_ordering_enforced(spark):
+    # user 1 completes in order; user 2's click precedes its view (not
+    # counted); user 3 views only
+    ev = spark.createDataFrame(
+        [
+            (1, 1, _ts("2024-01-01T10:00:00"), "view", 0.0),
+            (2, 1, _ts("2024-01-01T10:05:00"), "click", 0.0),
+            (3, 1, _ts("2024-01-01T10:10:00"), "purchase", 0.0),
+            (4, 2, _ts("2024-01-01T09:00:00"), "click", 0.0),
+            (5, 2, _ts("2024-01-01T10:00:00"), "view", 0.0),
+            (6, 3, _ts("2024-01-01T10:00:00"), "view", 0.0),
+        ],
+        EV_SCHEMA,
+    )
+    row = funnel_counts(ev, stages=["view", "click", "purchase"]).collect()[0]
+    assert (row.n_view, row.n_click, row.n_purchase) == (3, 1, 1)
+
+
+def test_cohort_retention_offsets(spark):
+    # user 1 first active week of Jan 1 (Mon), returns 2 weeks later;
+    # user 2 cohorts one week later, never returns
+    ev = spark.createDataFrame(
+        [
+            (1, 1, _ts("2024-01-02T10:00:00"), "view", 0.0),
+            (2, 1, _ts("2024-01-16T10:00:00"), "view", 0.0),
+            (3, 2, _ts("2024-01-09T10:00:00"), "view", 0.0),
+        ],
+        EV_SCHEMA,
+    )
+    out = cohort_retention(ev, period="week")
+    got = {
+        (r.cohort.strftime("%m-%d"), r.offset): r.n_active
+        for r in out.collect()
+    }
+    assert got == {
+        ("01-01", 0): 1,
+        ("01-01", 2): 1,
+        ("01-08", 0): 1,
+    }
