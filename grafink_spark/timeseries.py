@@ -69,8 +69,9 @@ def resample_ffill(
     recent observed value forward through empty buckets.
 
     Last-in-bucket is deterministic: the observation with the greatest
-    (ts, unique) wins (``max`` over a struct — lexicographic, no
-    row_number pass needed).
+    (ts, unique) wins (``max_by`` with a struct ordering key; the struct
+    buffer makes this a SortAggregate — acceptable, since the window
+    step downstream needs a (key, bucket) sort anyway).
 
     Plan/scale: gap-fill WITHOUT a calendar join — each observation
     emits its own bucket plus the empty buckets up to the next
@@ -87,9 +88,9 @@ def resample_ffill(
     obs = (
         df.groupBy(F.col(key), bucket)
         .agg(
-            F.max(F.struct(F.col(ts), F.col(unique), F.col(value)))
-            .getField(value)
-            .alias("value")
+            F.max_by(
+                F.col(value), F.struct(F.col(ts), F.col(unique))
+            ).alias("value")
         )
     )
     w = Window.partitionBy(key).orderBy("bucket")

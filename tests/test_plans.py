@@ -241,3 +241,73 @@ def test_inverted_index_two_aggs_no_join(spark):
     assert "Join" not in plan
     # per-doc tf pre-agg + postings build: two hash shuffles
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2
+
+
+def _events(spark, n=200):
+    from datetime import datetime, timedelta
+
+    base = datetime(2024, 1, 1)
+    return spark.createDataFrame(
+        [
+            (
+                i,
+                i % 7,
+                base + timedelta(minutes=17 * i),
+                ["view", "click", "purchase"][i % 3],
+                float(i % 50),
+            )
+            for i in range(n)
+        ],
+        "event_id long, user_id long, ts timestamp, event_type string, "
+        "value double",
+    )
+
+
+def test_sliding_windows_single_shuffle(spark):
+    from grafink_spark.timeseries import sliding_window_agg
+
+    plan = physical_plan(sliding_window_agg(_events(spark)))
+    assert plan.count("Exchange") == 1
+    # window expansion happens map-side, before the one shuffle, and the
+    # aggregation partial-aggregates there too
+    assert "partial_count" in plan
+
+
+def test_resample_ffill_no_join(spark):
+    from grafink_spark.timeseries import resample_ffill
+
+    plan = physical_plan(resample_ffill(_events(spark), key="user_id"))
+    # gap rows come from lead+sequence explode, not a calendar join
+    assert "Join" not in plan
+    assert "Generate explode(sequence" in plan
+    assert plan.count("Exchange") == 2  # (key,bucket) agg + key window
+
+
+def test_funnel_single_key_shuffle(spark):
+    from grafink_spark.timeseries import funnel_counts
+
+    plan = physical_plan(
+        funnel_counts(_events(spark), stages=["view", "click", "purchase"])
+    )
+    # the three stage windows and the per-key rollup all reuse ONE hash
+    # exchange on the key; the only other exchange is the 1-row global
+    non_broadcast = [
+        l for l in plan.split("\n")
+        if "Exchange" in l and "BroadcastExchange" not in l
+    ]
+    assert len(non_broadcast) == 2, non_broadcast
+    assert sum("SinglePartition" in l for l in non_broadcast) == 1
+    assert "Join" not in plan
+
+
+def test_doc_chunks_no_shuffle(spark):
+    from grafink_spark.llm.chunking import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(i, "a b c d e f g h i j") for i in range(10)],
+        "doc_id long, text string",
+    )
+    plan = physical_plan(chunk_documents(docs))
+    assert "Exchange" not in plan
+    # tokens staged once per row: exactly one split() in the generate input
+    assert "Generate posexplode" in plan
