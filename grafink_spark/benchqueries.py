@@ -2401,6 +2401,79 @@ FROM per_doc GROUP BY token HAVING count(*) >= 5
 """
 
 
+def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the similarity graph after 4 peel rounds (fixed-round
+    deterministic peeling; oracle replays the identical rounds)."""
+    from grafink_spark.graph.algorithms import k_core
+
+    edges = q_similarity_edges(spark, sf_dir).select("src", "dst")
+    return k_core(edges, k=3, rounds=4)
+
+
+def _kcore_sql(k: int = 3, rounds: int = 4) -> str:
+    """Unrolled replay of graph.algorithms.k_core — same normalization,
+    same per-round drop rule, same round count."""
+    blocks = [
+        f"""e0 AS (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM pairs WHERE src <> dst
+)"""
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        blocks.append(f"""d{i} AS (
+  SELECT id, count(*) AS c FROM (
+    SELECT u AS id FROM e{p} UNION ALL SELECT v FROM e{p})
+  GROUP BY 1
+),
+k{i} AS (SELECT id FROM d{i} WHERE c >= {k}),
+e{i} AS (
+  SELECT u, v FROM e{p}
+  WHERE u IN (SELECT id FROM k{i}) AND v IN (SELECT id FROM k{i})
+)""")
+    return f"""
+WITH pairs AS ({SQL_SIMILARITY_EDGES}),
+{",".join(blocks)}
+SELECT id, count(*) AS core_degree FROM (
+  SELECT u AS id FROM e{rounds} UNION ALL SELECT v FROM e{rounds})
+GROUP BY id
+"""
+
+
+SQL_K_CORE = _kcore_sql()
+
+
+def q_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: parse the events ``props`` JSON
+    column, pull the ``k`` field, and aggregate per event type — the
+    JSON path stays a JVM expression (no Python, no schema inference
+    pass; at scale prefer ``from_json`` with an explicit schema over
+    ``schema_of_json`` sampling)."""
+    ev = load_table(spark, sf_dir, "events")
+    kcol = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.select("event_type", kcol.alias("_k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(F.col("_k") > 50, 1)).alias("n_high"),
+            F.round(F.avg("_k"), 6).alias("avg_k"),
+            F.max("_k").alias("max_k"),
+        )
+    )
+
+
+SQL_PROPS_EXTRACT = """
+SELECT event_type, count(*) AS n,
+       count(CASE WHEN CAST(json_extract_string(props, '$.k') AS INT) > 50
+                  THEN 1 END) AS n_high,
+       round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 6)
+         AS avg_k,
+       max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+FROM events GROUP BY 1
+"""
+
+
 # =================================================================
 # time-series operators (timeseries.py)
 # =================================================================
@@ -2685,6 +2758,8 @@ QUERIES: dict[str, QueryFn] = {
     "cohort_retention": q_cohort_retention,
     "doc_chunks": q_doc_chunks,
     "edit_distance_pairs": q_edit_distance_pairs,
+    "k_core": q_k_core,
+    "props_extract": q_props_extract,
 }
 
 ORACLES: dict[str, str] = {
@@ -2765,4 +2840,6 @@ ORACLES: dict[str, str] = {
     "cohort_retention": SQL_COHORT_RETENTION,
     "doc_chunks": SQL_DOC_CHUNKS,
     "edit_distance_pairs": SQL_EDIT_DISTANCE_PAIRS,
+    "k_core": SQL_K_CORE,
+    "props_extract": SQL_PROPS_EXTRACT,
 }

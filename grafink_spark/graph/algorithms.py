@@ -133,3 +133,54 @@ def triangle_counts(
         .unionByName(tri.select(F.col("y2").alias("id")))
     )
     return verts.groupBy("id").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def k_core(
+    edges: DataFrame,
+    k: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int = 4,
+) -> DataFrame:
+    """(id, core_degree) for vertices surviving ``rounds`` peel rounds
+    of k-core decomposition over the undirected simple graph: each
+    round drops vertices with degree < k and the edges touching them.
+    A FIXED round count (like pagerank's fixed iterations) keeps the
+    result deterministic and oracle-replayable; graphs whose peeling
+    cascades deeper than ``rounds`` return a superset of the true
+    k-core (rounds ≈ log(n) suffices in practice — each round removes
+    every currently-underweight vertex at once, not one vertex).
+
+    Scale: per round one degree aggregation + two left-semi joins, all
+    hash-partitioned on vertex id; lineage is cut per round with
+    localCheckpoint so the plan stays constant-depth. The edge list
+    shrinks monotonically, so later rounds are cheaper.
+    """
+    cur = (
+        edges.select(F.col(src).alias("_a"), F.col(dst).alias("_b"))
+        .where(F.col("_a") != F.col("_b"))
+        .select(
+            F.least("_a", "_b").alias("u"), F.greatest("_a", "_b").alias("v")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(rounds):
+        deg = (
+            cur.select(F.col("u").alias("id"))
+            .unionByName(cur.select(F.col("v").alias("id")))
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("_deg"))
+        )
+        keep = deg.where(F.col("_deg") >= k).select("id")
+        cur = (
+            cur.join(keep.withColumnRenamed("id", "u"), "u", "left_semi")
+            .join(keep.withColumnRenamed("id", "v"), "v", "left_semi")
+            .localCheckpoint()
+        )
+    return (
+        cur.select(F.col("u").alias("id"))
+        .unionByName(cur.select(F.col("v").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+    )

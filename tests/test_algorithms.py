@@ -59,3 +59,27 @@ def test_triangle_counts_star_has_none(spark):
         [(0, i) for i in range(1, 6)], "src long, dst long"
     )
     assert triangle_counts(edges).count() == 0
+
+
+def test_k_core_clique_survives_tail_peels(spark):
+    from grafink_spark.graph.algorithms import k_core
+
+    # 4-clique {1,2,3,4} + tail 4-5-6: the tail peels, the clique stays
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (5, 6)],
+        "src long, dst long",
+    )
+    out = {r.id: r.core_degree for r in k_core(edges, k=3, rounds=4).collect()}
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_k_core_cascade_and_cycle(spark):
+    from grafink_spark.graph.algorithms import k_core
+
+    # path 1-2-3-4-5 fully cascades at k=2; cycle 10-11-12-10 survives
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (12, 10)],
+        "src long, dst long",
+    )
+    out = {r.id: r.core_degree for r in k_core(edges, k=2, rounds=4).collect()}
+    assert out == {10: 2, 11: 2, 12: 2}
