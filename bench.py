@@ -59,6 +59,11 @@ HEADLINE = [
     "lm_score",
     "triangle_count",
     "grouped_topk",
+    "sliding_windows",
+    "resample_ffill",
+    "doc_chunks",
+    "edit_distance_pairs",
+    "k_core",
 ]
 
 # Queries whose full row set is large: drain with a `noop`-format write
@@ -86,6 +91,11 @@ NOOP_DRAIN = {
     "lm_score",
     "triangle_count",
     "grouped_topk",
+    "sliding_windows",
+    "resample_ffill",
+    "doc_chunks",
+    "edit_distance_pairs",
+    "k_core",
 }
 
 
