@@ -2617,6 +2617,46 @@ FROM d GROUP BY 1, 2
 """
 
 
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time bounded join (the stream-stream interval join's batch
+    twin — identical code path): each purchase pairs with the same
+    user's clicks in the preceding hour."""
+    from grafink_spark.streaming.pipeline import interval_join_streams
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    out = interval_join_streams(
+        purchases, clicks, on="user_id", bound="1 hour"
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", fmt).alias("ts"),
+        "event_id_r",
+        F.date_format("ts_r", fmt).alias("ts_r"),
+    )
+
+
+SQL_INTERVAL_JOIN = """
+SELECT p.event_id, p.user_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+       c.event_id AS event_id_r,
+       strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS ts_r
+FROM (SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'purchase') p
+JOIN (SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'click') c
+  ON p.user_id = c.user_id
+ AND c.ts >= p.ts - INTERVAL '1 hour' AND c.ts <= p.ts
+"""
+
+
 # =================================================================
 # LLM ops: chunking + edit-distance verify
 # =================================================================
@@ -2760,6 +2800,7 @@ QUERIES: dict[str, QueryFn] = {
     "edit_distance_pairs": q_edit_distance_pairs,
     "k_core": q_k_core,
     "props_extract": q_props_extract,
+    "interval_join": q_interval_join,
 }
 
 ORACLES: dict[str, str] = {
@@ -2842,4 +2883,5 @@ ORACLES: dict[str, str] = {
     "edit_distance_pairs": SQL_EDIT_DISTANCE_PAIRS,
     "k_core": SQL_K_CORE,
     "props_extract": SQL_PROPS_EXTRACT,
+    "interval_join": SQL_INTERVAL_JOIN,
 }

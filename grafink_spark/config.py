@@ -37,7 +37,7 @@ class ReaderConfig:
     """readerConfig (Config.scala:26-34)."""
 
     basePath: str
-    format: str = "parquet"  # parquet | csv | json (Format.scala:23-25)
+    format: str = "parquet"  # parquet | csv | json (Format.scala:23-25) | orc (extension)
     keepCols: list[str] = field(default_factory=list)
     keepColsRenamed: list[RenameColumn] = field(default_factory=list)
     newCols: list[NewColumn] = field(default_factory=list)

@@ -14,7 +14,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # tiny per-language stopword lists for the n-gram/stopword language
-# heuristic; order defines tie-breaking (first wins)
+# heuristic; dict order is cosmetic — ties break to the
+# lexicographically greatest lang code (see lang_id)
 LANG_STOPWORDS: dict[str, list[str]] = {
     "en": ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"],
     "fr": ["le", "la", "les", "de", "et", "un", "une", "est", "que", "pour"],

@@ -134,3 +134,45 @@ def dedup_event_stream(
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         keys or ["event_id"]
     )
+
+
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    bound: str = "1 hour",
+    watermark: str = "2 hours",
+    right_suffix: str = "_r",
+) -> DataFrame:
+    """Event-time bounded stream-stream inner join: each left row pairs
+    with right rows of the same key whose timestamp lies in
+    ``[left_ts - bound, left_ts]`` (the "enrich with recent context"
+    shape — clicks with the views that preceded them).
+
+    Both sides carry watermarks and the join condition bounds event
+    time on BOTH sides, so Spark can expire buffered state: a side's
+    rows are dropped once the other side's watermark passes
+    ts + bound. Without the time bound the state store would grow
+    forever — that construction is rejected by Spark for good reason.
+
+    Works identically on bounded inputs (batch twin = the same join
+    condition), which is how the oracle checks it.
+    """
+    r_cols = [c for c in right.columns if c != on]
+    r = right.select(
+        F.col(on).alias("_jk"),
+        *[F.col(c).alias(f"{c}{right_suffix}") for c in r_cols],
+    )
+    if left.isStreaming:
+        left = left.withWatermark(left_ts, watermark)
+    if right.isStreaming:
+        r = r.withWatermark(f"{right_ts}{right_suffix}", watermark)
+    rts = F.col(f"{right_ts}{right_suffix}")
+    cond = (
+        (F.col(on) == F.col("_jk"))
+        & (rts >= F.col(left_ts) - F.expr(f"interval {bound}"))
+        & (rts <= F.col(left_ts))
+    )
+    return left.join(r, cond, "inner").drop("_jk")

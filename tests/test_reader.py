@@ -106,3 +106,22 @@ def test_csv_and_json_formats(spark, tmp_path):
         # partition columns survive via basePath
         assert {"year", "month", "day"} <= set(df.columns)
         assert df.where(F.col("objectId") == "ZTFa").first().rfscore == 0.95
+
+
+def test_orc_format(spark, tmp_path):
+    """S1 extension: the reader's format pass-through covers ORC too —
+    any Spark-native columnar source slots in without reader changes."""
+    import os
+
+    base = str(tmp_path / "alerts_orc")
+    day_dir = os.path.join(base, "year=2019", "month=2", "day=1")
+    os.makedirs(day_dir)
+    spark.createDataFrame(
+        [("ZTFa", 0.95), ("ZTFb", 0.5)], "objectId string, rfscore double"
+    ).coalesce(1).write.mode("overwrite").orc(day_dir)
+    reader = Reader(spark, ReaderConfig(basePath=base, format="orc"))
+    pm = PartitionManager(date(2019, 2, 1), 1, padded=False)
+    df = reader.read(pm)
+    assert df.count() == 2
+    assert {"year", "month", "day"} <= set(df.columns)
+    assert df.where(F.col("objectId") == "ZTFa").first().rfscore == 0.95

@@ -97,3 +97,46 @@ def test_stream_dedup_drops_redelivery(spark, tmp_path):
     n_unique = base.select("event_id").distinct().count()
     assert got.count() == n_unique
     assert got.select("event_id").distinct().count() == n_unique
+
+
+def test_interval_join_streams_matches_batch(spark, tmp_path):
+    from grafink_spark.streaming.pipeline import interval_join_streams
+
+    src_dir = str(tmp_path / "ij_src")
+    os.makedirs(src_dir, exist_ok=True)
+    shutil.copy(SRC, os.path.join(src_dir, "part-0.parquet"))
+
+    def split(df):
+        purchases = df.where(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", "ts"
+        )
+        clicks = df.where(F.col("event_type") == "click").select(
+            "event_id", "user_id", "ts"
+        )
+        return purchases, clicks
+
+    # streaming run: both sides from the same file stream
+    sp, sc = split(read_event_stream(spark, src_dir))
+    joined = interval_join_streams(
+        sp, sc, on="user_id", bound="1 hour", watermark="2 hours"
+    )
+    out = str(tmp_path / "ij_out")
+    ckpt = str(tmp_path / "ij_ckpt")
+    run_stream_to_parquet(joined, out, ckpt, available_now=True)
+    got = {
+        (r.event_id, r.event_id_r)
+        for r in spark.read.parquet(out).collect()
+    }
+
+    # batch twin: identical operator on the bounded table
+    bp, bc = split(load_table(spark, "/root/testdata/sf0.001", "events"))
+    expected = {
+        (r.event_id, r.event_id_r)
+        for r in interval_join_streams(
+            bp, bc, on="user_id", bound="1 hour"
+        ).collect()
+    }
+    assert len(expected) > 0
+    # append-mode stream-stream inner join emits exactly the batch set
+    # (availableNow drains the full backlog; watermark only bounds state)
+    assert got == expected
