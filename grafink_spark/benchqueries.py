@@ -2657,6 +2657,104 @@ JOIN (SELECT event_id, user_id, ts FROM events
 """
 
 
+def q_rolling_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 1-hour per-user moving average (RANGE-framed window)."""
+    from grafink_spark.timeseries import rolling_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    out = rolling_agg(ev, key="user_id", span_seconds=3600)
+    return out.select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        F.round("value", 2).alias("value"),
+        "n_trailing",
+        F.round("avg_trailing", 6).alias("avg_trailing"),
+    )
+
+
+# Spark's unix_timestamp floors to whole seconds; epoch() keeps
+# fractional micros, so the oracle floors explicitly to match frames.
+SQL_ROLLING_AVG = """
+SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+       round(value, 2) AS value,
+       count(*) OVER w AS n_trailing,
+       round(avg(value) OVER w, 6) AS avg_trailing
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY floor(epoch(ts))
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents bucketed into quality-score deciles with per-decile
+    count and mean length — NTILE semantics (equal-count buckets,
+    earlier buckets take the remainder) WITHOUT a global single-
+    partition window: global positions come from the distributed
+    ordered zip_with_index (range partition + per-partition offsets),
+    and the bucket is computed from (position, N) with the exact NTILE
+    remainder rule. The oracle uses DuckDB's native ntile."""
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    scored = tx.quality_score(docs).select(
+        "doc_id", "n_chars", F.col("quality_score").alias("q")
+    )
+    idx = zip_with_index(scored, id_col="_pos", order_by=["q", "doc_id"])
+    n_total = idx.agg(F.count(F.lit(1)).alias("_n"))
+    k = 10
+    i0 = F.col("_pos") - 1  # 0-based global position
+    base = F.floor(F.col("_n") / k)  # small-bucket size
+    rem = F.col("_n") % k  # first `rem` buckets hold base+1
+    cut = rem * (base + 1)
+    decile = (
+        F.when(i0 < cut, F.floor(i0 / (base + 1)))
+        .otherwise(rem + F.floor((i0 - cut) / base))
+        + 1
+    )
+    return (
+        idx.crossJoin(F.broadcast(n_total))
+        .select("doc_id", "n_chars", "q", decile.alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("q"), 6).alias("avg_q"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        )
+    )
+
+
+# same quality-score encoding as SQL_TEXT_STATS (the pinned oracle for
+# tx.quality_score), reduced to (doc_id, n_chars, q)
+SQL_QUALITY_DECILES = f"""
+WITH t AS (
+  SELECT doc_id, n_chars, length(text) AS nc, {TOKENS_SQL} AS toks,
+         length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS clean_len
+  FROM documents
+),
+m AS (
+  SELECT doc_id, n_chars,
+         len(toks) AS n_tokens,
+         CASE WHEN len(toks) > 0
+              THEN (nc - len(toks) + 1) / len(toks) ELSE 0.0 END AS atl,
+         CASE WHEN len(toks) > 0
+              THEN len(list_filter(toks, x -> x IN ({_SW_LIST}))) / len(toks)
+              ELSE 0.0 END AS swr,
+         nc, clean_len
+  FROM t
+),
+s AS (
+  SELECT doc_id, n_chars,
+         (CASE WHEN n_tokens >= 5 AND n_tokens <= 100000 THEN 0.25::DOUBLE ELSE 0.0::DOUBLE END)
+       + (CASE WHEN atl >= 2 AND atl <= 12 THEN 0.25::DOUBLE ELSE 0.0::DOUBLE END)
+       + (CASE WHEN nc = 0 OR (nc - clean_len) / nc <= 0.3 THEN 0.25::DOUBLE ELSE 0.0::DOUBLE END)
+       + (CASE WHEN swr >= 0.01 THEN 0.25::DOUBLE ELSE 0.0::DOUBLE END) AS q
+  FROM m
+)
+SELECT decile, count(*) AS n, round(avg(q), 6) AS avg_q,
+       round(avg(n_chars), 6) AS avg_chars
+FROM (SELECT *, ntile(10) OVER (ORDER BY q, doc_id) AS decile FROM s)
+GROUP BY decile
+"""
+
+
 # =================================================================
 # LLM ops: chunking + edit-distance verify
 # =================================================================
@@ -2801,6 +2899,8 @@ QUERIES: dict[str, QueryFn] = {
     "k_core": q_k_core,
     "props_extract": q_props_extract,
     "interval_join": q_interval_join,
+    "rolling_avg": q_rolling_avg,
+    "quality_deciles": q_quality_deciles,
 }
 
 ORACLES: dict[str, str] = {
@@ -2884,4 +2984,6 @@ ORACLES: dict[str, str] = {
     "k_core": SQL_K_CORE,
     "props_extract": SQL_PROPS_EXTRACT,
     "interval_join": SQL_INTERVAL_JOIN,
+    "rolling_avg": SQL_ROLLING_AVG,
+    "quality_deciles": SQL_QUALITY_DECILES,
 }

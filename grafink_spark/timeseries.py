@@ -111,6 +111,37 @@ def resample_ffill(
     )
 
 
+def rolling_agg(
+    df: DataFrame,
+    key: str,
+    ts: str = "ts",
+    value: str = "value",
+    span_seconds: int = 3600,
+) -> DataFrame:
+    """Per-key trailing-window aggregates: for every row, the count and
+    mean of ``value`` over the key's rows in the preceding
+    ``span_seconds`` (inclusive of the current row) — the standard
+    moving-average / rate-limiter shape.
+
+    Plan/scale: one hash shuffle on the key, then a RANGE-framed window
+    over epoch seconds — Spark evaluates it with a sliding two-pointer
+    pass per partition (no per-row rescan of the frame). Skew bound =
+    the hottest key's row count, same as any per-key window.
+    """
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.unix_timestamp(F.col(ts)))
+        .rangeBetween(-span_seconds, 0)
+    )
+    return df.select(
+        F.col(key),
+        F.col(ts),
+        F.col(value),
+        F.count(F.lit(1)).over(w).alias("n_trailing"),
+        F.avg(value).over(w).alias("avg_trailing"),
+    )
+
+
 def funnel_counts(
     events: DataFrame,
     stages: list[str],

@@ -116,3 +116,28 @@ def test_cohort_retention_offsets(spark):
         ("01-01", 2): 1,
         ("01-08", 0): 1,
     }
+
+
+def test_rolling_agg_trailing_window(spark):
+    from grafink_spark.timeseries import rolling_agg
+
+    ev = spark.createDataFrame(
+        [
+            (1, 1, _ts("2024-01-01T10:00:00"), "view", 10.0),
+            (2, 1, _ts("2024-01-01T10:30:00"), "view", 20.0),
+            (3, 1, _ts("2024-01-01T11:15:00"), "view", 30.0),  # drops ev 1
+            (4, 2, _ts("2024-01-01T10:00:00"), "view", 99.0),
+        ],
+        EV_SCHEMA,
+    )
+    out = rolling_agg(ev, key="user_id", span_seconds=3600)
+    got = {
+        (r.user_id, r.ts.strftime("%H:%M")): (r.n_trailing, r.avg_trailing)
+        for r in out.collect()
+    }
+    assert got == {
+        (1, "10:00"): (1, 10.0),
+        (1, "10:30"): (2, 15.0),
+        (1, "11:15"): (2, 25.0),   # 10:00 is outside the 1h window
+        (2, "10:00"): (1, 99.0),
+    }
