@@ -823,9 +823,11 @@ def edit_distance_pairs(
 
     Plan/scale: two id equi-joins hydrate the texts (broadcast when the
     candidate set is small, shuffle hash otherwise — AQE picks), then
-    the distance is a row-local JVM expression (``levenshtein``) inside
-    whole-stage codegen; no Python, no extra shuffle. Bound the per-pair
-    cost upstream by chunk/truncate for very long documents.
+    the distance is a row-local JVM expression inside whole-stage
+    codegen; no Python, no extra shuffle. The THRESHOLDED
+    ``levenshtein(l, r, k)`` runs banded — O(k·len) per pair instead of
+    O(len²) — and returns -1 past the bound, which is exactly the
+    reject case; k is the per-pair bound ``floor(max_ratio · max_len)``.
     """
     t = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
     paired = (
@@ -837,8 +839,13 @@ def edit_distance_pairs(
             "id_b",
         )
     )
-    dist = F.levenshtein(F.col("_ta"), F.col("_tb"))
     denom = F.greatest(F.length("_ta"), F.length("_tb"))
+    # per-pair banded threshold: the Python API only takes a literal
+    # threshold, but the SQL expression accepts any int expression
+    dist = F.expr(
+        "levenshtein(_ta, _tb, cast(floor(greatest(length(_ta),"
+        f" length(_tb)) * {float(max_ratio)!r}) as int))"
+    )
     return (
         paired.select(
             "id_a",
@@ -848,5 +855,7 @@ def edit_distance_pairs(
                 "edit_ratio"
             ),
         )
-        .where(F.col("edit_ratio") <= max_ratio)
+        # banded levenshtein reports -1 when the distance exceeds the
+        # bound — the same rows the ratio filter would drop
+        .where((F.col("edit_distance") >= 0) & (F.col("edit_ratio") <= max_ratio))
     )
