@@ -2987,3 +2987,314 @@ ORACLES: dict[str, str] = {
     "rolling_avg": SQL_ROLLING_AVG,
     "quality_deciles": SQL_QUALITY_DECILES,
 }
+
+
+# =================================================================
+# round-2 batch 3: CDC merge / SCD2, auditable sketches, graph
+# reachability + link prediction, substring-dup coverage, CUBE
+# =================================================================
+
+
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-style CDC apply: a derived changeset (deletes for key%10=0,
+    price updates for key%10∈{1,2}, inserts for key%10=3) merged into
+    the orders base table — one broadcast-able anti-join + union."""
+    from grafink_spark import cdc
+
+    base = load_table(spark, sf_dir, "orders")
+    upd = F.floor(F.col("o_totalprice") * 105) / F.lit(100.0)
+    key10 = F.col("o_orderkey") % 10
+    d = (
+        base.where(key10 == 0)
+        .withColumn(cdc.OP_COL, F.lit("D"))
+        .withColumn(cdc.SEQ_COL, F.lit(1))
+    )
+    u = (
+        base.where(key10.isin(1, 2))
+        .withColumn("o_totalprice", upd)
+        .withColumn(cdc.OP_COL, F.lit("U"))
+        .withColumn(cdc.SEQ_COL, F.lit(1))
+    )
+    ins = (
+        base.where(key10 == 3)
+        .withColumn("o_orderkey", F.col("o_orderkey") + 100000000)
+        .withColumn("o_orderstatus", F.lit("N"))
+        .withColumn(cdc.OP_COL, F.lit("I"))
+        .withColumn(cdc.SEQ_COL, F.lit(1))
+    )
+    merged = cdc.merge_changes(base, d.unionByName(u).unionByName(ins), "o_orderkey")
+    return merged.select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+
+
+SQL_MERGE_UPSERT = """
+WITH ch AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, 'D' AS op
+  FROM orders WHERE o_orderkey % 10 = 0
+  UNION ALL
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         floor(o_totalprice * 105) / 100.0, 'U'
+  FROM orders WHERE o_orderkey % 10 IN (1, 2)
+  UNION ALL
+  SELECT o_orderkey + 100000000, o_custkey, 'N', o_totalprice, 'I'
+  FROM orders WHERE o_orderkey % 10 = 3
+)
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders b
+WHERE NOT EXISTS (SELECT 1 FROM ch WHERE ch.o_orderkey = b.o_orderkey)
+UNION ALL
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM ch
+WHERE op <> 'D'
+"""
+
+
+def q_scd2_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 effective ranges over each customer's order history:
+    valid_from/valid_to/is_current via one lead() window."""
+    from grafink_spark import cdc
+
+    orders = load_table(spark, sf_dir, "orders")
+    return cdc.scd2_ranges(
+        orders, key="o_custkey", change_ts="o_orderdate", order_tiebreak="o_orderkey"
+    ).select(
+        "o_custkey", "o_orderkey", "o_totalprice",
+        "valid_from", "valid_to", "is_current",
+    )
+
+
+SQL_SCD2_RANGES = """
+SELECT o_custkey, o_orderkey, o_totalprice,
+       o_orderdate AS valid_from,
+       lead(o_orderdate) OVER w AS valid_to,
+       lead(o_orderdate) OVER w IS NULL AS is_current
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic HLL (m=1024) + KMV (k=64) distinct-user estimates
+    per event type, next to the exact count — both sketches replayed
+    register-for-register by the oracle."""
+    from grafink_spark import sketches as sk
+
+    ev = load_table(spark, sf_dir, "events")
+    ex = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    h = sk.hll_distinct(ev, "event_type", "user_id")
+    kv = sk.kmv_distinct(ev, "event_type", "user_id", k=64)
+    return ex.join(h, "event_type").join(kv, "event_type")
+
+
+def _approx_distinct_sql() -> str:
+    from grafink_spark import sketches as sk
+
+    raw_num = repr(sk._alpha(sk.M) * sk.M * sk.M * float(1 << sk.RHO_MAX))
+    kmv_num = repr(63.0 * float(1 << sk.HASH_BITS))
+    scale = 1 << sk.RHO_MAX
+    m, rho_max = sk.M, sk.RHO_MAX
+    return f"""
+WITH h AS (
+  SELECT event_type,
+         ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
+  FROM events
+),
+r AS (
+  SELECT event_type, h % {m} AS bucket,
+         CASE WHEN h // {m} > 0 THEN {rho_max} - length(bin(h // {m}))
+              ELSE {rho_max} END AS rho
+  FROM h
+),
+regs AS (SELECT event_type, bucket, max(rho) AS max_rho FROM r GROUP BY 1, 2),
+z AS (
+  SELECT event_type,
+         sum(1::BIGINT << ({rho_max} - max_rho)) AS zp,
+         count(*) AS nb
+  FROM regs GROUP BY 1
+),
+est AS (
+  SELECT event_type,
+         {raw_num} / (zp + ({m} - nb) * {scale}::BIGINT)::DOUBLE AS raw,
+         ({m} - nb)::DOUBLE AS zeros
+  FROM z
+),
+hll AS (
+  SELECT event_type,
+         round(CASE WHEN raw <= {2.5 * m!r} AND zeros > 0
+                    THEN {float(m)!r} * ln({float(m)!r} / zeros)
+                    ELSE raw END, 2) AS hll_est
+  FROM est
+),
+kd AS (SELECT DISTINCT event_type, h FROM h),
+rk AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk
+  FROM kd
+),
+kmv AS (
+  SELECT event_type,
+         round(CASE WHEN count(*) < 64 THEN count(*)::DOUBLE
+                    ELSE {kmv_num} / max(h)::DOUBLE END, 2) AS kmv_est
+  FROM rk WHERE rk <= 64 GROUP BY 1
+),
+ex AS (SELECT event_type, count(DISTINCT user_id) AS n_exact FROM events GROUP BY 1)
+SELECT ex.event_type, n_exact, hll_est, kmv_est
+FROM ex JOIN hll USING (event_type) JOIN kmv USING (event_type)
+"""
+
+
+SQL_APPROX_DISTINCT = _approx_distinct_sql()
+
+
+def q_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop distances (≤ 4) from the lowest-id vertex of the similarity
+    graph — the read surface's k-hop neighborhood as a whole-graph
+    frontier BFS."""
+    from grafink_spark.graph.algorithms import bfs_distances
+
+    ev, current = _alertish_events(spark, sf_dir)
+    rule = SimilarityClassifier("rfscore OR objectId", mode="decomposed")
+    loaded = ev.where(F.col("id") % 20 != 0)
+    pairs = (
+        rule.classify(loaded, current).select("src", "dst").localCheckpoint()
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    src0 = pairs.agg(F.min(F.least("src", "dst"))).first()[0]
+    return bfs_distances(edges, src0, max_hops=4)
+
+
+SQL_BFS_DISTANCES = f"""
+WITH RECURSIVE pairs AS ({SQL_SIMILARITY_EDGES}),
+e AS (
+  SELECT src, dst FROM pairs
+  UNION ALL
+  SELECT dst AS src, src AS dst FROM pairs
+),
+s AS (SELECT min(least(src, dst)) AS v FROM pairs),
+bfs (id, dist) AS (
+  SELECT v, 0 FROM s
+  UNION
+  SELECT e.dst, bfs.dist + 1 FROM bfs JOIN e ON e.src = bfs.id
+  WHERE bfs.dist < 4
+)
+SELECT id, min(dist) AS dist FROM bfs GROUP BY 1
+"""
+
+
+def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction over the premium co-purchase graph (parts that
+    share an order at quantity > 45): common-neighbor count + AA score
+    for every non-adjacent pair."""
+    from grafink_spark.graph.algorithms import adamic_adar
+
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_quantity") > 45)
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst"))
+    co = (
+        a.join(b, "k")
+        .where(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+    )
+    return adamic_adar(co, min_common=1)
+
+
+SQL_ADAMIC_ADAR = """
+WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity > 45),
+und AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+bidir AS (SELECT u, v FROM und UNION ALL SELECT v AS u, u AS v FROM und),
+deg AS (SELECT u AS n, count(*) AS d FROM bidir GROUP BY 1),
+wed AS (
+  SELECT l.u AS n, l.v AS a, r.v AS b
+  FROM bidir l JOIN bidir r ON l.u = r.u AND l.v < r.v
+),
+p AS (
+  SELECT w.a, w.b, count(*) AS common_neighbors,
+         sum(1.0 / ln(deg.d)) AS aa
+  FROM wed w JOIN deg ON deg.n = w.n GROUP BY 1, 2
+)
+SELECT p.a, p.b, common_neighbors, round(aa, 6) AS aa_score
+FROM p
+WHERE NOT EXISTS (SELECT 1 FROM und WHERE und.u = p.a AND und.v = p.b)
+  AND common_neighbors >= 1
+"""
+
+
+def q_dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document substring-duplication coverage: fraction of token
+    5-gram windows shared with at least one other document."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.ngram_span_coverage(docs, n=5)
+
+
+SQL_DUP_NGRAM_SPANS = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS l
+  FROM documents
+),
+w0 AS (
+  SELECT doc_id, l, unnest(generate_series(1, len(l) - 4)) AS i FROM t
+),
+w AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(array_to_string(l[i:i+4], ' ')), 1, 15))::BIGINT AS h
+  FROM w0
+),
+pdh AS (SELECT h, doc_id, count(*) AS cnt FROM w GROUP BY 1, 2),
+dph AS (SELECT h, count(*) AS ndocs FROM pdh GROUP BY 1)
+SELECT pdh.doc_id AS id, sum(cnt) AS total_windows,
+       sum(CASE WHEN ndocs > 1 THEN cnt ELSE 0 END) AS dup_windows,
+       round(sum(CASE WHEN ndocs > 1 THEN cnt ELSE 0 END)
+             / sum(cnt)::DOUBLE, 6) AS dup_fraction
+FROM pdh JOIN dph USING (h) GROUP BY 1
+"""
+
+
+def q_cube_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY CUBE over (returnflag, linestatus) — all four grouping
+    levels in one partial-aggregated pass (ROLLUP's sibling; the
+    rollup_summary query covers the hierarchical variant)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+    )
+
+
+SQL_CUBE_SUMMARY = """
+SELECT l_returnflag, l_linestatus, count(*) AS n_items,
+       round(sum(l_extendedprice), 2) AS revenue
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+QUERIES.update(
+    {
+        "merge_upsert": q_merge_upsert,
+        "scd2_ranges": q_scd2_ranges,
+        "approx_distinct": q_approx_distinct,
+        "bfs_distances": q_bfs_distances,
+        "adamic_adar": q_adamic_adar,
+        "dup_ngram_spans": q_dup_ngram_spans,
+        "cube_summary": q_cube_summary,
+    }
+)
+
+ORACLES.update(
+    {
+        "merge_upsert": SQL_MERGE_UPSERT,
+        "scd2_ranges": SQL_SCD2_RANGES,
+        "approx_distinct": SQL_APPROX_DISTINCT,
+        "bfs_distances": SQL_BFS_DISTANCES,
+        "adamic_adar": SQL_ADAMIC_ADAR,
+        "dup_ngram_spans": SQL_DUP_NGRAM_SPANS,
+        "cube_summary": SQL_CUBE_SUMMARY,
+    }
+)

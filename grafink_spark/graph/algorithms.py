@@ -184,3 +184,110 @@ def k_core(
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("core_degree"))
     )
+
+
+def bfs_distances(
+    edges: DataFrame,
+    source,
+    max_hops: int = 6,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """(id, dist) — minimum hop count from ``source`` over the DIRECTED
+    edge set (pass both directions for undirected), bounded at
+    ``max_hops``. The read surface's k-hop neighborhood (SURVEY §2.8,
+    `g.V(id).outE()...`) generalized to whole-reachability with
+    distances.
+
+    Scale: classic frontier BFS — per hop ONE equi join of the frontier
+    onto the (static, pre-partitioned) edge list plus one anti-join
+    against the seen set, both hash-partitioned on vertex id. Frontier
+    and seen set are localCheckpoint-ed every hop so plan depth and
+    re-execution stay O(1) per hop regardless of depth (same pattern as
+    graph.query.neighborhood / dedup.connected_components). Early-exits
+    when the frontier empties.
+    """
+    spark = edges.sparkSession
+    e = edges.select(
+        F.col(src).alias("_s"), F.col(dst).alias("_d")
+    ).distinct()
+    # static join side: partition once on the probe key, reused per hop
+    e = e.repartition("_s").localCheckpoint()
+    seen = spark.createDataFrame([(int(source), 0)], "id long, dist int")
+    frontier = seen
+    for h in range(1, max_hops + 1):
+        nxt = (
+            e.join(
+                frontier.select(F.col("id").alias("_s")), "_s"
+            )
+            .select(F.col("_d").alias("id"))
+            .distinct()
+            .join(seen.select("id"), "id", "left_anti")
+            .withColumn("dist", F.lit(h))
+            .localCheckpoint()
+        )
+        if not nxt.take(1):
+            break
+        seen = seen.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    return seen
+
+
+def adamic_adar(
+    edges: DataFrame,
+    min_common: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Link prediction over the undirected simple graph: for every
+    non-adjacent pair (a, b) with ≥ ``min_common`` common neighbors,
+    emit (a, b, common_neighbors, aa_score) where aa_score =
+    Σ_n 1/ln(deg(n)) over the common neighbors n (Adamic-Adar).
+
+    Scale: the wedge self-join is the cost driver — it shuffles both
+    copies of the edge list on the shared-neighbor key n, and its
+    output is Σ_n deg(n)², so hub vertices dominate. Callers should
+    bound hub degree upstream (drop or sample neighbors of celebrity
+    nodes) exactly as for triangle counting; within that bound the plan
+    is two hash joins + one pair aggregation, no cartesian anywhere.
+    The existing-edge exclusion is a left-anti join on the canonical
+    (least, greatest) pair key.
+    """
+    und = (
+        edges.select(F.col(src).alias("_a"), F.col(dst).alias("_b"))
+        .where(F.col("_a") != F.col("_b"))
+        .select(
+            F.least("_a", "_b").alias("u"), F.greatest("_a", "_b").alias("v")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    both = und.unionByName(
+        und.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = both.groupBy(F.col("u").alias("n")).agg(
+        F.count(F.lit(1)).alias("_deg")
+    )
+    # wedges through n: (a - n - b), a < b
+    l = both.select(F.col("u").alias("n"), F.col("v").alias("a"))
+    r = both.select(F.col("u").alias("n"), F.col("v").alias("b"))
+    wedges = (
+        l.join(r, "n")
+        .where(F.col("a") < F.col("b"))
+        .join(deg, "n")
+    )
+    pairs = wedges.groupBy("a", "b").agg(
+        F.count(F.lit(1)).alias("common_neighbors"),
+        F.sum(F.lit(1.0) / F.log(F.col("_deg").cast("double"))).alias("_aa"),
+    )
+    return (
+        pairs.join(
+            und,
+            (pairs["a"] == und["u"]) & (pairs["b"] == und["v"]),
+            "left_anti",
+        )
+        .where(F.col("common_neighbors") >= min_common)
+        .select(
+            "a", "b", "common_neighbors", F.round("_aa", 6).alias("aa_score")
+        )
+    )

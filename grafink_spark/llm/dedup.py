@@ -859,3 +859,71 @@ def edit_distance_pairs(
         # bound — the same rows the ratio filter would drop
         .where((F.col("edit_distance") >= 0) & (F.col("edit_ratio") <= max_ratio))
     )
+
+
+def ngram_span_coverage(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Substring-level duplication signal (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better"): for every document,
+    the fraction of its token n-gram windows that also occur in at
+    least one OTHER document. Unlike doc-level MinHash this catches
+    boilerplate and quoted spans inside otherwise-unique documents.
+
+    Returns (id, total_windows, dup_windows, dup_fraction), one row per
+    document with ≥ 1 window.
+
+    Scale: windows are hashed to 60-bit ints (narrow shuffle rows, no
+    gram strings on the wire). Three keyed aggregations, all linear in
+    the token count: (hash, doc) partial counts, per-hash doc counts,
+    per-doc rollup; the hash-side join is between two aggregates
+    co-partitioned on the hash key. A mega-duplicated gram (site
+    boilerplate in millions of docs) is ONE row on the per-hash side —
+    skew lands on the (hash, doc) aggregation, which map-side combines
+    within each scan partition first.
+    """
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    grams = F.when(
+        F.size(F.col("_toks")) >= n,
+        F.expr(
+            f"transform(sequence(1, size(_toks) - {n} + 1), "
+            f"i -> concat_ws(' ', slice(_toks, i, {n})))"
+        ),
+    ).otherwise(F.array())
+    windows = (
+        df.select(F.col(id_col).alias("_id"), toks.alias("_toks"))
+        .select("_id", F.explode(grams).alias("_g"))
+        .select(
+            "_id",
+            F.conv(F.substring(F.md5(F.col("_g")), 1, 15), 16, 10)
+            .cast("long")
+            .alias("_h"),
+        )
+    )
+    per_doc_hash = windows.groupBy("_h", "_id").agg(
+        F.count(F.lit(1)).alias("_cnt")
+    )
+    docs_per_hash = per_doc_hash.groupBy("_h").agg(
+        F.count(F.lit(1)).alias("_ndocs")
+    )
+    return (
+        per_doc_hash.join(docs_per_hash, "_h")
+        .groupBy(F.col("_id").alias("id"))
+        .agg(
+            F.sum("_cnt").alias("total_windows"),
+            F.sum(F.when(F.col("_ndocs") > 1, F.col("_cnt")).otherwise(0)).alias(
+                "dup_windows"
+            ),
+        )
+        .select(
+            "id",
+            "total_windows",
+            "dup_windows",
+            F.round(
+                F.col("dup_windows") / F.col("total_windows").cast("double"), 6
+            ).alias("dup_fraction"),
+        )
+    )

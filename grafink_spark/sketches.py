@@ -1,0 +1,114 @@
+"""Distributed cardinality sketches: HyperLogLog and KMV, deterministic.
+
+Spark's built-in ``approx_count_distinct`` is HLL++ with an
+implementation-defined hash, so its answers can't be replayed by
+another engine. These sketches use md5-derived 60-bit hashes and pure
+integer register math, so Spark and the DuckDB oracle compute
+bit-identical registers and (up to one final double division) identical
+estimates — an *auditable* approximate-distinct, which matters when a
+100 TB pipeline's dedup/reporting numbers must be reproducible across
+engines.
+
+Scale design: both sketches are classic one-pass, mergeable
+aggregations — map-side partial aggregation collapses each partition
+to ≤ m register rows (HLL) or ≤ k hash rows (KMV) before the single
+shuffle on the group key. No row-at-a-time Python, no second pass.
+Register math stays in integers (``sum(1 << (RHO_MAX - rho))``; the
+sum of ≤ m such terms fits a 64-bit long exactly) so results don't
+depend on floating-point reduction order across partitions.
+
+HLL: h = 60-bit md5 prefix; bucket = h mod m; rho = leading-zero count
+of the remaining 50-bit word + 1; E = alpha·m²/Z with the standard
+small-range linear-counting correction (Flajolet et al. 2007).
+KMV: E = (k-1)·2^60 / h_(k), the k-th smallest distinct hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# 60-bit hash: 15 md5 hex chars — fits a signed 64-bit long in every
+# engine (the full 64-bit prefix would overflow DuckDB's ::BIGINT).
+HASH_BITS = 60
+B = 10  # bucket bits
+M = 1 << B  # 1024 registers
+W_BITS = HASH_BITS - B  # 50-bit rho word
+RHO_MAX = W_BITS + 1  # rho when the word is all zeros
+
+
+def hash60(col: Column) -> Column:
+    """Deterministic 60-bit hash of a value's string form, identical in
+    Spark and DuckDB: first 15 hex chars of md5, base-16 → long."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+
+
+def _alpha(m: int) -> float:
+    if m >= 128:
+        return 0.7213 / (1.0 + 1.079 / m)
+    return {16: 0.673, 32: 0.697, 64: 0.709}[m]
+
+
+def hll_distinct(
+    df: DataFrame, group: str, value: str, out: str = "hll_est"
+) -> DataFrame:
+    """Per-group HLL cardinality estimate (m=1024, ±~3.25%)."""
+    h = hash60(F.col(value))
+    # integer shift, NOT double division — h uses 60 bits and a double
+    # round-trip would corrupt the low bits of the rho word
+    w = F.shiftright(h, B)
+    regs = (
+        df.select(
+            F.col(group),
+            (h % M).alias("_bucket"),
+            # rho = RHO_MAX - bit_length(w); bin() of a positive long has
+            # no leading zeros in both engines, so its length IS bit_length
+            F.when(w > 0, RHO_MAX - F.length(F.bin(w)))
+            .otherwise(F.lit(RHO_MAX))
+            .alias("_rho"),
+        )
+        .groupBy(group, "_bucket")
+        .agg(F.max("_rho").alias("_max_rho"))
+    )
+    # Z scaled by 2^RHO_MAX kept in exact integer arithmetic: present
+    # buckets contribute 2^(RHO_MAX - max_rho), absent ones 2^RHO_MAX
+    alpha_m2 = _alpha(M) * M * M
+    scale = float(1 << RHO_MAX)
+    agg = regs.groupBy(group).agg(
+        F.sum(F.expr(f"shiftleft(1L, {RHO_MAX} - _max_rho)")).alias("_z_present"),
+        F.count(F.lit(1)).alias("_nb"),
+    )
+    z_int = F.col("_z_present") + (M - F.col("_nb")) * F.lit(1 << RHO_MAX)
+    raw = F.lit(alpha_m2 * scale) / z_int.cast("double")
+    zeros = (M - F.col("_nb")).cast("double")
+    est = F.when(
+        (raw <= 2.5 * M) & (zeros > 0), F.lit(float(M)) * F.log(F.lit(float(M)) / zeros)
+    ).otherwise(raw)
+    return agg.select(F.col(group), F.round(est, 2).alias(out))
+
+
+def kmv_distinct(
+    df: DataFrame, group: str, value: str, k: int = 64, out: str = "kmv_est"
+) -> DataFrame:
+    """Per-group KMV (bottom-k) estimate: (k-1)·2^60 / k-th smallest
+    distinct hash. One distinct + one window shuffle, both on the group
+    key; the rank prunes to k rows per group before the final agg."""
+    h = hash60(F.col(value))
+    w = Window.partitionBy(group).orderBy(F.col("_h").asc())
+    ranked = (
+        df.select(F.col(group), h.alias("_h"))
+        .distinct()
+        .withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= k)
+    )
+    kth = ranked.groupBy(group).agg(
+        F.max("_h").alias("_hk"), F.count(F.lit(1)).alias("_n")
+    )
+    # groups with < k distinct values: the bottom-k set IS the exact
+    # distinct set
+    est = F.when(F.col("_n") < k, F.col("_n").cast("double")).otherwise(
+        F.lit(float((k - 1)) * float(1 << HASH_BITS)) / F.col("_hk").cast("double")
+    )
+    return kth.select(F.col(group), F.round(est, 2).alias(out))

@@ -83,3 +83,68 @@ def test_k_core_cascade_and_cycle(spark):
     )
     out = {r.id: r.core_degree for r in k_core(edges, k=2, rounds=4).collect()}
     assert out == {10: 2, 11: 2, 12: 2}
+
+
+def test_bfs_distances_chain_and_unreachable(spark):
+    from grafink_spark.graph.algorithms import bfs_distances
+
+    # chain 1-2-3-4-5 plus disconnected 9-10
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5), (9, 10)])
+    d = {r.id: r.dist for r in bfs_distances(e, 1, max_hops=6).collect()}
+    assert d == {1: 0, 2: 1, 3: 2, 4: 3, 5: 4}
+
+
+def test_bfs_distances_hop_cap(spark):
+    from grafink_spark.graph.algorithms import bfs_distances
+
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+    d = {r.id: r.dist for r in bfs_distances(e, 1, max_hops=2).collect()}
+    assert d == {1: 0, 2: 1, 3: 2}
+
+
+def test_bfs_takes_shortest_route(spark):
+    from grafink_spark.graph.algorithms import bfs_distances
+
+    # 1-2-3-4 chain plus shortcut 1-4
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4), (1, 4)])
+    d = {r.id: r.dist for r in bfs_distances(e, 1, max_hops=5).collect()}
+    assert d[4] == 1
+    assert d[3] == 2  # via the shortcut, not the 3-hop chain
+
+
+def test_adamic_adar_path_graph(spark):
+    import math
+
+    from grafink_spark.graph.algorithms import adamic_adar
+
+    # path 1-2-3: only candidate pair (1,3) with common neighbor 2
+    # (deg 2) → aa = 1/ln(2)
+    e = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    rows = adamic_adar(e, min_common=1).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.a, r.b, r.common_neighbors) == (1, 3, 1)
+    assert r.aa_score == round(1.0 / math.log(2.0), 6)
+
+
+def test_adamic_adar_excludes_existing_edges(spark):
+    from grafink_spark.graph.algorithms import adamic_adar
+
+    # triangle: every pair adjacent → no candidates
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3)], "src long, dst long"
+    )
+    assert adamic_adar(e, min_common=1).count() == 0
+
+
+def test_adamic_adar_min_common_filter(spark):
+    from grafink_spark.graph.algorithms import adamic_adar
+
+    # square 1-2-4-3-1: pair (1,4) has common neighbors {2,3}, pair
+    # (2,3) has {1,4}; with min_common=2 both survive, each aa =
+    # 2/ln(2)
+    e = spark.createDataFrame(
+        [(1, 2), (2, 4), (3, 4), (1, 3)], "src long, dst long"
+    )
+    rows = {(r.a, r.b): r.common_neighbors for r in adamic_adar(e, min_common=2).collect()}
+    assert rows == {(1, 4): 2, (2, 3): 2}

@@ -267,3 +267,43 @@ def test_chunk_dedup_within_doc_repeats(spark):
     # chunks: "p q r" / "p q r" / "p q" -- the repeat inside the doc dedups
     assert (row["n_chunks"], row["n_kept"]) == (3, 2)
     assert row["text"] == "p q r p q"
+
+
+def test_ngram_span_coverage_golden(spark):
+    from grafink_spark.llm.dedup import ngram_span_coverage
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),      # windows: 'a b c d e', 'b c d e f'
+            (2, "z a b c d e"),      # windows: 'z a b c d', 'a b c d e'
+            (3, "x y w q r"),        # one unique window
+            (4, "a b"),              # < 5 tokens → no windows, no row
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.id: (r.total_windows, r.dup_windows, r.dup_fraction)
+        for r in ngram_span_coverage(docs, n=5).collect()
+    }
+    assert out == {1: (2, 1, 0.5), 2: (2, 1, 0.5), 3: (1, 0, 0.0)}
+
+
+def test_ngram_span_coverage_counts_repeats_within_doc(spark):
+    from grafink_spark.llm.dedup import ngram_span_coverage
+
+    # doc 1 contains the shared gram twice: both window instances count
+    # as duplicated mass
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e a b c d e"),  # 6 windows, 2 of them 'a b c d e'
+            (2, "a b c d e"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.id: (r.total_windows, r.dup_windows)
+        for r in ngram_span_coverage(docs, n=5).collect()
+    }
+    assert out[2] == (1, 1)
+    assert out[1][0] == 6
+    assert out[1][1] >= 2

@@ -1,0 +1,65 @@
+"""Deterministic HLL / KMV sketch tests: accuracy bounds + exactness
+of the small-range paths."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from grafink_spark import sketches as sk
+
+
+def _vals(spark, n, groups=1):
+    return spark.range(n * groups).select(
+        (F.col("id") % groups).cast("string").alias("g"),
+        F.col("id").alias("v"),
+    )
+
+
+def test_hll_within_expected_error(spark):
+    # m=1024 → standard error ~1.04/sqrt(1024) ≈ 3.25%; allow 4 sigma
+    n = 20000
+    est = sk.hll_distinct(_vals(spark, n), "g", "v").collect()[0]["hll_est"]
+    assert abs(est - n) / n < 0.13
+
+
+def test_hll_small_range_linear_counting(spark):
+    # n ≪ m → linear-counting path, very accurate
+    n = 100
+    est = sk.hll_distinct(_vals(spark, n), "g", "v").collect()[0]["hll_est"]
+    assert abs(est - n) / n < 0.05
+
+
+def test_hll_ignores_duplicates(spark):
+    df = _vals(spark, 5000)
+    dup = df.unionByName(df).unionByName(df)
+    a = sk.hll_distinct(df, "g", "v").collect()[0]["hll_est"]
+    b = sk.hll_distinct(dup, "g", "v").collect()[0]["hll_est"]
+    assert a == b  # registers are max-merged — multiplicity-invariant
+
+
+def test_kmv_exact_below_k(spark):
+    # < k distinct values → the bottom-k set IS the distinct set
+    est = sk.kmv_distinct(_vals(spark, 40), "g", "v", k=64).collect()[0][
+        "kmv_est"
+    ]
+    assert est == 40.0
+
+
+def test_kmv_within_expected_error(spark):
+    # k=256 → relative error ~1/sqrt(k-2) ≈ 6.3%; allow ~4 sigma
+    n = 20000
+    est = sk.kmv_distinct(_vals(spark, n), "g", "v", k=256).collect()[0][
+        "kmv_est"
+    ]
+    assert abs(est - n) / n < 0.25
+
+
+def test_sketches_per_group_independent(spark):
+    df = _vals(spark, 1000, groups=4)
+    out = {
+        r["g"]: r["hll_est"]
+        for r in sk.hll_distinct(df, "g", "v").collect()
+    }
+    assert len(out) == 4
+    for est in out.values():
+        assert abs(est - 1000) / 1000 < 0.15
