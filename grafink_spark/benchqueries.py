@@ -2791,7 +2791,7 @@ def q_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs — the strictest near-dup verifier, run on candidates only."""
     docs = load_table(spark, sf_dir, "documents")
     cand = dd.minhash_lsh_candidates(docs, num_hashes=16, k=3, bands=4)
-    out = dd.edit_distance_pairs(docs, cand, max_ratio=0.4)
+    out = dd.edit_distance_pairs(docs, cand, max_ratio=0.2)
     return out.select(
         "id_a", "id_b", "edit_distance",
         F.round("edit_ratio", 6).alias("edit_ratio"),
@@ -2812,7 +2812,7 @@ j AS (
   JOIN documents b ON b.doc_id = c.id_b
 )
 SELECT id_a, id_b, edit_distance, round(edit_ratio, 6) AS edit_ratio
-FROM j WHERE edit_ratio <= 0.4
+FROM j WHERE edit_ratio <= 0.2
 """
 
 

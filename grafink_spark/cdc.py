@@ -53,19 +53,31 @@ def latest_changes(changes: DataFrame, key: str) -> DataFrame:
     )
 
 
-def merge_changes(base: DataFrame, changes: DataFrame, key: str) -> DataFrame:
+def merge_changes(
+    base: DataFrame,
+    changes: DataFrame,
+    key: str,
+    broadcast_keys: bool = True,
+) -> DataFrame:
     """MERGE INTO base USING changes ON base.key = changes.key:
 
     - ``_op = 'D'`` → row removed,
     - ``_op = 'U'`` / ``'I'`` → changeset row wins (full-row payload).
 
     Returns the merged table with the base schema. The base side is a
-    single left-anti join against the (deduplicated, usually broadcast)
-    change keys; surviving changes are unioned back in.
+    single left-anti join against the deduplicated change keys —
+    broadcast by default (the design point is changeset ≪ base; the
+    window over the changeset hides size stats from the static planner,
+    and waiting for AQE to flip the SortMergeJoin would already have
+    shuffled the full base side). Pass ``broadcast_keys=False`` for a
+    changeset too large to broadcast.
     """
     resolved = latest_changes(changes, key)
     keep_cols = base.columns
-    survivors = base.join(resolved.select(key), on=key, how="left_anti")
+    anti_keys = resolved.select(key)
+    if broadcast_keys:
+        anti_keys = F.broadcast(anti_keys)
+    survivors = base.join(anti_keys, on=key, how="left_anti")
     upserts = resolved.where(F.col(OP_COL) != DELETE).select(*keep_cols)
     return survivors.unionByName(upserts)
 

@@ -25,7 +25,7 @@ bit-for-bit in the duckdb oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from grafink_spark.llm.text import tokens
@@ -813,6 +813,7 @@ def edit_distance_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_ratio: float = 0.3,
+    verify_partitions: int | None = None,
 ) -> DataFrame:
     """Character-level verification of candidate near-duplicate pairs:
     Levenshtein distance and its normalized ratio
@@ -824,10 +825,36 @@ def edit_distance_pairs(
     Plan/scale: two id equi-joins hydrate the texts (broadcast when the
     candidate set is small, shuffle hash otherwise — AQE picks), then
     the distance is a row-local JVM expression inside whole-stage
-    codegen; no Python, no extra shuffle. The THRESHOLDED
-    ``levenshtein(l, r, k)`` runs banded — O(k·len) per pair instead of
-    O(len²) — and returns -1 past the bound, which is exactly the
-    reject case; k is the per-pair bound ``floor(max_ratio · max_len)``.
+    codegen; no Python. The THRESHOLDED ``levenshtein(l, r, k)`` runs
+    banded — O(k·len) per pair instead of O(len²) — and returns -1 past
+    the bound, which is exactly the reject case; k is the per-pair
+    bound ``floor(max_ratio · max_len)``.
+
+    The hydrated pairs are explicitly repartitioned to
+    ``verify_partitions`` (default: cluster parallelism) before the
+    distance stage: the stage is CPU-bound at ~KB/row, so AQE's
+    byte-based coalescing would otherwise squeeze it onto a handful of
+    tasks and serialize the O(k·len) work (measured 6 tasks / 235 s at
+    the sf1 bench vs full-width ~40 s). An explicit numbered
+    repartition is exempt from AQE coalescing.
+
+    The DP itself is minimized three ways (measured ~20× on the sf1
+    near-dup workload, where Spark's levenshtein costs ~3 ms per
+    900-char pair even banded):
+
+    - **coarse prefix strip**: Levenshtein is invariant to removing a
+      shared prefix; a power-of-two CASE of whole-substring equality
+      checks (768/384/128 chars — each a cheap memcmp, so optimizer
+      expression duplication is harmless, unlike a per-char LCP scan)
+      drops the shared bulk of near-identical pairs before the DP;
+    - **two-tier band**: a narrow pass (k=16) resolves true near-dups,
+      only pairs past that bound escalate to the full
+      ``floor(max_ratio·max_len)`` band — staged thresholds are exactly
+      equivalent to one wide call;
+    - **a localCheckpoint barrier after the distance column**: without
+      it, alias inlining + filter pushdown re-evaluate the distance
+      expression up to 4× (ratio numerator, two filter conjuncts,
+      output column).
     """
     t = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
     paired = (
@@ -839,21 +866,52 @@ def edit_distance_pairs(
             "id_b",
         )
     )
-    denom = F.greatest(F.length("_ta"), F.length("_tb"))
-    # per-pair banded threshold: the Python API only takes a literal
-    # threshold, but the SQL expression accepts any int expression
-    dist = F.expr(
-        "levenshtein(_ta, _tb, cast(floor(greatest(length(_ta),"
-        f" length(_tb)) * {float(max_ratio)!r}) as int))"
+    n_verify = (
+        verify_partitions
+        or candidates.sparkSession.sparkContext.defaultParallelism
     )
+    paired = paired.repartition(n_verify)
+
+    # coarse shared-prefix strip: each tier is one memcmp-style
+    # substring equality, so these expressions stay cheap even when the
+    # optimizer duplicates them into every reference site
+    def _pfx_eq(n: int) -> str:
+        return f"substring(_ta, 1, {n}) = substring(_tb, 1, {n})"
+
+    p = (
+        f"(CASE WHEN {_pfx_eq(768)} THEN 768 WHEN {_pfx_eq(384)} THEN 384 "
+        f"WHEN {_pfx_eq(128)} THEN 128 ELSE 0 END)"
+    )
+    sa, sb = f"substring(_ta, {p} + 1)", f"substring(_tb, {p} + 1)"
+    # per-pair full band from the ORIGINAL lengths (the Python API only
+    # takes a literal threshold; the SQL expression accepts any int
+    # expression), narrow escalation tier below it
+    k_full = (
+        "cast(floor(greatest(length(_ta), length(_tb))"
+        f" * {float(max_ratio)!r}) as int)"
+    )
+    narrow = 16
+    dist = F.expr(
+        f"CASE WHEN {k_full} <= {narrow} THEN levenshtein({sa}, {sb}, {k_full}) "
+        f"WHEN levenshtein({sa}, {sb}, {narrow}) >= 0 "
+        f"THEN levenshtein({sa}, {sb}, {narrow}) "
+        f"ELSE levenshtein({sa}, {sb}, {k_full}) END"
+    )
+    denom = F.greatest(F.length("_ta"), F.length("_tb"))
+    # the barrier: materialize (ids, distance, denom) once — narrow
+    # rows, pair-count-sized — so downstream ratio/filter reference the
+    # stored value instead of inlining the DP expression 4×
+    scored = paired.select(
+        "id_a", "id_b", dist.alias("edit_distance"), denom.alias("_denom")
+    ).localCheckpoint()
     return (
-        paired.select(
+        scored.select(
             "id_a",
             "id_b",
-            dist.alias("edit_distance"),
-            F.when(denom > 0, dist / denom).otherwise(F.lit(0.0)).alias(
-                "edit_ratio"
-            ),
+            "edit_distance",
+            F.when(F.col("_denom") > 0, F.col("edit_distance") / F.col("_denom"))
+            .otherwise(F.lit(0.0))
+            .alias("edit_ratio"),
         )
         # banded levenshtein reports -1 when the distance exceeds the
         # bound — the same rows the ratio filter would drop
@@ -877,13 +935,14 @@ def ngram_span_coverage(
     document with ≥ 1 window.
 
     Scale: windows are hashed to 60-bit ints (narrow shuffle rows, no
-    gram strings on the wire). Three keyed aggregations, all linear in
-    the token count: (hash, doc) partial counts, per-hash doc counts,
-    per-doc rollup; the hash-side join is between two aggregates
-    co-partitioned on the hash key. A mega-duplicated gram (site
-    boilerplate in millions of docs) is ONE row on the per-hash side —
-    skew lands on the (hash, doc) aggregation, which map-side combines
-    within each scan partition first.
+    gram strings on the wire). Single lineage — the tokenize/explode
+    scan runs ONCE: (hash, doc) partial counts, then the per-hash doc
+    count as a count-over-window on the already-aggregated rows (a join
+    of two aggregates over the same subtree would defeat exchange reuse
+    via column pruning and re-run the explode), then the per-doc
+    rollup. Three shuffles, all linear in token count; a
+    mega-duplicated gram (site boilerplate in millions of docs) is one
+    window partition of doc-level rows, bounded by its doc count.
     """
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     grams = F.when(
@@ -906,12 +965,11 @@ def ngram_span_coverage(
     per_doc_hash = windows.groupBy("_h", "_id").agg(
         F.count(F.lit(1)).alias("_cnt")
     )
-    docs_per_hash = per_doc_hash.groupBy("_h").agg(
-        F.count(F.lit(1)).alias("_ndocs")
+    with_ndocs = per_doc_hash.withColumn(
+        "_ndocs", F.count(F.lit(1)).over(Window.partitionBy("_h"))
     )
     return (
-        per_doc_hash.join(docs_per_hash, "_h")
-        .groupBy(F.col("_id").alias("id"))
+        with_ndocs.groupBy(F.col("_id").alias("id"))
         .agg(
             F.sum("_cnt").alias("total_windows"),
             F.sum(F.when(F.col("_ndocs") > 1, F.col("_cnt")).otherwise(0)).alias(

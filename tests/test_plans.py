@@ -311,3 +311,50 @@ def test_doc_chunks_no_shuffle(spark):
     assert "Exchange" not in plan
     # tokens staged once per row: exactly one split() in the generate input
     assert "Generate posexplode" in plan
+
+
+def test_merge_changes_broadcasts_changeset_antijoin(spark):
+    from grafink_spark import cdc
+
+    base = spark.range(0, 10000).select(
+        F.col("id").alias("k"), (F.col("id") * 2.0).alias("val")
+    )
+    changes = spark.createDataFrame(
+        [(5, 0.0, "D", 1), (7, 1.5, "U", 1)],
+        "k long, val double, _op string, _seq int",
+    )
+    plan = physical_plan(cdc.merge_changes(base, changes, "k"))
+    # the base table must stream through a broadcast anti-join — no
+    # shuffle of the 100-TB side on the merge key
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_hll_two_bounded_shuffles_with_partial_agg(spark):
+    from grafink_spark import sketches as sk
+
+    df = spark.range(0, 5000).select(
+        (F.col("id") % 3).cast("string").alias("g"), F.col("id").alias("v")
+    )
+    plan = physical_plan(sk.hll_distinct(df, "g", "v"))
+    # shuffle 1: (group, bucket) register agg; shuffle 2: register→group
+    # rollup (input already ≤ m rows per group)
+    exchanges = [l for l in plan.split("\n") if "Exchange" in l and "Broadcast" not in l]
+    assert len(exchanges) <= 2, exchanges
+    assert "partial_max" in plan or "partial" in plan.lower()
+
+
+def test_ngram_span_coverage_reuses_window_aggregate(spark):
+    from grafink_spark.llm.dedup import ngram_span_coverage
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j % 7}" for j in range(i, i + 12))) for i in range(30)],
+        "doc_id long, text string",
+    )
+    plan = physical_plan(ngram_span_coverage(docs))
+    # single lineage: the tokenize→explode scan appears exactly once
+    # (a two-aggregate join formulation re-runs the explode because
+    # column pruning defeats exchange reuse) and there is no join
+    assert plan.count("Generate explode") == 1, plan
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
