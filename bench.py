@@ -64,6 +64,13 @@ HEADLINE = [
     "doc_chunks",
     "edit_distance_pairs",
     "k_core",
+    "merge_upsert",
+    "approx_distinct",
+    "dup_ngram_spans",
+    "bfs_distances",
+    "adamic_adar",
+    "shortest_paths",
+    "salted_join",
 ]
 
 # Queries whose full row set is large: drain with a `noop`-format write
@@ -96,6 +103,12 @@ NOOP_DRAIN = {
     "doc_chunks",
     "edit_distance_pairs",
     "k_core",
+    "merge_upsert",
+    "dup_ngram_spans",
+    "bfs_distances",
+    "adamic_adar",
+    "shortest_paths",
+    "salted_join",
 }
 
 

@@ -3087,15 +3087,17 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ex.join(h, "event_type").join(kv, "event_type")
 
 
-def _approx_distinct_sql() -> str:
+def _hll_ctes() -> str:
+    """The h→registers→estimate CTE chain shared by every HLL oracle
+    (full-pass and incremental merges replay identically — register
+    merge is exact max, so the estimate is the same)."""
     from grafink_spark import sketches as sk
 
     raw_num = repr(sk._alpha(sk.M) * sk.M * sk.M * float(1 << sk.RHO_MAX))
-    kmv_num = repr(63.0 * float(1 << sk.HASH_BITS))
     scale = 1 << sk.RHO_MAX
     m, rho_max = sk.M, sk.RHO_MAX
     return f"""
-WITH h AS (
+h AS (
   SELECT event_type,
          ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
   FROM events
@@ -3125,7 +3127,15 @@ hll AS (
                     THEN {float(m)!r} * ln({float(m)!r} / zeros)
                     ELSE raw END, 2) AS hll_est
   FROM est
-),
+)"""
+
+
+def _approx_distinct_sql() -> str:
+    from grafink_spark import sketches as sk
+
+    kmv_num = repr(63.0 * float(1 << sk.HASH_BITS))
+    return f"""
+WITH {_hll_ctes()},
 kd AS (SELECT DISTINCT event_type, h FROM h),
 rk AS (
   SELECT event_type, h,
@@ -3296,5 +3306,149 @@ ORACLES.update(
         "adamic_adar": SQL_ADAMIC_ADAR,
         "dup_ngram_spans": SQL_DUP_NGRAM_SPANS,
         "cube_summary": SQL_CUBE_SUMMARY,
+    }
+)
+
+
+# =================================================================
+# round-2 batch 4: incremental sketch merge, weighted shortest
+# paths, salted skew join
+# =================================================================
+
+
+def q_approx_distinct_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental HLL maintenance: registers built separately over an
+    'old' batch and a 'new' batch, merged (exact max-combine), then
+    estimated — the estimate is identical to a from-scratch pass, which
+    is exactly what the full-pass oracle checks."""
+    from grafink_spark import sketches as sk
+
+    ev = load_table(spark, sf_dir, "events")
+    old = ev.where(F.col("event_id") % 5 != 0)
+    new = ev.where(F.col("event_id") % 5 == 0)
+    merged = sk.hll_merge(
+        "event_type",
+        sk.hll_registers(old, "event_type", "user_id"),
+        sk.hll_registers(new, "event_type", "user_id"),
+    )
+    return sk.hll_estimate(merged, "event_type")
+
+
+SQL_APPROX_DISTINCT_INCREMENTAL = None  # assigned below (shared CTEs)
+
+
+def q_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded (≤ 4 edges) weighted shortest paths over the premium
+    co-purchase graph, edge weight = 101 − (qty_a + qty_b) (stronger
+    co-purchases are closer), from the lowest part key in the graph."""
+    from grafink_spark.graph.algorithms import shortest_paths
+
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_quantity") > 45)
+    a = li.select(
+        F.col("l_orderkey").alias("k"),
+        F.col("l_partkey").alias("src"),
+        F.col("l_quantity").alias("_qa"),
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("k"),
+        F.col("l_partkey").alias("dst"),
+        F.col("l_quantity").alias("_qb"),
+    )
+    und = (
+        a.join(b, "k")
+        .where(F.col("src") < F.col("dst"))
+        .select(
+            "src", "dst", (F.lit(101.0) - (F.col("_qa") + F.col("_qb"))).alias("weight")
+        )
+        .localCheckpoint()
+    )
+    edges = und.unionByName(
+        und.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
+        )
+    )
+    src0 = und.agg(F.min(F.least("src", "dst"))).first()[0]
+    out = shortest_paths(edges, src0, rounds=4)
+    return out.select("id", F.round("dist", 6).alias("dist"))
+
+
+SQL_SHORTEST_PATHS = """
+WITH RECURSIVE li AS (
+  SELECT l_orderkey, l_partkey, l_quantity FROM lineitem WHERE l_quantity > 45
+),
+und AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v,
+         101.0 - (a.l_quantity + b.l_quantity) AS w
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+e AS (
+  SELECT s, d, min(w) AS w FROM (
+    SELECT u AS s, v AS d, w FROM und
+    UNION ALL
+    SELECT v AS s, u AS d, w FROM und
+  ) GROUP BY 1, 2
+),
+src AS (SELECT min(least(u, v)) AS v FROM und),
+sp (id, dist, hops) AS (
+  SELECT v, 0.0::DOUBLE, 0 FROM src
+  UNION
+  SELECT e.d, sp.dist + e.w, sp.hops + 1
+  FROM sp JOIN e ON e.s = sp.id WHERE sp.hops < 4
+)
+SELECT id, round(min(dist), 6) AS dist FROM sp GROUP BY 1
+"""
+
+
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-defeating salted equi join: events (5 hot event_type keys —
+    each a whole shuffle partition in a plain join) against per-type
+    stats, salt split 8 ways; result row-identical to the plain join,
+    which IS the oracle."""
+    from grafink_spark.ops import salted_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_type"),
+        F.round(F.avg("value"), 6).alias("type_avg"),
+    )
+    out = salted_join(
+        ev, stats, "event_type", salt_from=F.col("event_id"), salts=8
+    )
+    return out.select(
+        "event_id",
+        "event_type",
+        "n_type",
+        F.round(F.col("value") - F.col("type_avg"), 6).alias("delta"),
+    )
+
+
+SQL_SALTED_JOIN = """
+WITH stats AS (
+  SELECT event_type, count(*) AS n_type, round(avg(value), 6) AS type_avg
+  FROM events GROUP BY 1
+)
+SELECT e.event_id, e.event_type, s.n_type,
+       round(e.value - s.type_avg, 6) AS delta
+FROM events e JOIN stats s USING (event_type)
+"""
+
+
+QUERIES.update(
+    {
+        "approx_distinct_incremental": q_approx_distinct_incremental,
+        "shortest_paths": q_shortest_paths,
+        "salted_join": q_salted_join,
+    }
+)
+
+ORACLES.update(
+    {
+        # register merge is exact → the full-pass estimate IS the oracle
+        "approx_distinct_incremental": f"WITH {_hll_ctes()} SELECT event_type, hll_est FROM hll",
+        "shortest_paths": SQL_SHORTEST_PATHS,
+        "salted_join": SQL_SALTED_JOIN,
     }
 )

@@ -291,3 +291,52 @@ def adamic_adar(
             "a", "b", "common_neighbors", F.round("_aa", 6).alias("aa_score")
         )
     )
+
+
+def shortest_paths(
+    edges: DataFrame,
+    source,
+    rounds: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "weight",
+) -> DataFrame:
+    """(id, dist) — minimum-weight path cost from ``source`` using at
+    most ``rounds`` edges (bounded Bellman-Ford relaxation over the
+    DIRECTED edge set; pass both directions for undirected). A fixed
+    round budget makes the result deterministic and oracle-replayable;
+    rounds ≥ graph diameter gives exact shortest paths.
+
+    Scale: each round is one equi join of the current distance table
+    onto the statically pre-partitioned edge list + one min-aggregation
+    — both hash-partitioned on vertex id, distance table is
+    vertex-sized. localCheckpoint per round keeps plan depth O(1)
+    (the shared pattern of pagerank/k_core/bfs here). min() is
+    order-insensitive, so float path costs are reproducible across
+    partitionings.
+    """
+    spark = edges.sparkSession
+    e = (
+        edges.select(
+            F.col(src).alias("_s"),
+            F.col(dst).alias("_d"),
+            F.col(weight).cast("double").alias("_w"),
+        )
+        .groupBy("_s", "_d")
+        .agg(F.min("_w").alias("_w"))
+        .repartition("_s")
+        .localCheckpoint()
+    )
+    dist = spark.createDataFrame([(int(source), 0.0)], "id long, dist double")
+    for _ in range(rounds):
+        relaxed = (
+            e.join(dist.select(F.col("id").alias("_s"), "dist"), "_s")
+            .select(F.col("_d").alias("id"), (F.col("dist") + F.col("_w")).alias("dist"))
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("id")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint()
+        )
+    return dist

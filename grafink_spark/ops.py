@@ -218,3 +218,37 @@ def quantile_filter(
         else F.col(value) <= F.col("_thr")
     )
     return out.where(cond).drop("_thr")
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    salt_from,
+    salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-defeating equi join: the hot-key shuffle partition is split
+    ``salts`` ways by appending a deterministic salt to the join key —
+    the left side computes ``pmod(salt_from, salts)`` per row, the
+    right side is replicated once per salt value, and the join runs on
+    (key, salt).
+
+    When to reach for this instead of AQE's skew-join split: AQE splits
+    oversized SORT-MERGE partitions after the map stage, but it cannot
+    split the build side of a shuffled hash join, does nothing for the
+    skewed *aggregation* that often follows, and is capped by
+    spark.sql.adaptive.skewJoin thresholds. Manual salting is the
+    always-works fallback and the only option on engines/stages where
+    AQE can't see the skew. Result is row-identical to the plain join.
+
+    ``salt_from`` must be deterministic (a stable column, not rand():
+    task retries would otherwise re-salt rows and drop/duplicate
+    matches). Cost: right side × salts — use for dimension-sized right
+    sides with hot fact keys.
+    """
+    salted_l = left.withColumn("_salt", F.pmod(salt_from, F.lit(salts)).cast("int"))
+    salted_r = right.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salts - 1)))
+    )
+    return salted_l.join(salted_r, on=[key, "_salt"], how=how).drop("_salt")

@@ -51,15 +51,18 @@ def _alpha(m: int) -> float:
     return {16: 0.673, 32: 0.697, 64: 0.709}[m]
 
 
-def hll_distinct(
-    df: DataFrame, group: str, value: str, out: str = "hll_est"
-) -> DataFrame:
-    """Per-group HLL cardinality estimate (m=1024, ±~3.25%)."""
+def hll_registers(df: DataFrame, group: str, value: str) -> DataFrame:
+    """Per-group HLL register table (group, _bucket, _max_rho) — the
+    sketch STATE. Registers are mergeable (max per bucket), so
+    incremental maintenance is exact: keep the register table per
+    partition/batch, ``hll_merge`` new batches in, estimate on demand —
+    the merged estimate is identical to a from-scratch pass over the
+    union. One map-side-combined shuffle on (group, bucket)."""
     h = hash60(F.col(value))
     # integer shift, NOT double division — h uses 60 bits and a double
     # round-trip would corrupt the low bits of the rho word
     w = F.shiftright(h, B)
-    regs = (
+    return (
         df.select(
             F.col(group),
             (h % M).alias("_bucket"),
@@ -72,6 +75,24 @@ def hll_distinct(
         .groupBy(group, "_bucket")
         .agg(F.max("_rho").alias("_max_rho"))
     )
+
+
+def hll_merge(group: str, *register_tables: DataFrame) -> DataFrame:
+    """Merge register tables (union + max per bucket) — the exact,
+    order-insensitive combine that makes the sketch incremental."""
+    merged = register_tables[0]
+    for t in register_tables[1:]:
+        merged = merged.unionByName(t)
+    return merged.groupBy(group, "_bucket").agg(
+        F.max("_max_rho").alias("_max_rho")
+    )
+
+
+def hll_estimate(
+    regs: DataFrame, group: str, out: str = "hll_est"
+) -> DataFrame:
+    """Estimate from a register table (standard bias-corrected raw
+    estimate + linear-counting small-range correction)."""
     # Z scaled by 2^RHO_MAX kept in exact integer arithmetic: present
     # buckets contribute 2^(RHO_MAX - max_rho), absent ones 2^RHO_MAX
     alpha_m2 = _alpha(M) * M * M
@@ -87,6 +108,13 @@ def hll_distinct(
         (raw <= 2.5 * M) & (zeros > 0), F.lit(float(M)) * F.log(F.lit(float(M)) / zeros)
     ).otherwise(raw)
     return agg.select(F.col(group), F.round(est, 2).alias(out))
+
+
+def hll_distinct(
+    df: DataFrame, group: str, value: str, out: str = "hll_est"
+) -> DataFrame:
+    """Per-group HLL cardinality estimate (m=1024, ±~3.25%)."""
+    return hll_estimate(hll_registers(df, group, value), group, out)
 
 
 def kmv_distinct(

@@ -148,3 +148,40 @@ def test_adamic_adar_min_common_filter(spark):
     )
     rows = {(r.a, r.b): r.common_neighbors for r in adamic_adar(e, min_common=2).collect()}
     assert rows == {(1, 4): 2, (2, 3): 2}
+
+
+def test_shortest_paths_weighted_detour(spark):
+    from grafink_spark.graph.algorithms import shortest_paths
+
+    # direct 1→3 costs 10; detour 1→2→3 costs 3+4=7
+    e = spark.createDataFrame(
+        [(1, 3, 10.0), (1, 2, 3.0), (2, 3, 4.0)],
+        "src long, dst long, weight double",
+    )
+    both = e.unionByName(
+        e.selectExpr("dst as src", "src as dst", "weight")
+    )
+    d = {r.id: r.dist for r in shortest_paths(both, 1, rounds=4).collect()}
+    assert d == {1: 0.0, 2: 3.0, 3: 7.0}
+
+
+def test_shortest_paths_round_bound(spark):
+    from grafink_spark.graph.algorithms import shortest_paths
+
+    # chain 1→2→3→4→5, unit weights; rounds=2 reaches only depth 2
+    e = spark.createDataFrame(
+        [(i, i + 1, 1.0) for i in range(1, 5)],
+        "src long, dst long, weight double",
+    )
+    d = {r.id: r.dist for r in shortest_paths(e, 1, rounds=2).collect()}
+    assert d == {1: 0.0, 2: 1.0, 3: 2.0}
+
+
+def test_shortest_paths_parallel_edges_take_min(spark):
+    from grafink_spark.graph.algorithms import shortest_paths
+
+    e = spark.createDataFrame(
+        [(1, 2, 9.0), (1, 2, 2.0)], "src long, dst long, weight double"
+    )
+    d = {r.id: r.dist for r in shortest_paths(e, 1, rounds=1).collect()}
+    assert d == {1: 0.0, 2: 2.0}

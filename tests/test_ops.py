@@ -101,3 +101,43 @@ def test_quantile_filter_interpolated_threshold(spark):
     assert [r["v"] for r in ge] == [4.0]
     le = quantile_filter(df, "v", 0.25, keep="le").collect()
     assert sorted(r["v"] for r in le) == [1.0]
+
+
+def test_salted_join_matches_plain_join(spark):
+    from pyspark.sql import functions as F
+
+    from grafink_spark.ops import salted_join
+
+    left = spark.createDataFrame(
+        [(i, f"k{i % 3}", float(i)) for i in range(100)],
+        "id long, k string, v double",
+    )
+    right = spark.createDataFrame(
+        [("k0", 10.0), ("k1", 20.0), ("k2", 30.0), ("k9", 99.0)],
+        "k string, w double",
+    )
+    got = sorted(
+        (r.id, r.k, r.v, r.w)
+        for r in salted_join(left, right, "k", salt_from=F.col("id"), salts=4).collect()
+    )
+    want = sorted(
+        (r.id, r.k, r.v, r.w) for r in left.join(right, "k").collect()
+    )
+    assert got == want
+    assert len(got) == 100  # k9 matches nothing
+
+
+def test_salted_join_splits_hot_key_across_salts(spark):
+    from pyspark.sql import functions as F
+
+    from grafink_spark.ops import salted_join
+
+    left = spark.createDataFrame(
+        [(i, "hot") for i in range(64)], "id long, k string"
+    )
+    right = spark.createDataFrame([("hot", 1)], "k string, w int")
+    out = salted_join(left, right, "k", salt_from=F.col("id"), salts=8)
+    # the join key includes the salt: physical join condition mentions _salt
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "_salt" in plan
+    assert out.count() == 64

@@ -63,3 +63,32 @@ def test_sketches_per_group_independent(spark):
     assert len(out) == 4
     for est in out.values():
         assert abs(est - 1000) / 1000 < 0.15
+
+
+def test_hll_register_merge_is_exact(spark):
+    # merged registers over a split == registers over the whole —
+    # the incremental-maintenance invariant
+    df = _vals(spark, 8000)
+    old = df.where(F.col("v") % 3 != 0)
+    new = df.where(F.col("v") % 3 == 0)
+    merged = sk.hll_merge(
+        "g",
+        sk.hll_registers(old, "g", "v"),
+        sk.hll_registers(new, "g", "v"),
+    )
+    a = sk.hll_estimate(merged, "g").collect()[0]["hll_est"]
+    b = sk.hll_distinct(df, "g", "v").collect()[0]["hll_est"]
+    assert a == b
+
+
+def test_hll_merge_overlapping_batches(spark):
+    # re-delivered values change nothing: max-merge absorbs duplicates
+    df = _vals(spark, 3000)
+    merged = sk.hll_merge(
+        "g",
+        sk.hll_registers(df, "g", "v"),
+        sk.hll_registers(df.where(F.col("v") < 1000), "g", "v"),
+    )
+    a = sk.hll_estimate(merged, "g").collect()[0]["hll_est"]
+    b = sk.hll_distinct(df, "g", "v").collect()[0]["hll_est"]
+    assert a == b
