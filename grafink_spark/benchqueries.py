@@ -3452,3 +3452,122 @@ ORACLES.update(
         "salted_join": SQL_SALTED_JOIN,
     }
 )
+
+
+# =================================================================
+# round-2 batch 5: six-way join (TPC-H Q5 shape), token-budget
+# corpus sampling
+# =================================================================
+
+
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: six-way join (region→nation→{customer, supplier}
+    →orders→lineitem) with the local-supplier co-nation constraint —
+    the plan-audit showcase for dimension broadcasting: region, nation,
+    customer, supplier are all broadcast; only orders⋈lineitem
+    shuffles, on the join key both sides."""
+    region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(
+            F.broadcast(customer), orders.o_custkey == customer.c_custkey
+        )
+        .join(
+            F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey
+        )
+        # local-supplier constraint: supplier and customer share a nation
+        .where(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+SQL_LOCAL_SUPPLIER_VOLUME = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey AND r_name = 'ASIA'
+GROUP BY n_name
+"""
+
+
+def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture sampling: per-source character budgets
+    (40%/40%/20% of a 100k-char total for src0/src1/src2), filled in
+    deterministic md5(doc_id) order via a running sum — the
+    "sample N tokens at these source weights" step of corpus assembly.
+    One window shuffle on source; the budget comparison uses the
+    cumulative size BEFORE each doc, so the first over-budget doc is
+    still admitted (budgets are soft caps, docs are atomic)."""
+    docs = load_table(spark, sf_dir, "documents")
+    weights = {"src0": 0.4, "src1": 0.4, "src2": 0.2}
+    total = 100000
+    budget = F.when(
+        F.col("source") == "src0", F.lit(int(total * weights["src0"]))
+    ).when(F.col("source") == "src1", F.lit(int(total * weights["src1"]))).when(
+        F.col("source") == "src2", F.lit(int(total * weights["src2"]))
+    )
+    w = Window.partitionBy("source").orderBy(F.md5(F.col("doc_id").cast("string")))
+    return (
+        docs.withColumn("_budget", budget)
+        .where(F.col("_budget").isNotNull())
+        .withColumn(
+            "_before",
+            F.coalesce(
+                F.sum("n_chars").over(
+                    w.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .where(F.col("_before") < F.col("_budget"))
+        .select("doc_id", "source", "n_chars")
+    )
+
+
+SQL_TOKEN_BUDGET_SAMPLE = """
+WITH b AS (
+  SELECT doc_id, source, n_chars,
+         CASE source WHEN 'src0' THEN 40000 WHEN 'src1' THEN 40000
+                     WHEN 'src2' THEN 20000 END AS budget,
+         coalesce(sum(n_chars) OVER (
+           PARTITION BY source ORDER BY md5(doc_id::VARCHAR)
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before_sum
+  FROM documents
+  WHERE source IN ('src0', 'src1', 'src2')
+)
+SELECT doc_id, source, n_chars FROM b WHERE before_sum < budget
+"""
+
+
+QUERIES.update(
+    {
+        "local_supplier_volume": q_local_supplier_volume,
+        "token_budget_sample": q_token_budget_sample,
+    }
+)
+
+ORACLES.update(
+    {
+        "local_supplier_volume": SQL_LOCAL_SUPPLIER_VOLUME,
+        "token_budget_sample": SQL_TOKEN_BUDGET_SAMPLE,
+    }
+)

@@ -358,3 +358,22 @@ def test_ngram_span_coverage_reuses_window_aggregate(spark):
     assert plan.count("Generate explode") == 1, plan
     assert "Join" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_six_way_join_broadcasts_all_dims(spark, tmp_path):
+    """Q5-shape plan: every dimension joins as broadcast; only the
+    orders⋈lineitem fact join may shuffle."""
+    import grafink_spark.benchqueries as bq
+
+    df = bq.q_local_supplier_volume(spark, "/root/testdata/sf0.001")
+    plan = physical_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # fact-side exchanges: at most the two sides of the fact join plus
+    # the final group-by — no dimension table shuffles
+    exchanges = [
+        l for l in plan.split("\n")
+        if "Exchange hashpartitioning" in l
+    ]
+    assert len(exchanges) <= 3, exchanges
