@@ -61,3 +61,58 @@ def co_located_join(
     documents/centralizes the contract; any equi-join or groupBy on the
     bucket column of these tables is exchange-free the same way."""
     return spark.table(left_table).join(spark.table(right_table), on, how)
+
+
+def zorder_value(cols: list, bits: int = 16):
+    """Z-order (Morton) curve value for N already-bounded non-negative
+    integer columns: interleave the low ``bits`` bits of each column —
+    rows close on the curve are close in EVERY dimension, so sorting
+    storage by this value gives tight parquet row-group min/max on all
+    participating columns at once (a single-column sort clusters only
+    that column).
+
+    Pure bit arithmetic (shift/mask/or), identical in Spark and any
+    SQL engine; unrolled to bits×N terms inside whole-stage codegen.
+    Callers with unbounded or float columns quantize first
+    (e.g. ``pmod(col, 2^bits)`` or a min-max rank).
+    """
+    from pyspark.sql import functions as F
+
+    n = len(cols)
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, c in enumerate(cols):
+            bit = F.shiftright(F.col(c).cast("long"), b).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, b * n + i))
+    return z
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    cols: list,
+    bits: int = 16,
+    num_files: int = 32,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` as parquet laid out along the Z-order curve of
+    ``cols``: range-partition by z-value into ``num_files`` tasks, sort
+    within each, write. Every output file then covers a compact curve
+    segment — tight min/max on ALL ``cols`` — so parquet row-group
+    pruning (and file pruning with DSv2 stats) works for predicates on
+    any of the dimensions, not just a lead sort column. This is the
+    open-table-format OPTIMIZE ZORDER operation expressed with stock
+    Spark primitives.
+
+    One range shuffle (samples the z distribution) + local sorts —
+    write-time cost identical to a linear sort-write.
+    """
+    z = zorder_value(cols, bits=bits)
+    (
+        df.withColumn("_z", z)
+        .repartitionByRange(num_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode(mode)
+        .parquet(path)
+    )

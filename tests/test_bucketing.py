@@ -63,3 +63,72 @@ def test_bucketed_groupby_no_exchange(spark, bucket_db):
     got = {r.k: r.s for r in agg.collect()}
     exp = {r.k: r.s for r in items.groupBy("k").agg(F.sum("v").alias("s")).collect()}
     assert got == exp
+
+
+def test_zorder_value_golden(spark):
+    from pyspark.sql import functions as F
+
+    from grafink_spark.bucketing import zorder_value
+
+    df = spark.createDataFrame(
+        [(0, 0), (1, 0), (0, 1), (3, 5)], "x int, y int"
+    )
+    out = {
+        (r.x, r.y): r.z
+        for r in df.withColumn("z", zorder_value(["x", "y"], bits=4)).collect()
+    }
+    # interleave: x bits at even positions, y bits at odd
+    # (3,5): x=0011, y=0101 → z bits (y3 x3 y2 x2 y1 x1 y0 x0) = 0 0 1 1 0 1 1 1 = 0b00110111=55... compute directly:
+    def z(x, y):
+        v = 0
+        for b in range(4):
+            v |= ((x >> b) & 1) << (2 * b)
+            v |= ((y >> b) & 1) << (2 * b + 1)
+        return v
+
+    assert out == {(x, y): z(x, y) for (x, y) in out}
+
+
+def test_zorder_write_clusters_both_dims(spark, tmp_path):
+    import random
+
+    from pyspark.sql import functions as F
+
+    from grafink_spark.bucketing import zorder_write
+
+    rng = random.Random(5)
+    rows = [(rng.randrange(1024), rng.randrange(1024)) for _ in range(40000)]
+    df = spark.createDataFrame(rows, "x int, y int")
+
+    zp = str(tmp_path / "zorder")
+    lp = str(tmp_path / "linear")
+    zorder_write(df, zp, ["x", "y"], bits=10, num_files=16)
+    (
+        df.repartitionByRange(16, "x")
+        .sortWithinPartitions("x")
+        .write.mode("overwrite")
+        .parquet(lp)
+    )
+
+    def avg_span(path, col):
+        import glob
+
+        spans = []
+        for f in glob.glob(path + "/part-*.parquet"):
+            r = (
+                spark.read.parquet(f)
+                .agg(F.min(col).alias("lo"), F.max(col).alias("hi"))
+                .first()
+            )
+            spans.append(r.hi - r.lo)
+        return sum(spans) / len(spans)
+
+    # z-order: BOTH dimensions clustered (per-file span well under the
+    # 0..1023 global range); linear sort clusters only x
+    assert avg_span(zp, "x") < 700
+    assert avg_span(zp, "y") < 700
+    assert avg_span(lp, "x") < 150
+    assert avg_span(lp, "y") > 900
+
+    # layout changes nothing about the data
+    assert spark.read.parquet(zp).count() == 40000
