@@ -3571,3 +3571,40 @@ ORACLES.update(
         "token_budget_sample": SQL_TOKEN_BUDGET_SAMPLE,
     }
 )
+
+
+def q_zorder_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) curve values over two quantized lineitem
+    dimensions — the sort key of `bucketing.zorder_write`'s
+    OPTIMIZE-ZORDER layout, checked bit-for-bit against the oracle."""
+    from grafink_spark.bucketing import zorder_value
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_partkey") % 1024).cast("int").alias("_px"),
+        (F.col("l_suppkey") % 1024).cast("int").alias("_sy"),
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        zorder_value(["_px", "_sy"], bits=10).alias("zval"),
+    )
+
+
+def _zorder_sql(bits: int = 10) -> str:
+    terms = []
+    for b in range(bits):
+        terms.append(f"((((l_partkey % 1024) >> {b}) & 1) << {2 * b})")
+        terms.append(f"((((l_suppkey % 1024) >> {b}) & 1) << {2 * b + 1})")
+    return (
+        "SELECT l_orderkey, l_linenumber, ("
+        + " | ".join(terms)
+        + ")::BIGINT AS zval FROM lineitem"
+    )
+
+
+SQL_ZORDER_CURVE = _zorder_sql()
+
+QUERIES.update({"zorder_curve": q_zorder_curve})
+ORACLES.update({"zorder_curve": SQL_ZORDER_CURVE})
