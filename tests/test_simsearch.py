@@ -151,3 +151,44 @@ def test_ivf_persisted_index_prunes_partitions(spark, tmp_path):
     e = {(r.query_id, r.neighbor_id, r.rank) for r in exact.collect()}
     f = {(r.query_id, r.neighbor_id, r.rank) for r in full.collect()}
     assert e == f
+
+
+def test_multiprobe_improves_recall_over_plain_lsh(spark):
+    from grafink_spark.llm import simsearch as ss
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.orderBy("vec_id").limit(5)
+    bf = {
+        (r.query_id, r.neighbor_id)
+        for r in ss.brute_force_topk(emb, queries, k=3).collect()
+    }
+    plain = {
+        (r.query_id, r.neighbor_id)
+        for r in ss.lsh_topk(emb, queries, k=3, dim=64, bits=6, tables=2).collect()
+    }
+    multi = {
+        (r.query_id, r.neighbor_id)
+        for r in ss.lsh_topk(
+            emb, queries, k=3, dim=64, bits=6, tables=2, probes=6
+        ).collect()
+    }
+    # probes only ADD candidate buckets: recall can't drop, and the
+    # exact-bucket candidates are a subset of the probed run's
+    assert len(multi & bf) >= len(plain & bf)
+
+
+def test_probes_zero_is_plain_lsh(spark):
+    from grafink_spark.llm import simsearch as ss
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.orderBy("vec_id").limit(3)
+    a = sorted(
+        map(tuple, ss.lsh_topk(emb, queries, k=3, bits=4, tables=2).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            ss.lsh_topk(emb, queries, k=3, bits=4, tables=2, probes=0).collect(),
+        )
+    )
+    assert a == b
