@@ -1573,7 +1573,8 @@ def q_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lsh_oracle_sql(dim: int = 64, bits: int = 4, tables: int = 4,
-                    seed: int = 42, k: int = 3, nq: int = 5) -> str:
+                    seed: int = 42, k: int = 3, nq: int = 5,
+                    probes: int = 0) -> str:
     """SQL replay of lsh_topk: the seeded hyperplanes are embedded as
     literal DOUBLE[] (repr() round-trips exactly); the signature dot
     products are the same left-fold double sums as the Spark
@@ -1596,6 +1597,7 @@ def _lsh_oracle_sql(dim: int = 64, bits: int = 4, tables: int = 4,
     sig_list = ",\n    ".join(sig_exprs)
     cos = COSINE_SQL.format(a="qv", b="cv")
     tbl_values = ", ".join(f"({t})" for t in range(tables))
+    flip_values = ", ".join(["(-1)"] + [f"({i})" for i in range(probes)])
     return f"""
 WITH sigs AS (
   SELECT vec_id, embedding, [
@@ -1609,9 +1611,10 @@ cx AS (
 ),
 q AS (SELECT * FROM sigs ORDER BY vec_id LIMIT {nq}),
 qx AS (
-  SELECT s.vec_id AS query_id, s.embedding AS qv,
-         t.tbl, s.sg[t.tbl + 1] AS bucket
-  FROM q s, (VALUES {tbl_values}) t(tbl)
+  SELECT s.vec_id AS query_id, s.embedding AS qv, t.tbl,
+         CASE WHEN f.flip < 0 THEN s.sg[t.tbl + 1]
+              ELSE xor(s.sg[t.tbl + 1], 1 << f.flip) END AS bucket
+  FROM q s, (VALUES {tbl_values}) t(tbl), (VALUES {flip_values}) f(flip)
 ),
 cand AS (
   SELECT DISTINCT qx.query_id, cx.neighbor_id, qx.qv, cx.cv
@@ -3608,3 +3611,101 @@ SQL_ZORDER_CURVE = _zorder_sql()
 
 QUERIES.update({"zorder_curve": q_zorder_curve})
 ORACLES.update({"zorder_curve": SQL_ZORDER_CURVE})
+
+
+def q_embedding_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH ANN: 2 tables × 6 bits with 6 Hamming-1 probes
+    per query — the recall of ~7 extra tables at zero extra corpus
+    hashing/storage (query-side fanout only)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.orderBy("vec_id").limit(5)
+    out = ss.lsh_topk(
+        emb, queries, k=3, dim=64, bits=6, tables=2, probes=6
+    )
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round("cosine_sim", 6).alias("cosine_sim"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+SQL_EMBEDDING_LSH_MULTIPROBE = _lsh_oracle_sql(bits=6, tables=2, probes=6)
+
+QUERIES.update({"embedding_lsh_multiprobe": q_embedding_lsh_multiprobe})
+ORACLES.update({"embedding_lsh_multiprobe": SQL_EMBEDDING_LSH_MULTIPROBE})
+
+
+def q_interval_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer event-time bounded join (stream-stream left outer's
+    batch twin): every purchase, with its preceding-hour clicks or
+    nulls when there were none."""
+    from grafink_spark.streaming.pipeline import interval_join_streams
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    out = interval_join_streams(
+        purchases, clicks, on="user_id", bound="1 hour", how="left_outer"
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", fmt).alias("ts"),
+        "event_id_r",
+        F.date_format("ts_r", fmt).alias("ts_r"),
+    )
+
+
+SQL_INTERVAL_JOIN_LEFT = """
+SELECT p.event_id, p.user_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+       c.event_id AS event_id_r,
+       strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS ts_r
+FROM (SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'purchase') p
+LEFT JOIN (SELECT event_id, user_id, ts FROM events
+           WHERE event_type = 'click') c
+  ON p.user_id = c.user_id
+ AND c.ts >= p.ts - INTERVAL '1 hour' AND c.ts <= p.ts
+"""
+
+QUERIES.update({"interval_join_left": q_interval_join_left})
+ORACLES.update({"interval_join_left": SQL_INTERVAL_JOIN_LEFT})
+
+
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean embedding (class prototypes — the training-data
+    side of centroid classifiers / cluster quality checks): posexplode
+    to (label, pos, val), one partial-aggregated shuffle on
+    (label, pos). Dimension-independent plan (no per-dim columns)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select(
+            "label",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias(
+                "pos", "_v"
+            ),
+        )
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg("_v"), 6).alias("centroid_val"))
+    )
+
+
+SQL_LABEL_CENTROIDS = """
+WITH px AS (
+  SELECT label, unnest(embedding)::DOUBLE AS v,
+         generate_subscripts(embedding, 1) - 1 AS pos
+  FROM embeddings
+)
+SELECT label, pos, round(avg(v), 6) AS centroid_val
+FROM px GROUP BY 1, 2
+"""
+
+QUERIES.update({"label_centroids": q_label_centroids})
+ORACLES.update({"label_centroids": SQL_LABEL_CENTROIDS})

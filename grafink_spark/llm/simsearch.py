@@ -377,15 +377,22 @@ def lsh_topk(
     bits: int = 8,
     tables: int = 4,
     seed: int = 42,
+    probes: int = 0,
 ) -> DataFrame:
     """Approximate top-k with L independent hash tables: a candidate
     shares a full b-bit bucket with the query in ANY table; cosine
-    re-rank over the unioned candidate set. Recall dial = (bits ↓,
-    tables ↑). Same output schema as brute_force_topk.
+    re-rank over the unioned candidate set. Recall dials: (bits ↓,
+    tables ↑), and ``probes`` — multi-probe LSH (Lv et al., VLDB'07):
+    each query additionally probes the ``probes`` buckets at Hamming
+    distance 1 (one sign bit flipped), buying the recall of ~probes
+    extra tables WITHOUT re-hashing or storing the corpus again — the
+    corpus side is untouched; only the broadcast-sized query side
+    fans out ×(1+probes). Same output schema as brute_force_topk.
 
     Plan shape: buckets per table are one array column; explode →
     equi-join on (table, bucket) against the broadcast queries → dedup
-    (query, candidate) → rerank. Pair space ≈ L × corpus/2^b per query.
+    (query, candidate) → rerank. Pair space ≈ L × (1+probes) ×
+    corpus/2^b per query.
     """
     def sigs(df: DataFrame) -> Column:
         v = F.col(vec_col).cast("array<double>")
@@ -404,7 +411,26 @@ def lsh_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("_qv"),
-        F.posexplode(sigs(queries)).alias("_qtbl", "_qbucket"),
+        F.posexplode(sigs(queries)).alias("_qtbl", "_qbucket0"),
+    )
+    # multi-probe fanout: flip = -1 keeps the exact bucket; flip = i
+    # probes the bucket with sign bit i inverted (query side only —
+    # broadcast-sized, so the fanout costs nothing at the corpus scan)
+    q = q.select(
+        "query_id",
+        "_qv",
+        "_qtbl",
+        F.explode(
+            F.array(F.lit(-1), *[F.lit(i) for i in range(probes)])
+        ).alias("_flip"),
+        "_qbucket0",
+    ).select(
+        "query_id",
+        "_qv",
+        "_qtbl",
+        F.when(F.col("_flip") < 0, F.col("_qbucket0"))
+        .otherwise(F.expr("_qbucket0 ^ shiftleft(1, _flip)"))
+        .alias("_qbucket"),
     )
     scored = (
         c.join(

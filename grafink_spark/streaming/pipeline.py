@@ -145,11 +145,19 @@ def interval_join_streams(
     bound: str = "1 hour",
     watermark: str = "2 hours",
     right_suffix: str = "_r",
+    how: str = "inner",
 ) -> DataFrame:
-    """Event-time bounded stream-stream inner join: each left row pairs
+    """Event-time bounded stream-stream join: each left row pairs
     with right rows of the same key whose timestamp lies in
     ``[left_ts - bound, left_ts]`` (the "enrich with recent context"
     shape — clicks with the views that preceded them).
+
+    ``how='left_outer'`` additionally emits unmatched left rows with
+    null right columns — in streaming mode those nulls surface only
+    once the watermark passes the row's join window (the engine must
+    prove no future match can arrive), so a drained availableNow run
+    can legitimately hold back trailing unmatched rows whose windows
+    the final watermark never closed; the batch twin emits them all.
 
     Both sides carry watermarks and the join condition bounds event
     time on BOTH sides, so Spark can expire buffered state: a side's
@@ -175,4 +183,4 @@ def interval_join_streams(
         & (rts >= F.col(left_ts) - F.expr(f"interval {bound}"))
         & (rts <= F.col(left_ts))
     )
-    return left.join(r, cond, "inner").drop("_jk")
+    return left.join(r, cond, how).drop("_jk")

@@ -140,3 +140,48 @@ def test_interval_join_streams_matches_batch(spark, tmp_path):
     # append-mode stream-stream inner join emits exactly the batch set
     # (availableNow drains the full backlog; watermark only bounds state)
     assert got == expected
+
+
+def test_interval_join_left_outer_streaming(spark, tmp_path):
+    from grafink_spark.streaming.pipeline import interval_join_streams
+
+    src_dir = str(tmp_path / "ijl_src")
+    os.makedirs(src_dir, exist_ok=True)
+    shutil.copy(SRC, os.path.join(src_dir, "part-0.parquet"))
+
+    def split(df):
+        p = df.where(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", "ts"
+        )
+        c = df.where(F.col("event_type") == "click").select(
+            "event_id", "user_id", "ts"
+        )
+        return p, c
+
+    sp, sc = split(read_event_stream(spark, src_dir))
+    joined = interval_join_streams(
+        sp, sc, on="user_id", bound="1 hour", watermark="2 hours",
+        how="left_outer",
+    )
+    out = str(tmp_path / "ijl_out")
+    ckpt = str(tmp_path / "ijl_ckpt")
+    run_stream_to_parquet(joined, out, ckpt, available_now=True)
+    got = {
+        (r.event_id, r.event_id_r)
+        for r in spark.read.parquet(out).collect()
+    }
+
+    bp, bc = split(load_table(spark, "/root/testdata/sf0.001", "events"))
+    batch = {
+        (r.event_id, r.event_id_r)
+        for r in interval_join_streams(
+            bp, bc, on="user_id", bound="1 hour", how="left_outer"
+        ).collect()
+    }
+    inner = {(a, b) for a, b in batch if b is not None}
+    # every matched pair must stream through; null (unmatched) rows are
+    # a subset of the batch twin's — the final watermark may not close
+    # every trailing window (documented Spark semantics)
+    assert inner <= got
+    assert got <= batch
+    assert len(batch) > len(inner)  # the dataset does have lonely purchases
