@@ -71,6 +71,9 @@ HEADLINE = [
     "adamic_adar",
     "shortest_paths",
     "salted_join",
+    "local_supplier_volume",
+    "zorder_curve",
+    "token_budget_sample",
 ]
 
 # Queries whose full row set is large: drain with a `noop`-format write
@@ -109,6 +112,8 @@ NOOP_DRAIN = {
     "adamic_adar",
     "shortest_paths",
     "salted_join",
+    "zorder_curve",
+    "token_budget_sample",
 }
 
 

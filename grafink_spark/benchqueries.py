@@ -3709,3 +3709,132 @@ FROM px GROUP BY 1, 2
 
 QUERIES.update({"label_centroids": q_label_centroids})
 ORACLES.update({"label_centroids": SQL_LABEL_CENTROIDS})
+
+
+def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: order counts and revenue share per priority, one column
+    group per order status (explicit value list — deterministic schema,
+    single pass; Spark's two-pass value inference is avoided)."""
+    orders = load_table(spark, sf_dir, "orders")
+    statuses = ["F", "O", "P", "N"]
+    out = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", statuses)
+        .agg(F.count(F.lit(1)))
+    )
+    # null → 0 for absent combos; stable column names
+    return out.select(
+        "o_orderpriority",
+        *[F.coalesce(F.col(s), F.lit(0)).alias(f"n_{s}") for s in statuses],
+    )
+
+
+SQL_PIVOT_STATUS = """
+SELECT o_orderpriority,
+       count(*) FILTER (WHERE o_orderstatus = 'F') AS n_F,
+       count(*) FILTER (WHERE o_orderstatus = 'O') AS n_O,
+       count(*) FILTER (WHERE o_orderstatus = 'P') AS n_P,
+       count(*) FILTER (WHERE o_orderstatus = 'N') AS n_N
+FROM orders GROUP BY 1
+"""
+
+
+def q_unpivot_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt: wide per-nation metrics (customer count, total
+    balance, supplier count) to long (nation, metric, value) rows —
+    the feed shape for metric stores and charting."""
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    c = cust.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        F.count(F.lit(1)).cast("double").alias("n_customers"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_balance"),
+    )
+    s = supp.groupBy(F.col("s_nationkey").alias("nationkey")).agg(
+        F.count(F.lit(1)).cast("double").alias("n_suppliers")
+    )
+    wide = c.join(s, "nationkey", "left").select(
+        "nationkey",
+        "n_customers",
+        "total_balance",
+        F.coalesce("n_suppliers", F.lit(0.0)).alias("n_suppliers"),
+    )
+    return wide.unpivot(
+        "nationkey",
+        ["n_customers", "total_balance", "n_suppliers"],
+        "metric",
+        "value",
+    )
+
+
+SQL_UNPIVOT_PROFILE = """
+WITH c AS (
+  SELECT c_nationkey AS nationkey,
+         count(*)::DOUBLE AS n_customers,
+         round(sum(c_acctbal), 2) AS total_balance
+  FROM customer GROUP BY 1
+),
+s AS (
+  SELECT s_nationkey AS nationkey, count(*)::DOUBLE AS n_suppliers
+  FROM supplier GROUP BY 1
+),
+wide AS (
+  SELECT c.nationkey, n_customers, total_balance,
+         coalesce(n_suppliers, 0.0) AS n_suppliers
+  FROM c LEFT JOIN s USING (nationkey)
+)
+SELECT nationkey, 'n_customers' AS metric, n_customers AS value FROM wide
+UNION ALL
+SELECT nationkey, 'total_balance', total_balance FROM wide
+UNION ALL
+SELECT nationkey, 'n_suppliers', n_suppliers FROM wide
+"""
+
+
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection: |value − median| > 3 × MAD (median
+    absolute deviation) — immune to the outliers themselves, unlike
+    z-scores (`zscore_outliers` is the non-robust sibling). Two global
+    exact-median aggregations broadcast back as literals; at 100 TB
+    swap percentile for percentile_approx."""
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.agg(F.expr("percentile(value, 0.5)").alias("_med"))
+    with_med = ev.crossJoin(F.broadcast(med))
+    mad = with_med.agg(
+        F.expr("percentile(abs(value - _med), 0.5)").alias("_mad")
+    )
+    return (
+        with_med.crossJoin(F.broadcast(mad))
+        .where(F.abs(F.col("value") - F.col("_med")) > 3 * F.col("_mad"))
+        .select(
+            "event_id",
+            F.round("value", 6).alias("value"),
+            F.round(
+                F.abs(F.col("value") - F.col("_med")) / F.col("_mad"), 6
+            ).alias("mad_score"),
+        )
+    )
+
+
+SQL_MAD_OUTLIERS = """
+WITH m AS (SELECT median(value) AS med FROM events),
+d AS (SELECT median(abs(value - med)) AS mad FROM events, m)
+SELECT event_id, round(value, 6) AS value,
+       round(abs(value - med) / mad, 6) AS mad_score
+FROM events, m, d
+WHERE abs(value - med) > 3 * mad
+"""
+
+QUERIES.update(
+    {
+        "pivot_status": q_pivot_status,
+        "unpivot_profile": q_unpivot_profile,
+        "mad_outliers": q_mad_outliers,
+    }
+)
+ORACLES.update(
+    {
+        "pivot_status": SQL_PIVOT_STATUS,
+        "unpivot_profile": SQL_UNPIVOT_PROFILE,
+        "mad_outliers": SQL_MAD_OUTLIERS,
+    }
+)
