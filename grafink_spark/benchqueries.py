@@ -3838,3 +3838,40 @@ ORACLES.update(
         "mad_outliers": SQL_MAD_OUTLIERS,
     }
 )
+
+
+def q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-binned degree distribution of the similarity graph (the
+    standard first look at any graph's shape — hubs vs long tail).
+    Binning uses bit-length (length(bin(x))-1), exact integer math in
+    both engines — no float log at the boundaries."""
+    edges = q_similarity_edges(spark, sf_dir)
+    und = edges.select("src", "dst").unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("_deg"))
+    return (
+        deg.groupBy((F.length(F.bin(F.col("_deg"))) - 1).alias("log2_degree"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vertices"),
+            F.min("_deg").alias("min_degree"),
+            F.max("_deg").alias("max_degree"),
+        )
+    )
+
+
+SQL_DEGREE_DISTRIBUTION = f"""
+WITH pairs AS ({{sim}}),
+und AS (
+  SELECT src, dst FROM pairs
+  UNION ALL
+  SELECT dst AS src, src AS dst FROM pairs
+),
+deg AS (SELECT src, count(*) AS d FROM und GROUP BY 1)
+SELECT length(bin(d)) - 1 AS log2_degree, count(*) AS n_vertices,
+       min(d) AS min_degree, max(d) AS max_degree
+FROM deg GROUP BY 1
+""".format(sim=SQL_SIMILARITY_EDGES)
+
+QUERIES.update({"degree_distribution": q_degree_distribution})
+ORACLES.update({"degree_distribution": SQL_DEGREE_DISTRIBUTION})

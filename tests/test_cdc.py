@@ -86,3 +86,53 @@ def test_scd2_ranges_golden(spark):
     assert rows[101] == ("2024-02-01", "2024-02-01", False)
     assert rows[102] == ("2024-02-01", None, True)
     assert rows[200] == ("2024-03-01", None, True)
+
+
+def test_merge_matches_reference_model_property(spark):
+    """Property: merge_changes == a dict-based reference model, for
+    arbitrary op sequences (hypothesis drives key/op/seq choices)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    # value derives from (key, op, seq): rows tying on the full window
+    # sort key then carry identical payloads, so the window's arbitrary
+    # tie pick can't diverge from the model
+    change = st.builds(
+        lambda k, op, seq: (k, op, seq, float(k * 100 + seq * 10 + ord(op) % 10)),
+        st.integers(0, 5),
+        st.sampled_from("IUD"),
+        st.integers(0, 4),
+    )
+
+    @settings(max_examples=15, deadline=None)
+    @given(st.lists(change, max_size=10))
+    def run(changes):
+        base_rows = [(k, float(k * 10)) for k in range(4)]
+        # reference model: per key keep the (seq, op) max — ties break
+        # toward the later op in DESCENDING op order ('U' > 'I' > 'D')
+        latest = {}
+        for k, op, seq, v in changes:
+            cur = latest.get(k)
+            if cur is None or (seq, op) > (cur[0], cur[1]):
+                latest[k] = (seq, op, v)
+        want = {k: v for k, v in base_rows}
+        for k, (seq, op, v) in latest.items():
+            if op == "D":
+                want.pop(k, None)
+            else:
+                want[k] = v
+
+        cdf = spark.createDataFrame(
+            [(k, v, op, seq) for k, op, seq, v in changes] or
+            [(99, 0.0, "D", 0)],  # createDataFrame needs ≥0 rows w/ schema anyway
+            "k long, val double, _op string, _seq int",
+        )
+        if not changes:
+            cdf = cdf.where(F.col("k") < 0)
+        bdf = spark.createDataFrame(base_rows, "k long, val double")
+        got = {r["k"]: r["val"] for r in cdc.merge_changes(bdf, cdf, "k").collect()}
+        if not changes:
+            want = {k: v for k, v in base_rows}
+        assert got == want, (changes, got, want)
+
+    run()
