@@ -3875,3 +3875,49 @@ FROM deg GROUP BY 1
 
 QUERIES.update({"degree_distribution": q_degree_distribution})
 ORACLES.update({"degree_distribution": SQL_DEGREE_DISTRIBUTION})
+
+
+def q_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution assignment: block customers × suppliers by
+    nation, score by balance proximity, keep mutual-best 1:1 matches."""
+    from grafink_spark.ops import mutual_best_match
+
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    pairs = (
+        cust.join(
+            F.broadcast(supp),
+            cust.c_nationkey == supp.s_nationkey,
+        )
+        .select(
+            F.col("c_custkey").alias("left_id"),
+            F.col("s_suppkey").alias("right_id"),
+            (-F.abs(F.col("c_acctbal") - F.col("s_acctbal"))).alias("score"),
+        )
+    )
+    out = mutual_best_match(pairs)
+    return out.select(
+        "left_id", "right_id", F.round("score", 2).alias("score")
+    )
+
+
+SQL_BEST_MATCH = """
+WITH pairs AS (
+  SELECT c_custkey AS left_id, s_suppkey AS right_id,
+         -abs(c_acctbal - s_acctbal) AS score
+  FROM customer JOIN supplier ON c_nationkey = s_nationkey
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY left_id
+                            ORDER BY score DESC, right_id ASC) AS rl,
+         row_number() OVER (PARTITION BY right_id
+                            ORDER BY score DESC, left_id ASC) AS rr
+  FROM pairs
+)
+SELECT left_id, right_id, round(score, 2) AS score
+FROM ranked WHERE rl = 1 AND rr = 1
+"""
+
+QUERIES.update({"best_match": q_best_match})
+ORACLES.update({"best_match": SQL_BEST_MATCH})

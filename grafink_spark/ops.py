@@ -252,3 +252,36 @@ def salted_join(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salts - 1)))
     )
     return salted_l.join(salted_r, on=[key, "_salt"], how=how).drop("_salt")
+
+
+def mutual_best_match(
+    pairs: DataFrame,
+    left: str = "left_id",
+    right: str = "right_id",
+    score: str = "score",
+) -> DataFrame:
+    """One-to-one assignment from scored candidate pairs (the entity-
+    resolution step after blocking + scoring): keep a pair iff it is
+    BOTH the left side's best right and the right side's best left
+    (mutual nearest neighbor). Deterministic ties: higher score, then
+    lower partner id. Greedy-mutual is the standard scalable stand-in
+    for optimal assignment (Hungarian is O(n³) and inherently serial).
+
+    Plan/scale: two window ranks over the candidate set — one
+    partitioned per side — then a filter; WindowGroupLimit pushes the
+    rank-1 cut below each exchange, so only per-key best rows survive
+    the shuffles. No joins, candidate-set-sized, skew bounded by the
+    blocking that produced the pairs.
+    """
+    wl = Window.partitionBy(left).orderBy(
+        F.col(score).desc(), F.col(right).asc()
+    )
+    wr = Window.partitionBy(right).orderBy(
+        F.col(score).desc(), F.col(left).asc()
+    )
+    return (
+        pairs.withColumn("_rl", F.row_number().over(wl))
+        .withColumn("_rr", F.row_number().over(wr))
+        .where((F.col("_rl") == 1) & (F.col("_rr") == 1))
+        .drop("_rl", "_rr")
+    )

@@ -141,3 +141,50 @@ def test_salted_join_splits_hot_key_across_salts(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "_salt" in plan
     assert out.count() == 64
+
+
+def test_mutual_best_match_golden(spark):
+    from grafink_spark.ops import mutual_best_match
+
+    # L1's best is R1 (0.9) and vice versa → matched.
+    # L2's best is R1 (0.8) but R1 prefers L1 → L2 unmatched.
+    # L3-R2 mutual at 0.5 → matched.
+    pairs = spark.createDataFrame(
+        [(1, 1, 0.9), (2, 1, 0.8), (2, 2, 0.3), (3, 2, 0.5)],
+        "left_id long, right_id long, score double",
+    )
+    got = {
+        (r.left_id, r.right_id)
+        for r in mutual_best_match(pairs).collect()
+    }
+    assert got == {(1, 1), (3, 2)}
+
+
+def test_mutual_best_match_tie_breaks_to_lower_id(spark):
+    from grafink_spark.ops import mutual_best_match
+
+    pairs = spark.createDataFrame(
+        [(1, 5, 0.7), (1, 4, 0.7), (2, 4, 0.7)],
+        "left_id long, right_id long, score double",
+    )
+    got = {
+        (r.left_id, r.right_id)
+        for r in mutual_best_match(pairs).collect()
+    }
+    # L1 ties 4 vs 5 → picks 4; R4 ties L1 vs L2 → picks L1; R5 has
+    # only L1 but L1 chose 4 → unmatched
+    assert got == {(1, 4)}
+
+
+def test_mutual_best_match_rank_pushdown_no_join(spark):
+    from pyspark.sql import functions as F
+
+    from grafink_spark.ops import mutual_best_match
+
+    pairs = spark.createDataFrame(
+        [(i, i % 7, float(i % 11)) for i in range(200)],
+        "left_id long, right_id long, score double",
+    )
+    plan = mutual_best_match(pairs)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert "WindowGroupLimit" in plan
