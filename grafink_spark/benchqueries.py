@@ -3921,3 +3921,177 @@ FROM ranked WHERE rl = 1 AND rr = 1
 
 QUERIES.update({"best_match": q_best_match})
 ORACLES.update({"best_match": SQL_BEST_MATCH})
+
+
+def q_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window distinct users (hourly-active-users shape): 1 h
+    windows hopping every 15 min, exact countDistinct per window —
+    distinct-agg partials keep the shuffle at (window, user) volume."""
+    ev = load_table(spark, sf_dir, "events")
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("win"))
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .select(
+            F.date_format("win.start", fmt).alias("window_start"),
+            "n_users",
+        )
+    )
+
+
+SQL_SLIDING_DISTINCT_USERS = """
+WITH x AS (
+  SELECT user_id,
+         time_bucket(INTERVAL '15 minutes', ts)
+           - k * INTERVAL '15 minutes' AS wstart
+  FROM events CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k)
+)
+SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS window_start,
+       count(DISTINCT user_id) AS n_users
+FROM x GROUP BY 1
+"""
+
+
+def q_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per vertex: triangles /
+    (deg·(deg−1)/2) over the similarity graph — triangle counts and
+    degrees from the existing operators, one broadcast-able join."""
+    from grafink_spark.graph.algorithms import triangle_counts
+
+    pairs = q_similarity_edges(spark, sf_dir).select("src", "dst").localCheckpoint()
+    und = pairs.select(
+        F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+    ).distinct()
+    deg = (
+        und.select(F.col("u").alias("id"))
+        .unionByName(und.select(F.col("v").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    tri = triangle_counts(pairs)
+    return (
+        deg.join(tri, "id", "left")
+        .select(
+            "id",
+            "degree",
+            F.coalesce(F.col("n_triangles").cast("long"), F.lit(0)).alias(
+                "n_triangles"
+            ),
+        )
+        .where(F.col("degree") >= 2)
+        .withColumn(
+            "clustering",
+            F.round(
+                F.col("n_triangles")
+                / (F.col("degree") * (F.col("degree") - 1) / 2.0),
+                6,
+            ),
+        )
+    )
+
+
+SQL_CLUSTERING_COEFFICIENT = f"""
+WITH tc AS ({SQL_TRIANGLE_COUNT}),
+pairs AS ({SQL_SIMILARITY_EDGES}),
+und AS (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM pairs
+),
+deg AS (
+  SELECT id, count(*) AS degree FROM (
+    SELECT u AS id FROM und UNION ALL SELECT v AS id FROM und
+  ) GROUP BY 1
+)
+SELECT deg.id, degree, coalesce(tc.n_triangles, 0) AS n_triangles,
+       round(coalesce(tc.n_triangles, 0)
+             / (degree * (degree - 1) / 2.0), 6) AS clustering
+FROM deg LEFT JOIN tc ON tc.id = deg.id
+WHERE degree >= 2
+"""
+
+
+def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top-20 bigrams by pointwise mutual
+    information (min support 5) — corpus unigram/bigram counts from one
+    ngram scan, PMI via two broadcast scalar totals."""
+    from grafink_spark.llm.signals import ngram_counts
+
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    counts = (
+        ngram_counts(docs, ns=(1, 2))
+        .groupBy("n", "gram")
+        .agg(F.sum("cnt").alias("c"))
+        .localCheckpoint()
+    )
+    uni = counts.where(F.col("n") == 1).select(
+        F.col("gram").alias("w"), F.col("c").alias("cw")
+    )
+    bi = counts.where(F.col("n") == 2).select(
+        "gram",
+        F.col("c").alias("c_ab"),
+        F.split(F.col("gram"), " ").getItem(0).alias("_w1"),
+        F.split(F.col("gram"), " ").getItem(1).alias("_w2"),
+    )
+    totals = counts.groupBy().pivot("n", [1, 2]).sum("c").select(
+        F.col("1").alias("_n1"), F.col("2").alias("_n2")
+    )
+    pmi = (
+        F.log(
+            F.col("c_ab").cast("double")
+            * F.col("_n1").cast("double")
+            * F.col("_n1").cast("double")
+            / (
+                F.col("_n2").cast("double")
+                * F.col("cw1").cast("double")
+                * F.col("cw2").cast("double")
+            )
+        )
+    )
+    return (
+        bi.where(F.col("c_ab") >= 5)
+        .join(F.broadcast(uni.withColumnRenamed("w", "_w1").withColumnRenamed("cw", "cw1")), "_w1")
+        .join(F.broadcast(uni.withColumnRenamed("w", "_w2").withColumnRenamed("cw", "cw2")), "_w2")
+        .crossJoin(F.broadcast(totals))
+        .select("gram", "c_ab", F.round(pmi, 6).alias("pmi"))
+        .orderBy(F.col("pmi").desc(), F.col("gram"))
+        .limit(20)
+    )
+
+
+SQL_BIGRAM_PMI = f"""
+WITH toks AS (SELECT {TOKENS_SQL} AS t FROM documents),
+uni AS (
+  SELECT unnest(t) AS w FROM toks
+),
+ucnt AS (SELECT w, count(*) AS cw FROM uni GROUP BY 1),
+big AS (
+  SELECT unnest(list_transform(range(1, len(t)),
+         i -> array_to_string(t[i:i+1], ' '))) AS gram
+  FROM toks
+),
+bcnt AS (SELECT gram, count(*) AS c_ab FROM big GROUP BY 1),
+n1 AS (SELECT sum(cw) AS v FROM ucnt),
+n2 AS (SELECT sum(c_ab) AS v FROM bcnt)
+SELECT gram, c_ab,
+       round(ln(c_ab::DOUBLE * n1.v::DOUBLE * n1.v::DOUBLE
+             / (n2.v::DOUBLE * u1.cw::DOUBLE * u2.cw::DOUBLE)), 6) AS pmi
+FROM bcnt, n1, n2
+JOIN ucnt u1 ON u1.w = split_part(gram, ' ', 1)
+JOIN ucnt u2 ON u2.w = split_part(gram, ' ', 2)
+WHERE c_ab >= 5
+ORDER BY pmi DESC, gram LIMIT 20
+"""
+
+QUERIES.update(
+    {
+        "sliding_distinct_users": q_sliding_distinct_users,
+        "clustering_coefficient": q_clustering_coefficient,
+        "bigram_pmi": q_bigram_pmi,
+    }
+)
+ORACLES.update(
+    {
+        "sliding_distinct_users": SQL_SLIDING_DISTINCT_USERS,
+        "clustering_coefficient": SQL_CLUSTERING_COEFFICIENT,
+        "bigram_pmi": SQL_BIGRAM_PMI,
+    }
+)
