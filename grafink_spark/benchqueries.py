@@ -4095,3 +4095,44 @@ ORACLES.update(
         "bigram_pmi": SQL_BIGRAM_PMI,
     }
 )
+
+
+def q_semi_anti_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The subquery/set-op surface in one audited row: LEFT SEMI (users
+    with purchases), LEFT ANTI (users without), INTERSECT (users with
+    both clicks and purchases), EXCEPT (clickers who never purchased) —
+    the reference has union only (SURVEY §2.6); these four complete the
+    set-operator family."""
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.select("user_id").distinct()
+    buyers = ev.where(F.col("event_type") == "purchase").select("user_id")
+    clickers = ev.where(F.col("event_type") == "click").select("user_id")
+    semi = users.join(buyers, "user_id", "left_semi")
+    anti = users.join(buyers, "user_id", "left_anti")
+    inter = clickers.intersect(buyers)
+    exc = clickers.distinct().exceptAll(buyers.distinct())
+    return (
+        semi.agg(F.count(F.lit(1)).alias("n_semi"))
+        .crossJoin(anti.agg(F.count(F.lit(1)).alias("n_anti")))
+        .crossJoin(inter.agg(F.count(F.lit(1)).alias("n_intersect")))
+        .crossJoin(exc.agg(F.count(F.lit(1)).alias("n_except")))
+    )
+
+
+SQL_SEMI_ANTI_SETS = """
+WITH users AS (SELECT DISTINCT user_id FROM events),
+buyers AS (SELECT user_id FROM events WHERE event_type = 'purchase'),
+clickers AS (SELECT user_id FROM events WHERE event_type = 'click')
+SELECT
+  (SELECT count(*) FROM users u
+   WHERE EXISTS (SELECT 1 FROM buyers b WHERE b.user_id = u.user_id)) AS n_semi,
+  (SELECT count(*) FROM users u
+   WHERE NOT EXISTS (SELECT 1 FROM buyers b WHERE b.user_id = u.user_id)) AS n_anti,
+  (SELECT count(*) FROM (SELECT user_id FROM clickers
+                         INTERSECT SELECT user_id FROM buyers)) AS n_intersect,
+  (SELECT count(*) FROM (SELECT DISTINCT user_id FROM clickers
+                         EXCEPT SELECT DISTINCT user_id FROM buyers)) AS n_except
+"""
+
+QUERIES.update({"semi_anti_sets": q_semi_anti_sets})
+ORACLES.update({"semi_anti_sets": SQL_SEMI_ANTI_SETS})

@@ -329,6 +329,34 @@ def ivf_write_index(
     return centroids
 
 
+def ivf_index_append(
+    spark,
+    path: str,
+    new_vectors: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Incremental index maintenance: assign a new vector batch to the
+    EXISTING centroids and append into the partitioned layout — no
+    retrain, no rewrite of resident lists. This is the standard
+    freshness/recall trade of IVF serving stacks (centroids drift as
+    the corpus grows; retrain with ``ivf_write_index`` when recall
+    sags). Appended files land in the same ``list_id=`` directories, so
+    probe-time partition pruning is unchanged; pair with
+    ``maintenance.compact_parquet_dir`` when small appended files
+    accumulate."""
+    import json
+
+    from grafink_spark import fsutil
+
+    raw = fsutil.read_text(spark, f"{path}/centroids.json")
+    centroids = [(int(c), list(map(float, v))) for c, v in json.loads(raw)]
+    assigned = ivf_assign(new_vectors, centroids, vec_col)
+    assigned.write.partitionBy("list_id").mode("append").parquet(
+        f"{path}/vectors"
+    )
+
+
 def ivf_topk_indexed(
     spark,
     path: str,

@@ -192,3 +192,46 @@ def test_probes_zero_is_plain_lsh(spark):
         )
     )
     assert a == b
+
+
+def test_ivf_index_append_then_full_probe_equals_brute_force(spark, tmp_path):
+    from grafink_spark.llm import simsearch as ss
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = emb.where(F.col("vec_id") % 3 != 0)
+    extra = emb.where(F.col("vec_id") % 3 == 0)
+    queries = emb.orderBy("vec_id").limit(3)
+
+    path = str(tmp_path / "ivf_idx")
+    ss.ivf_write_index(base, path, nlist=4, iters=1)
+    ss.ivf_index_append(spark, path, extra)
+
+    got = sorted(
+        (r.query_id, r.neighbor_id)
+        for r in ss.ivf_topk_indexed(
+            spark, path, queries, k=3, nprobe=4
+        ).collect()
+    )
+    want = sorted(
+        (r.query_id, r.neighbor_id)
+        for r in ss.brute_force_topk(emb, queries, k=3).collect()
+    )
+    # nprobe = nlist: the appended index searches the FULL union exactly
+    assert got == want
+
+
+def test_ivf_index_append_lands_in_list_partitions(spark, tmp_path):
+    import glob
+
+    from grafink_spark.llm import simsearch as ss
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "ivf_idx2")
+    ss.ivf_write_index(emb.where(F.col("vec_id") % 2 == 0), path, nlist=4, iters=1)
+    before = set(glob.glob(path + "/vectors/list_id=*"))
+    ss.ivf_index_append(spark, path, emb.where(F.col("vec_id") % 2 == 1))
+    after = set(glob.glob(path + "/vectors/list_id=*"))
+    # appends reuse the existing list directories (same partition scheme)
+    assert before <= after
+    n = spark.read.parquet(path + "/vectors").count()
+    assert n == emb.count()
