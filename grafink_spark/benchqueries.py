@@ -4136,3 +4136,30 @@ SELECT
 
 QUERIES.update({"semi_anti_sets": q_semi_anti_sets})
 ORACLES.update({"semi_anti_sets": SQL_SEMI_ANTI_SETS})
+
+
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental rollup maintenance: the per-type summary refreshed
+    with a new batch from stored state — result equals (and the oracle
+    IS) the full-scan groupBy, at batch-proportional cost."""
+    from grafink_spark import cdc
+
+    ev = load_table(spark, sf_dir, "events")
+    old = ev.where(F.col("event_id") % 4 != 0)
+    batch = ev.where(F.col("event_id") % 4 == 0)
+    state = old.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("value").alias("sum_value")
+    )
+    out = cdc.incremental_agg(state, batch, "event_type", "value")
+    return out.select(
+        "event_type", "cnt", F.round("sum_value", 2).alias("sum_value")
+    )
+
+
+SQL_INCREMENTAL_AGG = """
+SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1
+"""
+
+QUERIES.update({"incremental_agg": q_incremental_agg})
+ORACLES.update({"incremental_agg": SQL_INCREMENTAL_AGG})

@@ -118,3 +118,38 @@ def scd2_ranges(
         .withColumn("valid_to", F.lead(change_ts).over(w))
         .withColumn("is_current", F.col("valid_to").isNull())
     )
+
+
+def incremental_agg(
+    old_state: DataFrame,
+    new_rows: DataFrame,
+    group: str,
+    value: str,
+    cnt_col: str = "cnt",
+    sum_col: str = "sum_value",
+) -> DataFrame:
+    """Incremental rollup maintenance: refresh a (group, cnt, sum)
+    summary with a new batch WITHOUT rescanning history — the batch is
+    partially aggregated and summed into the stored state (count and sum are commutative monoids; avg/stddev derive
+    from them downstream). At 100 TB this turns the daily "recompute
+    the corpus rollup" into work proportional to the batch.
+
+    Retractions: pass deleted rows with negated counts upstream (a row
+    with ``cnt = -1, sum = -value``) — the same merge subtracts them.
+
+    One shuffle on the group key over state ∪ batch-partials; the state
+    side is group-cardinality-sized, so the cost is the batch scan.
+    """
+    batch = new_rows.groupBy(group).agg(
+        F.count(F.lit(1)).alias(cnt_col), F.sum(value).alias(sum_col)
+    )
+    return (
+        old_state.select(group, cnt_col, sum_col)
+        .unionByName(batch)
+        .groupBy(group)
+        .agg(
+            F.sum(cnt_col).alias(cnt_col),
+            F.sum(sum_col).alias(sum_col),
+        )
+        .where(F.col(cnt_col) > 0)
+    )

@@ -136,3 +136,44 @@ def test_merge_matches_reference_model_property(spark):
         assert got == want, (changes, got, want)
 
     run()
+
+
+def test_incremental_agg_matches_full_recompute(spark):
+    rows = [(i, f"g{i % 3}", float(i)) for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    old = df.where(F.col("id") < 70)
+    batch = df.where(F.col("id") >= 70)
+    state = old.groupBy("g").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("v").alias("sum_value")
+    )
+    got = {
+        r.g: (r.cnt, r.sum_value)
+        for r in cdc.incremental_agg(state, batch, "g", "v").collect()
+    }
+    want = {
+        r.g: (r.cnt, r.sum_value)
+        for r in df.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("v").alias("sum_value"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_incremental_agg_retraction_removes_group(spark):
+    state = spark.createDataFrame(
+        [("a", 2, 30.0), ("b", 1, 5.0)], "g string, cnt long, sum_value double"
+    )
+    # retract both 'b' rows' worth via negated state-shaped union input:
+    # model a deletion batch as pre-negated partials fed through the
+    # same merge (upstream computes them from the deleted rows)
+    negated = spark.createDataFrame(
+        [("b", -1, -5.0)], "g string, cnt long, sum_value double"
+    )
+    merged = (
+        state.unionByName(negated)
+        .groupBy("g")
+        .agg(F.sum("cnt").alias("cnt"), F.sum("sum_value").alias("sum_value"))
+        .where(F.col("cnt") > 0)
+    )
+    got = {r.g: (r.cnt, r.sum_value) for r in merged.collect()}
+    assert got == {"a": (2, 30.0)}
