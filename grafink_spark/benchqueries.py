@@ -4163,3 +4163,102 @@ FROM events GROUP BY 1
 
 QUERIES.update({"incremental_agg": q_incremental_agg})
 ORACLES.update({"incremental_agg": SQL_INCREMENTAL_AGG})
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis
+    exponential keys): inclusion probability ∝ n_chars, deterministic
+    u from md5(doc_id), key = ln(u)/w, global top-50 by key — one
+    TakeOrdered, no per-row state, restartable because nothing is
+    random at runtime."""
+    docs = load_table(spark, sf_dir, "documents")
+    # u ∈ (0,1): 60-bit md5 prefix / 2^60 (never exactly 0 — md5 of a
+    # doc id is never 60 zero bits in practice; guard with +1 anyway)
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("double")
+        + 1.0
+    ) / float(1 << 60)
+    key = F.log(u) / F.col("n_chars").cast("double")
+    return (
+        docs.select("doc_id", "n_chars", key.alias("_k"))
+        .orderBy(F.col("_k").desc(), F.col("doc_id"))
+        .limit(50)
+        .select("doc_id", "n_chars")
+    )
+
+
+SQL_WEIGHTED_SAMPLE = f"""
+SELECT doc_id, n_chars FROM (
+  SELECT doc_id, n_chars,
+         ln((('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT::DOUBLE
+             + 1.0) / {float(1 << 60)!r}) / n_chars::DOUBLE AS k
+  FROM documents
+)
+ORDER BY k DESC, doc_id LIMIT 50
+"""
+
+
+def q_groupwise_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-DataFrame ML: per-event-type ordinary least squares of value
+    against event time (days since epoch) — slope/intercept/r² from
+    the standard moment aggregates, one partial-aggregated shuffle,
+    no Python."""
+    ev = load_table(spark, sf_dir, "events")
+    x = F.col("ts").cast("timestamp").cast("long").cast("double") / 86400.0
+    d = ev.select("event_type", x.alias("x"), F.col("value").alias("y"))
+    agg = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("x").alias("mx"),
+        F.avg("y").alias("my"),
+        F.avg(F.col("x") * F.col("y")).alias("mxy"),
+        F.avg(F.col("x") * F.col("x")).alias("mxx"),
+        F.avg(F.col("y") * F.col("y")).alias("myy"),
+    )
+    slope = (F.col("mxy") - F.col("mx") * F.col("my")) / (
+        F.col("mxx") - F.col("mx") * F.col("mx")
+    )
+    intercept = F.col("my") - slope * F.col("mx")
+    r_num = F.col("mxy") - F.col("mx") * F.col("my")
+    r2 = (r_num * r_num) / (
+        (F.col("mxx") - F.col("mx") * F.col("mx"))
+        * (F.col("myy") - F.col("my") * F.col("my"))
+    )
+    return agg.select(
+        "event_type",
+        "n",
+        F.round(slope, 4).alias("slope"),
+        F.round(intercept, 4).alias("intercept"),
+        F.round(r2, 4).alias("r2"),
+    )
+
+
+SQL_GROUPWISE_REGRESSION = """
+WITH d AS (
+  SELECT event_type, floor(epoch(ts)) / 86400.0 AS x, value AS y FROM events
+),
+agg AS (
+  SELECT event_type, count(*) AS n, avg(x) AS mx, avg(y) AS my,
+         avg(x * y) AS mxy, avg(x * x) AS mxx, avg(y * y) AS myy
+  FROM d GROUP BY 1
+)
+SELECT event_type, n,
+       round((mxy - mx * my) / (mxx - mx * mx), 4) AS slope,
+       round(my - ((mxy - mx * my) / (mxx - mx * mx)) * mx, 4) AS intercept,
+       round(((mxy - mx * my) * (mxy - mx * my))
+             / ((mxx - mx * mx) * (myy - my * my)), 4) AS r2
+FROM agg
+"""
+
+QUERIES.update(
+    {
+        "weighted_sample": q_weighted_sample,
+        "groupwise_regression": q_groupwise_regression,
+    }
+)
+ORACLES.update(
+    {
+        "weighted_sample": SQL_WEIGHTED_SAMPLE,
+        "groupwise_regression": SQL_GROUPWISE_REGRESSION,
+    }
+)
