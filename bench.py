@@ -74,6 +74,11 @@ HEADLINE = [
     "local_supplier_volume",
     "zorder_curve",
     "token_budget_sample",
+    "best_match",
+    "incremental_agg",
+    "weighted_sample",
+    "doc_keywords",
+    "bigram_pmi",
 ]
 
 # Queries whose full row set is large: drain with a `noop`-format write
@@ -114,6 +119,9 @@ NOOP_DRAIN = {
     "salted_join",
     "zorder_curve",
     "token_budget_sample",
+    "best_match",
+    "doc_keywords",
+    "bigram_pmi",
 }
 
 

@@ -4262,3 +4262,62 @@ ORACLES.update(
         "groupwise_regression": SQL_GROUPWISE_REGRESSION,
     }
 )
+
+
+def q_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: top-3 terms by TF-IDF
+    (tf · ln(N/df)) — document frequencies from one token aggregation,
+    the corpus size as a broadcast scalar, rank-1..3 via a
+    WindowGroupLimit-pushed window."""
+    from grafink_spark.llm.signals import ngram_counts
+
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    tf = ngram_counts(docs, ns=(1,)).select(
+        "doc_id", F.col("gram").alias("term"), F.col("cnt").alias("tf")
+    ).localCheckpoint()
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("_n"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            (
+                F.col("tf").cast("double")
+                * F.log(F.col("_n").cast("double") / F.col("df").cast("double"))
+            ).alias("_tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("_tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("doc_id", "term", F.round("_tfidf", 6).alias("tfidf"), "rank")
+    )
+
+
+SQL_DOC_KEYWORDS = f"""
+WITH t AS (SELECT doc_id, unnest({TOKENS_SQL}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         tf.tf::DOUBLE * ln(n.n_docs::DOUBLE / dfx.df::DOUBLE) AS tfidf
+  FROM tf JOIN dfx USING (term), n
+),
+ranked AS (
+  SELECT doc_id, term, tfidf,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, term ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, term, round(tfidf, 6) AS tfidf, rank
+FROM ranked WHERE rank <= 3
+"""
+
+QUERIES.update({"doc_keywords": q_doc_keywords})
+ORACLES.update({"doc_keywords": SQL_DOC_KEYWORDS})
