@@ -4321,3 +4321,46 @@ FROM ranked WHERE rank <= 3
 
 QUERIES.update({"doc_keywords": q_doc_keywords})
 ORACLES.update({"doc_keywords": SQL_DOC_KEYWORDS})
+
+
+def q_impute_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing-value repair: nulls (synthesized deterministically on
+    event_id % 7 = 0) imputed with the per-group exact median — the
+    groupwise fill pattern via one aggregate broadcast back onto the
+    stream; swap percentile for percentile_approx at 100 TB."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.when(F.col("event_id") % 7 != 0, F.col("value")).alias("value"),
+    )
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("_med")
+    )
+    return (
+        ev.join(F.broadcast(med), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            F.round(F.coalesce(F.col("value"), F.col("_med")), 6).alias(
+                "value_imputed"
+            ),
+            F.col("value").isNull().alias("was_imputed"),
+        )
+    )
+
+
+SQL_IMPUTE_MISSING = """
+WITH ev AS (
+  SELECT event_id, event_type,
+         CASE WHEN event_id % 7 <> 0 THEN value END AS value
+  FROM events
+),
+med AS (SELECT event_type, median(value) AS m FROM ev GROUP BY 1)
+SELECT event_id, ev.event_type,
+       round(coalesce(value, m), 6) AS value_imputed,
+       value IS NULL AS was_imputed
+FROM ev JOIN med USING (event_type)
+"""
+
+QUERIES.update({"impute_missing": q_impute_missing})
+ORACLES.update({"impute_missing": SQL_IMPUTE_MISSING})
