@@ -79,6 +79,10 @@ HEADLINE = [
     "weighted_sample",
     "doc_keywords",
     "bigram_pmi",
+    "session_windows",
+    "dataset_split",
+    "normalized_dedup",
+    "label_propagation",
 ]
 
 # Queries whose full row set is large: drain with a `noop`-format write
@@ -122,6 +126,9 @@ NOOP_DRAIN = {
     "best_match",
     "doc_keywords",
     "bigram_pmi",
+    "session_windows",
+    "normalized_dedup",
+    "label_propagation",
 }
 
 

@@ -3878,11 +3878,54 @@ ORACLES.update({"degree_distribution": SQL_DEGREE_DISTRIBUTION})
 
 
 def q_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Entity-resolution assignment: block customers × suppliers by
-    nation, score by balance proximity, keep mutual-best 1:1 matches."""
+    """Entity-resolution 1:1 assignment: customers ↔ suppliers of the
+    same nation, scored by balance proximity, mutual-best kept.
+
+    Because the score is 1-D proximity, each side's argmax is a
+    nearest_join (sort-based floor/ceiling scan) — NO candidate pair
+    set is ever materialized. Semantically identical to mutual_best_
+    match over the full nation-blocked cross product (the oracle IS
+    that cross product, and q_best_match_pairs runs the generic-op
+    path against the same SQL), but O((n+m) log) instead of O(n·m/25):
+    the pair formulation hit 60M pairs and ~22 s at sf1; this runs the
+    same answer in well under a second."""
+    from grafink_spark.ops import nearest_join
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nat"),
+        F.col("c_custkey").alias("cid"),
+        F.col("c_acctbal").alias("cbal"),
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nat"),
+        F.col("s_suppkey").alias("sid"),
+        F.col("s_acctbal").alias("sbal"),
+    )
+    lb = nearest_join(
+        cust, supp, on="nat", left_id="cid", left_val="cbal",
+        right_id="sid", right_val="sbal",
+    )
+    rb = nearest_join(
+        supp, cust, on="nat", left_id="sid", left_val="sbal",
+        right_id="cid", right_val="cbal",
+    )
+    return lb.join(rb.select("cid", "sid"), ["cid", "sid"]).select(
+        F.col("cid").alias("left_id"),
+        F.col("sid").alias("right_id"),
+        F.round(-F.col("dist"), 2).alias("score"),
+    )
+
+
+def q_best_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The generic-operator path to the same answer: materialize the
+    nation-blocked candidate pairs, run mutual_best_match (two-phase
+    hash-agg argmax). Correctness twin of q_best_match — same oracle."""
     from grafink_spark.ops import mutual_best_match
 
-    cust = load_table(spark, sf_dir, "customer")
+    # the nation-blocked pair space is |cust|×|supp|/25 — fan the
+    # (small-file) customer scan out first or the whole expansion
+    # runs on one task
+    cust = ensure_min_partitions(load_table(spark, sf_dir, "customer"))
     supp = load_table(spark, sf_dir, "supplier")
     pairs = (
         cust.join(
@@ -3919,8 +3962,12 @@ SELECT left_id, right_id, round(score, 2) AS score
 FROM ranked WHERE rl = 1 AND rr = 1
 """
 
-QUERIES.update({"best_match": q_best_match})
-ORACLES.update({"best_match": SQL_BEST_MATCH})
+QUERIES.update(
+    {"best_match": q_best_match, "best_match_pairs": q_best_match_pairs}
+)
+ORACLES.update(
+    {"best_match": SQL_BEST_MATCH, "best_match_pairs": SQL_BEST_MATCH}
+)
 
 
 def q_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4364,3 +4411,178 @@ FROM ev JOIN med USING (event_type)
 
 QUERIES.update({"impute_missing": q_impute_missing})
 ORACLES.update({"impute_missing": SQL_IMPUTE_MISSING})
+
+
+def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window aggregation (30-min gap) — the
+    engine-native sibling of user_sessions; session_end is last event
+    + gap (Spark's half-open merge semantics)."""
+    from grafink_spark.timeseries import session_window_agg
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    out = session_window_agg(ev, gap="30 minutes")
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return out.select(
+        "user_id",
+        F.date_format("session_start", fmt).alias("session_start"),
+        F.date_format("session_end", fmt).alias("session_end"),
+        "n_events",
+        F.round("sum_value", 2).alias("sum_value"),
+    )
+
+
+SQL_SESSION_WINDOWS = """
+WITH o AS (
+  SELECT user_id, ts, value,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+  SELECT user_id, ts, value,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS seq
+  FROM o
+)
+SELECT user_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+       strftime(MAX(ts) + INTERVAL 30 MINUTE,
+                '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 2) AS sum_value
+FROM s GROUP BY user_id, seq
+"""
+
+QUERIES.update({"session_windows": q_session_windows})
+ORACLES.update({"session_windows": SQL_SESSION_WINDOWS})
+
+
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test split by md5(doc_id) with
+    per-split document/token/char totals — the reproducible split +
+    accounting every training run needs."""
+    from grafink_spark.llm.corpus import dataset_split
+    from grafink_spark.llm.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "n_chars"
+    )
+    split = dataset_split(docs, fractions=(0.9, 0.05))
+    return split.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tokens("text"))).alias("n_tokens"),
+        F.sum("n_chars").alias("n_chars"),
+    )
+
+
+SQL_DATASET_SPLIT = f"""
+WITH b AS (
+  SELECT doc_id, text, n_chars,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::INT AS bucket
+  FROM documents
+),
+s AS (
+  SELECT *,
+         CASE WHEN bucket < 0.9 * 65536 THEN 'train'
+              WHEN bucket < 0.95 * 65536 THEN 'val'
+              ELSE 'test' END AS split
+  FROM b
+)
+SELECT split, count(*) AS n_docs,
+       sum(CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len({TOKENS_SQL}) END) AS n_tokens,
+       sum(n_chars) AS n_chars
+FROM s GROUP BY split
+"""
+
+QUERIES.update({"dataset_split": q_dataset_split})
+ORACLES.update({"dataset_split": SQL_DATASET_SPLIT})
+
+
+def q_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style normalized exact dedup: hash of the
+    lowercase/punctuation-stripped/whitespace-collapsed text, one
+    group per normalized form with its survivor (min doc_id) and
+    multiplicity — catches dups that raw-byte hashing (exact_dedup)
+    misses."""
+    from grafink_spark.llm.text import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return (
+        docs.select(
+            "doc_id", F.md5(normalize_text("text")).alias("norm_hash")
+        )
+        .groupBy("norm_hash")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+
+
+SQL_NORMALIZED_DEDUP = """
+WITH n AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(
+              regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'),
+              '\\s+', ' ', 'g'))) AS norm_hash
+  FROM documents
+)
+SELECT norm_hash, min(doc_id) AS keep_id, count(*) AS n_docs
+FROM n GROUP BY norm_hash
+"""
+
+QUERIES.update({"normalized_dedup": q_normalized_dedup})
+ORACLES.update({"normalized_dedup": SQL_NORMALIZED_DEDUP})
+
+
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label-propagation communities (2 rounds, min-label
+    tie-break) over the undirected similarity graph."""
+    from grafink_spark.graph.algorithms import label_propagation
+
+    ev, current = _alertish_events(spark, sf_dir)
+    rule = SimilarityClassifier("rfscore OR objectId", mode="decomposed")
+    loaded = ev.where(F.col("id") % 20 != 0)
+    pairs = rule.classify(loaded, current).select("src", "dst")
+    return label_propagation(pairs, iters=2)
+
+
+def _label_propagation_sql(iters: int = 2) -> str:
+    """Round-for-round replay of graph.algorithms.label_propagation:
+    per round, count neighbor labels then argmax with (count DESC,
+    label ASC) — identical tie rule to the Spark max_by struct key."""
+    blocks = []
+    for i in range(1, iters + 1):
+        blocks.append(f"""c{i} AS (
+  SELECT e.u, l.label, count(*) AS c
+  FROM e JOIN l{i - 1} l ON l.id = e.v GROUP BY 1, 2
+),
+l{i} AS (
+  SELECT u AS id, label FROM (
+    SELECT u, label,
+           row_number() OVER (PARTITION BY u
+                              ORDER BY c DESC, label ASC) AS rn
+    FROM c{i}
+  ) WHERE rn = 1
+)""")
+    chain = ",\n".join(blocks)
+    return f"""
+WITH pairs AS ({SQL_SIMILARITY_EDGES}),
+e AS (
+  SELECT src AS u, dst AS v FROM pairs
+  UNION ALL
+  SELECT dst AS u, src AS v FROM pairs
+),
+l0 AS (SELECT DISTINCT u AS id, u AS label FROM e),
+{chain}
+SELECT id, label FROM l{iters}
+"""
+
+
+SQL_LABEL_PROPAGATION = _label_propagation_sql()
+
+QUERIES.update({"label_propagation": q_label_propagation})
+ORACLES.update({"label_propagation": SQL_LABEL_PROPAGATION})

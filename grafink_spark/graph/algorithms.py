@@ -340,3 +340,57 @@ def shortest_paths(
             .localCheckpoint()
         )
     return dist
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 2,
+) -> DataFrame:
+    """Synchronous label-propagation community detection: labels start
+    as vertex ids; each round every vertex adopts the most frequent
+    label among its neighbors, ties broken by smallest label. Fixed
+    ``iters`` synchronous rounds make the result deterministic (the
+    classic async variant is run-order dependent), which is what lets
+    the oracle replay it round-for-round in SQL.
+
+    Plan/scale per round: one (vertex, label) count shuffle + one
+    per-vertex argmax — the argmax is a max_by over the count struct
+    (partial-aggregates map-side; no rank window, no row explosion).
+    The static edge list is pre-partitioned on the join key once and
+    checkpointed, so each round shuffles only the vertex-sized label
+    table. Labels monotonically coarsen; 2-5 rounds suffice for
+    community structure (Raghavan et al., 2007).
+    """
+    e = edges.select(
+        F.col(src).alias("_u"), F.col(dst).alias("_v")
+    ).localCheckpoint()
+    both = e.unionByName(
+        e.select(F.col("_v").alias("_u"), F.col("_u").alias("_v"))
+    ).repartition("_v").localCheckpoint()
+    labels = (
+        both.select(F.col("_u").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(iters):
+        counted = (
+            both.join(labels.withColumnRenamed("id", "_v"), "_v")
+            .groupBy("_u", "label")
+            .agg(F.count(F.lit(1)).alias("_c"))
+        )
+        # argmax(count) with min-label tie-break: max_by over a struct
+        # ordered (count, -label) — one agg, no window
+        labels = (
+            counted.groupBy("_u")
+            .agg(
+                F.max_by(
+                    F.col("label"), F.struct(F.col("_c"), -F.col("label"))
+                ).alias("label")
+            )
+            .select(F.col("_u").alias("id"), "label")
+            .localCheckpoint()
+        )
+    return labels

@@ -240,3 +240,32 @@ def mixture_sample(
         .where(bucket < F.col("_rate") * 65536)
         .drop("_rate")
     )
+
+
+def dataset_split(
+    df: DataFrame,
+    fractions: tuple[float, float] = (0.9, 0.05),
+    id_col: str = "doc_id",
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: the first 4 hex digits
+    of md5(id) place each row in train (< fractions[0]), val
+    (< fractions[0]+fractions[1]) or test — the split every training
+    run needs to be reproducible across engines and re-runs (no RNG
+    state, no sort order dependence: the hash IS the assignment).
+
+    Plan/scale: one narrow projection — no shuffle, no sample(); a
+    100 TB corpus splits in a single map pass and any subset of files
+    yields the same per-row assignment.
+    """
+    bucket = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10
+    ).cast("int")
+    train_hi = fractions[0] * 65536
+    val_hi = (fractions[0] + fractions[1]) * 65536
+    return df.withColumn(
+        out_col,
+        F.when(bucket < train_hi, F.lit("train"))
+        .when(bucket < val_hi, F.lit("val"))
+        .otherwise(F.lit("test")),
+    )

@@ -171,3 +171,18 @@ def auto_stopwords(
     return document_frequencies(df, text_col, id_col).where(
         F.col("doc_fraction") >= min_doc_fraction
     )
+
+
+def normalize_text(col: Column | str) -> Column:
+    """CCNet-style normalization ahead of hashing/dedup: lowercase,
+    replace every non-alphanumeric rune with a space, collapse runs of
+    whitespace, trim. Two documents differing only in case, punctuation
+    or spacing normalize to the same string, which is the form exact
+    and near dedup should hash (Wenzek et al., CCNet, 2020 — the
+    deduplication is performed on normalized lowercase text).
+
+    Pure JVM expressions (lower + 2 regexp_replace + trim) — narrow,
+    codegen'd, no Python."""
+    c = F.col(col) if isinstance(col, str) else col
+    stripped = F.regexp_replace(F.lower(c), r"[^a-z0-9\s]", " ")
+    return F.trim(F.regexp_replace(stripped, r"\s+", " "))

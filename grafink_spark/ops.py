@@ -266,22 +266,122 @@ def mutual_best_match(
     (mutual nearest neighbor). Deterministic ties: higher score, then
     lower partner id. Greedy-mutual is the standard scalable stand-in
     for optimal assignment (Hungarian is O(n³) and inherently serial).
+    Output columns: (left, right, score).
 
-    Plan/scale: two window ranks over the candidate set — one
-    partitioned per side — then a filter; WindowGroupLimit pushes the
-    rank-1 cut below each exchange, so only per-key best rows survive
-    the shuffles. No joins, candidate-set-sized, skew bounded by the
-    blocking that produced the pairs.
+    Plan/scale: per-side argmax as TWO-PHASE plain-max aggregation —
+    not window ranks, not max_by. ``max(score)`` / ``min(partner)``
+    keep primitive aggregation buffers, so both phases run as
+    HashAggregate with map-side partials: no sort of the candidate set
+    anywhere, and each exchange carries at most (#keys × #map
+    partitions) rows. The rejected alternatives both sort the full
+    pair set — row_number() windows sort it globally twice (28.8 s on
+    the sf1 bench's 60M pairs), and max_by/struct buffers demote to
+    SortAggregate (two 60M local sorts, 55.7 s); this plan runs the
+    same input in ~3 s. Phase 2's equality join-back on
+    score == best-score is exact: both sides evaluate the identical
+    score expression, so the doubles are bit-identical. The per-key
+    best tables are key-sized; AQE broadcasts them when small.
+    Requires non-null scores (ER scorers emit none).
     """
-    wl = Window.partitionBy(left).orderBy(
-        F.col(score).desc(), F.col(right).asc()
+    sc = F.col(score)
+    # phase 1: best score per key (hash agg, partial map-side)
+    bl = pairs.groupBy(left).agg(F.max(score).alias("_bsl"))
+    br = pairs.groupBy(right).agg(F.max(score).alias("_bsr"))
+    # phase 2: rows achieving the best, tie → min partner (hash agg)
+    lb = (
+        pairs.join(bl, left)
+        .where(sc == F.col("_bsl"))
+        .groupBy(left)
+        .agg(F.min(right).alias(right), F.max(score).alias(score))
     )
-    wr = Window.partitionBy(right).orderBy(
-        F.col(score).desc(), F.col(left).asc()
+    rb = (
+        pairs.join(br, right)
+        .where(sc == F.col("_bsr"))
+        .groupBy(right)
+        .agg(F.min(left).alias(left))
     )
-    return (
-        pairs.withColumn("_rl", F.row_number().over(wl))
-        .withColumn("_rr", F.row_number().over(wr))
-        .where((F.col("_rl") == 1) & (F.col("_rr") == 1))
-        .drop("_rl", "_rr")
+    return lb.join(rb, [left, right]).select(left, right, score)
+
+
+def nearest_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_id: str,
+    left_val: str,
+    right_id: str,
+    right_val: str,
+) -> DataFrame:
+    """1-D nearest-neighbor join: for every left row, the right row in
+    the same ``on`` group whose ``right_val`` is numerically closest to
+    ``left_val``; ties broken by smaller ``right_id``. Values must be
+    non-null.
+
+    This is the scalable replacement for "cross join the block, score
+    by -abs(a-b), keep the argmax": that materializes |L|×|R| pairs
+    per block (quadratic in scale factor when blocks are fixed-
+    cardinality — the sf1 bench's nation blocking hit 60M pairs), while
+    the nearest neighbor on a LINE needs only each left value's floor
+    and ceiling among the right values. Plan: per-value right dedup
+    (hash agg, ties pre-resolved to min id), one union + one shuffle on
+    the group key, two linear window scans (ascending for the floor
+    neighbor, descending for the ceiling), then an arithmetic pick —
+    O((|L|+|R|) log) sort work, zero joins, output |L| rows.
+
+    Output: (on, left_id, right_id, dist) — dist = |left_val-right_val|.
+    """
+    rr = (
+        right.groupBy(F.col(on).alias("_g"), F.col(right_val).alias("_v"))
+        .agg(F.min(right_id).alias("_rid"))
+    )
+    lf = left.select(
+        F.col(on).alias("_g"),
+        F.col(left_id).alias("_lid"),
+        F.col(left_val).alias("_v"),
+    )
+    both = rr.select(
+        "_g", "_v", "_rid", F.lit(None).cast("long").alias("_lid"),
+        F.lit(0).alias("_is_l"),
+    ).unionByName(
+        lf.select(
+            "_g", "_v", F.lit(None).cast("long").alias("_rid"), "_lid",
+            F.lit(1).alias("_is_l"),
+        )
+    )
+    cand = F.when(F.col("_is_l") == 0, F.struct(F.col("_v"), F.col("_rid")))
+    w_floor = (
+        Window.partitionBy("_g")
+        .orderBy(F.col("_v").asc(), F.col("_is_l").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_ceil = (
+        Window.partitionBy("_g")
+        .orderBy(F.col("_v").desc(), F.col("_is_l").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    scanned = both.select(
+        "*",
+        F.last(cand, ignorenulls=True).over(w_floor).alias("_flo"),
+        F.last(cand, ignorenulls=True).over(w_ceil).alias("_cei"),
+    ).where(F.col("_is_l") == 1)
+    d_flo = F.abs(F.col("_v") - F.col("_flo._v"))
+    d_cei = F.abs(F.col("_v") - F.col("_cei._v"))
+    best = (
+        F.when(F.col("_flo").isNull(), F.col("_cei"))
+        .when(F.col("_cei").isNull(), F.col("_flo"))
+        .when(d_flo < d_cei, F.col("_flo"))
+        .when(d_cei < d_flo, F.col("_cei"))
+        # equal distance: the quadratic argmax would take the smaller
+        # id among ALL rights at that distance — floor/ceiling each
+        # already carry the min id at their value
+        .when(F.col("_flo._rid") <= F.col("_cei._rid"), F.col("_flo"))
+        .otherwise(F.col("_cei"))
+    )
+    return scanned.withColumn("_best", best).select(
+        F.col("_g").alias(on),
+        F.col("_lid").alias(left_id),
+        F.col("_v").alias(left_val),
+        F.col("_best._rid").alias(right_id),
+        F.col("_best._v").alias(right_val),
+        F.abs(F.col("_v") - F.col("_best._v")).alias("dist"),
     )

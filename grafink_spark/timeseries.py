@@ -215,3 +215,46 @@ def cohort_retention(
         .groupBy("cohort", "offset")
         .agg(F.count(F.lit(1)).alias("n_active"))
     )
+
+
+def session_window_agg(
+    events: DataFrame,
+    ts: str = "ts",
+    key: str = "user_id",
+    gap: str = "30 minutes",
+    value: str = "value",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Native session-window aggregation (``F.session_window``): events
+    of one key whose gaps are <= ``gap`` merge into one session
+    (touching windows merge, so an idle gap of exactly ``gap`` still
+    extends the session — a new one starts only when the gap is
+    STRICTLY greater); ``session_end`` is the last event + gap
+    (Spark's half-open window end).
+
+    This is the engine-native sibling of :func:`sessionize_batch` /
+    the applyInPandasWithState streaming sessionizer: same grouping
+    semantics (up to the >= vs > boundary, documented there), but the
+    merge runs inside Spark's SessionWindow state store, which on a
+    stream merges windows incrementally per key and expires state by
+    watermark — no Python, no custom state tuple.
+
+    Plan/scale: exactly one shuffle on (key); window merging is a
+    sort-based per-partition pass. Works unchanged on a bounded frame
+    (watermark ignored) or a stream (pass ``watermark``).
+    """
+    src = events.withWatermark(ts, watermark) if watermark else events
+    return (
+        src.groupBy(F.session_window(ts, gap).alias("sess"), key)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(value).alias("sum_value"),
+        )
+        .select(
+            key,
+            F.col("sess.start").alias("session_start"),
+            F.col("sess.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )

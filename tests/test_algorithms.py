@@ -185,3 +185,29 @@ def test_shortest_paths_parallel_edges_take_min(spark):
     )
     d = {r.id: r.dist for r in shortest_paths(e, 1, rounds=1).collect()}
     assert d == {1: 0.0, 2: 2.0}
+
+
+def test_label_propagation_two_communities(spark):
+    from grafink_spark.graph.algorithms import label_propagation
+
+    # two triangles {1,2,3} and {10,11,12} joined by bridge 3-10
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12), (3, 10)],
+        "src long, dst long",
+    )
+    got = {r.id: r.label for r in label_propagation(edges, iters=3).collect()}
+    assert set(got) == {1, 2, 3, 10, 11, 12}
+    # triangle 1 coalesces on its min label
+    assert got[1] == got[2] == got[3] == 1
+    # triangle 2 stays a separate community despite the bridge
+    assert got[10] == got[11] == got[12]
+    assert got[10] != got[1]
+
+
+def test_label_propagation_tie_breaks_min_label(spark):
+    from grafink_spark.graph.algorithms import label_propagation
+
+    # star: center 5 sees neighbors {1, 9} once each → tie → min = 1
+    edges = spark.createDataFrame([(5, 1), (5, 9)], "src long, dst long")
+    got = {r.id: r.label for r in label_propagation(edges, iters=1).collect()}
+    assert got[5] == 1

@@ -148,3 +148,32 @@ def test_mixture_sample_deterministic(spark):
     a = sorted(r["doc_id"] for r in mixture_sample(df).collect())
     b = sorted(r["doc_id"] for r in mixture_sample(df).collect())
     assert a == b and len(a) > 0
+
+
+def test_dataset_split_deterministic_and_partition(spark):
+    from grafink_spark.llm.corpus import dataset_split
+    from grafink_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id"
+    )
+    a = dataset_split(docs).collect()
+    b = dataset_split(docs).collect()
+    assert {(r.doc_id, r.split) for r in a} == {(r.doc_id, r.split) for r in b}
+    counts = {}
+    for r in a:
+        counts[r.split] = counts.get(r.split, 0) + 1
+    n = len(a)
+    assert set(counts) <= {"train", "val", "test"}
+    assert counts["train"] / n > 0.8  # ~90% ± hash noise on small n
+    assert sum(counts.values()) == n  # a partition, nothing dropped
+
+
+def test_dataset_split_no_shuffle(spark):
+    from pyspark.sql import functions as F
+
+    from grafink_spark.llm.corpus import dataset_split
+
+    df = spark.range(100).select(F.col("id").alias("doc_id"))
+    plan = dataset_split(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

@@ -176,9 +176,7 @@ def test_mutual_best_match_tie_breaks_to_lower_id(spark):
     assert got == {(1, 4)}
 
 
-def test_mutual_best_match_rank_pushdown_no_join(spark):
-    from pyspark.sql import functions as F
-
+def test_mutual_best_match_agg_not_window(spark):
     from grafink_spark.ops import mutual_best_match
 
     pairs = spark.createDataFrame(
@@ -186,5 +184,86 @@ def test_mutual_best_match_rank_pushdown_no_join(spark):
         "left_id long, right_id long, score double",
     )
     plan = mutual_best_match(pairs)._jdf.queryExecution().executedPlan().toString()
-    assert "Join" not in plan
-    assert "WindowGroupLimit" in plan
+    # per-side argmax must be a (partial-capable) aggregation, never a
+    # full-sort window rank over the candidate set
+    assert "Window" not in plan
+    assert "max_by" in plan or "Aggregate" in plan
+
+
+def test_nearest_join_golden(spark):
+    from grafink_spark.ops import nearest_join
+
+    left = spark.createDataFrame(
+        [(1, 10, 5.0), (1, 11, 100.0), (2, 12, 7.0)],
+        "g int, lid long, lv double",
+    )
+    right = spark.createDataFrame(
+        [(1, 20, 4.0), (1, 21, 8.0), (2, 22, 3.0)],
+        "g int, rid long, rv double",
+    )
+    got = {
+        (r.lid, r.rid)
+        for r in nearest_join(
+            left, right, on="g", left_id="lid", left_val="lv",
+            right_id="rid", right_val="rv",
+        ).collect()
+    }
+    # 5.0 → 4.0 (dist 1 < 3); 100.0 → 8.0 (only ceiling-less floor);
+    # group 2: 7.0 → 3.0 (only candidate)
+    assert got == {(10, 20), (11, 21), (12, 22)}
+
+
+def test_nearest_join_tie_breaks_min_id(spark):
+    from grafink_spark.ops import nearest_join
+
+    left = spark.createDataFrame([(1, 10, 5.0)], "g int, lid long, lv double")
+    right = spark.createDataFrame(
+        [(1, 9, 4.0), (1, 3, 6.0), (1, 7, 6.0)],
+        "g int, rid long, rv double",
+    )
+    rows = nearest_join(
+        left, right, on="g", left_id="lid", left_val="lv",
+        right_id="rid", right_val="rv",
+    ).collect()
+    # floor 4.0 (id 9) and ceiling 6.0 both at dist 1; ceiling value
+    # has two rights → min id 3; overall tie → min(9, 3) = 3
+    assert [(r.lid, r.rid) for r in rows] == [(10, 3)]
+
+
+def test_nearest_join_matches_bruteforce(spark):
+    import random
+
+    from pyspark.sql import functions as F
+
+    from grafink_spark.ops import nearest_join
+
+    rnd = random.Random(7)
+    left = spark.createDataFrame(
+        [(i % 3, i, round(rnd.uniform(0, 50), 1)) for i in range(60)],
+        "g int, lid long, lv double",
+    )
+    right = spark.createDataFrame(
+        [(i % 3, 100 + i, round(rnd.uniform(0, 50), 1)) for i in range(40)],
+        "g int, rid long, rv double",
+    )
+    got = {
+        (r.lid, r.rid)
+        for r in nearest_join(
+            left, right, on="g", left_id="lid", left_val="lv",
+            right_id="rid", right_val="rv",
+        ).collect()
+    }
+    brute = (
+        left.join(right, "g")
+        .withColumn("d", F.abs(F.col("lv") - F.col("rv")))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lid").orderBy(F.col("d").asc(), F.col("rid").asc())
+    exp = {
+        (r.lid, r.rid)
+        for r in brute.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .collect()
+    }
+    assert got == exp

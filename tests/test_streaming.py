@@ -185,3 +185,43 @@ def test_interval_join_left_outer_streaming(spark, tmp_path):
     assert inner <= got
     assert got <= batch
     assert len(batch) > len(inner)  # the dataset does have lonely purchases
+
+
+def test_session_window_stream_matches_batch(spark, tmp_path):
+    """Native session_window on a stream: watermark-bounded merging
+    state, append-mode emission; every emitted session must equal the
+    batch twin exactly."""
+    from grafink_spark.timeseries import session_window_agg
+
+    src_dir = str(tmp_path / "sess_src")
+    os.makedirs(src_dir, exist_ok=True)
+    shutil.copy(SRC, os.path.join(src_dir, "part-0.parquet"))
+
+    stream = read_event_stream(spark, src_dir).select("user_id", "ts", "value")
+    result = session_window_agg(stream, gap="30 minutes", watermark="2 hours")
+    out = str(tmp_path / "sess_out")
+    ckpt = str(tmp_path / "sess_ckpt")
+    run_stream_to_parquet(result, out, ckpt, available_now=True)
+
+    got = spark.read.parquet(out)
+    assert got.count() > 0
+    batch = session_window_agg(
+        load_table(spark, "/root/testdata/sf0.001", "events").select(
+            "user_id", "ts", "value"
+        ),
+        gap="30 minutes",
+    )
+    # append mode emits only watermark-closed sessions; each must match
+    # the batch computation row-for-row
+    joined = got.alias("g").join(
+        batch.alias("b"),
+        (F.col("g.user_id") == F.col("b.user_id"))
+        & (F.col("g.session_start") == F.col("b.session_start")),
+        "inner",
+    )
+    matched = joined.where(
+        (F.col("g.session_end") == F.col("b.session_end"))
+        & (F.col("g.n_events") == F.col("b.n_events"))
+        & (F.abs(F.col("g.sum_value") - F.col("b.sum_value")) < 1e-9)
+    )
+    assert matched.count() == got.count()

@@ -85,3 +85,15 @@ def test_document_frequencies_and_auto_stopwords(spark):
     assert freqs["ran"] == (1, 0.25)  # distinct-per-doc before counting
     sw = {r.token for r in auto_stopwords(df, min_doc_fraction=0.75).collect()}
     assert sw == {"the"}
+
+
+def test_normalize_text_golden(spark):
+    from grafink_spark.llm.text import normalize_text
+
+    df = spark.createDataFrame(
+        [("  Hello,   WORLD!! 42 ",), ("hello world 42",), ("",)],
+        "t string",
+    )
+    got = [r.n for r in df.select(normalize_text("t").alias("n")).collect()]
+    # case/punct/whitespace variants collapse to the same form
+    assert got == ["hello world 42", "hello world 42", ""]

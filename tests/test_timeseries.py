@@ -141,3 +141,33 @@ def test_rolling_agg_trailing_window(spark):
         (1, "11:15"): (2, 25.0),   # 10:00 is outside the 1h window
         (2, "10:00"): (1, 99.0),
     }
+
+
+def test_session_window_agg_golden(spark):
+    from datetime import datetime
+
+    from grafink_spark.timeseries import session_window_agg
+
+    def ts(s):
+        return datetime.fromisoformat(s)
+
+    ev = spark.createDataFrame(
+        [
+            (1, ts("2024-01-01T10:00:00"), 1.0),
+            (1, ts("2024-01-01T10:20:00"), 2.0),   # gap 20m < 30m → same
+            (1, ts("2024-01-01T10:50:00"), 3.0),   # exactly 30m → windows touch → SAME session
+            (1, ts("2024-01-01T11:20:01"), 5.0),   # 30m 1s → NEW
+            (2, ts("2024-01-01T09:00:00"), 4.0),
+        ],
+        "user_id long, ts timestamp, value double",
+    )
+    out = session_window_agg(ev, gap="30 minutes").collect()
+    got = {
+        (r.user_id, str(r.session_start), str(r.session_end), r.n_events, r.sum_value)
+        for r in out
+    }
+    assert got == {
+        (1, "2024-01-01 10:00:00", "2024-01-01 11:20:00", 3, 6.0),
+        (1, "2024-01-01 11:20:01", "2024-01-01 11:50:01", 1, 5.0),
+        (2, "2024-01-01 09:00:00", "2024-01-01 09:30:00", 1, 4.0),
+    }
