@@ -83,6 +83,8 @@ HEADLINE = [
     "dataset_split",
     "normalized_dedup",
     "label_propagation",
+    "nb_classify",
+    "embedding_pca",
 ]
 
 # Queries whose full row set is large: drain with a `noop`-format write
@@ -129,6 +131,7 @@ NOOP_DRAIN = {
     "session_windows",
     "normalized_dedup",
     "label_propagation",
+    "nb_classify",
 }
 
 

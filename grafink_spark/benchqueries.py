@@ -4586,3 +4586,143 @@ SQL_LABEL_PROPAGATION = _label_propagation_sql()
 
 QUERIES.update({"label_propagation": q_label_propagation})
 ORACLES.update({"label_propagation": SQL_LABEL_PROPAGATION})
+
+
+def q_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes language classification, trained ON the
+    corpus (resubstitution) — count-based model training as two hash
+    aggs; scores fold in sorted token order so they are
+    bit-deterministic (oracle replays them exactly)."""
+    from grafink_spark.llm.classify import nb_classify
+
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    out = nb_classify(docs)
+    return out.select("doc_id", "pred", F.round("score", 6).alias("score"))
+
+
+SQL_NB_CLASSIFY = f"""
+WITH tok AS (SELECT lang AS c, unnest({TOKENS_SQL}) AS w FROM documents),
+twc AS (SELECT c, w, count(*) AS cwc FROM tok GROUP BY 1, 2),
+tot AS (SELECT c, sum(cwc) AS totc FROM twc GROUP BY 1),
+v AS (SELECT count(DISTINCT w) AS v FROM twc),
+n AS (SELECT count(*) AS n FROM documents),
+nd AS (SELECT lang AS c, count(*) AS nd FROM documents GROUP BY 1),
+cls AS (
+  SELECT tot.c, tot.totc, ln(nd.nd::DOUBLE / n.n) AS lnprior
+  FROM tot JOIN nd USING (c) CROSS JOIN n
+),
+dt AS (
+  SELECT doc_id, w, count(*) AS tf
+  FROM (SELECT doc_id, unnest({TOKENS_SQL}) AS w FROM documents)
+  GROUP BY 1, 2
+),
+terms AS (
+  SELECT dt.doc_id, cls.c, dt.w, cls.lnprior,
+         dt.tf::DOUBLE
+           * ln((coalesce(twc.cwc, 0) + 1.0) / (cls.totc + 1.0 * v.v)) AS lp
+  FROM dt CROSS JOIN cls
+  LEFT JOIN twc ON twc.c = cls.c AND twc.w = dt.w
+  CROSS JOIN v
+),
+pc AS (
+  SELECT doc_id, c,
+         any_value(lnprior)
+           + list_reduce(list(lp ORDER BY w), (x, y) -> x + y) AS score
+  FROM terms GROUP BY 1, 2
+),
+r AS (
+  SELECT doc_id, c, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, c ASC) AS rn
+  FROM pc
+)
+SELECT doc_id, c AS pred, round(score, 6) AS score FROM r WHERE rn = 1
+"""
+
+QUERIES.update({"nb_classify": q_nb_classify})
+ORACLES.update({"nb_classify": SQL_NB_CLASSIFY})
+
+
+def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding corpus: covariance in
+    exact decimal arithmetic (partition-order independent), power
+    iteration with sorted-order folds — the whole linear-algebra
+    pipeline is replayed bit-for-bit by the SQL oracle."""
+    from grafink_spark.llm.pca import embedding_pca
+
+    emb = ensure_min_partitions(load_table(spark, sf_dir, "embeddings"))
+    out = embedding_pca(emb, vec_col="embedding", iters=8)
+    return out.select(
+        F.col("i").cast("long").alias("i"),
+        F.round("loading", 6).alias("loading"),
+        F.round("eigenvalue", 6).alias("eigenvalue"),
+        F.round("var_ratio", 6).alias("var_ratio"),
+    )
+
+
+def _embedding_pca_sql(dim: int = 64, iters: int = 8) -> str:
+    """Round-for-round replay of llm/pca.py: decimal covariance sums,
+    then each power-iteration round as join + ordered list_reduce —
+    the same left fold (starting at +0.0) the Spark side computes."""
+    v0 = repr(1.0 / float(dim) ** 0.5)
+    blocks = []
+    for t in range(1, iters + 1):
+        blocks.append(f"""w{t} AS MATERIALIZED (
+  SELECT i, list_reduce(list(c * v ORDER BY j), (x, y) -> x + y) AS w
+  FROM cov JOIN v{t - 1} USING (j) GROUP BY i
+),
+nm{t} AS (
+  SELECT sqrt(list_reduce(list(w * w ORDER BY i), (x, y) -> x + y)) AS nm
+  FROM w{t}
+),
+v{t} AS MATERIALIZED (SELECT i AS j, w / nm AS v FROM w{t} CROSS JOIN nm{t})""")
+    chain = ",\n".join(blocks)
+    return f"""
+WITH n AS (SELECT count(*) AS n FROM embeddings),
+px AS (
+  SELECT CAST(i.range AS INT) AS i, CAST(j.range AS INT) AS j,
+         (embedding[CAST(i.range AS INT) + 1]::DOUBLE
+          * embedding[CAST(j.range AS INT) + 1]::DOUBLE)::DECIMAL(30,15) AS xx
+  FROM embeddings
+  CROSS JOIN range(0, {dim}) i CROSS JOIN range(0, {dim}) j
+),
+sxx AS MATERIALIZED (SELECT i, j, sum(xx) AS sxx FROM px GROUP BY 1, 2),
+sx AS (
+  SELECT CAST(i.range AS INT) AS i,
+         sum((embedding[CAST(i.range AS INT) + 1]::DOUBLE)::DECIMAL(30,15)) AS sx
+  FROM embeddings CROSS JOIN range(0, {dim}) i GROUP BY 1
+),
+mu AS (SELECT i, sx::DOUBLE / n.n AS mu FROM sx CROSS JOIN n),
+cov AS MATERIALIZED (
+  SELECT sxx.i, sxx.j,
+         sxx.sxx::DOUBLE / n.n - mi.mu * mj.mu AS c
+  FROM sxx CROSS JOIN n
+  JOIN mu mi ON mi.i = sxx.i
+  JOIN mu mj ON mj.i = sxx.j
+),
+v0 AS (SELECT CAST(r.range AS INT) AS j, {v0} AS v FROM range(0, {dim}) r),
+{chain},
+cv AS (
+  SELECT i, list_reduce(list(c * v ORDER BY j), (x, y) -> x + y) AS cv
+  FROM cov JOIN v{iters} USING (j) GROUP BY i
+),
+lam AS (
+  SELECT list_reduce(list(cv.cv * v.v ORDER BY cv.i), (x, y) -> x + y) AS lam
+  FROM cv JOIN v{iters} v ON v.j = cv.i
+),
+tr AS (
+  SELECT list_reduce(list(c ORDER BY i), (x, y) -> x + y) AS tr
+  FROM cov WHERE i = j
+)
+SELECT CAST(v.j AS BIGINT) AS i,
+       round(v.v, 6) AS loading,
+       round(lam.lam, 6) AS eigenvalue,
+       round(lam.lam / tr.tr, 6) AS var_ratio
+FROM v{iters} v CROSS JOIN lam CROSS JOIN tr
+"""
+
+
+SQL_EMBEDDING_PCA = _embedding_pca_sql()
+
+QUERIES.update({"embedding_pca": q_embedding_pca})
+ORACLES.update({"embedding_pca": SQL_EMBEDDING_PCA})

@@ -1,0 +1,158 @@
+"""Distributed PCA over an embedding column — linear algebra as a
+DataFrame program, bit-reproducible across engines.
+
+Two numerically hostile steps are made exactly deterministic:
+
+1. **Covariance accumulation.** Each row contributes x_i·x_j for every
+   (i, j) dimension pair; summing doubles is partition-order dependent,
+   so the per-pair contributions are cast to DECIMAL(30,15) and summed
+   EXACTLY (decimal addition is associative/commutative — any
+   partitioning, any engine, same result). The cast itself is
+   deterministic: a binary double can never land exactly on a
+   half-ulp of a scale-15 decimal (5·10⁻¹⁶ is not dyadic), so
+   round-half-up vs round-half-even can never disagree.
+2. **Power iteration.** Runs inside Spark on the (d², 3) covariance
+   DataFrame: each round is an equi join + a per-row fold over the
+   d terms in sorted dimension order (collect_list + aggregate, as in
+   llm/lm.py), so the matrix-vector products are bit-identical to the
+   SQL oracle's ``list_reduce(list(... ORDER BY j))`` replay.
+
+Scale design (100 TB): the d² explode is narrow (no join — nested
+array transforms generate the pairs row-locally) and the groupBy(i, j)
+partial-aggregates map-side, so the shuffle carries d² × #partitions
+partial sums regardless of corpus size. For d in the thousands, swap
+the explode for a mapInPandas partial-covariance kernel (same
+contract, per-partition d×d partials) — at d=64 the expression form
+keeps everything, including the oracle, in plain SQL. The iteration
+itself touches only d²-sized data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEC = "decimal(30,15)"
+
+
+def _ordered_dot(j_col: str, term) -> object:
+    """Sum of ``term`` in ascending ``j_col`` order (bit-deterministic)."""
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct(F.col(j_col).alias("_j"), term.alias("_t")))),
+        lambda s: s["_t"],
+    )
+    return F.aggregate(ordered, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def covariance_matrix(
+    emb: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """(i, j, c): population covariance of the vector dimensions,
+    accumulated in exact decimal arithmetic. One narrow d²-explode +
+    one groupBy(i, j) shuffle (map-side combined)."""
+    idx = F.transform(
+        F.col(vec_col),
+        lambda x, i: F.struct(i.alias("i"), x.cast("double").alias("x")),
+    )
+    pairs = F.flatten(
+        F.transform(
+            idx,
+            lambda a: F.transform(
+                idx,
+                lambda b: F.struct(
+                    a["i"].alias("i"),
+                    b["i"].alias("j"),
+                    (a["x"] * b["x"]).cast(DEC).alias("xx"),
+                ),
+            ),
+        )
+    )
+    n = emb.count()
+    sxx = (
+        emb.select(F.explode(pairs).alias("p"))
+        .select("p.i", "p.j", "p.xx")
+        .groupBy("i", "j")
+        .agg(F.sum("xx").alias("sxx"))
+    )
+    sx = (
+        emb.select(F.posexplode(vec_col).alias("i", "x"))
+        .select("i", F.col("x").cast("double").cast(DEC).alias("x"))
+        .groupBy("i")
+        .agg(F.sum("x").alias("sx"))
+    )
+    mu = sx.select("i", (F.col("sx").cast("double") / F.lit(float(n))).alias("mu"))
+    return (
+        sxx.join(mu.select(F.col("i"), F.col("mu").alias("_mi")), "i")
+        .join(mu.select(F.col("i").alias("j"), F.col("mu").alias("_mj")), "j")
+        .select(
+            "i",
+            "j",
+            (
+                F.col("sxx").cast("double") / F.lit(float(n))
+                - F.col("_mi") * F.col("_mj")
+            ).alias("c"),
+        )
+    )
+
+
+def power_iteration(
+    cov: DataFrame, dim: int, iters: int = 8
+) -> DataFrame:
+    """(i, loading, eigenvalue, var_ratio): dominant eigenvector of the
+    covariance DataFrame after ``iters`` power-iteration rounds from
+    the uniform unit vector, plus the Rayleigh-quotient eigenvalue and
+    its share of total variance. Every dot product folds in sorted
+    index order; d-sized data throughout."""
+    spark = cov.sparkSession
+    c = cov.localCheckpoint()  # pin: upstream is the corpus-sized agg
+    v = spark.range(dim).select(
+        F.col("id").cast("int").alias("j"),
+        F.lit(1.0 / float(dim) ** 0.5).alias("v"),
+    )
+    for _ in range(iters):
+        w = (
+            c.join(v, "j")
+            .groupBy("i")
+            .agg(_ordered_dot("j", F.col("c") * F.col("v")).alias("w"))
+            .localCheckpoint()
+        )
+        norm = w.select(
+            F.sqrt(_ordered_dot("i", F.col("w") * F.col("w"))).alias("n")
+        )
+        v = w.crossJoin(F.broadcast(norm)).select(
+            F.col("i").alias("j"), (F.col("w") / F.col("n")).alias("v")
+        )
+    # Rayleigh quotient λ = vᵀCv and total variance = trace(C)
+    cv = (
+        c.join(v, "j")
+        .groupBy("i")
+        .agg(_ordered_dot("j", F.col("c") * F.col("v")).alias("cv"))
+    )
+    lam = (
+        cv.join(v.select(F.col("j").alias("i"), "v"), "i")
+        .select(_ordered_dot("i", F.col("cv") * F.col("v")).alias("lam"))
+    )
+    tr = c.where(F.col("i") == F.col("j")).select(
+        _ordered_dot("i", F.col("c")).alias("tr")
+    )
+    return (
+        v.select(F.col("j").alias("i"), F.col("v").alias("loading"))
+        .crossJoin(F.broadcast(lam))
+        .crossJoin(F.broadcast(tr))
+        .select(
+            "i",
+            "loading",
+            F.col("lam").alias("eigenvalue"),
+            (F.col("lam") / F.col("tr")).alias("var_ratio"),
+        )
+    )
+
+
+def embedding_pca(
+    emb: DataFrame, vec_col: str = "embedding", iters: int = 8
+) -> DataFrame:
+    """Top principal component of the embedding corpus: exact-decimal
+    covariance + in-Spark power iteration. Output: one row per
+    dimension (i, loading, eigenvalue, var_ratio)."""
+    dim = len(emb.select(vec_col).first()[0])
+    return power_iteration(covariance_matrix(emb, vec_col), dim, iters)

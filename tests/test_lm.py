@@ -58,3 +58,51 @@ def test_lm_score_separate_train_corpus(spark, docs):
         math.log(0.1 / (2 + 0.1 * v)), abs=1e-12
     )
     assert out[11] == pytest.approx(math.log(0.1 / (0.1 * v)), abs=1e-12)
+
+
+def test_nb_classify_golden(spark):
+    from grafink_spark.llm.classify import nb_classify
+
+    train = spark.createDataFrame(
+        [
+            (1, "spam buy now buy", "spam"),
+            (2, "buy spam spam now", "spam"),
+            (3, "hello dear friend hello", "ham"),
+            (4, "dear friend hello dear", "ham"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    test = spark.createDataFrame(
+        [(10, "buy buy now"), (11, "hello dear")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.pred for r in nb_classify(test, train=train).collect()}
+    assert got == {10: "spam", 11: "ham"}
+
+
+def test_nb_classify_tie_breaks_min_label(spark):
+    from grafink_spark.llm.classify import nb_classify
+
+    # perfectly symmetric classes → equal scores → min label wins
+    train = spark.createDataFrame(
+        [(1, "x y", "a"), (2, "x y", "b")],
+        "doc_id long, text string, lang string",
+    )
+    test = spark.createDataFrame([(10, "x")], "doc_id long, text string")
+    got = nb_classify(test, train=train).collect()
+    assert got[0].pred == "a"
+
+
+def test_nb_classify_resubstitution_beats_chance(spark):
+    from pyspark.sql import functions as F
+
+    from grafink_spark.llm.classify import nb_classify
+    from grafink_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    out = nb_classify(docs).join(docs.select("doc_id", "lang"), "doc_id")
+    acc = out.select(
+        F.avg((F.col("pred") == F.col("lang")).cast("double")).alias("a")
+    ).first().a
+    n_classes = docs.select("lang").distinct().count()
+    assert acc > 1.5 / n_classes
