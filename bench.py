@@ -85,6 +85,8 @@ HEADLINE = [
     "label_propagation",
     "nb_classify",
     "embedding_pca",
+    "hilbert_curve",
+    "per_group_cap",
 ]
 
 # Queries whose full row set is large: drain with a `noop`-format write
@@ -132,6 +134,8 @@ NOOP_DRAIN = {
     "normalized_dedup",
     "label_propagation",
     "nb_classify",
+    "hilbert_curve",
+    "per_group_cap",
 }
 
 

@@ -4726,3 +4726,95 @@ SQL_EMBEDDING_PCA = _embedding_pca_sql()
 
 QUERIES.update({"embedding_pca": q_embedding_pca})
 ORACLES.update({"embedding_pca": SQL_EMBEDDING_PCA})
+
+
+def q_per_group_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cap documents per source at k=50 with a DETERMINISTIC keep rule
+    (md5 order, doc_id tie-break) — the RefinedWeb-style per-domain
+    cap. WindowGroupLimit prunes to k per group map-side, so the
+    shuffle carries ≤ k × groups × tasks rows regardless of corpus
+    size; the hash order makes the kept set reproducible and unbiased
+    by ingestion order."""
+    from grafink_spark.ops import grouped_topk
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.md5(F.col("doc_id").cast("string")).alias("_h")
+    )
+    out = grouped_topk(
+        docs, ["source"], [F.col("_h").asc(), F.col("doc_id").asc()], 50
+    )
+    return out.select("source", "doc_id", F.col("rank").cast("long").alias("rank"))
+
+
+SQL_PER_GROUP_CAP = """
+SELECT source, doc_id, rank FROM (
+  SELECT source, doc_id,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(doc_id::VARCHAR) ASC, doc_id ASC) AS rank
+  FROM documents
+) WHERE rank <= 50
+"""
+
+QUERIES.update({"per_group_cap": q_per_group_cap})
+ORACLES.update({"per_group_cap": SQL_PER_GROUP_CAP})
+
+
+def q_hilbert_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert curve index over two quantized lineitem dimensions —
+    the sort key of `bucketing.hilbert_write`'s layout; bit-exact vs
+    the oracle's unrolled state-machine replay."""
+    from grafink_spark.bucketing import hilbert_value_df
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_partkey") % 256).cast("int").alias("_px"),
+        (F.col("l_suppkey") % 256).cast("int").alias("_sy"),
+    )
+    return hilbert_value_df(li, "_px", "_sy", bits=8, out="hval").select(
+        "l_orderkey", "l_linenumber", "hval"
+    )
+
+
+def _hilbert_sql(bits: int = 8) -> str:
+    """Level-for-level replay of bucketing.hilbert_value_df: one CTE
+    per bit level applying the same quadrant-digit + rotate/flip step
+    (all-integer — bit-exact by construction)."""
+    blocks = [
+        """r0 AS (
+  SELECT l_orderkey, l_linenumber,
+         (l_partkey % 256)::BIGINT AS hx,
+         (l_suppkey % 256)::BIGINT AS hy,
+         0::BIGINT AS hd
+  FROM lineitem
+)"""
+    ]
+    for k, b in enumerate(range(bits - 1, -1, -1), start=1):
+        s = 1 << b
+        blocks.append(f"""r{k} AS (
+  SELECT l_orderkey, l_linenumber,
+         CASE WHEN ry = 1 THEN hx
+              WHEN rx = 1 THEN {s - 1} - hy ELSE hy END AS hx,
+         CASE WHEN ry = 1 THEN hy
+              WHEN rx = 1 THEN {s - 1} - hx ELSE hx END AS hy,
+         hd + {s * s} * xor(3 * rx, ry) AS hd
+  FROM (SELECT *,
+               CASE WHEN (hx & {s}) > 0 THEN 1 ELSE 0 END AS rx,
+               CASE WHEN (hy & {s}) > 0 THEN 1 ELSE 0 END AS ry
+        FROM r{k - 1})
+)""")
+    chain = ",\n".join(blocks)
+    return f"""
+WITH {chain}
+SELECT l_orderkey, l_linenumber, hd AS hval FROM r{bits}
+"""
+
+
+SQL_HILBERT_CURVE = _hilbert_sql()
+
+QUERIES.update(
+    {"per_group_cap": q_per_group_cap, "hilbert_curve": q_hilbert_curve}
+)
+ORACLES.update(
+    {"per_group_cap": SQL_PER_GROUP_CAP, "hilbert_curve": SQL_HILBERT_CURVE}
+)

@@ -20,6 +20,7 @@ name, so a warehouse written once is re-registerable.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def write_bucketed(
@@ -113,6 +114,88 @@ def zorder_write(
         .repartitionByRange(num_files, "_z")
         .sortWithinPartitions("_z")
         .drop("_z")
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
+def hilbert_value_df(
+    df: DataFrame, x: str, y: str, bits: int = 8, out: str = "hval"
+) -> DataFrame:
+    """Append the Hilbert-curve index of two already-quantized
+    non-negative integer columns (grid 2^bits × 2^bits). The Hilbert
+    curve is the locality-better sibling of ``zorder_value``: every
+    consecutive pair of curve positions is Manhattan-adjacent (no
+    Morton "jumps" across the plane), so range predicates on either
+    dimension touch fewer sorted-file segments.
+
+    The classic xy2d state machine (one rotate/flip per bit level,
+    MSB→LSB) is inherently sequential per bit, so it is unrolled as a
+    withColumn chain — each level's rx/ry/x/y land as NAMED projection
+    columns. That keeps the expression tree linear: CollapseProject
+    declines to inline non-cheap CASE expressions referenced more than
+    once, and codegen evaluates the stacked projections as local
+    variables in one WholeStageCodegen stage. (A nested single
+    expression would grow ~5× per level — 5^16 leaves at bits=16.)
+    """
+    df = (
+        df.withColumn("_hx", F.col(x).cast("long"))
+        .withColumn("_hy", F.col(y).cast("long"))
+        .withColumn("_hd", F.lit(0).cast("long"))
+    )
+    for s in (1 << b for b in range(bits - 1, -1, -1)):
+        rx = F.when(F.col("_hx").bitwiseAND(F.lit(s)) > 0, F.lit(1)).otherwise(
+            F.lit(0)
+        )
+        ry = F.when(F.col("_hy").bitwiseAND(F.lit(s)) > 0, F.lit(1)).otherwise(
+            F.lit(0)
+        )
+        df = df.withColumn("_rx", rx).withColumn("_ry", ry)
+        quad = (F.lit(3) * F.col("_rx")).bitwiseXOR(F.col("_ry"))
+        df = df.withColumn(
+            "_hd", F.col("_hd") + F.lit(s * s).cast("long") * quad.cast("long")
+        )
+        # rotate/flip the quadrant frame (swap axes when ry == 0,
+        # mirroring both when rx == 1)
+        nx = F.when(F.col("_ry") == 1, F.col("_hx")).otherwise(
+            F.when(F.col("_rx") == 1, F.lit(s - 1) - F.col("_hy")).otherwise(
+                F.col("_hy")
+            )
+        )
+        ny = F.when(F.col("_ry") == 1, F.col("_hy")).otherwise(
+            F.when(F.col("_rx") == 1, F.lit(s - 1) - F.col("_hx")).otherwise(
+                F.col("_hx")
+            )
+        )
+        df = (
+            df.withColumn("_nx", nx)
+            .withColumn("_ny", ny)
+            .withColumn("_hx", F.col("_nx"))
+            .withColumn("_hy", F.col("_ny"))
+        )
+    return df.withColumn(out, F.col("_hd")).drop(
+        "_hx", "_hy", "_hd", "_rx", "_ry", "_nx", "_ny"
+    )
+
+
+def hilbert_write(
+    df: DataFrame,
+    path: str,
+    x: str,
+    y: str,
+    bits: int = 8,
+    num_files: int = 32,
+    mode: str = "overwrite",
+) -> None:
+    """OPTIMIZE-style Hilbert layout: range-partition + sort by the
+    curve index, write parquet. Same one-shuffle write cost as
+    ``zorder_write``; file min/max stay tight on BOTH dimensions with
+    strictly better worst-case locality (no bit-boundary jumps)."""
+    staged = hilbert_value_df(df, x, y, bits=bits, out="_h")
+    (
+        staged.repartitionByRange(num_files, "_h")
+        .sortWithinPartitions("_h")
+        .drop("_h")
         .write.mode(mode)
         .parquet(path)
     )

@@ -41,6 +41,10 @@ class ReaderConfig:
     keepCols: list[str] = field(default_factory=list)
     keepColsRenamed: list[RenameColumn] = field(default_factory=list)
     newCols: list[NewColumn] = field(default_factory=list)
+    # schema evolution across day partitions (extension): unions the
+    # parquet footers' schemas at read time, so days written before a
+    # column existed read it as null instead of failing/dropping it
+    mergeSchema: bool = False
 
 
 @dataclass

@@ -40,6 +40,12 @@ class Reader:
         fmt = self.config.format.lower()
         if fmt == "csv":
             reader = reader.option("header", "true").option("inferSchema", "true")
+        if self.config.mergeSchema and fmt in ("parquet", "orc"):
+            # alert schemas evolve (new science columns appear); with
+            # merge on, old days surface the new columns as null — the
+            # footer union costs one extra listing pass, data reads are
+            # unchanged
+            reader = reader.option("mergeSchema", "true")
         return reader.format(fmt).load(paths)
 
     def read_and_process(self, pm: PartitionManager) -> DataFrame:

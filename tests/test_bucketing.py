@@ -132,3 +132,89 @@ def test_zorder_write_clusters_both_dims(spark, tmp_path):
 
     # layout changes nothing about the data
     assert spark.read.parquet(zp).count() == 40000
+
+
+def _xy2d(order, x, y):
+    d = 0
+    s = order // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = s - 1 - x
+                y = s - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_value_matches_reference_exhaustively(spark):
+    from grafink_spark.bucketing import hilbert_value_df
+
+    grid = spark.createDataFrame(
+        [(x, y) for x in range(16) for y in range(16)], "x int, y int"
+    )
+    got = {
+        (r.x, r.y): r.hval
+        for r in hilbert_value_df(grid, "x", "y", bits=4).collect()
+    }
+    assert got == {(x, y): _xy2d(16, x, y) for x in range(16) for y in range(16)}
+
+
+def test_hilbert_curve_is_continuous(spark):
+    """The property Z-order lacks: consecutive curve positions are
+    Manhattan-adjacent cells — no jumps across the plane."""
+    from grafink_spark.bucketing import hilbert_value_df
+
+    grid = spark.createDataFrame(
+        [(x, y) for x in range(8) for y in range(8)], "x int, y int"
+    )
+    inv = {
+        r.hval: (r.x, r.y)
+        for r in hilbert_value_df(grid, "x", "y", bits=3).collect()
+    }
+    assert sorted(inv) == list(range(64))
+    for d in range(63):
+        (x0, y0), (x1, y1) = inv[d], inv[d + 1]
+        assert abs(x0 - x1) + abs(y0 - y1) == 1
+
+
+def test_hilbert_write_clusters_both_dims(spark, tmp_path):
+    import random
+
+    from pyspark.sql import functions as F
+
+    from grafink_spark.bucketing import hilbert_write
+
+    rng = random.Random(5)
+    rows = [(rng.randrange(256), rng.randrange(256)) for _ in range(20000)]
+    df = spark.createDataFrame(rows, "x int, y int")
+
+    hp = str(tmp_path / "hilbert")
+    lp = str(tmp_path / "linear")
+    hilbert_write(df, hp, "x", "y", bits=8, num_files=16)
+    (
+        df.repartitionByRange(16, "x")
+        .sortWithinPartitions("x")
+        .write.mode("overwrite")
+        .parquet(lp)
+    )
+
+    def spread(path, col):
+        import pyspark.sql.functions as F
+
+        per_file = (
+            spark.read.parquet(path)
+            .withColumn("_f", F.input_file_name())
+            .groupBy("_f")
+            .agg((F.max(col) - F.min(col)).alias("w"))
+        )
+        return per_file.agg(F.avg("w")).first()[0]
+
+    # the linear layout clusters x tightly but leaves y unclustered;
+    # hilbert must beat it on y by a wide margin while keeping x
+    # far below the unsorted full range
+    assert spread(hp, "y") < 0.5 * spread(lp, "y")
+    assert spread(hp, "x") < 0.35 * 256

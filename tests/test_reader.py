@@ -125,3 +125,28 @@ def test_orc_format(spark, tmp_path):
     assert df.count() == 2
     assert {"year", "month", "day"} <= set(df.columns)
     assert df.where(F.col("objectId") == "ZTFa").first().rfscore == 0.95
+
+
+def test_merge_schema_reads_evolved_partitions(spark, tmp_path):
+    """Day 1 written before `drb` existed; with mergeSchema the union
+    schema applies and old rows read the new column as null."""
+    from datetime import date
+
+    from grafink_spark.config import ReaderConfig
+    from grafink_spark.sources.partitions import PartitionManager
+    from grafink_spark.sources.reader import Reader
+
+    base = str(tmp_path / "alerts")
+    spark.createDataFrame(
+        [("a", 0.9)], "objectId string, rfscore double"
+    ).write.parquet(f"{base}/year=2019/month=2/day=1")
+    spark.createDataFrame(
+        [("b", 0.8, 0.7)], "objectId string, rfscore double, drb double"
+    ).write.parquet(f"{base}/year=2019/month=2/day=2")
+
+    pm = PartitionManager(date(2019, 2, 1), 2, padded=False)
+    r = Reader(spark, ReaderConfig(basePath=base, mergeSchema=True))
+    df = r.read(pm)
+    assert "drb" in df.columns
+    rows = {r_.objectId: r_.drb for r_ in df.collect()}
+    assert rows == {"a": None, "b": 0.7}
