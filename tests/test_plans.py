@@ -377,3 +377,44 @@ def test_six_way_join_broadcasts_all_dims(spark, tmp_path):
         if "Exchange hashpartitioning" in l
     ]
     assert len(exchanges) <= 3, exchanges
+
+
+def test_nearest_join_single_shuffle_no_join(spark):
+    """nearest_join: one group-key Exchange feeds both window scans;
+    no join operator anywhere (the point of the sort-based plan)."""
+    from grafink_spark.ops import nearest_join
+
+    left = spark.createDataFrame(
+        [(i % 5, i, float(i)) for i in range(100)], "g int, lid long, lv double"
+    )
+    right = spark.createDataFrame(
+        [(i % 5, 200 + i, float(i) + 0.5) for i in range(50)],
+        "g int, rid long, rv double",
+    )
+    plan = physical_plan(
+        nearest_join(
+            left, right, on="g", left_id="lid", left_val="lv",
+            right_id="rid", right_val="rv",
+        )
+    )
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # union side-shuffles collapse into the single window partitioning
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_pca_covariance_hash_aggregates(spark):
+    """The d² covariance explode must partial-aggregate as a
+    HashAggregate (decimal buffers are hash-aggregable) — never a
+    sort-based aggregate over the exploded pairs."""
+    from grafink_spark.llm.pca import covariance_matrix
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 2.0 * i, 0.5 * i]) for i in range(50)],
+        "vec_id long, embedding array<float>",
+    )
+    plan = physical_plan(covariance_matrix(emb))
+    assert "HashAggregate" in plan
+    assert "SortAggregate" not in plan
+    assert "pythonUDF" not in plan and "BatchEvalPython" not in plan
