@@ -87,6 +87,9 @@ HEADLINE = [
     "embedding_pca",
     "hilbert_curve",
     "per_group_cap",
+    "promo_revenue",
+    "disjunctive_revenue",
+    "returned_items",
 ]
 
 # Queries whose full row set is large: drain with a `noop`-format write

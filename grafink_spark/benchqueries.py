@@ -468,11 +468,21 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.where(F.col("l_shipdate") <= "1998-09-02")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            # decimal addends → order-independent exact sums (the
+            # double-sum form rounds differently between engines when
+            # a group total sits on a cents boundary)
+            F.round(F.sum(F.col("l_quantity").cast("decimal(21,6)")), 2)
+            .cast("double").alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(21,6)")), 2)
+            .cast("double").alias("sum_base_price"),
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("sum_disc_price"),
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(21,6)"
+                    )
+                ),
+                2,
+            ).cast("double").alias("sum_disc_price"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -480,9 +490,10 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_PRICING_SUMMARY = """
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2) AS sum_qty,
-       round(sum(l_extendedprice), 2) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_quantity::DECIMAL(21,6)), 2)::DOUBLE AS sum_qty,
+       round(sum(l_extendedprice::DECIMAL(21,6)), 2)::DOUBLE AS sum_base_price,
+       round(sum((l_extendedprice * (1 - l_discount))::DECIMAL(21,6)),
+             2)::DOUBLE AS sum_disc_price,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -499,13 +510,15 @@ def q_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(21,6)")), 2)
+            .cast("double").alias("revenue"),
         )
     )
 
 
 SQL_SEGMENT_REVENUE = """
-SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+SELECT c_mktsegment, count(*) AS n_orders,
+       round(sum(o_totalprice::DECIMAL(21,6)), 2)::DOUBLE AS revenue
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY 1
 """
@@ -528,8 +541,13 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(21,6)"
+                    )
+                ),
+                2,
+            ).cast("double").alias("revenue")
         )
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
         .limit(10)
@@ -545,7 +563,8 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_SHIPPING_PRIORITY = """
 SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
        o_orderpriority,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       round(sum((l_extendedprice * (1 - l_discount))::DECIMAL(21,6)),
+             2)::DOUBLE AS revenue
 FROM customer
 JOIN orders ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -4817,4 +4836,141 @@ QUERIES.update(
 )
 ORACLES.update(
     {"per_group_cap": SQL_PER_GROUP_CAP, "hilbert_curve": SQL_HILBERT_CURVE}
+)
+
+
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share for one ship month —
+    fact⋈dim broadcast join, conditional aggregation, single row. The
+    month filter prunes at the lineitem scan; part broadcasts."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-03-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("promo_pct")
+        )
+    )
+
+
+SQL_PROMO_REVENUE = """
+SELECT round(
+         100.0 * sum(CASE WHEN p_type = 'PROMO'
+                          THEN l_extendedprice * (1 - l_discount)
+                          ELSE 0.0 END)
+         / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= '1996-03-01' AND l_shipdate < '1996-04-01'
+"""
+
+
+def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under an OR-of-ANDs predicate mixing
+    both join sides — Catalyst must still extract the p_partkey
+    equi-key (hash join, never BNLJ) and push the single-side
+    conjuncts to the scans."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & (F.col("p_size") <= 10)
+            & (F.col("l_quantity") >= 1)
+            & (F.col("l_quantity") <= 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & (F.col("p_size") <= 20)
+            & (F.col("l_quantity") >= 10)
+            & (F.col("l_quantity") <= 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & (F.col("p_size") <= 30)
+            & (F.col("l_quantity") >= 20)
+            & (F.col("l_quantity") <= 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .where(cond)
+        .agg(F.round(F.sum(rev), 2).alias("revenue"))
+    )
+
+
+SQL_DISJUNCTIVE_REVENUE = """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size <= 10
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size <= 20
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size <= 30
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by revenue lost to returns in
+    a quarter — 3-table join (customer broadcast against the
+    orders⋈lineitem fact join), group, TakeOrdered top-k."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    # exact decimal summation: the per-customer sums are large enough
+    # that double addition order flips the cents rounding between
+    # engines — decimal addends make the aggregate order-independent
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(21,6)"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name", "c_nationkey")
+        .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+SQL_RETURNED_ITEMS = """
+SELECT c_custkey, c_name, c_nationkey,
+       round(sum((l_extendedprice * (1 - l_discount))::DECIMAL(21,6)),
+             2)::DOUBLE AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= '1996-01-01' AND o_orderdate < '1996-04-01'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+QUERIES.update(
+    {
+        "promo_revenue": q_promo_revenue,
+        "disjunctive_revenue": q_disjunctive_revenue,
+        "returned_items": q_returned_items,
+    }
+)
+ORACLES.update(
+    {
+        "promo_revenue": SQL_PROMO_REVENUE,
+        "disjunctive_revenue": SQL_DISJUNCTIVE_REVENUE,
+        "returned_items": SQL_RETURNED_ITEMS,
+    }
 )
