@@ -90,6 +90,7 @@ HEADLINE = [
     "promo_revenue",
     "disjunctive_revenue",
     "returned_items",
+    "pca_components",
 ]
 
 # Queries whose full row set is large: drain with a `noop`-format write

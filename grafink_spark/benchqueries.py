@@ -4974,3 +4974,109 @@ ORACLES.update(
         "returned_items": SQL_RETURNED_ITEMS,
     }
 )
+
+
+def q_pca_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 principal components by Hotelling deflation — the full
+    eigendecomposition front, bit-replayed by the oracle through both
+    power iterations and the deflation step."""
+    from grafink_spark.llm.pca import pca_components
+
+    emb = ensure_min_partitions(load_table(spark, sf_dir, "embeddings"))
+    out = pca_components(emb, k=2, vec_col="embedding", iters=8)
+    return out.select(
+        "component",
+        F.col("i").cast("long").alias("i"),
+        F.round("loading", 6).alias("loading"),
+        F.round("eigenvalue", 6).alias("eigenvalue"),
+        F.round("var_ratio", 6).alias("var_ratio"),
+    )
+
+
+def _pca_power_chain(cov: str, pfx: str, dim: int, iters: int) -> str:
+    """The 8-round power-iteration CTE chain over covariance table
+    ``cov``, CTE names prefixed ``pfx`` — mirrors llm/pca.py::_power."""
+    v0 = repr(1.0 / float(dim) ** 0.5)
+    blocks = [
+        f"{pfx}v0 AS (SELECT CAST(r.range AS INT) AS j, {v0} AS v"
+        f" FROM range(0, {dim}) r)"
+    ]
+    for t in range(1, iters + 1):
+        blocks.append(f"""{pfx}w{t} AS MATERIALIZED (
+  SELECT i, list_reduce(list(c * v ORDER BY j), (x, y) -> x + y) AS w
+  FROM {cov} JOIN {pfx}v{t - 1} USING (j) GROUP BY i
+),
+{pfx}nm{t} AS (
+  SELECT sqrt(list_reduce(list(w * w ORDER BY i), (x, y) -> x + y)) AS nm
+  FROM {pfx}w{t}
+),
+{pfx}v{t} AS MATERIALIZED (
+  SELECT i AS j, w / nm AS v FROM {pfx}w{t} CROSS JOIN {pfx}nm{t}
+)""")
+    blocks.append(f"""{pfx}cv AS (
+  SELECT i, list_reduce(list(c * v ORDER BY j), (x, y) -> x + y) AS cv
+  FROM {cov} JOIN {pfx}v{iters} USING (j) GROUP BY i
+),
+{pfx}lam AS MATERIALIZED (
+  SELECT list_reduce(list(t.cv * v.v ORDER BY t.i), (x, y) -> x + y) AS lam
+  FROM {pfx}cv t JOIN {pfx}v{iters} v ON v.j = t.i
+)""")
+    return ",\n".join(blocks)
+
+
+def _pca_components_sql(dim: int = 64, iters: int = 8) -> str:
+    chain1 = _pca_power_chain("cov", "a", dim, iters)
+    chain2 = _pca_power_chain("cov2", "b", dim, iters)
+    return f"""
+WITH n AS (SELECT count(*) AS n FROM embeddings),
+px AS (
+  SELECT CAST(i.range AS INT) AS i, CAST(j.range AS INT) AS j,
+         (embedding[CAST(i.range AS INT) + 1]::DOUBLE
+          * embedding[CAST(j.range AS INT) + 1]::DOUBLE)::DECIMAL(30,15) AS xx
+  FROM embeddings
+  CROSS JOIN range(0, {dim}) i CROSS JOIN range(0, {dim}) j
+),
+sxx AS MATERIALIZED (SELECT i, j, sum(xx) AS sxx FROM px GROUP BY 1, 2),
+sx AS (
+  SELECT CAST(i.range AS INT) AS i,
+         sum((embedding[CAST(i.range AS INT) + 1]::DOUBLE)::DECIMAL(30,15)) AS sx
+  FROM embeddings CROSS JOIN range(0, {dim}) i GROUP BY 1
+),
+mu AS (SELECT i, sx::DOUBLE / n.n AS mu FROM sx CROSS JOIN n),
+cov AS MATERIALIZED (
+  SELECT sxx.i, sxx.j,
+         sxx.sxx::DOUBLE / n.n - mi.mu * mj.mu AS c
+  FROM sxx CROSS JOIN n
+  JOIN mu mi ON mi.i = sxx.i
+  JOIN mu mj ON mj.i = sxx.j
+),
+tr AS (
+  SELECT list_reduce(list(c ORDER BY i), (x, y) -> x + y) AS tr
+  FROM cov WHERE i = j
+),
+{chain1},
+cov2 AS MATERIALIZED (
+  SELECT cov.i, cov.j,
+         cov.c - alam.lam * vi.v * vj.v AS c
+  FROM cov
+  JOIN av{iters} vi ON vi.j = cov.i
+  JOIN av{iters} vj ON vj.j = cov.j
+  CROSS JOIN alam
+),
+{chain2}
+SELECT 1 AS component, CAST(v.j AS BIGINT) AS i,
+       round(v.v, 6) AS loading, round(alam.lam, 6) AS eigenvalue,
+       round(alam.lam / tr.tr, 6) AS var_ratio
+FROM av{iters} v CROSS JOIN alam CROSS JOIN tr
+UNION ALL
+SELECT 2 AS component, CAST(v.j AS BIGINT) AS i,
+       round(v.v, 6) AS loading, round(blam.lam, 6) AS eigenvalue,
+       round(blam.lam / tr.tr, 6) AS var_ratio
+FROM bv{iters} v CROSS JOIN blam CROSS JOIN tr
+"""
+
+
+SQL_PCA_COMPONENTS = _pca_components_sql()
+
+QUERIES.update({"pca_components": q_pca_components})
+ORACLES.update({"pca_components": SQL_PCA_COMPONENTS})

@@ -95,16 +95,10 @@ def covariance_matrix(
     )
 
 
-def power_iteration(
-    cov: DataFrame, dim: int, iters: int = 8
-) -> DataFrame:
-    """(i, loading, eigenvalue, var_ratio): dominant eigenvector of the
-    covariance DataFrame after ``iters`` power-iteration rounds from
-    the uniform unit vector, plus the Rayleigh-quotient eigenvalue and
-    its share of total variance. Every dot product folds in sorted
-    index order; d-sized data throughout."""
-    spark = cov.sparkSession
-    c = cov.localCheckpoint()  # pin: upstream is the corpus-sized agg
+def _power(c: DataFrame, dim: int, iters: int):
+    """(v, lam): dominant unit eigenvector (j, v) and 1-row Rayleigh
+    eigenvalue of an already-checkpointed covariance DataFrame."""
+    spark = c.sparkSession
     v = spark.range(dim).select(
         F.col("id").cast("int").alias("j"),
         F.lit(1.0 / float(dim) ** 0.5).alias("v"),
@@ -122,7 +116,7 @@ def power_iteration(
         v = w.crossJoin(F.broadcast(norm)).select(
             F.col("i").alias("j"), (F.col("w") / F.col("n")).alias("v")
         )
-    # Rayleigh quotient λ = vᵀCv and total variance = trace(C)
+    v = v.localCheckpoint()
     cv = (
         c.join(v, "j")
         .groupBy("i")
@@ -132,6 +126,19 @@ def power_iteration(
         cv.join(v.select(F.col("j").alias("i"), "v"), "i")
         .select(_ordered_dot("i", F.col("cv") * F.col("v")).alias("lam"))
     )
+    return v, lam
+
+
+def power_iteration(
+    cov: DataFrame, dim: int, iters: int = 8
+) -> DataFrame:
+    """(i, loading, eigenvalue, var_ratio): dominant eigenvector of the
+    covariance DataFrame after ``iters`` power-iteration rounds from
+    the uniform unit vector, plus the Rayleigh-quotient eigenvalue and
+    its share of total variance. Every dot product folds in sorted
+    index order; d-sized data throughout."""
+    c = cov.localCheckpoint()  # pin: upstream is the corpus-sized agg
+    v, lam = _power(c, dim, iters)
     tr = c.where(F.col("i") == F.col("j")).select(
         _ordered_dot("i", F.col("c")).alias("tr")
     )
@@ -146,6 +153,59 @@ def power_iteration(
             (F.col("lam") / F.col("tr")).alias("var_ratio"),
         )
     )
+
+
+def pca_components(
+    emb: DataFrame, k: int = 2, vec_col: str = "embedding", iters: int = 8
+) -> DataFrame:
+    """Top-k principal components by Hotelling deflation: after each
+    dominant eigenpair (v, λ), iterate on C' = C − λ·v·vᵀ — the
+    deflated matrix's dominant direction is the next component. All
+    d²-sized DataFrame arithmetic; the deflation outer product is one
+    double-join projection, and every dot product keeps the sorted
+    fold, so the whole decomposition replays bit-for-bit in SQL.
+    Output: (component, i, loading, eigenvalue, var_ratio)."""
+    dim = len(emb.select(vec_col).first()[0])
+    c = covariance_matrix(emb, vec_col).localCheckpoint()
+    tr = c.where(F.col("i") == F.col("j")).select(
+        _ordered_dot("i", F.col("c")).alias("tr")
+    )
+    outs = []
+    for comp in range(1, k + 1):
+        v, lam = _power(c, dim, iters)
+        outs.append(
+            v.select(F.col("j").alias("i"), F.col("v").alias("loading"))
+            .crossJoin(F.broadcast(lam))
+            .crossJoin(F.broadcast(tr))
+            .select(
+                F.lit(comp).alias("component"),
+                "i",
+                "loading",
+                F.col("lam").alias("eigenvalue"),
+                (F.col("lam") / F.col("tr")).alias("var_ratio"),
+            )
+        )
+        if comp < k:
+            vi = v.select(F.col("j").alias("i"), F.col("v").alias("_vi"))
+            vj = v.select("j", F.col("v").alias("_vj"))
+            c = (
+                c.join(vi, "i")
+                .join(vj, "j")
+                .crossJoin(F.broadcast(lam))
+                .select(
+                    "i",
+                    "j",
+                    (
+                        F.col("c")
+                        - F.col("lam") * F.col("_vi") * F.col("_vj")
+                    ).alias("c"),
+                )
+                .localCheckpoint()
+            )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
 
 
 def embedding_pca(

@@ -52,3 +52,31 @@ def test_pca_partition_invariant(spark):
     c1 = sorted((r.i, r.j, r.c) for r in covariance_matrix(emb1).collect())
     c13 = sorted((r.i, r.j, r.c) for r in covariance_matrix(emb13).collect())
     assert c1 == c13  # bitwise, not approximate
+
+
+def test_pca_components_orthogonal_and_ordered(spark):
+    import random
+
+    from grafink_spark.llm.pca import pca_components
+
+    rnd = random.Random(11)
+    # anisotropic cloud: dim0 spread 10x dim1, dim2 noise
+    data = [
+        (i, [10.0 * rnd.gauss(0, 1), rnd.gauss(0, 1), 0.1 * rnd.gauss(0, 1)])
+        for i in range(300)
+    ]
+    emb = spark.createDataFrame(data, "vec_id long, embedding array<float>")
+    rows = pca_components(emb, k=2, iters=10).collect()
+    c1 = {r.i: r.loading for r in rows if r.component == 1}
+    c2 = {r.i: r.loading for r in rows if r.component == 2}
+    l1 = {r.component: r.eigenvalue for r in rows}[1]
+    l2 = {r.component: r.eigenvalue for r in rows}[2]
+    # eigenvalues descend; components near-orthonormal
+    assert l1 > l2 > 0
+    dot = sum(c1[i] * c2[i] for i in range(3))
+    n1 = sum(v * v for v in c1.values())
+    assert abs(dot) < 1e-6
+    assert abs(n1 - 1.0) < 1e-9
+    # dominant direction is dim0, second is dim1
+    assert abs(c1[0]) > 0.99
+    assert abs(c2[1]) > 0.99
