@@ -54,7 +54,14 @@ def apply_cdc_stream(
             return
         try:
             base = spark.read.parquet(table_path)
-        except Exception:
+        except Exception as e:
+            from grafink_spark.id_manager import _is_path_empty_error
+
+            # ONLY a missing/empty table bootstraps from scratch — a
+            # corrupt/unreadable table must fail loudly, or the merge
+            # below would swap the damaged-but-recoverable data away
+            if not _is_path_empty_error(e):
+                raise
             base = None
         if base is None:
             merged = merge_changes(

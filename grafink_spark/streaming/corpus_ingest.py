@@ -51,8 +51,12 @@ def ingest_corpus_stream(
         (filter-and-swap, remote-URI safe) — runs only on replay."""
         try:
             df = spark.read.parquet(corpus_path)
-        except Exception:
-            return
+        except Exception as e:
+            from grafink_spark.id_manager import _is_path_empty_error
+
+            if _is_path_empty_error(e):
+                return  # nothing written yet — nothing to purge
+            raise  # corrupt corpus: skipping the purge would double-append
         if BATCH_COL not in df.columns:
             return
         if df.where(F.col(BATCH_COL) == batch_id).limit(1).count() == 0:
@@ -75,7 +79,11 @@ def ingest_corpus_stream(
         new = drop_exact_duplicates(batch, text_col, id_col)
         try:
             corpus = spark.read.parquet(corpus_path)
-        except Exception:
+        except Exception as e:
+            from grafink_spark.id_manager import _is_path_empty_error
+
+            if not _is_path_empty_error(e):
+                raise  # corrupt corpus must not silently skip dedup
             corpus = None
         if corpus is not None and not corpus.isEmpty():
             new = drop_incremental_near_duplicates(

@@ -69,8 +69,12 @@ def _purge_batch(
             continue
         try:
             df = spark.read.parquet(path)
-        except Exception:
-            continue  # dir exists but holds no parquet yet
+        except Exception as e:
+            from grafink_spark.id_manager import _is_path_empty_error
+
+            if _is_path_empty_error(e):
+                continue  # dir exists but holds no parquet yet
+            raise  # corrupt store: skipping would re-assign its ids
         if part_cols == "dates":  # preserve any date partitioning
             part_cols = [c for c in ("year", "month", "day") if c in df.columns]
         if BATCH_COL not in df.columns:
