@@ -5080,3 +5080,42 @@ SQL_PCA_COMPONENTS = _pca_components_sql()
 
 QUERIES.update({"pca_components": q_pca_components})
 ORACLES.update({"pca_components": SQL_PCA_COMPONENTS})
+
+
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 of the IVF ANN path against brute-force ground truth,
+    per query — the evaluation loop every ANN deployment needs, run as
+    one DataFrame program (both searches + the overlap join). The
+    oracle composes the two existing deterministic replays, so the
+    recall numbers themselves are value-checked."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.orderBy("vec_id").limit(5)
+    cents = ss.ivf_train(emb, nlist=8, iters=1)
+    approx = ss.ivf_topk(emb, queries, cents, k=3, nprobe=4).select(
+        "query_id", "neighbor_id"
+    )
+    exact = ss.brute_force_topk(emb, queries, k=3).select(
+        "query_id", "neighbor_id", F.lit(1).alias("_t")
+    )
+    return (
+        approx.join(exact, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.round(F.sum(F.coalesce(F.col("_t"), F.lit(0))) / F.lit(3.0), 6)
+            .alias("recall_at_3")
+        )
+    )
+
+
+SQL_ANN_RECALL = f"""
+SELECT a.query_id,
+       round(sum(CASE WHEN e.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+             / 3.0, 6) AS recall_at_3
+FROM ({SQL_EMBEDDING_IVF_TOPK}) a
+LEFT JOIN ({SQL_EMBEDDING_TOPK}) e
+  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+GROUP BY a.query_id
+"""
+
+QUERIES.update({"ann_recall": q_ann_recall})
+ORACLES.update({"ann_recall": SQL_ANN_RECALL})

@@ -339,12 +339,14 @@ def nearest_join(
         F.col(left_id).alias("_lid"),
         F.col(left_val).alias("_v"),
     )
+    lid_t = dict(left.dtypes)[left_id]
+    rid_t = dict(right.dtypes)[right_id]
     both = rr.select(
-        "_g", "_v", "_rid", F.lit(None).cast("long").alias("_lid"),
+        "_g", "_v", "_rid", F.lit(None).cast(lid_t).alias("_lid"),
         F.lit(0).alias("_is_l"),
     ).unionByName(
         lf.select(
-            "_g", "_v", F.lit(None).cast("long").alias("_rid"), "_lid",
+            "_g", "_v", F.lit(None).cast(rid_t).alias("_rid"), "_lid",
             F.lit(1).alias("_is_l"),
         )
     )
