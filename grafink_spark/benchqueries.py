@@ -5119,3 +5119,43 @@ GROUP BY a.query_id
 
 QUERIES.update({"ann_recall": q_ann_recall})
 ORACLES.update({"ann_recall": SQL_ANN_RECALL})
+
+
+def q_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weakly-connected components of the similarity graph via the
+    large-star/small-star O(log n)-round algorithm — the graph-side
+    face of the dedup CC machinery, checked against a recursive-CTE
+    transitive closure."""
+    from grafink_spark.llm.dedup import connected_components
+
+    ev, current = _alertish_events(spark, sf_dir)
+    rule = SimilarityClassifier("rfscore OR objectId", mode="decomposed")
+    loaded = ev.where(F.col("id") % 20 != 0)
+    pairs = rule.classify(loaded, current).select(
+        F.col("src").alias("id_a"), F.col("dst").alias("id_b")
+    )
+    out = connected_components(pairs)
+    return out.select(
+        F.col("doc_id").alias("vertex_id"), "component_id"
+    )
+
+
+SQL_GRAPH_COMPONENTS = f"""
+WITH RECURSIVE
+vpairs AS ({SQL_SIMILARITY_EDGES}),
+edges AS (
+  SELECT src AS a, dst AS b FROM vpairs
+  UNION
+  SELECT dst AS a, src AS b FROM vpairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+)
+SELECT a AS vertex_id, LEAST(a, MIN(b)) AS component_id
+FROM reach GROUP BY a
+"""
+
+QUERIES.update({"graph_components": q_graph_components})
+ORACLES.update({"graph_components": SQL_GRAPH_COMPONENTS})

@@ -184,3 +184,22 @@ def interval_join_streams(
         & (rts <= F.col(left_ts))
     )
     return left.join(r, cond, how).drop("_jk")
+
+
+def enrich_stream(
+    events: DataFrame,
+    dim: DataFrame,
+    on: str,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment: join a streaming DataFrame against a
+    bounded dimension table. Spark plans this as a per-microbatch
+    broadcast (or shuffled) join with NO streaming state — the static
+    side is re-resolved each microbatch, so a dimension table that is
+    overwritten between batches is picked up automatically (slowly
+    changing dimension, refresh-on-read).
+
+    At scale: keep the dim table compact (or pre-bucketed on the key)
+    — the join runs once per microbatch. Inner/left joins are the
+    stream-static shapes Spark supports without watermarks."""
+    return events.join(dim, on, how)

@@ -225,3 +225,54 @@ def test_session_window_stream_matches_batch(spark, tmp_path):
         & (F.abs(F.col("g.sum_value") - F.col("b.sum_value")) < 1e-9)
     )
     assert matched.count() == got.count()
+
+
+def test_stream_static_enrichment(spark, tmp_path):
+    """Stream-static join: every emitted row carries the dimension
+    attributes; rows without a dim match keep nulls (left join)."""
+    from grafink_spark.streaming.pipeline import enrich_stream
+
+    src_dir = str(tmp_path / "enrich_src")
+    os.makedirs(src_dir, exist_ok=True)
+    shutil.copy(SRC, os.path.join(src_dir, "part-0.parquet"))
+
+    dim = spark.createDataFrame(
+        [("click", "engagement"), ("purchase", "revenue")],
+        "event_type string, category string",
+    )
+    stream = read_event_stream(spark, src_dir).select(
+        "event_id", "event_type", "value"
+    )
+    out = str(tmp_path / "enrich_out")
+    ckpt = str(tmp_path / "enrich_ckpt")
+    q = (
+        enrich_stream(stream, dim, on="event_type")
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = spark.read.parquet(out)
+    batch = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "event_type"
+    )
+    assert got.count() == batch.count()  # left join: nothing dropped
+    cats = {
+        r.event_type: r.category
+        for r in got.where(F.col("category").isNotNull())
+        .select("event_type", "category")
+        .distinct()
+        .collect()
+    }
+    assert cats == {"click": "engagement", "purchase": "revenue"}
+    assert (
+        got.where(
+            (F.col("event_type") == "click")
+            & (F.col("category") != "engagement")
+        ).count()
+        == 0
+    )
