@@ -5159,3 +5159,31 @@ FROM reach GROUP BY a
 
 QUERIES.update({"graph_components": q_graph_components})
 ORACLES.update({"graph_components": SQL_GRAPH_COMPONENTS})
+
+
+def q_lang_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quality thresholding: keep each language's top
+    quartile by n_chars — the grouped quantile filter that preserves
+    low-resource languages a global cutoff would wipe out."""
+    from grafink_spark.ops import grouped_quantile_filter
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    return grouped_quantile_filter(docs, "lang", "n_chars", 0.75).select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+SQL_LANG_QUALITY_FILTER = """
+WITH thr AS (
+  SELECT lang, quantile_cont(n_chars, 0.75) AS t
+  FROM documents GROUP BY lang
+)
+SELECT doc_id, d.lang, n_chars
+FROM documents d JOIN thr ON d.lang = thr.lang
+WHERE n_chars >= thr.t
+"""
+
+QUERIES.update({"lang_quality_filter": q_lang_quality_filter})
+ORACLES.update({"lang_quality_filter": SQL_LANG_QUALITY_FILTER})

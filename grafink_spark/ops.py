@@ -387,3 +387,31 @@ def nearest_join(
         F.col("_best._v").alias(right_val),
         F.abs(F.col("_v") - F.col("_best._v")).alias("dist"),
     )
+
+
+def grouped_quantile_filter(
+    df: DataFrame,
+    key: str,
+    value: str,
+    q: float,
+    keep: str = "ge",
+) -> DataFrame:
+    """Per-group sibling of :func:`quantile_filter`: rows at or beyond
+    their OWN group's exact ``q``-quantile — the shape of per-language
+    quality thresholding ("keep each language's top quartile", so
+    low-resource languages aren't wiped out by a global cutoff).
+
+    Plan/scale: one hash aggregation to a groups-sized threshold table
+    (percentile buffers are per-group, partial-capable), joined back
+    broadcast; the filter is then local. At 100 TB swap ``percentile``
+    for ``percentile_approx`` per group."""
+    thr = df.groupBy(key).agg(
+        F.expr(f"percentile({value}, {q!r})").alias("_thr")
+    )
+    out = df.join(F.broadcast(thr), key)
+    cond = (
+        F.col(value) >= F.col("_thr")
+        if keep == "ge"
+        else F.col(value) <= F.col("_thr")
+    )
+    return out.where(cond).drop("_thr")

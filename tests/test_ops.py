@@ -267,3 +267,17 @@ def test_nearest_join_matches_bruteforce(spark):
         .collect()
     }
     assert got == exp
+
+
+def test_grouped_quantile_filter(spark):
+    from grafink_spark.ops import grouped_quantile_filter
+
+    rows = [("a", i, float(i)) for i in range(1, 5)]          # p75 = 3.25
+    rows += [("b", 10 + i, float(100 + i)) for i in range(1, 5)]  # p75 = 103.25
+    df = spark.createDataFrame(rows, "g string, id long, v double")
+    got = sorted(
+        (r.g, r.id)
+        for r in grouped_quantile_filter(df, "g", "v", 0.75).collect()
+    )
+    # each group keeps only its own top quartile (4.0 and 104.0)
+    assert got == [("a", 4), ("b", 14)]
