@@ -80,3 +80,19 @@ def test_pca_components_orthogonal_and_ordered(spark):
     # dominant direction is dim0, second is dim1
     assert abs(c1[0]) > 0.99
     assert abs(c2[1]) > 0.99
+
+
+def test_arrow_covariance_agrees_with_exact(spark):
+    import random
+
+    from grafink_spark.llm.pca import covariance_matrix, covariance_matrix_arrow
+
+    rnd = random.Random(5)
+    data = [(i, [rnd.uniform(-1, 1) for _ in range(8)]) for i in range(500)]
+    emb = spark.createDataFrame(
+        data, "vec_id long, embedding array<float>"
+    ).repartition(7)
+    exact = {(r.i, r.j): r.c for r in covariance_matrix(emb).collect()}
+    arrow = {(r.i, r.j): r.c for r in covariance_matrix_arrow(emb).collect()}
+    assert set(exact) == set(arrow)
+    assert max(abs(exact[k] - arrow[k]) for k in exact) < 1e-12
