@@ -4774,8 +4774,6 @@ SELECT source, doc_id, rank FROM (
 ) WHERE rank <= 50
 """
 
-QUERIES.update({"per_group_cap": q_per_group_cap})
-ORACLES.update({"per_group_cap": SQL_PER_GROUP_CAP})
 
 
 def q_hilbert_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4847,14 +4845,22 @@ def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= "1996-03-01") & (F.col("l_shipdate") < "1996-04-01")
     )
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # decimal addends: exact order-independent sums (cents-boundary
+    # rule, see q_pricing_summary); the ratio divides the two DOUBLE
+    # casts so no engine-specific decimal-division scale rules apply
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(21,6)"
+    )
+    zero = F.lit(0).cast("decimal(21,6)")
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .agg(
             F.round(
                 100.0
-                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
-                / F.sum(rev),
+                * F.sum(
+                    F.when(F.col("p_type") == "PROMO", rev).otherwise(zero)
+                ).cast("double")
+                / F.sum(rev).cast("double"),
                 4,
             ).alias("promo_pct")
         )
@@ -4864,9 +4870,10 @@ def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_PROMO_REVENUE = """
 SELECT round(
          100.0 * sum(CASE WHEN p_type = 'PROMO'
-                          THEN l_extendedprice * (1 - l_discount)
-                          ELSE 0.0 END)
-         / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_pct
+                          THEN (l_extendedprice * (1 - l_discount))::DECIMAL(21,6)
+                          ELSE 0::DECIMAL(21,6) END)::DOUBLE
+         / sum((l_extendedprice * (1 - l_discount))::DECIMAL(21,6))::DOUBLE,
+         4) AS promo_pct
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= '1996-03-01' AND l_shipdate < '1996-04-01'
 """
@@ -4879,7 +4886,9 @@ def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     conjuncts to the scans."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(21,6)"
+    )
     cond = (
         (
             (F.col("p_brand") == "Brand#1")
@@ -4903,12 +4912,13 @@ def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .where(cond)
-        .agg(F.round(F.sum(rev), 2).alias("revenue"))
+        .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
     )
 
 
 SQL_DISJUNCTIVE_REVENUE = """
-SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+SELECT round(sum((l_extendedprice * (1 - l_discount))::DECIMAL(21,6)),
+             2)::DOUBLE AS revenue
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#1' AND p_size <= 10
        AND l_quantity BETWEEN 1 AND 11)

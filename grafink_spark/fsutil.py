@@ -39,10 +39,33 @@ def rename(spark: SparkSession, src: str, dst: str) -> bool:
 
 
 def swap(spark: SparkSession, tmp: str, target: str) -> None:
-    """Replace ``target`` with ``tmp`` (delete-then-rename)."""
+    """Replace ``target`` with ``tmp`` (delete-then-rename).
+
+    NOT atomic: a crash between the delete and the rename leaves
+    ``target`` missing while the fully-written ``tmp`` survives.
+    Callers that must not lose ``target`` (CDC tables, purge rewrites)
+    call :func:`complete_interrupted_swap` on startup/replay to close
+    that window — ``tmp`` is always completely written (Spark commits
+    ``_SUCCESS``) before swap() runs, so finishing the rename is
+    always the correct recovery."""
     fs, t, jvm = _fs_and_path(spark, target)
     fs.delete(t, True)
     fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), t)
+
+
+def complete_interrupted_swap(
+    spark: SparkSession, tmp: str, target: str
+) -> bool:
+    """Recovery for :func:`swap`'s crash window: if ``target`` is
+    missing but a COMPLETE ``tmp`` (has Spark's ``_SUCCESS`` marker)
+    exists, finish the interrupted rename. Returns True if recovered.
+    A tmp without ``_SUCCESS`` is a dead partial write — left alone
+    (the caller's normal path overwrites it)."""
+    if exists(spark, target) or not exists(spark, tmp):
+        return False
+    if not exists(spark, tmp.rstrip("/") + "/_SUCCESS"):
+        return False
+    return rename(spark, tmp, target)
 
 
 def mkdirs(spark: SparkSession, path: str) -> None:

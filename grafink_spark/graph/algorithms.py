@@ -381,13 +381,16 @@ def label_propagation(
             .groupBy("_u", "label")
             .agg(F.count(F.lit(1)).alias("_c"))
         )
-        # argmax(count) with min-label tie-break: max_by over a struct
-        # ordered (count, -label) — one agg, no window
+        # argmax(count) with min-label tie-break: min_by over a struct
+        # ordered (-count, label) — one agg, no window. Negating the
+        # COUNT (always numeric) instead of the label keeps the
+        # tie-break well-defined for string vertex ids too (negating
+        # a string label nulls out / errors under ANSI)
         labels = (
             counted.groupBy("_u")
             .agg(
-                F.max_by(
-                    F.col("label"), F.struct(F.col("_c"), -F.col("label"))
+                F.min_by(
+                    F.col("label"), F.struct(-F.col("_c"), F.col("label"))
                 ).alias("label")
             )
             .select(F.col("_u").alias("id"), "label")

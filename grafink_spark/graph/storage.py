@@ -165,9 +165,11 @@ class GraphStore:
     )
 
     def vertices(self) -> DataFrame:
+        self._recover_swap(self.vertex_path)
         return self.spark.read.parquet(self.vertex_path)
 
     def edges(self) -> DataFrame:
+        self._recover_swap(self.edge_path)
         try:
             return self.spark.read.parquet(self.edge_path)
         except Exception as e:
@@ -213,3 +215,11 @@ class GraphStore:
         from grafink_spark import fsutil
 
         fsutil.swap(self.spark, tmp, target)
+
+    def _recover_swap(self, target: str) -> None:
+        """Finish a delete-rewrite's swap interrupted between delete
+        and rename (fsutil.swap docstring) — otherwise the table reads
+        as missing while the completed rewrite sits in ``__tmp``."""
+        from grafink_spark import fsutil
+
+        fsutil.complete_interrupted_swap(self.spark, target + "__tmp", target)

@@ -1,7 +1,9 @@
 from grafink_spark.llm import (  # noqa: F401
+    classify,
     corpus,
     dedup,
     multimodal,
+    pca,
     pii,
     search,
     signals,

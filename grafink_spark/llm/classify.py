@@ -51,13 +51,26 @@ def nb_classify(
     tok_tr = train.select(
         F.col(label_col).alias("_c"), F.explode(tokens(text_col)).alias("_w")
     )
-    twc = tok_tr.groupBy("_c", "_w").agg(F.count(F.lit(1)).alias("_cwc"))
+    # the (class, token) count table is the trained model — materialize
+    # it ONCE (localCheckpoint): tot, the vocab count, and the scoring
+    # join below all consume it, and without the pin each consumer
+    # would re-run the corpus-scale token explode
+    twc = (
+        tok_tr.groupBy("_c", "_w")
+        .agg(F.count(F.lit(1)).alias("_cwc"))
+        .localCheckpoint()
+    )
     tot = twc.groupBy("_c").agg(F.sum("_cwc").alias("_totc"))
     v = twc.select("_w").distinct().count()
-    n = train.count()
-    nd = train.groupBy(F.col(label_col).alias("_c")).agg(
-        F.count(F.lit(1)).alias("_nd")
+    # doc counts: one cheap (non-explode) pass; N derives from the
+    # collected per-class rows instead of a separate full count()
+    counts = (
+        train.groupBy(F.col(label_col).alias("_c"))
+        .agg(F.count(F.lit(1)).alias("_nd"))
+        .collect()
     )
+    n = sum(r["_nd"] for r in counts)
+    nd = train.sparkSession.createDataFrame(counts)
     classes = tot.join(nd, "_c").select(
         "_c", "_totc", F.log(F.col("_nd") / F.lit(float(n))).alias("_lnprior")
     )

@@ -50,6 +50,13 @@ def apply_cdc_stream(
         marker = os.path.join(
             table_path.rstrip("/") + "_commits", str(batch_id)
         )
+        tmp = table_path.rstrip("/") + "__merge_tmp"
+        # a crash INSIDE a previous swap (target deleted, tmp not yet
+        # renamed) leaves the table missing and the fully-merged tmp
+        # behind — finish that rename BEFORE the missing-path check
+        # below, or the replay would bootstrap from empty and lose
+        # every previously merged batch
+        fsutil.complete_interrupted_swap(spark, tmp, table_path)
         if fsutil.exists(spark, marker):
             return
         try:
@@ -71,7 +78,6 @@ def apply_cdc_stream(
             )
         else:
             merged = merge_changes(base, batch, key)
-        tmp = table_path.rstrip("/") + "__merge_tmp"
         merged.write.mode("overwrite").parquet(tmp)
         fsutil.swap(spark, tmp, table_path)
         fsutil.touch(spark, marker)

@@ -68,6 +68,11 @@ def ingest_corpus_stream(
         fsutil.swap(spark, tmp, corpus_path)
 
     def process(batch: DataFrame, batch_id: int) -> None:
+        # finish a previous purge's interrupted swap before anything
+        # reads (or concludes the absence of) the corpus
+        fsutil.complete_interrupted_swap(
+            spark, corpus_path.rstrip("/") + "__purge_tmp", corpus_path
+        )
         # markers live BESIDE the parquet dir — the purge's swap
         # replaces corpus_path wholesale and must not eat them
         marker = os.path.join(

@@ -65,6 +65,12 @@ def _purge_batch(
         (store.edge_path, ["label"]),
     ]
     for path, part_cols in targets:
+        # a crash inside a previous purge's swap leaves the table
+        # missing and the rewritten tmp behind — finish that rename
+        # first (fsutil.swap docstring)
+        fsutil.complete_interrupted_swap(
+            spark, path.rstrip("/") + "__purge_tmp", path
+        )
         if not fsutil.exists(spark, path):
             continue
         try:

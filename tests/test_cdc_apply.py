@@ -67,3 +67,30 @@ def test_cdc_replayed_batch_is_noop(spark, tmp_path):
     assert {(r.k, r.v) for r in spark.read.parquet(table).collect()} == {
         (1, "a")
     }
+
+
+def test_complete_interrupted_swap(spark, tmp_path):
+    """Crash window inside fsutil.swap (target deleted, tmp not yet
+    renamed): recovery finishes the rename iff tmp is complete."""
+    from grafink_spark import fsutil
+
+    target = str(tmp_path / "table3")
+    tmp = target + "__merge_tmp"
+    spark.range(5).write.parquet(tmp)  # complete: has _SUCCESS
+    assert fsutil.complete_interrupted_swap(spark, tmp, target)
+    assert spark.read.parquet(target).count() == 5
+    assert not fsutil.exists(spark, tmp)
+
+    # existing target → no-op even with a stale tmp lying around
+    spark.range(3).write.parquet(tmp)
+    assert not fsutil.complete_interrupted_swap(spark, tmp, target)
+    assert spark.read.parquet(target).count() == 5
+
+    # dead partial write (no _SUCCESS) never recovers
+    target2 = str(tmp_path / "table4")
+    tmp2 = target2 + "__merge_tmp"
+    os.makedirs(tmp2, exist_ok=True)
+    with open(os.path.join(tmp2, "part-0.parquet"), "wb") as f:
+        f.write(b"garbage")
+    assert not fsutil.complete_interrupted_swap(spark, tmp2, target2)
+    assert not fsutil.exists(spark, target2)

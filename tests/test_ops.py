@@ -184,10 +184,12 @@ def test_mutual_best_match_agg_not_window(spark):
         "left_id long, right_id long, score double",
     )
     plan = mutual_best_match(pairs)._jdf.queryExecution().executedPlan().toString()
-    # per-side argmax must be a (partial-capable) aggregation, never a
-    # full-sort window rank over the candidate set
+    # per-side argmax must be a HASH aggregation: no window rank over
+    # the candidate set, and no SortAggregate demotion (the max_by/
+    # struct-buffer form sorted 60M rows twice — SCALE.md fifth batch)
     assert "Window" not in plan
-    assert "max_by" in plan or "Aggregate" in plan
+    assert "SortAggregate" not in plan
+    assert "HashAggregate" in plan
 
 
 def test_nearest_join_golden(spark):
