@@ -5197,3 +5197,55 @@ WHERE n_chars >= thr.t
 
 QUERIES.update({"lang_quality_filter": q_lang_quality_filter})
 ORACLES.update({"lang_quality_filter": SQL_LANG_QUALITY_FILTER})
+
+
+def q_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: each purchase picks the user's EARLIEST
+    click at-or-after it — the lookahead direction (next-touchpoint
+    attribution); same union+window plan scanning time descending."""
+    from grafink_spark.ops import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = asof_join(
+        purchases, clicks, on="user_id", ts="ts",
+        right_cols=["event_id", "value"], suffix="_click",
+        direction="forward",
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return out.select(
+        "event_id",
+        F.date_format("ts", fmt).alias("ts"),
+        F.round("value", 2).alias("value"),
+        "event_id_click",
+        F.round("value_click", 2).alias("value_click"),
+    )
+
+
+SQL_ASOF_JOIN_FORWARD = """
+WITH p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
+c AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'),
+ranked AS (
+  SELECT p.event_id, p.ts, p.value,
+         c.event_id AS event_id_click, c.value AS value_click,
+         row_number() OVER (
+           PARTITION BY p.event_id
+           ORDER BY c.ts ASC, c.event_id DESC, c.value DESC
+         ) AS rn
+  FROM p LEFT JOIN c ON p.user_id = c.user_id AND c.ts >= p.ts
+)
+SELECT event_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+       round(value, 2) AS value,
+       event_id_click,
+       round(value_click, 2) AS value_click
+FROM ranked WHERE rn = 1
+"""
+
+QUERIES.update({"asof_join_forward": q_asof_join_forward})
+ORACLES.update({"asof_join_forward": SQL_ASOF_JOIN_FORWARD})

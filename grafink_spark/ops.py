@@ -26,10 +26,13 @@ def asof_join(
     ts: str = "ts",
     right_cols: list[str] | None = None,
     suffix: str = "_right",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: every left row picks the most recent right
-    row (greatest ``right.ts <= left.ts``) with the same ``on`` key;
-    left rows with no prior right row keep nulls (left-outer semantics).
+    """As-of join: every left row picks the most recent right row
+    (greatest ``right.ts <= left.ts``, ``direction="backward"``) or the
+    next upcoming one (smallest ``right.ts >= left.ts``,
+    ``direction="forward"``) with the same ``on`` key; left rows with
+    no such right row keep nulls (left-outer semantics).
 
     Plan: union both sides tagged, one window per key ordered by
     (ts, side, right-payload) with ``last(ignorenulls)`` carrying the
@@ -71,12 +74,16 @@ def asof_join(
             F.col(ts).alias("_rts"), *[F.col(c) for c in right_cols]
         ).alias("_rrow"),
     )
-    # right rows sort BEFORE left rows at equal ts → `<=` inclusive;
-    # `_rrow` last makes equal-(key, ts) right rows deterministic (left
-    # rows all have _rrow null, so it never reorders them)
+    # right rows sort BEFORE left rows at equal ts → the bound is
+    # inclusive in either direction; `_rrow` last makes equal-(key, ts)
+    # right rows deterministic — the greatest payload struct wins (left
+    # rows all have _rrow null, so it never reorders them). Forward
+    # mode simply scans time DESCENDING: last-non-null then carries the
+    # SMALLEST right ts >= the left ts.
+    ts_ord = F.col("_ts").asc() if direction == "backward" else F.col("_ts").desc()
     w = (
         Window.partitionBy("_k")
-        .orderBy(F.col("_ts").asc(), F.col("_is_left").asc(), F.col("_rrow").asc())
+        .orderBy(ts_ord, F.col("_is_left").asc(), F.col("_rrow").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     merged = l_tag.unionByName(r_tag).withColumn(

@@ -283,3 +283,39 @@ def test_grouped_quantile_filter(spark):
     )
     # each group keeps only its own top quartile (4.0 and 104.0)
     assert got == [("a", 4), ("b", 14)]
+
+
+def test_asof_join_forward_semantics(spark):
+    from datetime import datetime
+
+    from grafink_spark.ops import asof_join
+
+    def ts(s):
+        return datetime.fromisoformat(s)
+
+    left = spark.createDataFrame(
+        [
+            (1, 100, ts("2024-01-01T10:00:00"), 5.0),
+            (2, 100, ts("2024-01-01T12:30:00"), 6.0),  # no later right
+            (3, 300, ts("2024-01-01T10:00:00"), 7.0),  # equal-ts match
+        ],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    right = spark.createDataFrame(
+        [
+            (11, 100, ts("2024-01-01T09:30:00"), 1.0),  # before left 1
+            (12, 100, ts("2024-01-01T11:00:00"), 2.0),  # after left 1
+            (13, 100, ts("2024-01-01T12:00:00"), 3.0),  # nearer after? no: before 12:30
+            (14, 300, ts("2024-01-01T10:00:00"), 4.0),
+        ],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    out = asof_join(
+        left, right, on="user_id", ts="ts",
+        right_cols=["event_id", "value"], suffix="_r",
+        direction="forward",
+    )
+    got = {r.event_id: r.event_id_r for r in out.collect()}
+    # 1 → earliest at-or-after 10:00 is 11:00 (12); 2 → nothing later;
+    # 3 → equal timestamp matches (>= semantics)
+    assert got == {1: 12, 2: None, 3: 14}
