@@ -418,3 +418,42 @@ def test_pca_covariance_hash_aggregates(spark):
     assert "HashAggregate" in plan
     assert "SortAggregate" not in plan
     assert "pythonUDF" not in plan and "BatchEvalPython" not in plan
+
+
+def test_new_headline_query_plans_stay_narrow(spark):
+    """Round-2 sixth-batch queries: each plan holds its audited shape —
+    at most one data shuffle, WindowGroupLimit where promised, no
+    SortAggregate demotion, no nested-loop joins anywhere."""
+    import grafink_spark.benchqueries as bq
+
+    sf = "/root/testdata/sf0.001"
+    budgets = {
+        "session_windows": 1,
+        "normalized_dedup": 1,
+        "dataset_split": 1,   # the groupBy rollup; the split itself is 0
+        "per_group_cap": 1,
+        "hilbert_curve": 0,
+        "promo_revenue": 0,   # broadcast dim join + single-group agg
+        "returned_items": 1,  # the fact-fact shuffle join
+    }
+    for name, max_ex in budgets.items():
+        plan = (
+            bq.QUERIES[name](spark, sf)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        n_ex = plan.count("Exchange hashpartitioning") + plan.count(
+            "Exchange rangepartitioning"
+        )
+        assert n_ex <= max_ex, f"{name}: {n_ex} exchanges"
+        assert "SortAggregate" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
+    cap_plan = (
+        bq.QUERIES["per_group_cap"](spark, sf)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in cap_plan
