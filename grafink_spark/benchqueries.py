@@ -5249,3 +5249,72 @@ FROM ranked WHERE rn = 1
 
 QUERIES.update({"asof_join_forward": q_asof_join_forward})
 ORACLES.update({"asof_join_forward": SQL_ASOF_JOIN_FORWARD})
+
+
+def q_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time SCD2 lookup: for a probe timestamp (10 days after
+    each order date) find the customer's order version valid AS OF
+    that instant — scd2_ranges + backward asof_join composed, the
+    standard time-travel dimension read. One shuffle for the ranges
+    window, one for the as-of union window; no range theta join."""
+    from grafink_spark import cdc
+    from grafink_spark.ops import asof_join
+
+    orders = load_table(spark, sf_dir, "orders")
+    ranges = cdc.scd2_ranges(
+        orders, key="o_custkey", change_ts="o_orderdate",
+        order_tiebreak="o_orderkey",
+    ).select(
+        "o_custkey",
+        F.col("valid_from").alias("pts"),
+        "o_orderkey",
+        "o_totalprice",
+    )
+    probes = (
+        orders.select(
+            "o_custkey",
+            (F.col("o_orderdate") + F.expr("INTERVAL 10 DAYS")).alias("pts"),
+        )
+        .groupBy("o_custkey", "pts")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .drop("_n")
+    )
+    out = asof_join(
+        probes, ranges, on="o_custkey", ts="pts",
+        right_cols=["o_orderkey", "o_totalprice"], suffix="_v",
+    )
+    return out.select(
+        "o_custkey",
+        F.date_format("pts", "yyyy-MM-dd").alias("probe_date"),
+        F.col("o_orderkey").alias("version_orderkey"),
+        F.round("o_totalprice", 2).alias("version_totalprice"),
+    )
+
+
+SQL_SCD2_LOOKUP = """
+WITH r AS (
+  SELECT o_custkey, o_orderkey, o_totalprice, o_orderdate AS valid_from
+  FROM orders
+),
+p AS (
+  SELECT DISTINCT o_custkey, o_orderdate + INTERVAL 10 DAY AS pts
+  FROM orders
+),
+ranked AS (
+  SELECT p.o_custkey, p.pts, r.o_orderkey, r.o_totalprice,
+         row_number() OVER (
+           PARTITION BY p.o_custkey, p.pts
+           ORDER BY r.valid_from DESC, r.o_orderkey DESC
+         ) AS rn
+  FROM p LEFT JOIN r
+    ON r.o_custkey = p.o_custkey AND r.valid_from <= p.pts
+)
+SELECT o_custkey,
+       strftime(pts, '%Y-%m-%d') AS probe_date,
+       o_orderkey AS version_orderkey,
+       round(o_totalprice, 2) AS version_totalprice
+FROM ranked WHERE rn = 1
+"""
+
+QUERIES.update({"scd2_lookup": q_scd2_lookup})
+ORACLES.update({"scd2_lookup": SQL_SCD2_LOOKUP})
