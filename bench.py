@@ -91,6 +91,11 @@ HEADLINE = [
     "disjunctive_revenue",
     "returned_items",
     "pca_components",
+    "scd2_lookup",
+    "asof_join_forward",
+    "graph_components",
+    "lang_quality_filter",
+    "ann_recall",
 ]
 
 # Queries whose full row set is large: drain with a `noop`-format write
@@ -140,6 +145,10 @@ NOOP_DRAIN = {
     "nb_classify",
     "hilbert_curve",
     "per_group_cap",
+    "scd2_lookup",
+    "asof_join_forward",
+    "graph_components",
+    "lang_quality_filter",
 }
 
 
