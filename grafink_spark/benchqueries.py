@@ -5318,3 +5318,25 @@ FROM ranked WHERE rn = 1
 
 QUERIES.update({"scd2_lookup": q_scd2_lookup})
 ORACLES.update({"scd2_lookup": SQL_SCD2_LOOKUP})
+
+
+def q_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5-fold cross-validation assignment with per-fold
+    document/char totals."""
+    from grafink_spark.llm.corpus import kfold_assign
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return kfold_assign(docs, k=5).groupBy("fold").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("n_chars"),
+    )
+
+
+SQL_KFOLD_ASSIGN = """
+SELECT ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::INT % 5 AS fold,
+       count(*) AS n_docs, sum(n_chars) AS n_chars
+FROM documents GROUP BY 1
+"""
+
+QUERIES.update({"kfold_assign": q_kfold_assign})
+ORACLES.update({"kfold_assign": SQL_KFOLD_ASSIGN})

@@ -269,3 +269,20 @@ def dataset_split(
         .when(bucket < val_hi, F.lit("val"))
         .otherwise(F.lit("test")),
     )
+
+
+def kfold_assign(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    out_col: str = "fold",
+) -> DataFrame:
+    """Deterministic k-fold assignment: fold = first 4 md5 hex digits
+    of the id mod k — the cross-validation sibling of
+    :func:`dataset_split`. Hash-based (not modulo on the raw id) so
+    sequential ids don't stripe systematically; zero-shuffle map pass,
+    reproducible on any file subset."""
+    bucket = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10
+    ).cast("int")
+    return df.withColumn(out_col, bucket % k)
