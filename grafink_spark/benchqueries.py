@@ -5340,3 +5340,66 @@ FROM documents GROUP BY 1
 
 QUERIES.update({"kfold_assign": q_kfold_assign})
 ORACLES.update({"kfold_assign": SQL_KFOLD_ASSIGN})
+
+
+def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-join cardinality estimation: |events ⋈ orders| on
+    user_id = o_custkey from two bottom-128 KMV key sketches, next to
+    the exact join count — the sizing check run BEFORE committing to a
+    100 TB join, with the sketch math fully replayed by the oracle."""
+    from grafink_spark.sketches import kmv_join_estimate
+
+    ev = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    est = kmv_join_estimate(ev, orders, "user_id", "o_custkey", k=128)
+    exact = ev.join(
+        orders, ev.user_id == orders.o_custkey
+    ).agg(F.count(F.lit(1)).alias("exact_rows"))
+    return est.crossJoin(F.broadcast(exact))
+
+
+def _join_size_sql(k: int = 128) -> str:
+    h = "('0x' || substr(md5(_key::VARCHAR), 1, 15))::BIGINT"
+    num = repr(float(k - 1) * float(1 << 60))
+    return f"""
+WITH sa AS (
+  SELECT _key, ca, h FROM (
+    SELECT user_id AS _key, count(*) AS ca FROM events GROUP BY 1
+  ) t CROSS JOIN LATERAL (SELECT {h} AS h)
+  ORDER BY h LIMIT {k}
+),
+sb AS (
+  SELECT _key, cb, h FROM (
+    SELECT o_custkey AS _key, count(*) AS cb FROM orders GROUP BY 1
+  ) t CROSS JOIN LATERAL (SELECT {h} AS h)
+  ORDER BY h LIMIT {k}
+),
+u AS (
+  SELECT max(h) AS tau, count(*) AS nu FROM (
+    SELECT DISTINCT h FROM (
+      SELECT h FROM sa UNION ALL SELECT h FROM sb
+    ) ORDER BY h LIMIT {k}
+  )
+),
+s AS (
+  SELECT sa._key, sa.ca, sb.cb, sa.h FROM sa JOIN sb USING (_key)
+  CROSS JOIN u WHERE sa.h <= u.tau
+),
+e AS (
+  SELECT CASE WHEN u.nu < {k} THEN sum(s.ca * s.cb)::DOUBLE
+              ELSE sum(s.ca * s.cb)::DOUBLE * ({num} / u.tau) / {k}.0
+         END AS est,
+         count(*) AS n_sampled_keys
+  FROM s CROSS JOIN u GROUP BY u.nu, u.tau
+)
+SELECT round(e.est, 2) AS join_est, e.n_sampled_keys,
+       (SELECT count(*) FROM events JOIN orders
+         ON user_id = o_custkey) AS exact_rows
+FROM e
+"""
+
+
+SQL_JOIN_SIZE_ESTIMATE = _join_size_sql()
+
+QUERIES.update({"join_size_estimate": q_join_size_estimate})
+ORACLES.update({"join_size_estimate": SQL_JOIN_SIZE_ESTIMATE})

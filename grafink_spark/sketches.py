@@ -140,3 +140,73 @@ def kmv_distinct(
         F.lit(float((k - 1)) * float(1 << HASH_BITS)) / F.col("_hk").cast("double")
     )
     return kth.select(F.col(group), F.round(est, 2).alias(out))
+
+
+def kmv_join_estimate(
+    a: DataFrame,
+    b: DataFrame,
+    key_a: str,
+    key_b: str,
+    k: int = 256,
+    out: str = "join_est",
+) -> DataFrame:
+    """1-row estimate of the inner-join row count |A ⋈_key B| from two
+    bottom-k key sketches — the pre-join cardinality check a query
+    planner (or a human sizing a 100 TB join) wants WITHOUT running
+    the join.
+
+    Method (KMV sampling): per side, aggregate exact per-key counts
+    (one shuffle each — the only corpus-scale work), keep the k keys
+    with the smallest 60-bit hashes. τ = k-th smallest hash of the
+    UNION sketch. Keys hashing ≤ τ form a uniform sample of the key
+    union, so
+
+        |A ⋈ B| ≈ (Σ_{sampled x ∈ A∩B} a_x·b_x) · D_union / k
+
+    with D_union the KMV distinct estimate (exact when the union fits
+    in k — then the sample is complete and the estimate IS the true
+    size). Deterministic md5 hashing end-to-end: the estimate itself
+    is reproducible and oracle-checkable, like the HLL/KMV sketches
+    above. An EMPTY result means no sampled key was shared — the
+    estimate is 0 (or the join is far smaller than D_union/k)."""
+    sa = (
+        a.groupBy(F.col(key_a).alias("_key"))
+        .agg(F.count(F.lit(1)).alias("_ca"))
+        .select("_key", "_ca", hash60(F.col("_key")).alias("_h"))
+        .orderBy("_h")
+        .limit(k)
+    )
+    sb = (
+        b.groupBy(F.col(key_b).alias("_key"))
+        .agg(F.count(F.lit(1)).alias("_cb"))
+        .select("_key", "_cb", hash60(F.col("_key")).alias("_hb"))
+        .orderBy("_hb")
+        .limit(k)
+    )
+    union_stats = (
+        sa.select("_h")
+        .unionByName(sb.select(F.col("_hb").alias("_h")))
+        .distinct()
+        .orderBy("_h")
+        .limit(k)
+        .agg(F.max("_h").alias("_tau"), F.count(F.lit(1)).alias("_nu"))
+    )
+    sample = (
+        sa.join(sb.drop("_hb"), "_key")
+        .crossJoin(F.broadcast(union_stats))
+        .where(F.col("_h") <= F.col("_tau"))
+    )
+    d_union = F.lit(float(k - 1) * float(1 << HASH_BITS)) / F.col("_tau").cast(
+        "double"
+    )
+    est = F.when(
+        F.col("_nu") < k, F.sum(F.col("_ca") * F.col("_cb")).cast("double")
+    ).otherwise(
+        F.sum(F.col("_ca") * F.col("_cb")).cast("double")
+        * F.first(d_union)
+        / F.lit(float(k))
+    )
+    return sample.groupBy("_nu").agg(
+        F.round(est, 2).alias(out),
+        F.count(F.lit(1)).alias("n_sampled_keys"),
+    ).select(out, "n_sampled_keys")

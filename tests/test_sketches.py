@@ -92,3 +92,30 @@ def test_hll_merge_overlapping_batches(spark):
     a = sk.hll_estimate(merged, "g").collect()[0]["hll_est"]
     b = sk.hll_distinct(df, "g", "v").collect()[0]["hll_est"]
     assert a == b
+
+
+def test_kmv_join_estimate_exact_when_union_fits(spark):
+    from grafink_spark.sketches import kmv_join_estimate
+
+    a = spark.createDataFrame([(i % 10,) for i in range(100)], "k long")
+    b = spark.createDataFrame([(i % 15,) for i in range(60)], "k long")
+    row = kmv_join_estimate(a, b, "k", "k", k=64).first()
+    assert row.join_est == float(a.join(b, "k").count())
+    assert row.n_sampled_keys == 10  # full intersection sampled
+
+
+def test_kmv_join_estimate_close_on_large_join(spark):
+    import random
+
+    from grafink_spark.sketches import kmv_join_estimate
+
+    rnd = random.Random(1)
+    a = spark.createDataFrame(
+        [(rnd.randrange(5000),) for _ in range(40000)], "k long"
+    )
+    b = spark.createDataFrame(
+        [(rnd.randrange(5000),) for _ in range(30000)], "k long"
+    )
+    exact = a.join(b, "k").count()
+    est = kmv_join_estimate(a, b, "k", "k", k=256).first().join_est
+    assert abs(est - exact) / exact < 0.1  # k=256 → ~1/sqrt(k) ≈ 6%
