@@ -5403,3 +5403,57 @@ SQL_JOIN_SIZE_ESTIMATE = _join_size_sql()
 
 QUERIES.update({"join_size_estimate": q_join_size_estimate})
 ORACLES.update({"join_size_estimate": SQL_JOIN_SIZE_ESTIMATE})
+
+
+def q_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom semi-join reduction: lineitem rows surviving a 4096-bit /
+    3-hash filter built from the p_size=1 parts — the pre-shuffle
+    prune for fact⋈dim joins. Deterministic md5 bit math, so the
+    surviving set (false positives included) is value-checked."""
+    from grafink_spark.ops import bloom_prefilter
+
+    li = load_table(spark, sf_dir, "lineitem")
+    small = load_table(spark, sf_dir, "part").where(F.col("p_size") == 1)
+    out = bloom_prefilter(
+        li, small, "l_partkey", "p_partkey", m_bits=4096, hashes=3
+    )
+    return out.select("l_orderkey", "l_linenumber", "l_partkey")
+
+
+def _bloom_sql(m_bits: int = 4096, hashes: int = 3) -> str:
+    def h(key: str, j: int) -> str:
+        return (
+            f"('0x' || substr(md5({key}::VARCHAR), {1 + 8 * j}, 8))::BIGINT"
+            f" % {m_bits}"
+        )
+
+    small_bits = " UNION ALL ".join(
+        f"SELECT {h('p_partkey', j)} AS bit FROM part WHERE p_size = 1"
+        for j in range(hashes)
+    )
+    checks = " AND ".join(
+        f"(a[CAST(({h('l_partkey', j)}) / 32 AS INT) + 1]"
+        f" & (1::BIGINT << CAST(({h('l_partkey', j)}) % 32 AS INT))) != 0"
+        for j in range(hashes)
+    )
+    return f"""
+WITH bits AS (
+  SELECT CAST(bit / 32 AS INT) AS word,
+         bit_or(1::BIGINT << CAST(bit % 32 AS INT)) AS mask
+  FROM (SELECT DISTINCT bit FROM ({small_bits}))
+  GROUP BY 1
+),
+arr AS (
+  SELECT list(coalesce(mask, 0) ORDER BY w.range) AS a
+  FROM range(0, {m_bits // 32}) w LEFT JOIN bits ON bits.word = w.range
+)
+SELECT l_orderkey, l_linenumber, l_partkey
+FROM lineitem CROSS JOIN arr
+WHERE {checks}
+"""
+
+
+SQL_BLOOM_PREFILTER = _bloom_sql()
+
+QUERIES.update({"bloom_prefilter": q_bloom_prefilter})
+ORACLES.update({"bloom_prefilter": SQL_BLOOM_PREFILTER})

@@ -422,3 +422,67 @@ def grouped_quantile_filter(
         else F.col(value) <= F.col("_thr")
     )
     return out.where(cond).drop("_thr")
+
+
+def bloom_prefilter(
+    big: DataFrame,
+    small: DataFrame,
+    big_key: str,
+    small_key: str,
+    m_bits: int = 4096,
+    hashes: int = 3,
+) -> DataFrame:
+    """Semi-join reduction: drop ``big`` rows whose key cannot exist in
+    ``small`` using a Bloom filter built from the small side — the
+    pre-shuffle prune that turns a fact⋈dim join at 100 TB from
+    "shuffle everything" into "shuffle the ~matching fraction". False
+    positives pass through (the later join removes them); false
+    negatives are impossible.
+
+    Mechanics: ``hashes`` positions per key from disjoint md5 hex
+    slices, OR-ed into an ``m_bits`` bitmap ON THE EXECUTORS (explode →
+    distinct bit positions → word OR aggregation); only the ≤ m/64
+    set WORDS reach the driver, which folds them into a literal
+    array<long> membership expression — a narrow per-row test with two
+    md5 evaluations and no join, no broadcast variable machinery.
+    Deterministic md5 hashing end-to-end, so the surviving row set
+    (false positives included) is engine-independent and
+    oracle-checkable. Size m_bits ≈ 10× the small side's distinct keys
+    for ~1% false positives; the literal array is m_bits/64 longs
+    (4096 bits → 64 longs — scale m_bits with driver comfort, it's
+    one plan literal; words are 32-bit so shifts stay in-range for
+    any engine's checked arithmetic)."""
+    def pos_sql(key: str, j: int) -> str:
+        # hash j = hex slice [1+8j, 8+8j) of md5 → 32-bit int → mod m
+        return (
+            f"cast(conv(substring(md5(cast({key} as string)), "
+            f"{1 + 8 * j}, 8), 16, 10) as bigint) % {m_bits}"
+        )
+
+    bits = (
+        small.selectExpr(
+            f"explode(array({', '.join(pos_sql(small_key, j) for j in range(hashes))})) AS _bit"
+        )
+        .distinct()
+        .selectExpr(
+            # 32-bit words: max shift 31 keeps the mask inside BIGINT
+            # in every engine (a checked 1<<63 overflows signed 64)
+            "cast(_bit / 32 as int) AS _word",
+            "shiftleft(cast(1 as bigint), cast(_bit % 32 as int)) AS _mask",
+        )
+        .groupBy("_word")
+        .agg(F.expr("bit_or(_mask)").alias("_bits"))
+        .collect()
+    )
+    words = [0] * (m_bits // 32)
+    for r in bits:
+        words[r["_word"]] = r["_bits"]
+    arr_sql = "array(" + ", ".join(f"{w}L" for w in words) + ")"
+    checks = []
+    for j in range(hashes):
+        p = pos_sql(big_key, j)
+        checks.append(
+            f"(element_at({arr_sql}, cast(({p}) / 32 as int) + 1) & "
+            f"shiftleft(cast(1 as bigint), cast(({p}) % 32 as int))) != 0"
+        )
+    return big.where(F.expr(" AND ".join(checks)))

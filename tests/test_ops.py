@@ -319,3 +319,33 @@ def test_asof_join_forward_semantics(spark):
     # 1 → earliest at-or-after 10:00 is 11:00 (12); 2 → nothing later;
     # 3 → equal timestamp matches (>= semantics)
     assert got == {1: 12, 2: None, 3: 14}
+
+
+def test_bloom_prefilter_no_false_negatives(spark):
+    from grafink_spark.ops import bloom_prefilter
+
+    big = spark.range(20000).selectExpr("id % 2000 as k", "id as v")
+    small = spark.range(100).selectExpr("id * 19 as k")
+    filtered = bloom_prefilter(big, small, "k", "k", m_bits=4096, hashes=3)
+    semi = big.join(small.distinct(), "k", "left_semi")
+    n_semi = semi.count()
+    # every true match survives; false positives are rare and bounded
+    assert filtered.join(small.distinct(), "k", "left_semi").count() == n_semi
+    n_f = filtered.count()
+    assert n_semi <= n_f < n_semi + 0.05 * (20000 - n_semi)
+
+
+def test_bloom_prefilter_no_join_in_plan(spark):
+    from grafink_spark.ops import bloom_prefilter
+
+    big = spark.range(1000).selectExpr("id % 100 as k")
+    small = spark.range(10).selectExpr("id * 3 as k")
+    plan = (
+        bloom_prefilter(big, small, "k", "k")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # membership is a literal-array expression — narrow filter, no join
+    assert "Join" not in plan
+    assert "Exchange" not in plan
