@@ -5457,3 +5457,33 @@ SQL_BLOOM_PREFILTER = _bloom_sql()
 
 QUERIES.update({"bloom_prefilter": q_bloom_prefilter})
 ORACLES.update({"bloom_prefilter": SQL_BLOOM_PREFILTER})
+
+
+def q_incremental_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental PCA: the corpus arrives as two batches whose DECIMAL
+    covariance partials merge — exact arithmetic makes the merged model
+    identical to a full retrain, so this query shares embedding_pca's
+    oracle and must hash-match it bit-for-bit."""
+    from grafink_spark.llm.pca import (
+        covariance_from_partials,
+        covariance_partials,
+        power_iteration,
+    )
+
+    emb = ensure_min_partitions(load_table(spark, sf_dir, "embeddings"))
+    b1 = emb.where(F.col("vec_id") % 2 == 0)
+    b2 = emb.where(F.col("vec_id") % 2 == 1)
+    cov = covariance_from_partials(
+        [covariance_partials(b1), covariance_partials(b2)]
+    )
+    out = power_iteration(cov, dim=64, iters=8)
+    return out.select(
+        F.col("i").cast("long").alias("i"),
+        F.round("loading", 6).alias("loading"),
+        F.round("eigenvalue", 6).alias("eigenvalue"),
+        F.round("var_ratio", 6).alias("var_ratio"),
+    )
+
+
+QUERIES.update({"incremental_pca": q_incremental_pca})
+ORACLES.update({"incremental_pca": SQL_EMBEDDING_PCA})

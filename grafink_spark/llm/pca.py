@@ -49,50 +49,10 @@ def covariance_matrix(
 ) -> DataFrame:
     """(i, j, c): population covariance of the vector dimensions,
     accumulated in exact decimal arithmetic. One narrow d²-explode +
-    one groupBy(i, j) shuffle (map-side combined)."""
-    idx = F.transform(
-        F.col(vec_col),
-        lambda x, i: F.struct(i.alias("i"), x.cast("double").alias("x")),
-    )
-    pairs = F.flatten(
-        F.transform(
-            idx,
-            lambda a: F.transform(
-                idx,
-                lambda b: F.struct(
-                    a["i"].alias("i"),
-                    b["i"].alias("j"),
-                    (a["x"] * b["x"]).cast(DEC).alias("xx"),
-                ),
-            ),
-        )
-    )
-    n = emb.count()
-    sxx = (
-        emb.select(F.explode(pairs).alias("p"))
-        .select("p.i", "p.j", "p.xx")
-        .groupBy("i", "j")
-        .agg(F.sum("xx").alias("sxx"))
-    )
-    sx = (
-        emb.select(F.posexplode(vec_col).alias("i", "x"))
-        .select("i", F.col("x").cast("double").cast(DEC).alias("x"))
-        .groupBy("i")
-        .agg(F.sum("x").alias("sx"))
-    )
-    mu = sx.select("i", (F.col("sx").cast("double") / F.lit(float(n))).alias("mu"))
-    return (
-        sxx.join(mu.select(F.col("i"), F.col("mu").alias("_mi")), "i")
-        .join(mu.select(F.col("i").alias("j"), F.col("mu").alias("_mj")), "j")
-        .select(
-            "i",
-            "j",
-            (
-                F.col("sxx").cast("double") / F.lit(float(n))
-                - F.col("_mi") * F.col("_mj")
-            ).alias("c"),
-        )
-    )
+    one groupBy(i, j) shuffle (map-side combined). Single-batch case
+    of :func:`covariance_partials` + :func:`covariance_from_partials`
+    (the union-of-one collapses; plan is identical)."""
+    return covariance_from_partials([covariance_partials(emb, vec_col)])
 
 
 def _power(c: DataFrame, dim: int, iters: int):
@@ -294,6 +254,73 @@ def covariance_matrix_arrow(
             "j",
             (
                 F.col("sxx") / F.lit(float(n)) - F.col("_mi") * F.col("_mj")
+            ).alias("c"),
+        )
+    )
+
+
+def covariance_partials(
+    emb: DataFrame, vec_col: str = "embedding"
+):
+    """(sxx, sx, n) raw DECIMAL sums for one batch — the mergeable form
+    of :func:`covariance_matrix`. Because decimal addition is exact and
+    associative, partials from any batch split merge into EXACTLY the
+    full-pass covariance (bit-for-bit — `incremental_pca` is checked
+    against the full-pass oracle), which is what makes daily
+    incremental model maintenance equal to retraining."""
+    idx = F.transform(
+        F.col(vec_col),
+        lambda x, i: F.struct(i.alias("i"), x.cast("double").alias("x")),
+    )
+    pairs = F.flatten(
+        F.transform(
+            idx,
+            lambda a: F.transform(
+                idx,
+                lambda b: F.struct(
+                    a["i"].alias("i"),
+                    b["i"].alias("j"),
+                    (a["x"] * b["x"]).cast(DEC).alias("xx"),
+                ),
+            ),
+        )
+    )
+    sxx = (
+        emb.select(F.explode(pairs).alias("p"))
+        .select("p.i", "p.j", "p.xx")
+        .groupBy("i", "j")
+        .agg(F.sum("xx").alias("sxx"))
+    )
+    sx = (
+        emb.select(F.posexplode(vec_col).alias("i", "x"))
+        .select("i", F.col("x").cast("double").cast(DEC).alias("x"))
+        .groupBy("i")
+        .agg(F.sum("x").alias("sx"))
+    )
+    return sxx, sx, emb.count()
+
+
+def covariance_from_partials(parts) -> DataFrame:
+    """Merge batch partials into the covariance matrix: union + one
+    d²-sized decimal re-sum per table — batch-cost maintenance with a
+    full-retrain-exact result."""
+    sxx_all, sx_all, n = None, None, 0
+    for sxx, sx, cnt in parts:
+        sxx_all = sxx if sxx_all is None else sxx_all.unionByName(sxx)
+        sx_all = sx if sx_all is None else sx_all.unionByName(sx)
+        n += cnt
+    sxx = sxx_all.groupBy("i", "j").agg(F.sum("sxx").alias("sxx"))
+    sx = sx_all.groupBy("i").agg(F.sum("sx").alias("sx"))
+    mu = sx.select("i", (F.col("sx").cast("double") / F.lit(float(n))).alias("mu"))
+    return (
+        sxx.join(mu.select(F.col("i"), F.col("mu").alias("_mi")), "i")
+        .join(mu.select(F.col("i").alias("j"), F.col("mu").alias("_mj")), "j")
+        .select(
+            "i",
+            "j",
+            (
+                F.col("sxx").cast("double") / F.lit(float(n))
+                - F.col("_mi") * F.col("_mj")
             ).alias("c"),
         )
     )
