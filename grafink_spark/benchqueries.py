@@ -5487,3 +5487,43 @@ def q_incremental_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES.update({"incremental_pca": q_incremental_pca})
 ORACLES.update({"incremental_pca": SQL_EMBEDDING_PCA})
+
+
+def q_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: orders per priority having at least one
+    late-shipped lineitem (EXISTS → left-semi join; the distinct-key
+    probe side partial-aggregates before the join)."""
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-04-01")
+    )
+    late = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(
+            orders.select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .where(F.col("l_shipdate") > F.expr("o_orderdate + INTERVAL 60 DAYS"))
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(late, orders.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+SQL_PRIORITY_EXISTS = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1996-04-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY o_orderpriority
+"""
+
+QUERIES.update({"priority_exists": q_priority_exists})
+ORACLES.update({"priority_exists": SQL_PRIORITY_EXISTS})

@@ -75,3 +75,56 @@ def compact_parquet_dir(
         files_after=len(after),
         bytes_total=total,
     )
+
+
+def file_clustering_stats(
+    spark, path: str, col: str
+):
+    """Clustering health of a parquet layout for one column: per-file
+    (min, max, rows) plus how many OTHER files each file's value range
+    overlaps — the metric behind choosing/validating a sort, Z-order,
+    or Hilbert layout (avg_overlap ≈ 0 → file pruning answers range
+    predicates with ~1 file; ≈ n_files → the layout does nothing for
+    this column). Returns a 1-row DataFrame
+    (n_files, avg_overlap, max_overlap).
+
+    Cost: one footer-cheap scan aggregated per input file (min/max/
+    count partial-aggregate map-side), then an n_files²-sized range
+    self-join — file counts are small even at 100 TB (thousands), so
+    the pairwise step is trivial next to the scan."""
+    from pyspark.sql import functions as F
+
+    per_file = (
+        spark.read.parquet(path)
+        .select(F.input_file_name().alias("_f"), F.col(col).alias("_v"))
+        .groupBy("_f")
+        .agg(
+            F.min("_v").alias("_lo"),
+            F.max("_v").alias("_hi"),
+            F.count(F.lit(1)).alias("_rows"),
+        )
+    )
+    a = per_file.select(
+        F.col("_f").alias("_fa"), F.col("_lo").alias("_la"), F.col("_hi").alias("_ha")
+    )
+    b = per_file.select(
+        F.col("_f").alias("_fb"), F.col("_lo").alias("_lb"), F.col("_hi").alias("_hb")
+    )
+    overlaps = (
+        a.crossJoin(b)
+        .where(
+            (F.col("_fa") != F.col("_fb"))
+            & (F.col("_la") <= F.col("_hb"))
+            & (F.col("_lb") <= F.col("_ha"))
+        )
+        .groupBy("_fa")
+        .agg(F.count(F.lit(1)).alias("_n_overlap"))
+    )
+    joined = per_file.join(
+        overlaps, per_file["_f"] == overlaps["_fa"], "left"
+    ).select(F.coalesce(F.col("_n_overlap"), F.lit(0)).alias("_n"))
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.round(F.avg("_n"), 3).alias("avg_overlap"),
+        F.max("_n").alias("max_overlap"),
+    )

@@ -35,3 +35,29 @@ def test_compact_preserves_hive_partitions(spark, tmp_path):
     assert back.where("day = 1").count() == len(
         [i for i in range(1_000) if i % 3 == 1]
     )
+
+
+def test_file_clustering_stats_ranks_layouts(spark, tmp_path):
+    """The clustering metric must separate a sorted layout (near-zero
+    overlap) from a random one (near-total overlap)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from grafink_spark.maintenance import file_clustering_stats
+
+    rnd = random.Random(3)
+    df = spark.createDataFrame(
+        [(rnd.randrange(100000),) for _ in range(20000)], "v long"
+    )
+    sorted_p = str(tmp_path / "sorted")
+    random_p = str(tmp_path / "random")
+    df.repartitionByRange(8, "v").sortWithinPartitions("v").write.parquet(sorted_p)
+    df.repartition(8).write.parquet(random_p)
+
+    s = file_clustering_stats(spark, sorted_p, "v").first()
+    r = file_clustering_stats(spark, random_p, "v").first()
+    assert s.n_files == 8 and r.n_files == 8
+    # range partitioning → disjoint ranges; random → everyone overlaps
+    assert s.avg_overlap <= 1.0
+    assert r.avg_overlap >= 6.0
