@@ -5527,3 +5527,58 @@ GROUP BY o_orderpriority
 
 QUERIES.update({"priority_exists": q_priority_exists})
 ORACLES.update({"priority_exists": SQL_PRIORITY_EXISTS})
+
+
+def q_phrase_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style phrase mining: 3 rounds of most-frequent-adjacent-pair
+    merging over the corpus token streams; every round's pair choice
+    and greedy left-to-right rewrite is replayed by the oracle."""
+    from grafink_spark.llm.phrases import phrase_merge
+
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    out = phrase_merge(docs, rounds=3)
+    return out.select(
+        "doc_id",
+        F.concat_ws(" ", "toks").alias("merged_text"),
+        F.size("toks").cast("long").alias("n_tokens"),
+    )
+
+
+def _phrase_merge_sql(rounds: int = 3) -> str:
+    blocks = [f"r0 AS MATERIALIZED (SELECT doc_id AS _id, {TOKENS_SQL} AS toks FROM documents)"]
+    for r in range(1, rounds + 1):
+        blocks.append(f"""p{r} AS MATERIALIZED (
+  SELECT w1, w2, w1 || '_' || w2 AS m FROM (
+    SELECT toks[CAST(u.i AS INT)] AS w1,
+           toks[CAST(u.i AS INT) + 1] AS w2, count(*) AS c
+    FROM r{r - 1}, unnest(range(1, len(toks))) u(i)
+    GROUP BY 1, 2
+  ) WHERE c >= 2
+  ORDER BY c DESC, w1, w2 LIMIT 1
+),
+r{r} AS MATERIALIZED (
+  SELECT _id,
+         CASE WHEN len(toks) = 0 OR p.w1 IS NULL THEN toks
+              ELSE list_reduce(
+                list_transform(toks, x -> [x]),
+                (acc, x) -> CASE
+                  WHEN acc[-1] = p.w1 AND x[1] = p.w2
+                  THEN acc[1:len(acc) - 1] || [p.m]
+                  ELSE acc || x END)
+         END AS toks
+  FROM r{r - 1} LEFT JOIN p{r} p ON true
+)""")
+    chain = ",\n".join(blocks)
+    return f"""
+WITH {chain}
+SELECT _id AS doc_id,
+       array_to_string(toks, ' ') AS merged_text,
+       len(toks)::BIGINT AS n_tokens
+FROM r{rounds}
+"""
+
+
+SQL_PHRASE_MERGE = _phrase_merge_sql()
+
+QUERIES.update({"phrase_merge": q_phrase_merge})
+ORACLES.update({"phrase_merge": SQL_PHRASE_MERGE})
