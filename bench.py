@@ -96,6 +96,11 @@ HEADLINE = [
     "graph_components",
     "lang_quality_filter",
     "ann_recall",
+    "phrase_merge",
+    "join_size_estimate",
+    "bloom_prefilter",
+    "priority_exists",
+    "kfold_assign",
 ]
 
 # Queries whose full row set is large: drain with a `noop`-format write
@@ -149,6 +154,8 @@ NOOP_DRAIN = {
     "asof_join_forward",
     "graph_components",
     "lang_quality_filter",
+    "phrase_merge",
+    "bloom_prefilter",
 }
 
 
