@@ -5582,3 +5582,43 @@ SQL_PHRASE_MERGE = _phrase_merge_sql()
 
 QUERIES.update({"phrase_merge": q_phrase_merge})
 ORACLES.update({"phrase_merge": SQL_PHRASE_MERGE})
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining sequence packing: documents streamed in id order
+    into 512-token sequences, split at boundaries — one row per
+    (doc, sequence) piece with begin/length/piece-index."""
+    from grafink_spark.llm.corpus import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tx.token_count(F.col("text")).alias("n_tokens")
+    )
+    return pack_sequences(docs, seq_len=512)
+
+
+SQL_PACK_SEQUENCES = f"""
+WITH t AS (
+  SELECT doc_id, len({TOKENS_SQL}) AS n_tokens FROM documents
+),
+o AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
+  FROM t
+),
+x AS (
+  SELECT doc_id, n_tokens, s, CAST(u.seq AS BIGINT) AS seq_id
+  FROM o, unnest(range(CAST(s // 512 AS BIGINT),
+                        CAST((s + n_tokens - 1) // 512 + 1 AS BIGINT))) u(seq)
+  WHERE n_tokens > 0
+)
+SELECT doc_id, n_tokens, seq_id,
+       (greatest(s, seq_id * 512) - seq_id * 512)::BIGINT AS begin_in_seq,
+       (least(s + n_tokens, (seq_id + 1) * 512)
+        - greatest(s, seq_id * 512))::BIGINT AS n_taken,
+       (seq_id - s // 512)::BIGINT AS piece
+FROM x
+"""
+
+QUERIES.update({"pack_sequences": q_pack_sequences})
+ORACLES.update({"pack_sequences": SQL_PACK_SEQUENCES})

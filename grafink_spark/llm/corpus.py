@@ -72,15 +72,15 @@ def prepare_corpus(
     )
 
 
-def assign_shards(
+def assign_offsets(
     df: DataFrame,
-    budget_tokens: int,
     tokens_col: str = "n_tokens",
     order_col: str = "doc_id",
+    out_col: str = "_start",
 ) -> DataFrame:
-    """Pack documents (in ``order_col`` order) into training shards of
-    ≈ ``budget_tokens`` tokens: shard_id = floor(running_total_before /
-    budget) — the standard offset-bin packing.
+    """Exclusive running token offset per row in ``order_col`` order —
+    the global-cumsum primitive under shard packing AND sequence
+    packing.
 
     Scale shape: a running sum needs global order, but a single global
     window would serialize. Instead: range-repartition + local sort
@@ -104,7 +104,7 @@ def assign_shards(
         running += sums[pid] or 0
 
     out_schema = T.StructType(
-        list(d.schema.fields) + [T.StructField("shard_id", T.LongType())]
+        list(d.schema.fields) + [T.StructField(out_col, T.LongType())]
     )
     cols = [f.name for f in out_schema.fields]
 
@@ -118,10 +118,66 @@ def assign_shards(
             cs = pdf[tokens_col].cumsum() + start
             start = int(cs.iloc[-1])
             out = pdf.copy()
-            out["shard_id"] = ((cs - pdf[tokens_col]) // budget_tokens).astype("int64")
+            out[out_col] = (cs - pdf[tokens_col]).astype("int64")
             yield out.drop(columns=["_pid"])[cols]
 
     return tagged.mapInPandas(run, out_schema)
+
+
+def assign_shards(
+    df: DataFrame,
+    budget_tokens: int,
+    tokens_col: str = "n_tokens",
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """Pack documents (in ``order_col`` order) into training shards of
+    ≈ ``budget_tokens`` tokens: shard_id = floor(running_total_before /
+    budget) — the standard offset-bin packing, built on
+    :func:`assign_offsets`."""
+    out = assign_offsets(df, tokens_col, order_col)
+    return out.withColumn(
+        "shard_id", (F.col("_start") / budget_tokens).cast("long")
+    ).drop("_start")
+
+
+def pack_sequences(
+    df: DataFrame,
+    seq_len: int,
+    tokens_col: str = "n_tokens",
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """Pretraining sequence packing: documents stream (in ``order_col``
+    order) into fixed ``seq_len``-token training sequences; a document
+    crossing a boundary SPLITS — one output row per (doc, sequence)
+    piece with its position:
+
+      (… input cols …, seq_id, begin_in_seq, n_taken, piece)
+
+    ``piece`` numbers a doc's fragments 0..k; Σ n_taken per doc equals
+    its token count, and Σ n_taken per seq_id is exactly ``seq_len``
+    (except the final partial sequence) — the attention-mask /
+    position-id layout every packed-pretraining loader needs. Built on
+    :func:`assign_offsets` (no global window) + a narrow per-row
+    sequence explode over the spanned sequences. Zero-token docs
+    produce no pieces."""
+    out = assign_offsets(df, tokens_col, order_col)
+    n = F.col(tokens_col)
+    first = (F.col("_start") / seq_len).cast("long")
+    last = ((F.col("_start") + n - 1) / seq_len).cast("long")
+    exploded = out.where(n > 0).select(
+        "*", F.explode(F.sequence(first, last)).alias("seq_id")
+    )
+    p_begin = F.greatest(F.col("_start"), F.col("seq_id") * seq_len)
+    p_end = F.least(
+        F.col("_start") + n, (F.col("seq_id") + 1) * F.lit(seq_len)
+    )
+    return exploded.select(
+        *[c for c in df.columns],
+        "seq_id",
+        (p_begin - F.col("seq_id") * seq_len).cast("long").alias("begin_in_seq"),
+        (p_end - p_begin).cast("long").alias("n_taken"),
+        (F.col("seq_id") - first).cast("long").alias("piece"),
+    )
 
 
 def stratified_sample(

@@ -177,3 +177,37 @@ def test_dataset_split_no_shuffle(spark):
     df = spark.range(100).select(F.col("id").alias("doc_id"))
     plan = dataset_split(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_pack_sequences_invariants(spark):
+    from pyspark.sql import functions as F
+
+    from grafink_spark.llm.corpus import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(1, 300), (2, 300), (3, 100), (4, 0), (5, 1200)],
+        "doc_id long, n_tokens long",
+    )
+    out = pack_sequences(docs, seq_len=512)
+    rows = out.collect()
+    # doc 1: [0,300) seq0; doc 2: [300,600) splits seq0/seq1;
+    # doc 3: [600,700) seq1; doc 4 empty → absent; doc 5: [700,1900)
+    # spans seq1..seq3
+    got = {(r.doc_id, r.piece): (r.seq_id, r.begin_in_seq, r.n_taken) for r in rows}
+    assert got[(1, 0)] == (0, 0, 300)
+    assert got[(2, 0)] == (0, 300, 212)
+    assert got[(2, 1)] == (1, 0, 88)
+    assert got[(3, 0)] == (1, 88, 100)
+    assert (4, 0) not in got
+    assert got[(5, 0)] == (1, 188, 324)
+    assert got[(5, 1)] == (2, 0, 512)
+    assert got[(5, 2)] == (3, 0, 364)
+    # per-doc token conservation
+    per_doc = {r.doc_id: r.total for r in out.groupBy("doc_id").agg(
+        F.sum("n_taken").alias("total")).collect()}
+    assert per_doc == {1: 300, 2: 300, 3: 100, 5: 1200}
+    # every full sequence holds exactly seq_len tokens
+    per_seq = {r.seq_id: r.total for r in out.groupBy("seq_id").agg(
+        F.sum("n_taken").alias("total")).collect()}
+    assert per_seq[0] == per_seq[1] == per_seq[2] == 512
+    assert per_seq[3] == 364
