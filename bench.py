@@ -101,6 +101,7 @@ HEADLINE = [
     "bloom_prefilter",
     "priority_exists",
     "kfold_assign",
+    "pack_sequences",
 ]
 
 # Queries whose full row set is large: drain with a `noop`-format write
@@ -156,6 +157,7 @@ NOOP_DRAIN = {
     "lang_quality_filter",
     "phrase_merge",
     "bloom_prefilter",
+    "pack_sequences",
 }
 
 

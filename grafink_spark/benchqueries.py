@@ -5622,3 +5622,53 @@ FROM x
 
 QUERIES.update({"pack_sequences": q_pack_sequences})
 ORACLES.update({"pack_sequences": SQL_PACK_SEQUENCES})
+
+
+def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive decomposition of the daily event-value
+    series: observed = trend (centered 7-day average) + day-of-week
+    seasonal + residual — decimal-summed so the decomposition is
+    engine-identical."""
+    from grafink_spark.timeseries import seasonal_decompose
+
+    ev = load_table(spark, sf_dir, "events")
+    out = seasonal_decompose(ev, period=7, bucket="day")
+    return out.select(
+        F.date_format("bucket", "yyyy-MM-dd").alias("bucket"),
+        F.round("observed", 4).alias("observed"),
+        F.round("trend", 4).alias("trend"),
+        F.round("seasonal", 4).alias("seasonal"),
+        F.round("residual", 4).alias("residual"),
+    )
+
+
+SQL_SEASONAL_DECOMPOSE = """
+WITH b AS (
+  SELECT date_trunc('day', ts) AS bucket,
+         sum(value::DECIMAL(27,6))::DOUBLE AS observed
+  FROM events GROUP BY 1
+),
+t AS (
+  SELECT bucket, observed,
+         sum(observed::DECIMAL(27,6)) OVER w::DOUBLE
+           / count(*) OVER w AS trend,
+         dayofweek(bucket) + 1 AS pos
+  FROM b
+  WINDOW w AS (ORDER BY bucket ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+det AS (SELECT *, observed - trend AS d FROM t),
+seas AS (
+  SELECT pos, sum(d::DECIMAL(27,6))::DOUBLE / count(*) AS s
+  FROM det GROUP BY pos
+),
+sm AS (SELECT sum(s::DECIMAL(27,6))::DOUBLE / count(*) AS sm FROM seas)
+SELECT strftime(det.bucket, '%Y-%m-%d') AS bucket,
+       round(det.observed, 4) AS observed,
+       round(det.trend, 4) AS trend,
+       round(seas.s - sm.sm, 4) AS seasonal,
+       round(det.observed - det.trend - (seas.s - sm.sm), 4) AS residual
+FROM det JOIN seas USING (pos) CROSS JOIN sm
+"""
+
+QUERIES.update({"seasonal_decompose": q_seasonal_decompose})
+ORACLES.update({"seasonal_decompose": SQL_SEASONAL_DECOMPOSE})

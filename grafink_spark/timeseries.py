@@ -258,3 +258,74 @@ def session_window_agg(
             "sum_value",
         )
     )
+
+
+def seasonal_decompose(
+    events: DataFrame,
+    ts: str = "ts",
+    value: str = "value",
+    period: int = 7,
+    bucket: str = "day",
+) -> DataFrame:
+    """Classical additive seasonal decomposition of a bucketed series:
+
+      observed = trend + seasonal + residual
+
+    - ``observed``: per-bucket sum of ``value``;
+    - ``trend``: centered ``period``-bucket moving average (edge
+      buckets with an incomplete window keep their partial average —
+      documented, deterministic);
+    - ``seasonal``: mean detrended value per position-in-period
+      (day-of-week for period=7), re-centered to sum to zero;
+    - ``residual``: the rest.
+
+    Plan/scale: one bucket aggregation (map-side combined), one
+    ordered window over the BUCKETED series (thousands of rows, not
+    events — the window never touches raw data), one tiny
+    period-sized aggregate joined back. All window frames are
+    ROWS-bounded → single sort, no point collapsing."""
+    # every aggregate sums DECIMAL addends then divides doubles: exact,
+    # order-independent sums make trend/seasonal engine-identical (a
+    # double avg differs between Spark's sliding frames and another
+    # engine's segment trees in the last ulps)
+    dec = "decimal(27,6)"
+    b = events.groupBy(F.date_trunc(bucket, F.col(ts)).alias("bucket")).agg(
+        F.sum(F.col(value).cast(dec)).cast("double").alias("observed")
+    )
+    half = period // 2
+    w = Window.orderBy("bucket").rowsBetween(-half, half)
+    trend = (
+        F.sum(F.col("observed").cast(dec)).over(w).cast("double")
+        / F.count(F.lit(1)).over(w)
+    )
+    t = b.withColumn("trend", trend).withColumn(
+        "pos", F.dayofweek("bucket") if bucket == "day" else F.expr("0")
+    )
+    det = t.withColumn("_d", F.col("observed") - F.col("trend"))
+    seas = det.groupBy("pos").agg(
+        (
+            F.sum(F.col("_d").cast(dec)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("_s")
+    )
+    seas_mean = seas.agg(
+        (
+            F.sum(F.col("_s").cast(dec)).cast("double") / F.count(F.lit(1))
+        ).alias("_sm")
+    )
+    out = (
+        det.join(F.broadcast(seas), "pos")
+        .crossJoin(F.broadcast(seas_mean))
+        .select(
+            "bucket",
+            "observed",
+            "trend",
+            (F.col("_s") - F.col("_sm")).alias("seasonal"),
+            (
+                F.col("observed")
+                - F.col("trend")
+                - (F.col("_s") - F.col("_sm"))
+            ).alias("residual"),
+        )
+    )
+    return out

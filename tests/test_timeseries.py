@@ -171,3 +171,33 @@ def test_session_window_agg_golden(spark):
         (1, "2024-01-01 11:20:01", "2024-01-01 11:50:01", 1, 5.0),
         (2, "2024-01-01 09:00:00", "2024-01-01 09:30:00", 1, 4.0),
     }
+
+
+def test_seasonal_decompose_recovers_weekly_pattern(spark):
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import functions as F
+
+    from grafink_spark.timeseries import seasonal_decompose
+
+    # perfectly additive series: base 100 + day-of-week offset
+    start = datetime(2024, 1, 1)
+    rows = []
+    for d in range(35):
+        day = start + timedelta(days=d)
+        dow = (day.weekday() + 1) % 7  # 0=Sunday
+        rows.append((day, 100.0 + 10.0 * dow))
+    ev = spark.createDataFrame(rows, "ts timestamp, value double")
+    out = seasonal_decompose(ev, period=7, bucket="day").orderBy("bucket").collect()
+    # identity holds everywhere
+    for r in out:
+        assert abs(r.observed - (r.trend + r.seasonal + r.residual)) < 1e-6
+    # interior rows (full centered window): flat trend; residual small
+    # but not zero — edge buckets' partial-window trend biases the
+    # seasonal means slightly (documented behavior)
+    interior = out[3:-3]
+    assert all(abs(r.trend - 130.0) < 1e-6 for r in interior)
+    assert all(abs(r.residual) < 5.0 for r in interior)
+    # seasonal spread matches the injected 10-per-dow offsets (±bias)
+    seas = sorted({round(r.seasonal, 4) for r in interior})
+    assert len(seas) == 7 and abs(max(seas) - min(seas) - 60.0) < 5.0
