@@ -102,6 +102,7 @@ HEADLINE = [
     "priority_exists",
     "kfold_assign",
     "pack_sequences",
+    "seasonal_decompose",
 ]
 
 # Queries whose full row set is large: drain with a `noop`-format write
