@@ -5672,3 +5672,65 @@ FROM det JOIN seas USING (pos) CROSS JOIN sm
 
 QUERIES.update({"seasonal_decompose": q_seasonal_decompose})
 ORACLES.update({"seasonal_decompose": SQL_SEASONAL_DECOMPOSE})
+
+
+def q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-walk-with-restart proximity to the graph's two lowest-id
+    vertices (3 rounds, d=0.85) — the similar-items primitive; replayed
+    round-for-round by the oracle including the seed selection."""
+    from grafink_spark.graph.algorithms import personalized_pagerank
+
+    ev, current = _alertish_events(spark, sf_dir)
+    rule = SimilarityClassifier("rfscore OR objectId", mode="decomposed")
+    loaded = ev.where(F.col("id") % 20 != 0)
+    pairs = rule.classify(loaded, current).select("src", "dst")
+    edges = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    verts = edges.select("src").unionByName(
+        edges.select(F.col("dst").alias("src"))
+    ).distinct()
+    seeds = [r.src for r in verts.orderBy("src").limit(2).collect()]
+    ppr = personalized_pagerank(edges, seeds, iters=3)
+    return ppr.select("id", F.round("rank", 6).alias("rank"))
+
+
+def _ppr_sql(iters: int = 3, damping: float = 0.85) -> str:
+    base_lit = repr(1.0 - damping)
+    d_lit = repr(damping)
+    blocks = []
+    for i in range(1, iters + 1):
+        blocks.append(f"""pr{i} AS (
+  SELECT v.id, {base_lit} * rs.restart + {d_lit} * coalesce(s.x, 0.0) AS rank
+  FROM verts v JOIN rs ON rs.id = v.id
+  LEFT JOIN (SELECT ed.dst, sum(p.rank / ed.deg) AS x
+             FROM ed JOIN pr{i - 1} p ON p.id = ed.src GROUP BY 1) s
+    ON s.dst = v.id
+)""")
+    chain = ",\n".join(blocks)
+    return f"""
+WITH pairs AS ({SQL_SIMILARITY_EDGES}),
+e AS (
+  SELECT src, dst FROM pairs
+  UNION ALL
+  SELECT dst AS src, src AS dst FROM pairs
+),
+verts AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+seeds AS (SELECT id FROM verts ORDER BY id LIMIT 2),
+rs AS (
+  SELECT id, CASE WHEN id IN (SELECT id FROM seeds)
+                  THEN 0.5 ELSE 0.0 END AS restart
+  FROM verts
+),
+deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+ed AS (SELECT e.src, e.dst, d.deg FROM e JOIN deg d USING (src)),
+pr0 AS (SELECT id, restart AS rank FROM rs),
+{chain}
+SELECT id, round(rank, 6) AS rank FROM pr{iters}
+"""
+
+
+SQL_PERSONALIZED_PAGERANK = _ppr_sql()
+
+QUERIES.update({"personalized_pagerank": q_personalized_pagerank})
+ORACLES.update({"personalized_pagerank": SQL_PERSONALIZED_PAGERANK})

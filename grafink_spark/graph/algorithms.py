@@ -397,3 +397,54 @@ def label_propagation(
             .localCheckpoint()
         )
     return labels
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: list[int],
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """(id, rank) after ``iters`` rounds of random-walk-with-restart:
+    the teleport mass returns to the ``seeds`` (uniformly) instead of
+    all vertices — ranks measure proximity TO the seed set, the
+    recommendation / similar-items primitive PageRank's global variant
+    can't express. Same per-round plan as :func:`pagerank` (static
+    edge list pre-partitioned once; each round shuffles only the
+    vertex-sized rank table); the seed indicator is a broadcast-sized
+    literal IN-list."""
+    e = edges.select(
+        F.col(src).alias("_s"), F.col(dst).alias("_d")
+    ).localCheckpoint()
+    verts = (
+        e.select(F.col("_s").alias("id"))
+        .unionByName(e.select(F.col("_d").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = e.groupBy("_s").agg(F.count(F.lit(1)).alias("_deg"))
+    ed = e.join(deg, "_s").repartition("_s").localCheckpoint()
+    n_seeds = float(len(seeds))
+    is_seed = F.col("id").isin(seeds)
+    restart = F.when(is_seed, F.lit(1.0 / n_seeds)).otherwise(F.lit(0.0))
+    pr = verts.withColumn("rank", restart)
+    for _ in range(iters):
+        contrib = (
+            ed.join(pr.withColumnRenamed("id", "_s"), "_s")
+            .groupBy("_d")
+            .agg(F.sum(F.col("rank") / F.col("_deg")).alias("_in"))
+        )
+        pr = (
+            verts.join(contrib, verts["id"] == contrib["_d"], "left")
+            .select(
+                "id",
+                (
+                    (1.0 - damping) * restart
+                    + damping * F.coalesce(F.col("_in"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return pr

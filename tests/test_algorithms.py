@@ -211,3 +211,21 @@ def test_label_propagation_tie_breaks_min_label(spark):
     edges = spark.createDataFrame([(5, 1), (5, 9)], "src long, dst long")
     got = {r.id: r.label for r in label_propagation(edges, iters=1).collect()}
     assert got[5] == 1
+
+
+def test_personalized_pagerank_concentrates_near_seeds(spark):
+    from grafink_spark.graph.algorithms import pagerank, personalized_pagerank
+
+    # two communities bridged by one edge; seed in community A
+    edges_list = [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12), (3, 10)]
+    both = edges_list + [(b, a) for a, b in edges_list]
+    edges = spark.createDataFrame(both, "src long, dst long")
+    ppr = {r.id: r.rank for r in personalized_pagerank(edges, [1], iters=6).collect()}
+    # mass concentrates around the seed's community
+    assert ppr[1] > ppr[10]
+    assert ppr[2] > ppr[11]
+    assert min(ppr.values()) >= 0.0
+    # differs from global pagerank (which is symmetric across the bridge)
+    pr = {r.id: r.rank for r in pagerank(edges, iters=6).collect()}
+    assert abs(pr[2] - pr[11]) < 1e-9  # symmetric globally
+    assert ppr[2] / max(ppr[11], 1e-12) > 2.0  # strongly asymmetric personalized
