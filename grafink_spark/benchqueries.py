@@ -5734,3 +5734,52 @@ SQL_PERSONALIZED_PAGERANK = _ppr_sql()
 
 QUERIES.update({"personalized_pagerank": q_personalized_pagerank})
 ORACLES.update({"personalized_pagerank": SQL_PERSONALIZED_PAGERANK})
+
+
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit of the corpus vocabulary (top-200 tokens): slope
+    near -1 marks a natural frequency distribution — the corpus-health
+    diagnostic; moment sums in decimal so the fit is engine-exact."""
+    from grafink_spark.llm.text import zipf_fit
+
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    out = zipf_fit(docs, top_n=200)
+    return out.select(
+        F.round("slope", 6).alias("slope"),
+        F.round("intercept", 6).alias("intercept"),
+        F.round("r2", 6).alias("r2"),
+        "n_terms",
+    )
+
+
+SQL_ZIPF_FIT = f"""
+WITH c AS (
+  SELECT w, count(*) AS c FROM (
+    SELECT unnest({TOKENS_SQL}) AS w FROM documents
+  ) GROUP BY 1
+),
+top AS (
+  SELECT ln(row_number() OVER (ORDER BY c DESC, w ASC)::DOUBLE) AS x,
+         ln(c::DOUBLE) AS y
+  FROM c ORDER BY c DESC, w ASC LIMIT 200
+),
+m AS (
+  SELECT count(*)::DOUBLE AS n,
+         sum(x::DECIMAL(27,15))::DOUBLE AS sx,
+         sum(y::DECIMAL(27,15))::DOUBLE AS sy,
+         sum((x * x)::DECIMAL(27,15))::DOUBLE AS sxx,
+         sum((x * y)::DECIMAL(27,15))::DOUBLE AS sxy,
+         sum((y * y)::DECIMAL(27,15))::DOUBLE AS syy
+  FROM top
+)
+SELECT round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+       round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n,
+             6) AS intercept,
+       round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2,
+       n::BIGINT AS n_terms
+FROM m
+"""
+
+QUERIES.update({"zipf_fit": q_zipf_fit})
+ORACLES.update({"zipf_fit": SQL_ZIPF_FIT})

@@ -186,3 +186,54 @@ def normalize_text(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     stripped = F.regexp_replace(F.lower(c), r"[^a-z0-9\s]", " ")
     return F.trim(F.regexp_replace(stripped, r"\s+", " "))
+
+
+def zipf_fit(
+    df: DataFrame, text_col: str = "text", top_n: int = 200
+) -> DataFrame:
+    """1-row Zipf-law fit of the corpus vocabulary: OLS of
+    ln(frequency) on ln(rank) over the ``top_n`` most frequent tokens
+    — natural corpora slope ≈ −1; a far-off slope flags synthetic,
+    boilerplate-heavy, or truncated-vocabulary data, which makes this a
+    standard corpus-health diagnostic.
+
+    Output: (slope, intercept, r2, n_terms). Plan: one token explode +
+    count shuffle (vocabulary-sized after map-side partials), a
+    top_n rank (TakeOrdered — no global sort), then moment sums over
+    top_n rows with DECIMAL addends so the fit is bit-identical in any
+    engine."""
+    from pyspark.sql import Window
+
+    dec = "decimal(27,15)"
+    counts = (
+        df.select(F.explode(tokens(text_col)).alias("_w"))
+        .groupBy("_w")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    w = Window.orderBy(F.col("_c").desc(), F.col("_w").asc())
+    top = counts.withColumn("_r", F.row_number().over(w)).where(
+        F.col("_r") <= top_n
+    )
+    xy = top.select(
+        F.log(F.col("_r").cast("double")).alias("x"),
+        F.log(F.col("_c").cast("double")).alias("y"),
+    )
+    m = xy.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("x").cast(dec)).cast("double").alias("sx"),
+        F.sum(F.col("y").cast(dec)).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).cast("double").alias("sxx"),
+        F.sum((F.col("x") * F.col("y")).cast(dec)).cast("double").alias("sxy"),
+        F.sum((F.col("y") * F.col("y")).cast(dec)).cast("double").alias("syy"),
+    )
+    n, sx, sy, sxx, sxy, syy = [F.col(c) for c in ("n", "sx", "sy", "sxx", "sxy", "syy")]
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    r_num = n * sxy - sx * sy
+    r2 = (r_num * r_num) / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+    return m.select(
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+        r2.alias("r2"),
+        n.cast("long").alias("n_terms"),
+    )

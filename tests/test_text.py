@@ -97,3 +97,18 @@ def test_normalize_text_golden(spark):
     got = [r.n for r in df.select(normalize_text("t").alias("n")).collect()]
     # case/punct/whitespace variants collapse to the same form
     assert got == ["hello world 42", "hello world 42", ""]
+
+
+def test_zipf_fit_recovers_power_law(spark):
+    from grafink_spark.llm.text import zipf_fit
+
+    # synthesize a corpus whose token frequencies follow freq ∝ 1/rank
+    words = []
+    for r in range(1, 51):
+        words += [f"w{r:03d}"] * (1000 // r)
+    text = " ".join(words)
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    row = zipf_fit(docs, top_n=50).first()
+    assert row.n_terms == 50
+    assert -1.1 < row.slope < -0.9  # power-law exponent ≈ −1
+    assert row.r2 > 0.99
