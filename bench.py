@@ -103,6 +103,8 @@ HEADLINE = [
     "kfold_assign",
     "pack_sequences",
     "seasonal_decompose",
+    "personalized_pagerank",
+    "zipf_fit",
 ]
 
 # Queries whose full row set is large: drain with a `noop`-format write
@@ -159,6 +161,7 @@ NOOP_DRAIN = {
     "phrase_merge",
     "bloom_prefilter",
     "pack_sequences",
+    "personalized_pagerank",
 }
 
 

@@ -119,3 +119,58 @@ def test_kmv_join_estimate_close_on_large_join(spark):
     exact = a.join(b, "k").count()
     est = kmv_join_estimate(a, b, "k", "k", k=256).first().join_est
     assert abs(est - exact) / exact < 0.1  # k=256 → ~1/sqrt(k) ≈ 6%
+
+
+def test_hll_streaming_incremental_merge(spark, tmp_path):
+    """Streaming sketch maintenance: per-microbatch HLL register
+    tables merged across batches equal the full-pass registers — the
+    foreachBatch incremental-sketch recipe."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from grafink_spark.sketches import hll_estimate, hll_merge, hll_registers
+
+    src = str(tmp_path / "ev_src")
+    os.makedirs(src, exist_ok=True)
+    full = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "event_type", "user_id"
+    )
+    full.where(F.col("user_id") % 2 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    full.where(F.col("user_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    reg_dir = str(tmp_path / "registers")
+    ckpt = str(tmp_path / "ckpt")
+
+    def process(batch, batch_id):
+        hll_registers(batch, "event_type", "user_id").write.mode(
+            "append"
+        ).parquet(reg_dir)
+
+    q = (
+        spark.readStream.schema("event_type string, user_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    merged = hll_merge("event_type", spark.read.parquet(reg_dir))
+    got = {
+        r.event_type: r.est
+        for r in hll_estimate(merged, "event_type", out="est").collect()
+    }
+    want = {
+        r.event_type: r.est
+        for r in hll_estimate(
+            hll_registers(full, "event_type", "user_id"), "event_type", out="est"
+        ).collect()
+    }
+    assert got == want  # register-exact merge → identical estimates
