@@ -105,6 +105,7 @@ HEADLINE = [
     "seasonal_decompose",
     "personalized_pagerank",
     "zipf_fit",
+    "rolling_median",
 ]
 
 # Queries whose full row set is large: drain with a `noop`-format write
@@ -162,6 +163,7 @@ NOOP_DRAIN = {
     "bloom_prefilter",
     "pack_sequences",
     "personalized_pagerank",
+    "rolling_median",
 }
 
 

@@ -5783,3 +5783,34 @@ FROM m
 
 QUERIES.update({"zipf_fit": q_zipf_fit})
 ORACLES.update({"zipf_fit": SQL_ZIPF_FIT})
+
+
+def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user trailing-1h exact median event value — robust rolling
+    statistic; order statistics are engine-exact by construction."""
+    from grafink_spark.timeseries import rolling_median
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    out = rolling_median(ev, "user_id", span_seconds=3600)
+    return out.select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+        F.round("value", 2).alias("value"),
+        F.round("median_trailing", 6).alias("median_trailing"),
+        "n_trailing",
+    )
+
+
+SQL_ROLLING_MEDIAN = """
+SELECT user_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+       round(value, 2) AS value,
+       round(quantile_cont(value, 0.5) OVER w, 6) AS median_trailing,
+       count(*) OVER w AS n_trailing
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+"""
+
+QUERIES.update({"rolling_median": q_rolling_median})
+ORACLES.update({"rolling_median": SQL_ROLLING_MEDIAN})

@@ -329,3 +329,35 @@ def seasonal_decompose(
         )
     )
     return out
+
+
+def rolling_median(
+    df: DataFrame,
+    key: str,
+    ts: str = "ts",
+    value: str = "value",
+    span_seconds: int = 3600,
+) -> DataFrame:
+    """Per-key trailing-window EXACT median of ``value`` over the
+    preceding ``span_seconds`` — the robust sibling of
+    :func:`rolling_agg`'s mean (one outlier can't drag it).
+
+    Medians are order statistics, not sums, so the result is exactly
+    deterministic under any partitioning or engine — no decimal
+    tricks needed. Plan: one hash shuffle on the key, a RANGE-framed
+    window; the percentile buffer re-collects each frame (O(frame)
+    per row, vs the mean's O(1) sliding update) — the price of
+    exactness; swap percentile for percentile_approx when frames are
+    huge."""
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.unix_timestamp(F.col(ts)))
+        .rangeBetween(-span_seconds, 0)
+    )
+    return df.select(
+        F.col(key),
+        F.col(ts),
+        F.col(value),
+        F.expr(f"percentile({value}, 0.5)").over(w).alias("median_trailing"),
+        F.count(F.lit(1)).over(w).alias("n_trailing"),
+    )

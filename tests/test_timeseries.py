@@ -201,3 +201,19 @@ def test_seasonal_decompose_recovers_weekly_pattern(spark):
     # seasonal spread matches the injected 10-per-dow offsets (±bias)
     seas = sorted({round(r.seasonal, 4) for r in interior})
     assert len(seas) == 7 and abs(max(seas) - min(seas) - 60.0) < 5.0
+
+
+def test_rolling_median_robust_to_outlier(spark):
+    from datetime import datetime, timedelta
+
+    from grafink_spark.timeseries import rolling_median
+
+    base = datetime(2024, 1, 1, 12, 0, 0)
+    rows = [(1, base + timedelta(minutes=i), 10.0) for i in range(5)]
+    rows.append((1, base + timedelta(minutes=5), 1000.0))  # outlier
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    out = sorted(rolling_median(ev, "user_id").collect(), key=lambda r: r.ts)
+    # after the outlier arrives the trailing MEDIAN stays 10 (the mean
+    # would jump to ~175)
+    assert out[-1].median_trailing == 10.0
+    assert out[-1].n_trailing == 6
