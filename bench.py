@@ -106,6 +106,7 @@ HEADLINE = [
     "personalized_pagerank",
     "zipf_fit",
     "rolling_median",
+    "linear_attribution",
 ]
 
 # Queries whose full row set is large: drain with a `noop`-format write

@@ -5814,3 +5814,48 @@ WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
 
 QUERIES.update({"rolling_median": q_rolling_median})
 ORACLES.update({"rolling_median": SQL_ROLLING_MEDIAN})
+
+
+def q_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch linear attribution: each purchase's value split
+    across the user's clicks in the preceding hour (banded interval
+    join — no theta join), rolled up per touch event."""
+    from grafink_spark.timeseries import linear_attribution
+
+    ev = load_table(spark, sf_dir, "events")
+    out = linear_attribution(ev, window_seconds=3600)
+    return out.select(
+        "event_id",
+        F.round("attributed_value", 4).alias("attributed_value"),
+        "n_conversions",
+    )
+
+
+SQL_LINEAR_ATTRIBUTION = """
+WITH conv AS (
+  SELECT user_id, event_id AS cid, CAST(floor(epoch(ts)) AS BIGINT) AS cts,
+         value AS cval
+  FROM events WHERE event_type = 'purchase'
+),
+tch AS (
+  SELECT user_id, event_id AS tid, CAST(floor(epoch(ts)) AS BIGINT) AS tts
+  FROM events WHERE event_type = 'click'
+),
+pairs AS (
+  SELECT c.cid, c.cval, t.tid
+  FROM conv c JOIN tch t
+    ON c.user_id = t.user_id
+   AND t.tts <= c.cts AND t.tts >= c.cts - 3600
+),
+shares AS (
+  SELECT tid, cval / count(*) OVER (PARTITION BY cid) AS share
+  FROM pairs
+)
+SELECT tid AS event_id,
+       round(sum(share::DECIMAL(27,9))::DOUBLE, 4) AS attributed_value,
+       count(*) AS n_conversions
+FROM shares GROUP BY tid
+"""
+
+QUERIES.update({"linear_attribution": q_linear_attribution})
+ORACLES.update({"linear_attribution": SQL_LINEAR_ATTRIBUTION})

@@ -361,3 +361,71 @@ def rolling_median(
         F.expr(f"percentile({value}, 0.5)").over(w).alias("median_trailing"),
         F.count(F.lit(1)).over(w).alias("n_trailing"),
     )
+
+
+def linear_attribution(
+    events: DataFrame,
+    conversion: str = "purchase",
+    touch: str = "click",
+    window_seconds: int = 3600,
+    key: str = "user_id",
+    ts: str = "ts",
+    stage_col: str = "event_type",
+    value: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Multi-touch linear attribution: each conversion's value splits
+    equally across the user's ``touch`` events in the preceding
+    ``window_seconds`` (inclusive); output is per-touch attributed
+    revenue. Conversions with no in-window touch contribute nothing
+    (they'd go to a "direct" bucket upstream).
+
+    Plan/scale: one banded interval join (each side bucketed by
+    floor(ts/window), touch probes its own and the next bucket — the
+    same exhaustive ±bucket trick as range_join, never a theta join),
+    then one count window per conversion and a per-touch rollup. All
+    shuffles are keyed; the pair space is bounded by touches ×
+    conversions per (user, window-bucket)."""
+    conv = events.where(F.col(stage_col) == conversion).select(
+        F.col(key).alias("_k"),
+        F.col(id_col).alias("_cid"),
+        F.unix_timestamp(ts).alias("_cts"),
+        F.col(value).alias("_cval"),
+    )
+    tch = events.where(F.col(stage_col) == touch).select(
+        F.col(key).alias("_k"),
+        F.col(id_col).alias("_tid"),
+        F.unix_timestamp(ts).alias("_tts"),
+    )
+    conv_b = conv.select(
+        "*",
+        F.explode(
+            F.array(
+                (F.floor(F.col("_cts") / window_seconds) - 1).cast("long"),
+                F.floor(F.col("_cts") / window_seconds).cast("long"),
+            )
+        ).alias("_b"),
+    )
+    tch_b = tch.withColumn(
+        "_b", F.floor(F.col("_tts") / window_seconds).cast("long")
+    )
+    pairs = (
+        conv_b.join(tch_b, ["_k", "_b"])
+        .where(
+            (F.col("_tts") <= F.col("_cts"))
+            & (F.col("_tts") >= F.col("_cts") - window_seconds)
+        )
+        .select("_k", "_cid", "_cval", "_tid")
+    )
+    w = Window.partitionBy("_cid")
+    share = (F.col("_cval") / F.count(F.lit(1)).over(w)).alias("_share")
+    return (
+        pairs.select("_k", "_tid", share)
+        .groupBy(F.col("_tid").alias(id_col))
+        .agg(
+            F.sum(F.col("_share").cast("decimal(27,9)"))
+            .cast("double")
+            .alias("attributed_value"),
+            F.count(F.lit(1)).alias("n_conversions"),
+        )
+    )

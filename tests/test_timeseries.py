@@ -217,3 +217,30 @@ def test_rolling_median_robust_to_outlier(spark):
     # would jump to ~175)
     assert out[-1].median_trailing == 10.0
     assert out[-1].n_trailing == 6
+
+
+def test_linear_attribution_splits_value(spark):
+    from datetime import datetime, timedelta
+
+    from grafink_spark.timeseries import linear_attribution
+
+    base = datetime(2024, 1, 1, 12, 0, 0)
+    ev = spark.createDataFrame(
+        [
+            # two clicks inside the hour before the purchase → 50/50
+            (1, 1, base - timedelta(minutes=30), "click", 0.0),
+            (2, 1, base - timedelta(minutes=10), "click", 0.0),
+            (3, 1, base, "purchase", 100.0),
+            # a click OUTSIDE the window gets nothing
+            (4, 1, base - timedelta(hours=2), "click", 0.0),
+            # user 2: single click takes the full value
+            (5, 2, base - timedelta(minutes=5), "click", 0.0),
+            (6, 2, base, "purchase", 60.0),
+        ],
+        "event_id long, user_id long, ts timestamp, event_type string, value double",
+    )
+    got = {
+        r.event_id: (r.attributed_value, r.n_conversions)
+        for r in linear_attribution(ev).collect()
+    }
+    assert got == {1: (50.0, 1), 2: (50.0, 1), 5: (60.0, 1)}
