@@ -107,6 +107,7 @@ HEADLINE = [
     "zipf_fit",
     "rolling_median",
     "linear_attribution",
+    "quantized_topk",
 ]
 
 # Queries whose full row set is large: drain with a `noop`-format write

@@ -5859,3 +5859,69 @@ FROM shares GROUP BY tid
 
 QUERIES.update({"linear_attribution": q_linear_attribution})
 ORACLES.update({"linear_attribution": SQL_LINEAR_ATTRIBUTION})
+
+
+def q_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 scalar-quantized ANN: per-dim [min,max] → 0..255 codes,
+    top-3 by centered-code quantized cosine for the 5 lowest vec_ids —
+    the dot and norms are exact integer sums, so the search is
+    engine-exact."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    codes = ss.quantize_embeddings(emb)
+    qc = codes.orderBy("vec_id").limit(5)
+    out = ss.quantized_topk(codes, qc, k=3)
+    return out.select(
+        "query_id", "neighbor_id",
+        F.round("qcos", 6).alias("qcos"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+SQL_QUANTIZED_TOPK = """
+WITH x AS (
+  SELECT vec_id, CAST(i.range AS INT) AS pos,
+         embedding[CAST(i.range AS INT) + 1]::DOUBLE AS x
+  FROM embeddings CROSS JOIN range(0, 64) i
+),
+stats AS (
+  SELECT pos, min(x) AS mn, max(x) AS mx FROM x GROUP BY pos
+),
+codes AS (
+  SELECT vec_id, x.pos,
+         CASE WHEN s.mx > s.mn
+              THEN CAST(round((x.x - s.mn) / (s.mx - s.mn) * 255.0) AS INT)
+              ELSE 0 END AS code
+  FROM x JOIN stats s USING (pos)
+),
+q AS (
+  SELECT vec_id AS query_id, pos, code AS qcode FROM codes
+  WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 5)
+),
+dots AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         sum(CAST(q.qcode - 128 AS BIGINT) * (c.code - 128)) AS qdot
+  FROM q JOIN codes c USING (pos)
+  WHERE c.vec_id <> q.query_id
+  GROUP BY 1, 2
+),
+norms AS (
+  SELECT vec_id, sqrt(sum(CAST(code - 128 AS BIGINT)
+                          * (code - 128))::DOUBLE) AS nrm
+  FROM codes GROUP BY 1
+),
+ranked AS (
+  SELECT d.query_id, d.neighbor_id,
+         d.qdot::DOUBLE / (nq.nrm * nc.nrm) AS qcos,
+         row_number() OVER (PARTITION BY d.query_id
+                            ORDER BY d.qdot::DOUBLE / (nq.nrm * nc.nrm) DESC,
+                                     d.neighbor_id ASC) AS rank
+  FROM dots d
+  JOIN norms nq ON nq.vec_id = d.query_id
+  JOIN norms nc ON nc.vec_id = d.neighbor_id
+)
+SELECT query_id, neighbor_id, round(qcos, 6) AS qcos, rank
+FROM ranked WHERE rank <= 3
+"""
+
+QUERIES.update({"quantized_topk": q_quantized_topk})
+ORACLES.update({"quantized_topk": SQL_QUANTIZED_TOPK})

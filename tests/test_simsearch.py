@@ -235,3 +235,47 @@ def test_ivf_index_append_lands_in_list_partitions(spark, tmp_path):
     assert before <= after
     n = spark.read.parquet(path + "/vectors").count()
     assert n == emb.count()
+
+
+def test_quantized_topk_close_to_exact(spark):
+    from grafink_spark.llm.simsearch import (
+        brute_force_topk,
+        quantize_embeddings,
+        quantized_topk,
+    )
+    from grafink_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    codes = quantize_embeddings(emb)
+    qc = codes.orderBy("vec_id").limit(5)
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in quantized_topk(codes, qc, k=5).collect()
+    }
+    queries = emb.orderBy("vec_id").limit(5)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+    # int8 quantization keeps most of the neighborhood (recall@5 >= 0.5
+    # on random unit-ish vectors; qdot ranks by un-normalized dot, so
+    # it's an approximation of cosine order, not a bit-match)
+    overlap = len(approx & exact) / len(exact)
+    assert overlap >= 0.5
+
+
+def test_quantize_codes_range_and_determinism(spark):
+    from grafink_spark.llm.simsearch import quantize_embeddings
+    from pyspark.sql import functions as F
+    from grafink_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    codes = quantize_embeddings(emb)
+    mm = codes.select(
+        F.min(F.array_min("codes")).alias("lo"),
+        F.max(F.array_max("codes")).alias("hi"),
+    ).first()
+    assert mm.lo == 0 and mm.hi == 255
+    a = {r.vec_id: r.codes for r in codes.collect()}
+    b = {r.vec_id: r.codes for r in quantize_embeddings(emb.repartition(13)).collect()}
+    assert a == b  # partitioning-independent codes
