@@ -5925,3 +5925,112 @@ FROM ranked WHERE rank <= 3
 
 QUERIES.update({"quantized_topk": q_quantized_topk})
 ORACLES.update({"quantized_topk": SQL_QUANTIZED_TOPK})
+
+
+def q_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase's full value goes to the
+    user's most recent click at-or-before it — the asof_join composed
+    into the attribution rollup (linear_attribution's winner-takes-all
+    sibling)."""
+    from grafink_spark.ops import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    matched = asof_join(
+        purchases, clicks, on="user_id", ts="ts",
+        right_cols=["event_id"], suffix="_click",
+    ).where(F.col("event_id_click").isNotNull())
+    return (
+        matched.groupBy(F.col("event_id_click").alias("event_id"))
+        .agg(
+            F.sum(F.col("value").cast("decimal(27,6)"))
+            .cast("double")
+            .alias("attributed_value"),
+            F.count(F.lit(1)).alias("n_conversions"),
+        )
+        .select(
+            "event_id",
+            F.round("attributed_value", 4).alias("attributed_value"),
+            "n_conversions",
+        )
+    )
+
+
+SQL_LAST_TOUCH_ATTRIBUTION = """
+WITH p AS (SELECT event_id, user_id, ts, value FROM events
+           WHERE event_type = 'purchase'),
+c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+ranked AS (
+  SELECT p.event_id AS pid, p.value, c.event_id AS tid,
+         row_number() OVER (
+           PARTITION BY p.event_id
+           ORDER BY c.ts DESC, c.event_id DESC
+         ) AS rn
+  FROM p JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts
+)
+SELECT tid AS event_id,
+       round(sum(value::DECIMAL(27,6))::DOUBLE, 4) AS attributed_value,
+       count(*) AS n_conversions
+FROM ranked WHERE rn = 1 GROUP BY tid
+"""
+
+QUERIES.update({"last_touch_attribution": q_last_touch_attribution})
+ORACLES.update({"last_touch_attribution": SQL_LAST_TOUCH_ATTRIBUTION})
+
+
+def q_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anomalous days: buckets whose decomposition residual exceeds 1.5
+    population standard deviations — the detect step on top of
+    seasonal_decompose, with the variance from decimal moment sums so
+    the threshold (and thus the flagged set) is engine-exact."""
+    from grafink_spark.timeseries import seasonal_decompose
+
+    ev = load_table(spark, sf_dir, "events")
+    dec = seasonal_decompose(ev, period=7, bucket="day")
+    d27 = "decimal(27,9)"
+    mom = dec.agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.sum(F.col("residual").cast(d27)).cast("double").alias("_s"),
+        F.sum((F.col("residual") * F.col("residual")).cast(d27))
+        .cast("double")
+        .alias("_ss"),
+    )
+    sd = F.sqrt(
+        (F.col("_ss") - F.col("_s") * F.col("_s") / F.col("_n")) / F.col("_n")
+    )
+    return (
+        dec.crossJoin(F.broadcast(mom))
+        .where(F.abs(F.col("residual")) > 1.5 * sd)
+        .select(
+            F.date_format("bucket", "yyyy-MM-dd").alias("bucket"),
+            F.round("observed", 4).alias("observed"),
+            F.round("residual", 4).alias("residual"),
+        )
+    )
+
+
+SQL_SEASONAL_ANOMALIES = f"""
+WITH dec AS ({SQL_SEASONAL_DECOMPOSE.replace("round(det.observed, 4) AS observed",
+    "det.observed AS observed").replace("round(det.trend, 4) AS trend",
+    "det.trend AS trend").replace("round(seas.s - sm.sm, 4) AS seasonal",
+    "seas.s - sm.sm AS seasonal").replace(
+    "round(det.observed - det.trend - (seas.s - sm.sm), 4) AS residual",
+    "det.observed - det.trend - (seas.s - sm.sm) AS residual")}),
+mom AS (
+  SELECT count(*)::DOUBLE AS n,
+         sum(residual::DECIMAL(27,9))::DOUBLE AS s,
+         sum((residual * residual)::DECIMAL(27,9))::DOUBLE AS ss
+  FROM dec
+)
+SELECT bucket, round(observed, 4) AS observed, round(residual, 4) AS residual
+FROM dec CROSS JOIN mom
+WHERE abs(residual) > 1.5 * sqrt((ss - s * s / n) / n)
+"""
+
+QUERIES.update({"seasonal_anomalies": q_seasonal_anomalies})
+ORACLES.update({"seasonal_anomalies": SQL_SEASONAL_ANOMALIES})
