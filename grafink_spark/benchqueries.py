@@ -6034,3 +6034,56 @@ WHERE abs(residual) > 1.5 * sqrt((ss - s * s / n) / n)
 
 QUERIES.update({"seasonal_anomalies": q_seasonal_anomalies})
 ORACLES.update({"seasonal_anomalies": SQL_SEASONAL_ANOMALIES})
+
+
+def q_closeness_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded closeness centrality for the 3 lowest-id vertices via
+    ONE multi-source BFS (k seeds, same round count as one) — integer
+    distance sums make it engine-exact."""
+    from grafink_spark.graph.algorithms import closeness_centrality
+
+    ev, current = _alertish_events(spark, sf_dir)
+    rule = SimilarityClassifier("rfscore OR objectId", mode="decomposed")
+    loaded = ev.where(F.col("id") % 20 != 0)
+    pairs = rule.classify(loaded, current).select("src", "dst")
+    edges = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    verts = edges.select("src").unionByName(
+        edges.select(F.col("dst").alias("src"))
+    ).distinct()
+    seeds = [r.src for r in verts.orderBy("src").limit(3).collect()]
+    out = closeness_centrality(edges, seeds, max_hops=4)
+    return out.select(
+        "seed", "n_reached", F.round("closeness", 6).alias("closeness")
+    )
+
+
+SQL_CLOSENESS_CENTRALITY = f"""
+WITH RECURSIVE pairs AS ({SQL_SIMILARITY_EDGES}),
+e AS (
+  SELECT src, dst FROM pairs
+  UNION ALL
+  SELECT dst AS src, src AS dst FROM pairs
+),
+verts AS (
+  SELECT DISTINCT id FROM (
+    SELECT src AS id FROM e UNION ALL SELECT dst FROM e
+  )
+),
+seeds AS (SELECT id AS seed FROM verts ORDER BY id LIMIT 3),
+bfs (seed, id, dist) AS (
+  SELECT seed, seed, 0 FROM seeds
+  UNION
+  SELECT bfs.seed, e.dst, bfs.dist + 1
+  FROM bfs JOIN e ON e.src = bfs.id
+  WHERE bfs.dist < 4
+),
+d AS (SELECT seed, id, min(dist) AS dist FROM bfs GROUP BY 1, 2)
+SELECT seed, count(*) + 1 AS n_reached,
+       round(count(*)::DOUBLE / sum(dist)::DOUBLE, 6) AS closeness
+FROM d WHERE dist > 0 GROUP BY seed
+"""
+
+QUERIES.update({"closeness_centrality": q_closeness_centrality})
+ORACLES.update({"closeness_centrality": SQL_CLOSENESS_CENTRALITY})

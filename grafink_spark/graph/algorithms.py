@@ -448,3 +448,65 @@ def personalized_pagerank(
             .localCheckpoint()
         )
     return pr
+
+
+def multi_source_bfs(
+    edges: DataFrame,
+    sources: list[int],
+    max_hops: int = 6,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """(seed, id, dist) hop distances from EVERY seed at once — one
+    frontier carries (seed, vertex) pairs, so k seeds cost the same
+    number of rounds as one (each hop is still ONE equi join + one
+    anti-join, just on a frontier ≤ k× wider). The basis for sampled
+    closeness/harmonic centrality, reachability audits, and
+    multi-query shortest-hop lookups."""
+    spark = edges.sparkSession
+    e = edges.select(
+        F.col(src).alias("_s"), F.col(dst).alias("_d")
+    ).distinct()
+    e = e.repartition("_s").localCheckpoint()
+    seen = spark.createDataFrame(
+        [(int(s), int(s), 0) for s in sources], "seed long, id long, dist int"
+    )
+    frontier = seen
+    for h in range(1, max_hops + 1):
+        nxt = (
+            e.join(frontier.select("seed", F.col("id").alias("_s")), "_s")
+            .select("seed", F.col("_d").alias("id"))
+            .distinct()
+            .join(seen.select("seed", "id"), ["seed", "id"], "left_anti")
+            .withColumn("dist", F.lit(h))
+            .localCheckpoint()
+        )
+        if not nxt.take(1):
+            break
+        seen = seen.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    return seen
+
+
+def closeness_centrality(
+    edges: DataFrame,
+    sources: list[int],
+    max_hops: int = 6,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """(seed, n_reached, closeness): bounded closeness centrality for
+    the seed set — closeness = (n_reached − 1) / Σ dist over vertices
+    within ``max_hops``. Exact integer distance sums → engine-exact."""
+    d = multi_source_bfs(edges, sources, max_hops, src, dst)
+    return (
+        d.where(F.col("dist") > 0)
+        .groupBy("seed")
+        .agg(
+            (F.count(F.lit(1)) + 1).alias("n_reached"),
+            (
+                F.count(F.lit(1)).cast("double")
+                / F.sum("dist").cast("double")
+            ).alias("closeness"),
+        )
+    )

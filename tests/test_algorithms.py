@@ -229,3 +229,37 @@ def test_personalized_pagerank_concentrates_near_seeds(spark):
     pr = {r.id: r.rank for r in pagerank(edges, iters=6).collect()}
     assert abs(pr[2] - pr[11]) < 1e-9  # symmetric globally
     assert ppr[2] / max(ppr[11], 1e-12) > 2.0  # strongly asymmetric personalized
+
+
+def test_multi_source_bfs_matches_single_source(spark):
+    from grafink_spark.graph.algorithms import bfs_distances, multi_source_bfs
+
+    edges_list = [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)]
+    both = edges_list + [(b, a) for a, b in edges_list]
+    edges = spark.createDataFrame(both, "src long, dst long")
+    multi = {
+        (r.seed, r.id): r.dist
+        for r in multi_source_bfs(edges, [1, 10], max_hops=6).collect()
+    }
+    for seed in (1, 10):
+        single = {
+            r.id: r.dist for r in bfs_distances(edges, seed, max_hops=6).collect()
+        }
+        assert {i: d for (s, i), d in multi.items() if s == seed} == single
+    # components stay separate
+    assert (1, 10) not in multi and (10, 1) not in multi
+
+
+def test_closeness_centrality_golden(spark):
+    from grafink_spark.graph.algorithms import closeness_centrality
+
+    # path graph 1-2-3-4-5: from seed 3 (center) dists 1,1,2,2 → 4/6;
+    # from seed 1 (end) dists 1,2,3,4 → 4/10
+    edges_list = [(1, 2), (2, 3), (3, 4), (4, 5)]
+    both = edges_list + [(b, a) for a, b in edges_list]
+    edges = spark.createDataFrame(both, "src long, dst long")
+    got = {
+        r.seed: (r.n_reached, round(r.closeness, 6))
+        for r in closeness_centrality(edges, [1, 3], max_hops=6).collect()
+    }
+    assert got == {1: (5, round(4 / 10, 6)), 3: (5, round(4 / 6, 6))}
