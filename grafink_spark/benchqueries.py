@@ -6087,3 +6087,82 @@ FROM d WHERE dist > 0 GROUP BY seed
 
 QUERIES.update({"closeness_centrality": q_closeness_centrality})
 ORACLES.update({"closeness_centrality": SQL_CLOSENESS_CENTRALITY})
+
+
+def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the similarity graph: Pearson
+    correlation of endpoint degrees over all directed edge instances —
+    positive = hubs link hubs (social-like), negative = hub-leaf
+    (star-like). Decimal moment sums → engine-exact coefficient."""
+    ev, current = _alertish_events(spark, sf_dir)
+    rule = SimilarityClassifier("rfscore OR objectId", mode="decomposed")
+    loaded = ev.where(F.col("id") % 20 != 0)
+    pairs = rule.classify(loaded, current).select("src", "dst")
+    e = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    xy = (
+        e.join(deg.withColumnRenamed("src", "src").withColumnRenamed("deg", "dx"), "src")
+        .join(
+            deg.select(F.col("src").alias("dst"), F.col("deg").alias("dy")),
+            "dst",
+        )
+        .select(
+            F.col("dx").cast("double").alias("x"),
+            F.col("dy").cast("double").alias("y"),
+        )
+    )
+    d27 = "decimal(27,6)"
+    m = xy.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("x").cast(d27)).cast("double").alias("sx"),
+        F.sum(F.col("y").cast(d27)).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast(d27)).cast("double").alias("sxx"),
+        F.sum((F.col("x") * F.col("y")).cast(d27)).cast("double").alias("sxy"),
+        F.sum((F.col("y") * F.col("y")).cast(d27)).cast("double").alias("syy"),
+    )
+    n, sx, sy, sxx, sxy, syy = [
+        F.col(c) for c in ("n", "sx", "sy", "sxx", "sxy", "syy")
+    ]
+    r = (n * sxy - sx * sy) / F.sqrt(
+        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    )
+    return m.select(
+        F.round(r, 6).alias("assortativity"),
+        n.cast("long").alias("n_edge_instances"),
+    )
+
+
+SQL_DEGREE_ASSORTATIVITY = f"""
+WITH pairs AS ({SQL_SIMILARITY_EDGES}),
+e AS (
+  SELECT src, dst FROM pairs
+  UNION ALL
+  SELECT dst AS src, src AS dst FROM pairs
+),
+deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+xy AS (
+  SELECT dx.deg::DOUBLE AS x, dy.deg::DOUBLE AS y
+  FROM e
+  JOIN deg dx ON dx.src = e.src
+  JOIN deg dy ON dy.src = e.dst
+),
+m AS (
+  SELECT count(*)::DOUBLE AS n,
+         sum(x::DECIMAL(27,6))::DOUBLE AS sx,
+         sum(y::DECIMAL(27,6))::DOUBLE AS sy,
+         sum((x * x)::DECIMAL(27,6))::DOUBLE AS sxx,
+         sum((x * y)::DECIMAL(27,6))::DOUBLE AS sxy,
+         sum((y * y)::DECIMAL(27,6))::DOUBLE AS syy
+  FROM xy
+)
+SELECT round((n * sxy - sx * sy)
+             / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+         AS assortativity,
+       n::BIGINT AS n_edge_instances
+FROM m
+"""
+
+QUERIES.update({"degree_assortativity": q_degree_assortativity})
+ORACLES.update({"degree_assortativity": SQL_DEGREE_ASSORTATIVITY})
