@@ -6166,3 +6166,78 @@ FROM m
 
 QUERIES.update({"degree_assortativity": q_degree_assortativity})
 ORACLES.update({"degree_assortativity": SQL_DEGREE_ASSORTATIVITY})
+
+
+def q_community_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conductance of each label-propagation community (≥ 50 members):
+    cut / min(vol, vol_rest) over directed edge instances — the
+    standard did-the-clustering-work measure; all-integer arithmetic
+    → engine-exact. Composes the LPA labels with one edge join."""
+    from grafink_spark.graph.algorithms import label_propagation
+
+    ev, current = _alertish_events(spark, sf_dir)
+    rule = SimilarityClassifier("rfscore OR objectId", mode="decomposed")
+    loaded = ev.where(F.col("id") % 20 != 0)
+    pairs = rule.classify(loaded, current).select("src", "dst")
+    e = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    labels = label_propagation(pairs, iters=2)
+    tagged = e.join(
+        labels.select(F.col("id").alias("src"), F.col("label").alias("_ls")),
+        "src",
+    ).join(
+        labels.select(F.col("id").alias("dst"), F.col("label").alias("_ld")),
+        "dst",
+    )
+    per = tagged.groupBy(F.col("_ls").alias("community")).agg(
+        F.count(F.lit(1)).alias("vol"),
+        F.sum((F.col("_ls") != F.col("_ld")).cast("long")).alias("cut"),
+    )
+    total = per.agg(F.sum("vol").alias("_tv"))
+    return (
+        per.crossJoin(F.broadcast(total))
+        .where(F.col("vol") >= 50)
+        .select(
+            "community",
+            "vol",
+            "cut",
+            F.round(
+                F.col("cut").cast("double")
+                / F.least(F.col("vol"), F.col("_tv") - F.col("vol")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("conductance"),
+        )
+    )
+
+
+SQL_COMMUNITY_CONDUCTANCE = f"""
+WITH l AS ({SQL_LABEL_PROPAGATION}),
+p2 AS ({SQL_SIMILARITY_EDGES}),
+e AS (
+  SELECT src, dst FROM p2
+  UNION ALL
+  SELECT dst AS src, src AS dst FROM p2
+),
+tagged AS (
+  SELECT ls.label AS community, ld.label AS dlabel
+  FROM e
+  JOIN l ls ON ls.id = e.src
+  JOIN l ld ON ld.id = e.dst
+),
+per AS (
+  SELECT community, count(*) AS vol,
+         sum(CASE WHEN community <> dlabel THEN 1 ELSE 0 END) AS cut
+  FROM tagged GROUP BY 1
+),
+tot AS (SELECT sum(vol) AS tv FROM per)
+SELECT community, vol, cut,
+       round(cut::DOUBLE / least(vol, tot.tv - vol)::DOUBLE, 6) AS conductance
+FROM per CROSS JOIN tot
+WHERE vol >= 50
+"""
+
+QUERIES.update({"community_conductance": q_community_conductance})
+ORACLES.update({"community_conductance": SQL_COMMUNITY_CONDUCTANCE})
