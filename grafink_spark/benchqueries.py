@@ -4438,7 +4438,9 @@ def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     + gap (Spark's half-open merge semantics)."""
     from grafink_spark.timeseries import session_window_agg
 
-    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", F.col("value").cast("decimal(27,6)").alias("value")
+    )
     out = session_window_agg(ev, gap="30 minutes")
     fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
     return out.select(
@@ -4446,7 +4448,7 @@ def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("session_start", fmt).alias("session_start"),
         F.date_format("session_end", fmt).alias("session_end"),
         "n_events",
-        F.round("sum_value", 2).alias("sum_value"),
+        F.round("sum_value", 2).cast("double").alias("sum_value"),
     )
 
 
@@ -4470,7 +4472,7 @@ SELECT user_id,
        strftime(MAX(ts) + INTERVAL 30 MINUTE,
                 '%Y-%m-%d %H:%M:%S.%f') AS session_end,
        COUNT(*) AS n_events,
-       ROUND(SUM(value), 2) AS sum_value
+       ROUND(SUM(value::DECIMAL(27,6)), 2)::DOUBLE AS sum_value
 FROM s GROUP BY user_id, seq
 """
 
@@ -5432,13 +5434,13 @@ def _bloom_sql(m_bits: int = 4096, hashes: int = 3) -> str:
         for j in range(hashes)
     )
     checks = " AND ".join(
-        f"(a[CAST(({h('l_partkey', j)}) / 32 AS INT) + 1]"
+        f"(a[CAST(({h('l_partkey', j)}) // 32 AS INT) + 1]"
         f" & (1::BIGINT << CAST(({h('l_partkey', j)}) % 32 AS INT))) != 0"
         for j in range(hashes)
     )
     return f"""
 WITH bits AS (
-  SELECT CAST(bit / 32 AS INT) AS word,
+  SELECT CAST(bit // 32 AS INT) AS word,
          bit_or(1::BIGINT << CAST(bit % 32 AS INT)) AS mask
   FROM (SELECT DISTINCT bit FROM ({small_bits}))
   GROUP BY 1
@@ -6101,9 +6103,11 @@ def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = pairs.unionByName(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint()
+    from grafink_spark.ops import decimal_moments
+
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     xy = (
-        e.join(deg.withColumnRenamed("src", "src").withColumnRenamed("deg", "dx"), "src")
+        e.join(deg.withColumnRenamed("deg", "dx"), "src")
         .join(
             deg.select(F.col("src").alias("dst"), F.col("deg").alias("dy")),
             "dst",
@@ -6113,15 +6117,7 @@ def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dy").cast("double").alias("y"),
         )
     )
-    d27 = "decimal(27,6)"
-    m = xy.agg(
-        F.count(F.lit(1)).cast("double").alias("n"),
-        F.sum(F.col("x").cast(d27)).cast("double").alias("sx"),
-        F.sum(F.col("y").cast(d27)).cast("double").alias("sy"),
-        F.sum((F.col("x") * F.col("x")).cast(d27)).cast("double").alias("sxx"),
-        F.sum((F.col("x") * F.col("y")).cast(d27)).cast("double").alias("sxy"),
-        F.sum((F.col("y") * F.col("y")).cast(d27)).cast("double").alias("syy"),
-    )
+    m = decimal_moments(xy, "decimal(27,6)")
     n, sx, sy, sxx, sxy, syy = [
         F.col(c) for c in ("n", "sx", "sy", "sxx", "sxy", "syy")
     ]

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def pagerank(
@@ -452,7 +453,7 @@ def personalized_pagerank(
 
 def multi_source_bfs(
     edges: DataFrame,
-    sources: list[int],
+    sources: list,
     max_hops: int = 6,
     src: str = "src",
     dst: str = "dst",
@@ -468,8 +469,18 @@ def multi_source_bfs(
         F.col(src).alias("_s"), F.col(dst).alias("_d")
     ).distinct()
     e = e.repartition("_s").localCheckpoint()
+    # seed/id typed from the graph's own dst column (long, string, ...)
+    # so string-id graphs work and joins never silently type-coerce
+    id_type = e.schema["_d"].dataType
     seen = spark.createDataFrame(
-        [(int(s), int(s), 0) for s in sources], "seed long, id long, dist int"
+        [(s, s, 0) for s in sources],
+        T.StructType(
+            [
+                T.StructField("seed", id_type),
+                T.StructField("id", id_type),
+                T.StructField("dist", T.IntegerType()),
+            ]
+        ),
     )
     frontier = seen
     for h in range(1, max_hops + 1):
@@ -490,7 +501,7 @@ def multi_source_bfs(
 
 def closeness_centrality(
     edges: DataFrame,
-    sources: list[int],
+    sources: list,
     max_hops: int = 6,
     src: str = "src",
     dst: str = "dst",

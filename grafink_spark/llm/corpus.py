@@ -135,8 +135,11 @@ def assign_shards(
     budget) — the standard offset-bin packing, built on
     :func:`assign_offsets`."""
     out = assign_offsets(df, tokens_col, order_col)
+    # SQL `div` = exact integral division on longs; the double-division
+    # form ((_start / b).cast long) loses integer precision past 2^53
+    # cumulative tokens and can land a boundary doc in the wrong bin
     return out.withColumn(
-        "shard_id", (F.col("_start") / budget_tokens).cast("long")
+        "shard_id", F.expr(f"_start div {int(budget_tokens)}")
     ).drop("_start")
 
 
@@ -162,8 +165,9 @@ def pack_sequences(
     produce no pieces."""
     out = assign_offsets(df, tokens_col, order_col)
     n = F.col(tokens_col)
-    first = (F.col("_start") / seq_len).cast("long")
-    last = ((F.col("_start") + n - 1) / seq_len).cast("long")
+    # exact integral division (SQL `div`) — see assign_shards
+    first = F.expr(f"_start div {int(seq_len)}")
+    last = F.expr(f"(_start + `{tokens_col}` - 1) div {int(seq_len)}")
     exploded = out.where(n > 0).select(
         "*", F.explode(F.sequence(first, last)).alias("seq_id")
     )

@@ -210,22 +210,23 @@ def zipf_fit(
         .groupBy("_w")
         .agg(F.count(F.lit(1)).alias("_c"))
     )
-    w = Window.orderBy(F.col("_c").desc(), F.col("_w").asc())
-    top = counts.withColumn("_r", F.row_number().over(w)).where(
-        F.col("_r") <= top_n
+    # orderBy+limit compiles to TakeOrderedAndProject (per-partition
+    # top-n + driver merge); the rank window then runs over only the
+    # surviving top_n rows. The previous row_number-then-filter form
+    # sorted the ENTIRE vocabulary in one task before discarding it.
+    ord_cols = [F.col("_c").desc(), F.col("_w").asc()]
+    top = (
+        counts.orderBy(*ord_cols)
+        .limit(top_n)
+        .withColumn("_r", F.row_number().over(Window.orderBy(*ord_cols)))
     )
+    from grafink_spark.ops import decimal_moments
+
     xy = top.select(
         F.log(F.col("_r").cast("double")).alias("x"),
         F.log(F.col("_c").cast("double")).alias("y"),
     )
-    m = xy.agg(
-        F.count(F.lit(1)).cast("double").alias("n"),
-        F.sum(F.col("x").cast(dec)).cast("double").alias("sx"),
-        F.sum(F.col("y").cast(dec)).cast("double").alias("sy"),
-        F.sum((F.col("x") * F.col("x")).cast(dec)).cast("double").alias("sxx"),
-        F.sum((F.col("x") * F.col("y")).cast(dec)).cast("double").alias("sxy"),
-        F.sum((F.col("y") * F.col("y")).cast(dec)).cast("double").alias("syy"),
-    )
+    m = decimal_moments(xy, dec)
     n, sx, sy, sxx, sxy, syy = [F.col(c) for c in ("n", "sx", "sy", "sxx", "sxy", "syy")]
     slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
     intercept = (sy - slope * sx) / n

@@ -45,6 +45,10 @@ def asof_join(
     final sort key is the payload itself, so the choice is deterministic
     (a bare (ts, side) ordering would pick whichever equal-ts right row
     the shuffle happened to order last)."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(
+            f"direction must be 'backward' or 'forward', got {direction!r}"
+        )
     right_cols = right_cols or [
         c for c in right.columns if c not in (on, ts)
     ]
@@ -486,3 +490,24 @@ def bloom_prefilter(
             f"shiftleft(cast(1 as bigint), cast(({p}) % 32 as int))) != 0"
         )
     return big.where(F.expr(" AND ".join(checks)))
+
+
+def decimal_moments(xy: DataFrame, dec: str = "decimal(27,6)") -> DataFrame:
+    """1-row moment sums (n, sx, sy, sxx, sxy, syy) over columns
+    ``x``/``y`` with DECIMAL addends — the order-independent base under
+    every OLS / Pearson diagnostic here (``zipf_fit``, degree
+    assortativity, seasonal trend fits). Decimal partial sums make the
+    totals bit-identical across engines and partitionings; the final
+    cast back to double happens once per total, not per row.
+
+    Plan: map-side partial aggregation + a 1-row reduce — no shuffle of
+    the input beyond the single agg exchange."""
+    x, y = F.col("x"), F.col("y")
+    return xy.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x.cast(dec)).cast("double").alias("sx"),
+        F.sum(y.cast(dec)).cast("double").alias("sy"),
+        F.sum((x * x).cast(dec)).cast("double").alias("sxx"),
+        F.sum((x * y).cast(dec)).cast("double").alias("sxy"),
+        F.sum((y * y).cast(dec)).cast("double").alias("syy"),
+    )

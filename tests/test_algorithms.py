@@ -263,3 +263,22 @@ def test_closeness_centrality_golden(spark):
         for r in closeness_centrality(edges, [1, 3], max_hops=6).collect()
     }
     assert got == {1: (5, round(4 / 10, 6)), 3: (5, round(4 / 6, 6))}
+
+
+def test_multi_source_bfs_string_ids(spark):
+    # the frontier schema is typed from the graph's dst column, so
+    # string-id graphs (the shape the similarity/dedup graphs use)
+    # work without int coercion (r2 review finding)
+    from grafink_spark.graph.algorithms import multi_source_bfs
+
+    edges_list = [("a", "b"), ("b", "c"), ("x", "y")]
+    both = edges_list + [(b, a) for a, b in edges_list]
+    edges = spark.createDataFrame(both, "src string, dst string")
+    got = {
+        (r.seed, r.id): r.dist
+        for r in multi_source_bfs(edges, ["a", "x"], max_hops=3).collect()
+    }
+    assert got == {
+        ("a", "a"): 0, ("a", "b"): 1, ("a", "c"): 2,
+        ("x", "x"): 0, ("x", "y"): 1,
+    }

@@ -349,3 +349,13 @@ def test_bloom_prefilter_no_join_in_plan(spark):
     # membership is a literal-array expression — narrow filter, no join
     assert "Join" not in plan
     assert "Exchange" not in plan
+
+
+def test_asof_join_rejects_bad_direction(spark):
+    import pytest as _pytest
+    from grafink_spark.ops import asof_join
+
+    left = spark.createDataFrame([(1, 10)], "k long, ts long")
+    right = spark.createDataFrame([(1, 9, 1.0)], "k long, ts long, v double")
+    with _pytest.raises(ValueError, match="direction"):
+        asof_join(left, right, on="k", direction="Backward")
