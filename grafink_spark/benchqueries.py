@@ -226,6 +226,31 @@ WHERE a.o_orderkey % 2 = 0 AND b.o_orderkey % 2 = 1
 # =================================================================
 
 
+def _similarity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared graph-query preamble: directed similarity pairs
+    (src, dst) from the 'rfscore OR objectId' classifier over
+    alert-shaped events (current batch = id % 20 == 0). One canonical
+    definition — nine graph queries used to inline this block."""
+    ev, current = _alertish_events(spark, sf_dir)
+    rule = SimilarityClassifier("rfscore OR objectId", mode="decomposed")
+    loaded = ev.where(F.col("id") % 20 != 0)
+    return rule.classify(loaded, current).select("src", "dst")
+
+
+def _similarity_edges_undirected(
+    spark: SparkSession, sf_dir: str, checkpoint: bool = False
+) -> DataFrame:
+    """Both directions of every similarity pair — the undirected edge
+    list the graph-algorithm queries run on. ``checkpoint`` cuts the
+    classifier lineage once when the caller fans out over the edges."""
+    pairs = _similarity_pairs(spark, sf_dir)
+    if checkpoint:
+        pairs = pairs.localCheckpoint()
+    return pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+
+
 def q_similarity_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimilarityClassifier ('rfscore OR objectId') over alert-shaped
     events: current batch vs all, id1 > id2 dedup, similarity value =
@@ -2005,13 +2030,7 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph — both directions of each classifier edge."""
     from grafink_spark.graph.algorithms import pagerank
 
-    ev, current = _alertish_events(spark, sf_dir)
-    rule = SimilarityClassifier("rfscore OR objectId", mode="decomposed")
-    loaded = ev.where(F.col("id") % 20 != 0)
-    pairs = rule.classify(loaded, current).select("src", "dst")
-    edges = pairs.unionByName(
-        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    edges = _similarity_edges_undirected(spark, sf_dir)
     pr = pagerank(edges, iters=3)
     return pr.select("id", F.round("rank", 6).alias("rank"))
 
@@ -2028,7 +2047,7 @@ def _pagerank_sql(iters: int = 3, damping: float = 0.85) -> str:
         blocks.append(f"""pr{i} AS (
   SELECT v.id, {base_lit} / nn.c + {d_lit} * coalesce(s.x, 0.0) AS rank
   FROM verts v CROSS JOIN nn
-  LEFT JOIN (SELECT ed.dst, sum(p.rank / ed.deg) AS x
+  LEFT JOIN (SELECT ed.dst, sum((p.rank / ed.deg)::DECIMAL(38,18))::DOUBLE AS x
              FROM ed JOIN pr{i - 1} p ON p.id = ed.src GROUP BY 1) s
     ON s.dst = v.id
 )""")
@@ -3185,16 +3204,8 @@ def q_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     frontier BFS."""
     from grafink_spark.graph.algorithms import bfs_distances
 
-    ev, current = _alertish_events(spark, sf_dir)
-    rule = SimilarityClassifier("rfscore OR objectId", mode="decomposed")
-    loaded = ev.where(F.col("id") % 20 != 0)
-    pairs = (
-        rule.classify(loaded, current).select("src", "dst").localCheckpoint()
-    )
-    edges = pairs.unionByName(
-        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
-    src0 = pairs.agg(F.min(F.least("src", "dst"))).first()[0]
+    edges = _similarity_edges_undirected(spark, sf_dir, checkpoint=True)
+    src0 = edges.agg(F.min(F.least("src", "dst"))).first()[0]
     return bfs_distances(edges, src0, max_hops=4)
 
 
@@ -4564,10 +4575,7 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-break) over the undirected similarity graph."""
     from grafink_spark.graph.algorithms import label_propagation
 
-    ev, current = _alertish_events(spark, sf_dir)
-    rule = SimilarityClassifier("rfscore OR objectId", mode="decomposed")
-    loaded = ev.where(F.col("id") % 20 != 0)
-    pairs = rule.classify(loaded, current).select("src", "dst")
+    pairs = _similarity_pairs(spark, sf_dir)
     return label_propagation(pairs, iters=2)
 
 
@@ -5140,10 +5148,7 @@ def q_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     transitive closure."""
     from grafink_spark.llm.dedup import connected_components
 
-    ev, current = _alertish_events(spark, sf_dir)
-    rule = SimilarityClassifier("rfscore OR objectId", mode="decomposed")
-    loaded = ev.where(F.col("id") % 20 != 0)
-    pairs = rule.classify(loaded, current).select(
+    pairs = _similarity_pairs(spark, sf_dir).select(
         F.col("src").alias("id_a"), F.col("dst").alias("id_b")
     )
     out = connected_components(pairs)
@@ -5272,15 +5277,10 @@ def q_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         "o_totalprice",
     )
-    probes = (
-        orders.select(
-            "o_custkey",
-            (F.col("o_orderdate") + F.expr("INTERVAL 10 DAYS")).alias("pts"),
-        )
-        .groupBy("o_custkey", "pts")
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .drop("_n")
-    )
+    probes = orders.select(
+        "o_custkey",
+        (F.col("o_orderdate") + F.expr("INTERVAL 10 DAYS")).alias("pts"),
+    ).distinct()
     out = asof_join(
         probes, ranges, on="o_custkey", ts="pts",
         right_cols=["o_orderkey", "o_totalprice"], suffix="_v",
@@ -5682,13 +5682,7 @@ def q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     round-for-round by the oracle including the seed selection."""
     from grafink_spark.graph.algorithms import personalized_pagerank
 
-    ev, current = _alertish_events(spark, sf_dir)
-    rule = SimilarityClassifier("rfscore OR objectId", mode="decomposed")
-    loaded = ev.where(F.col("id") % 20 != 0)
-    pairs = rule.classify(loaded, current).select("src", "dst")
-    edges = pairs.unionByName(
-        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    edges = _similarity_edges_undirected(spark, sf_dir)
     verts = edges.select("src").unionByName(
         edges.select(F.col("dst").alias("src"))
     ).distinct()
@@ -5705,7 +5699,7 @@ def _ppr_sql(iters: int = 3, damping: float = 0.85) -> str:
         blocks.append(f"""pr{i} AS (
   SELECT v.id, {base_lit} * rs.restart + {d_lit} * coalesce(s.x, 0.0) AS rank
   FROM verts v JOIN rs ON rs.id = v.id
-  LEFT JOIN (SELECT ed.dst, sum(p.rank / ed.deg) AS x
+  LEFT JOIN (SELECT ed.dst, sum((p.rank / ed.deg)::DECIMAL(38,18))::DOUBLE AS x
              FROM ed JOIN pr{i - 1} p ON p.id = ed.src GROUP BY 1) s
     ON s.dst = v.id
 )""")
@@ -6044,13 +6038,7 @@ def q_closeness_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     distance sums make it engine-exact."""
     from grafink_spark.graph.algorithms import closeness_centrality
 
-    ev, current = _alertish_events(spark, sf_dir)
-    rule = SimilarityClassifier("rfscore OR objectId", mode="decomposed")
-    loaded = ev.where(F.col("id") % 20 != 0)
-    pairs = rule.classify(loaded, current).select("src", "dst")
-    edges = pairs.unionByName(
-        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    edges = _similarity_edges_undirected(spark, sf_dir)
     verts = edges.select("src").unionByName(
         edges.select(F.col("dst").alias("src"))
     ).distinct()
@@ -6096,13 +6084,7 @@ def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     correlation of endpoint degrees over all directed edge instances —
     positive = hubs link hubs (social-like), negative = hub-leaf
     (star-like). Decimal moment sums → engine-exact coefficient."""
-    ev, current = _alertish_events(spark, sf_dir)
-    rule = SimilarityClassifier("rfscore OR objectId", mode="decomposed")
-    loaded = ev.where(F.col("id") % 20 != 0)
-    pairs = rule.classify(loaded, current).select("src", "dst")
-    e = pairs.unionByName(
-        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint()
+    e = _similarity_edges_undirected(spark, sf_dir).localCheckpoint()
     from grafink_spark.ops import decimal_moments
 
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
@@ -6171,10 +6153,7 @@ def q_community_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
     → engine-exact. Composes the LPA labels with one edge join."""
     from grafink_spark.graph.algorithms import label_propagation
 
-    ev, current = _alertish_events(spark, sf_dir)
-    rule = SimilarityClassifier("rfscore OR objectId", mode="decomposed")
-    loaded = ev.where(F.col("id") % 20 != 0)
-    pairs = rule.classify(loaded, current).select("src", "dst")
+    pairs = _similarity_pairs(spark, sf_dir)
     e = pairs.unionByName(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint()

@@ -54,7 +54,18 @@ def pagerank(
         contrib = (
             ed.join(pr.withColumnRenamed("id", "_s"), "_s")
             .groupBy("_d")
-            .agg(F.sum(F.col("rank") / F.col("_deg")).alias("_in"))
+            # decimal addends: a plain double sum is accumulation-order
+            # dependent, so a rank straddling the output rounding
+            # boundary can flip between runs/engines (r2 review: a
+            # confirmed 0.370813-vs-0.370812 oracle mismatch). 18
+            # fractional digits cover the full double mantissa of
+            # sub-1.0 ranks; the per-element double->decimal rounding
+            # is identical in Spark and DuckDB.
+            .agg(
+                F.sum((F.col("rank") / F.col("_deg")).cast("decimal(38,18)"))
+                .cast("double")
+                .alias("_in")
+            )
         )
         pr = (
             verts.join(contrib, verts["id"] == contrib["_d"], "left")
@@ -435,7 +446,18 @@ def personalized_pagerank(
         contrib = (
             ed.join(pr.withColumnRenamed("id", "_s"), "_s")
             .groupBy("_d")
-            .agg(F.sum(F.col("rank") / F.col("_deg")).alias("_in"))
+            # decimal addends: a plain double sum is accumulation-order
+            # dependent, so a rank straddling the output rounding
+            # boundary can flip between runs/engines (r2 review: a
+            # confirmed 0.370813-vs-0.370812 oracle mismatch). 18
+            # fractional digits cover the full double mantissa of
+            # sub-1.0 ranks; the per-element double->decimal rounding
+            # is identical in Spark and DuckDB.
+            .agg(
+                F.sum((F.col("rank") / F.col("_deg")).cast("decimal(38,18)"))
+                .cast("double")
+                .alias("_in")
+            )
         )
         pr = (
             verts.join(contrib, verts["id"] == contrib["_d"], "left")

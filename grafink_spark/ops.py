@@ -447,15 +447,16 @@ def bloom_prefilter(
     slices, OR-ed into an ``m_bits`` bitmap ON THE EXECUTORS (explode →
     distinct bit positions → word OR aggregation); only the ≤ m/64
     set WORDS reach the driver, which folds them into a literal
-    array<long> membership expression — a narrow per-row test with two
-    md5 evaluations and no join, no broadcast variable machinery.
+    array<long> membership expression — a narrow per-row test with ONE
+    md5 evaluation (staged once per row, each check slices its own hex
+    window) and no join, no broadcast variable machinery.
     Deterministic md5 hashing end-to-end, so the surviving row set
     (false positives included) is engine-independent and
     oracle-checkable. Size m_bits ≈ 10× the small side's distinct keys
-    for ~1% false positives; the literal array is m_bits/64 longs
-    (4096 bits → 64 longs — scale m_bits with driver comfort, it's
-    one plan literal; words are 32-bit so shifts stay in-range for
-    any engine's checked arithmetic)."""
+    for ~1% false positives; the literal array is m_bits/32 longs
+    (4096 bits → 128 longs — scale m_bits with driver comfort, it's
+    one constant-folded plan literal; words are 32-bit so shifts stay
+    in-range for any engine's checked arithmetic)."""
     def pos_sql(key: str, j: int) -> str:
         # hash j = hex slice [1+8j, 8+8j) of md5 → 32-bit int → mod m
         return (
@@ -481,15 +482,28 @@ def bloom_prefilter(
     words = [0] * (m_bits // 32)
     for r in bits:
         words[r["_word"]] = r["_bits"]
-    arr_sql = "array(" + ", ".join(f"{w}L" for w in words) + ")"
-    checks = []
-    for j in range(hashes):
-        p = pos_sql(big_key, j)
-        checks.append(
-            f"(element_at({arr_sql}, cast(({p}) / 32 as int) + 1) & "
-            f"shiftleft(cast(1 as bigint), cast(({p}) % 32 as int))) != 0"
+    # one md5 per row, staged; each check slices its own 8 hex chars.
+    # The all-literal array constant-folds to a single plan value
+    # instead of being re-embedded once per check.
+    arr = F.array(*[F.lit(int(w)).cast("long") for w in words])
+    probe = big.withColumn("_bf_h", F.md5(F.col(big_key).cast("string")))
+    pcols = [f"_bf_p{j}" for j in range(hashes)]
+    for j, pc in enumerate(pcols):
+        probe = probe.withColumn(
+            pc,
+            F.conv(F.substring("_bf_h", 1 + 8 * j, 8), 16, 10).cast("bigint")
+            % m_bits,
         )
-    return big.where(F.expr(" AND ".join(checks)))
+    cond = None
+    for pc in pcols:
+        pos = F.col(pc)
+        word = F.element_at(arr, (pos / 32).cast("int") + 1)
+        # F.shiftleft takes a python int for numBits; expr() for the
+        # column-valued shift amount
+        mask = F.expr(f"shiftleft(cast(1 as bigint), cast({pc} % 32 as int))")
+        c = word.bitwiseAND(mask) != 0
+        cond = c if cond is None else (cond & c)
+    return probe.where(cond).drop("_bf_h", *pcols)
 
 
 def decimal_moments(xy: DataFrame, dec: str = "decimal(27,6)") -> DataFrame:

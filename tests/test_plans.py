@@ -457,3 +457,61 @@ def test_new_headline_query_plans_stay_narrow(spark):
         .toString()
     )
     assert "WindowGroupLimit" in cap_plan
+
+
+def test_seventh_batch_query_plans_stay_narrow(spark):
+    """Later round-2 headline queries hold their audited plan shapes.
+    Budgets are the measured exchange counts at authoring time — a
+    regression (extra shuffle, SortAggregate demotion, nested-loop
+    join) fails here before it reaches the bench. The seasonal queries
+    legitimately contain ONE BroadcastNestedLoopJoin: a cross join
+    against a 1-row global-stats aggregate, which is the intended
+    broadcast-scalar pattern, so they get a separate allowance."""
+    import grafink_spark.benchqueries as bq
+
+    sf = "/root/testdata/sf0.001"
+    budgets = {
+        "scd2_lookup": 2,
+        "bloom_prefilter": 0,   # probe side: literal-array filter, no join
+        "zipf_fit": 1,          # vocab count agg; top-n is TakeOrdered
+        "degree_assortativity": 4,
+        "pack_sequences": 0,
+        "shard_packing": 0,
+        "rolling_median": 1,
+        "linear_attribution": 2,
+        "last_touch_attribution": 2,
+        "kfold_assign": 1,
+    }
+    for name, max_ex in budgets.items():
+        plan = (
+            bq.QUERIES[name](spark, sf)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        n_ex = plan.count("Exchange hashpartitioning") + plan.count(
+            "Exchange rangepartitioning"
+        )
+        assert n_ex <= max_ex, f"{name}: {n_ex} exchanges"
+        assert "SortAggregate" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
+    # bloom probe: no join operator at all
+    bloom_plan = (
+        bq.QUERIES["bloom_prefilter"](spark, sf)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in bloom_plan
+    # 1-row-broadcast scalar joins allowed, at the measured counts
+    # (anomalies composes decompose's stats join + two more scalars)
+    for name, max_bnlj in (("seasonal_decompose", 1), ("seasonal_anomalies", 3)):
+        plan = (
+            bq.QUERIES[name](spark, sf)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("BroadcastNestedLoopJoin") <= max_bnlj, name
+        assert "CartesianProduct" not in plan, name
