@@ -1513,7 +1513,16 @@ def q_embedding_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.orderBy("vec_id").limit(5)
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    # key the cached index by the DATA (path + mtime + size), not the
+    # path alone — regenerated testdata under the same sf_dir must not
+    # silently serve a stale index
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = os.stat(src)
+        fp = f"{sf_dir}:{st.st_mtime_ns}:{st.st_size}"
+    except OSError:  # remote URI or moved file: fall back to path-only
+        fp = sf_dir
+    tag = hashlib.md5(fp.encode()).hexdigest()[:10]
     path = os.path.join(tempfile.gettempdir(), f"grafink_ivf_idx_{tag}")
     if not os.path.exists(os.path.join(path, "centroids.json")):
         ss.ivf_write_index(emb, path, nlist=8, iters=1)

@@ -116,7 +116,9 @@ class _Parser:
                 return out
             out.append(self.parse_value(in_array=True))
             self._skip_ws(newlines=False)
-            while self._peek() in ",\n":
+            # explicit EOF guard: "" is a substring of any string, so a
+            # bare `in ",\n"` test spins forever on a truncated array
+            while self._peek() != "" and self._peek() in ",\n":
                 self.i += 1
                 self._skip_ws(newlines=False)
 
@@ -147,7 +149,7 @@ class _Parser:
                 raise self._error("expected a key")
             self._skip_inline_ws()
             c = self._peek()
-            if c in ":=":
+            if c != "" and c in ":=":
                 self.i += 1
                 self._skip_inline_ws()
                 value = self.parse_value(in_array=False)

@@ -464,7 +464,11 @@ def connected_components(
         .localCheckpoint()
     )
     converged = False
-    for _ in range(max_iterations):
+    # +1: convergence is only OBSERVABLE one round after the edge set
+    # stops changing, so a graph whose last change happens on round
+    # max_iterations needs a detection-only extra pass — without it a
+    # correct final labeling would be discarded as "still moving"
+    for _ in range(max_iterations + 1):
         # large-star: every node u links its LARGER neighbors to
         # m = min(Γ(u) ∪ {u})
         both = edges.unionByName(
@@ -662,8 +666,10 @@ def semantic_dedup(
         df, nlist=nlist, iters=iters, vec_col=vec_col, id_col=id_col
     )
     # three consumers (both pair sides + the survivor anti-join) reuse
-    # the assignment — cache it (MEMORY_AND_DISK: spills, never OOMs)
-    assigned = ivf_assign(df, centroids, vec_col).cache()
+    # the assignment — localCheckpoint materializes it once and, unlike
+    # .cache(), its blocks are released when the DataFrame is GC'd
+    # (a cache here leaked one pinned corpus copy per call)
+    assigned = ivf_assign(df, centroids, vec_col).localCheckpoint()
     parts = int(
         df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
     )

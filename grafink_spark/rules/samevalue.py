@@ -31,7 +31,7 @@ bucket, and the join adds the bucket equi-key — each unordered pair is
 still produced exactly once (in src's bucket), but a hot group's pairs
 now spread across ``salt_buckets`` tasks. Hot-key detection is one
 count aggregation (map-side combined) filtered to ``>= hot_threshold``,
-so the collected hot-key list is bounded by |new| / hot_threshold no
+so the collected hot-key list is bounded by (|new|+|old|) / hot_threshold no
 matter how many distinct keys exist, and the hot/cold split is a narrow
 literal predicate (no extra joins). Cold keys keep the plain single-join plan. The same hot set
 salts the new×old join (same quadratic failure mode when a key is hot
@@ -105,8 +105,13 @@ class SameValueClassifier(ClassifierRule):
         # a join-based split would re-execute the count-agg subplan once
         # per semi/anti join (measured 3× on the samevalue bench
         # queries).
+        # count BOTH sides: a key hot only in the loaded/old table still
+        # produces its whole new x old output in one partition if
+        # routing looks at the new side alone
         hot_rows = (
-            new.groupBy("_k")
+            new.select("_k")
+            .unionByName(old.select("_k"))
+            .groupBy("_k")
             .agg(F.count(F.lit(1)).alias("_n"))
             .where(F.col("_n") >= self.hot_threshold)
             .select("_k")
@@ -138,7 +143,7 @@ class SameValueClassifier(ClassifierRule):
         a = new_hot.select(
             "_k",
             F.col("id").alias(SRC),
-            (F.abs(F.hash("id")) % n_buckets).alias("_salt"),
+            F.pmod(F.hash("id"), F.lit(n_buckets)).alias("_salt"),
         ).repartition(n_buckets, "_k", "_salt")
         b = new_hot.select(
             F.col("_k").alias("_k2"), F.col("id").alias(DST)
@@ -159,7 +164,7 @@ class SameValueClassifier(ClassifierRule):
             new_hot.select(
                 "_k",
                 F.col("id").alias(SRC),
-                (F.abs(F.hash("id")) % n_buckets).alias("_salt"),
+                F.pmod(F.hash("id"), F.lit(n_buckets)).alias("_salt"),
             )
             .where(F.col("_k").isNotNull())
             .repartition(n_buckets, "_k", "_salt")

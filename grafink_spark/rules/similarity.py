@@ -198,8 +198,14 @@ class SimilarityClassifier(ClassifierRule):
         if not self.hot_threshold or not eq_cols:
             return project(left.join(right, cond, "inner"))
 
+        # count BOTH sides: a key hot only on the loaded/right side
+        # (100 left rows x 1M right rows) still produces its whole
+        # output in one partition if routing looks at the left alone
+        keys_both = left.select(
+            *[F.col(f"{c}1").alias(c) for c in eq_cols]
+        ).unionByName(right.select(*[F.col(f"{c}2").alias(c) for c in eq_cols]))
         hot = (
-            left.groupBy(*[F.col(f"{c}1") for c in eq_cols])
+            keys_both.groupBy(*eq_cols)
             .agg(F.count(F.lit(1)).alias("_n"))
             .where(F.col("_n") >= self.hot_threshold)
             .collect()
@@ -212,7 +218,7 @@ class SimilarityClassifier(ClassifierRule):
             for r in hot:
                 p = F.lit(True)
                 for c in eq_cols:
-                    v = r[f"{c}1"]
+                    v = r[c]
                     col = F.col(f"{c}{side}")
                     p = p & (col.isNull() if v is None else (col == F.lit(v)))
                 tuples.append(p)
@@ -226,7 +232,9 @@ class SimilarityClassifier(ClassifierRule):
         r_cold = right.where(~F.coalesce(hot_pred(2), F.lit(False)))
         l_hot = (
             left.where(hot_pred(1))
-            .withColumn("_simsalt", (F.abs(F.hash("id1")) % n_buckets))
+            # pmod, not abs-mod: abs(hash)=Int.MinValue overflows under
+            # ANSI (default-on in Spark 4) and goes negative without it
+            .withColumn("_simsalt", F.pmod(F.hash("id1"), F.lit(n_buckets)))
             .repartition(n_buckets, *[f"{c}1" for c in eq_cols], "_simsalt")
         )
         r_hot = right.where(hot_pred(2)).withColumn("_simsalt2", F.explode(salts))

@@ -194,3 +194,16 @@ def test_reference_hocon_config_loads_unmodified(tmp_path):
     assert cfg.graph.vertexLabel == "alert"
     assert cfg.schema["vertexLabels"][0]["name"] == "alert"
     assert cfg.schema["index"]["composite"][0]["name"] == "objectIdIndex"
+
+
+def test_hocon_truncated_inputs_raise():
+    """Truncated/malformed HOCON must raise a parse error, never hang
+    (r2 review: EOF peek returned "" which is a substring of every
+    stop-set, spinning the array loop forever)."""
+    import pytest
+
+    from grafink_spark import hocon
+
+    for bad in ("a = [1, 2", "a = {b = 1", 'a = "x', "a =", "a:"):
+        with pytest.raises(ValueError):
+            hocon.loads(bad)

