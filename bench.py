@@ -108,6 +108,7 @@ HEADLINE = [
     "rolling_median",
     "linear_attribution",
     "quantized_topk",
+    "containment_pairs",
 ]
 
 # Queries whose full row set is large: drain with a `noop`-format write

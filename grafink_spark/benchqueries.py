@@ -906,6 +906,46 @@ FROM j WHERE jaccard_sim >= 0.5
 SQL_JACCARD_PAIRS = _jaccard_pairs_sql()
 
 
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidates verified by DIRECTIONAL 3-shingle containment
+    |A∩B|/|A| ≥ 0.6 on either side — catches a short document embedded
+    in a larger one, which symmetric Jaccard under-scores."""
+    docs = load_table(spark, sf_dir, "documents")
+    cand = dd.minhash_lsh_candidates(docs, num_hashes=16, k=3, bands=4)
+    out = dd.containment_pairs(docs, k=3, threshold=0.6, candidates=cand)
+    return out.select(
+        "id_a",
+        "id_b",
+        F.round("containment_ab", 6).alias("containment_ab"),
+        F.round("containment_ba", 6).alias("containment_ba"),
+    )
+
+
+def _containment_pairs_sql(src: str = "documents") -> str:
+    return f"""
+WITH cand AS ({_lsh_candidates_sql(src)}),
+sh AS (SELECT doc_id, list_distinct(s) AS ds FROM ({_shingles_sql(src)})),
+j AS (
+  SELECT c.id_a, c.id_b,
+         CASE WHEN len(a.ds) > 0
+              THEN len(list_intersect(a.ds, b.ds))::DOUBLE / len(a.ds)
+              ELSE 0.0 END AS c_ab,
+         CASE WHEN len(b.ds) > 0
+              THEN len(list_intersect(a.ds, b.ds))::DOUBLE / len(b.ds)
+              ELSE 0.0 END AS c_ba
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.id_a
+  JOIN sh b ON b.doc_id = c.id_b
+)
+SELECT id_a, id_b, round(c_ab, 6) AS containment_ab,
+       round(c_ba, 6) AS containment_ba
+FROM j WHERE greatest(c_ab, c_ba) >= 0.6
+"""
+
+
+SQL_CONTAINMENT_PAIRS = _containment_pairs_sql()
+
+
 def q_near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over Jaccard-verified near-dup pairs —
     iterative min-label propagation; component_id = min reachable id."""
@@ -2899,6 +2939,7 @@ QUERIES: dict[str, QueryFn] = {
     "minhash_signature": q_minhash_signature,
     "lsh_candidates": q_lsh_candidates,
     "jaccard_pairs": q_jaccard_pairs,
+    "containment_pairs": q_containment_pairs,
     "near_dup_components": q_near_dup_components,
     "drop_near_dups": q_drop_near_dups,
     "simhash": q_simhash,
@@ -2982,6 +3023,7 @@ ORACLES: dict[str, str] = {
     "minhash_signature": SQL_MINHASH_SIGNATURE,
     "lsh_candidates": SQL_LSH_CANDIDATES,
     "jaccard_pairs": SQL_JACCARD_PAIRS,
+    "containment_pairs": SQL_CONTAINMENT_PAIRS,
     "near_dup_components": SQL_NEAR_DUP_COMPONENTS,
     "drop_near_dups": SQL_DROP_NEAR_DUPS,
     "simhash": SQL_SIMHASH,

@@ -251,6 +251,29 @@ def ngram_jaccard_pairs(
     Pair generation is never all-pairs: pass ``candidates`` (id_a, id_b —
     e.g. from minhash_lsh_candidates) or ``block_by`` columns (equi-join
     blocking). Verification joins the shingle arrays back by id."""
+    paired = _paired_shingles(df, text_col, id_col, k, candidates, block_by)
+    return (
+        paired.select(
+            "id_a",
+            "id_b",
+            jaccard(F.col("_sh_a"), F.col("_sh_b")).alias("jaccard_sim"),
+        )
+        .where(F.col("jaccard_sim") >= threshold)
+    )
+
+
+def _paired_shingles(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int,
+    candidates: DataFrame | None,
+    block_by: list[str] | None,
+) -> DataFrame:
+    """Candidate pairs joined back to their distinct k-shingle sets:
+    (id_a, id_b, _sh_a, _sh_b). The shared verify skeleton under
+    ngram_jaccard_pairs / containment_pairs — pairs come from an
+    explicit candidate list or equi-join blocking, never all-pairs."""
     df = ensure_min_partitions(df)
     sh = df.select(
         F.col(id_col).alias("_id"),
@@ -277,24 +300,62 @@ def ngram_jaccard_pairs(
         cond = (F.col("id_a") < F.col("id_b"))
         for c in block_by:
             cond = cond & (F.col(f"_b_{c}") == F.col(f"_b2_{c}"))
-        paired = a.join(b, cond, "inner")
-    else:
-        paired = (
-            candidates.join(
-                sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sh_a")),
-                "id_a",
-            ).join(
-                sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_sh_b")),
-                "id_b",
-            )
+        return a.join(b, cond, "inner")
+    return (
+        candidates.join(
+            sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sh_a")),
+            "id_a",
+        ).join(
+            sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_sh_b")),
+            "id_b",
         )
+    )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.8,
+    candidates: DataFrame | None = None,
+    block_by: list[str] | None = None,
+) -> DataFrame:
+    """Directional containment over distinct k-shingle sets:
+    (id_a, id_b, containment_ab, containment_ba) for candidate pairs
+    where ``max(containment_ab, containment_ba) >= threshold``, with
+    containment_ab = |A ∩ B| / |A|.
+
+    Catches what symmetric Jaccard misses: a short document EMBEDDED in
+    a much larger one (quoted articles, concatenated crawl dumps,
+    boilerplate supersets) has high containment of the small side but
+    arbitrarily low Jaccard, so a Jaccard-thresholded dedup keeps both
+    copies. The standard fix in web-scale corpus cleaning (Broder's
+    containment from the original shingling work).
+
+    Same non-all-pairs contract and plan shape as
+    :func:`ngram_jaccard_pairs`: candidate pairs (LSH buckets or
+    blocking keys) + two id equi-joins back to the shingle sets; the
+    per-pair measure is array_intersect arithmetic — no UDFs."""
+    paired = _paired_shingles(df, text_col, id_col, k, candidates, block_by)
+    inter = F.size(F.array_intersect(F.col("_sh_a"), F.col("_sh_b")))
+    c_ab = F.when(
+        F.size("_sh_a") > 0, inter / F.size("_sh_a")
+    ).otherwise(F.lit(0.0))
+    c_ba = F.when(
+        F.size("_sh_b") > 0, inter / F.size("_sh_b")
+    ).otherwise(F.lit(0.0))
     return (
         paired.select(
             "id_a",
             "id_b",
-            jaccard(F.col("_sh_a"), F.col("_sh_b")).alias("jaccard_sim"),
+            c_ab.alias("containment_ab"),
+            c_ba.alias("containment_ba"),
         )
-        .where(F.col("jaccard_sim") >= threshold)
+        .where(
+            F.greatest(F.col("containment_ab"), F.col("containment_ba"))
+            >= threshold
+        )
     )
 
 

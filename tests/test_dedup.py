@@ -337,3 +337,25 @@ def test_connected_components_boundary_round_converges(spark):
             lo += 1
             assert lo <= 20
     assert got == want
+
+
+def test_containment_catches_embedded_document(spark):
+    """A short doc embedded verbatim in a much larger one: containment
+    of the small side is 1.0 while Jaccard is far below any dedup
+    threshold — the case the directional measure exists for."""
+    from grafink_spark.llm.dedup import containment_pairs, ngram_jaccard_pairs
+
+    small = "alpha beta gamma delta epsilon"
+    big = small + " " + " ".join(f"w{i}" for i in range(60))
+    docs = spark.createDataFrame(
+        [(1, small), (2, big)], "doc_id long, text string"
+    )
+    cand = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    cont = containment_pairs(docs, threshold=0.9, candidates=cand).collect()
+    assert len(cont) == 1
+    assert cont[0].containment_ab == 1.0  # small fully inside big
+    assert cont[0].containment_ba < 0.1
+    jac = ngram_jaccard_pairs(
+        docs, threshold=0.5, candidates=cand
+    ).collect()
+    assert jac == []  # symmetric Jaccard misses it
