@@ -109,6 +109,7 @@ HEADLINE = [
     "linear_attribution",
     "quantized_topk",
     "containment_pairs",
+    "minhash_estimate",
 ]
 
 # Queries whose full row set is large: drain with a `noop`-format write

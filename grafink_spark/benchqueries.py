@@ -946,6 +946,52 @@ FROM j WHERE greatest(c_ab, c_ba) >= 0.6
 SQL_CONTAINMENT_PAIRS = _containment_pairs_sql()
 
 
+def q_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator accuracy on LSH candidate pairs: signature
+    agreement fraction (16 hashes) next to the exact shingle Jaccard —
+    the num_hashes-sizing diagnostic."""
+    docs = load_table(spark, sf_dir, "documents")
+    cand = dd.minhash_lsh_candidates(docs, num_hashes=16, k=3, bands=4)
+    out = dd.minhash_jaccard_estimate(docs, cand, num_hashes=16, k=3)
+    return out.select(
+        "id_a",
+        "id_b",
+        F.round("est_jaccard", 6).alias("est_jaccard"),
+        F.round("exact_jaccard", 6).alias("exact_jaccard"),
+        F.round("abs_err", 6).alias("abs_err"),
+    )
+
+
+def _minhash_estimate_sql(src: str = "documents") -> str:
+    sig_cols = ", ".join(f"m{i}" for i in range(16))
+    agree = " + ".join(
+        f"CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END" for i in range(16)
+    )
+    return f"""
+WITH cand AS ({_lsh_candidates_sql(src)}),
+shd AS (SELECT doc_id, list_distinct(s) AS ds FROM ({_shingles_sql(src)})),
+sig AS (SELECT doc_id, {_sig_sql(16)}
+        FROM (SELECT doc_id, {_BASE_HASH_SQL} FROM ({_shingles_sql(src)}))),
+j AS (
+  SELECT c.id_a, c.id_b,
+         ({agree})::DOUBLE / 16 AS est,
+         len(list_intersect(a.ds, b.ds))::DOUBLE /
+         (len(a.ds) + len(b.ds) - len(list_intersect(a.ds, b.ds))) AS ex
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.id_a
+  JOIN sig sb ON sb.doc_id = c.id_b
+  JOIN shd a  ON a.doc_id = c.id_a
+  JOIN shd b  ON b.doc_id = c.id_b
+)
+SELECT id_a, id_b, round(est, 6) AS est_jaccard,
+       round(ex, 6) AS exact_jaccard, round(abs(est - ex), 6) AS abs_err
+FROM j
+"""
+
+
+SQL_MINHASH_ESTIMATE = _minhash_estimate_sql()
+
+
 def q_near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over Jaccard-verified near-dup pairs —
     iterative min-label propagation; component_id = min reachable id."""
@@ -2940,6 +2986,7 @@ QUERIES: dict[str, QueryFn] = {
     "lsh_candidates": q_lsh_candidates,
     "jaccard_pairs": q_jaccard_pairs,
     "containment_pairs": q_containment_pairs,
+    "minhash_estimate": q_minhash_estimate,
     "near_dup_components": q_near_dup_components,
     "drop_near_dups": q_drop_near_dups,
     "simhash": q_simhash,
@@ -3024,6 +3071,7 @@ ORACLES: dict[str, str] = {
     "lsh_candidates": SQL_LSH_CANDIDATES,
     "jaccard_pairs": SQL_JACCARD_PAIRS,
     "containment_pairs": SQL_CONTAINMENT_PAIRS,
+    "minhash_estimate": SQL_MINHASH_ESTIMATE,
     "near_dup_components": SQL_NEAR_DUP_COMPONENTS,
     "drop_near_dups": SQL_DROP_NEAR_DUPS,
     "simhash": SQL_SIMHASH,

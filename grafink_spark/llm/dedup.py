@@ -359,6 +359,73 @@ def containment_pairs(
     )
 
 
+def minhash_jaccard_estimate(
+    df: DataFrame,
+    candidates: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    k: int = 3,
+) -> DataFrame:
+    """Sketch-quality diagnostic: per candidate pair, the MinHash
+    estimate of Jaccard (fraction of agreeing signature positions —
+    the unbiased estimator the LSH banding is built on) NEXT TO the
+    exact shingle Jaccard: (id_a, id_b, est_jaccard, exact_jaccard,
+    abs_err). Lets a pipeline validate its num_hashes choice on real
+    data before trusting bands at scale (stderr ~ sqrt(J(1-J)/h)).
+
+    Plan: ONE staged per-doc projection carries both the shingle set
+    and the signature, joined back to the candidate list by id on each
+    side — no all-pairs, no UDFs, arithmetic identical in the SQL twin.
+    """
+    df = ensure_min_partitions(df)
+    sh = df.select(
+        F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_t")
+    ).select(
+        "_id",
+        F.array_distinct(shingles_from_tokens(F.col("_t"), k)).alias("_sh"),
+    )
+    # stage base hashes as a real column: signature_from_hashes
+    # references its input once per hash term, so an inline
+    # shingle_hashes() would re-run the md5 scan num_hashes x per row
+    bh = sh.select("_id", "_sh", shingle_hashes(F.col("_sh")).alias("_bh"))
+    both = bh.select(
+        "_id",
+        "_sh",
+        signature_from_hashes(F.col("_bh"), num_hashes).alias("_sig"),
+    )
+    paired = candidates.join(
+        both.select(
+            F.col("_id").alias("id_a"),
+            F.col("_sh").alias("_sh_a"),
+            F.col("_sig").alias("_sig_a"),
+        ),
+        "id_a",
+    ).join(
+        both.select(
+            F.col("_id").alias("id_b"),
+            F.col("_sh").alias("_sh_b"),
+            F.col("_sig").alias("_sig_b"),
+        ),
+        "id_b",
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with(F.col("_sig_a"), F.col("_sig_b"), lambda x, y: x == y),
+            lambda v: v,
+        )
+    )
+    est = agree / F.lit(num_hashes)
+    ex = jaccard(F.col("_sh_a"), F.col("_sh_b"))
+    return paired.select(
+        "id_a",
+        "id_b",
+        est.alias("est_jaccard"),
+        ex.alias("exact_jaccard"),
+        F.abs(est - ex).alias("abs_err"),
+    )
+
+
 # -------------------------------------------------------------- SimHash
 
 

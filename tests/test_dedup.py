@@ -359,3 +359,31 @@ def test_containment_catches_embedded_document(spark):
         docs, threshold=0.5, candidates=cand
     ).collect()
     assert jac == []  # symmetric Jaccard misses it
+
+
+def test_minhash_estimate_identical_and_disjoint(spark):
+    """Estimator sanity: identical docs agree on every signature
+    position (est = exact = 1); disjoint docs agree on ~none."""
+    from grafink_spark.llm.dedup import minhash_jaccard_estimate
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "entirely different words with zero overlap here"),
+        ],
+        "doc_id long, text string",
+    )
+    cand = spark.createDataFrame(
+        [(1, 2), (1, 3)], "id_a long, id_b long"
+    )
+    rows = {
+        (r.id_a, r.id_b): r
+        for r in minhash_jaccard_estimate(docs, cand).collect()
+    }
+    same = rows[(1, 2)]
+    assert same.est_jaccard == 1.0 and same.exact_jaccard == 1.0
+    assert same.abs_err == 0.0
+    diff = rows[(1, 3)]
+    assert diff.exact_jaccard == 0.0
+    assert diff.est_jaccard <= 0.25  # a few chance collisions allowed
