@@ -110,6 +110,7 @@ HEADLINE = [
     "quantized_topk",
     "containment_pairs",
     "minhash_estimate",
+    "hits_scores",
 ]
 
 # Queries whose full row set is large: drain with a `noop`-format write

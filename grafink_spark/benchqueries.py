@@ -5831,6 +5831,71 @@ QUERIES.update({"personalized_pagerank": q_personalized_pagerank})
 ORACLES.update({"personalized_pagerank": SQL_PERSONALIZED_PAGERANK})
 
 
+def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities (2 rounds, L2-normalized per round) over
+    the DIRECTED similarity pairs — asymmetric roles the undirected
+    PageRank can't express; decimal score and norm sums keep every
+    round engine-exact, replayed unrolled by the oracle."""
+    from grafink_spark.graph.algorithms import hits
+
+    pairs = _similarity_pairs(spark, sf_dir)
+    out = hits(pairs, iters=2)
+    return out.select(
+        "id",
+        F.round("hub", 6).alias("hub"),
+        F.round("authority", 6).alias("authority"),
+    )
+
+
+def _hits_scores_sql(iters: int = 2) -> str:
+    def dsum(x: str) -> str:
+        return "sum((" + x + ")::DECIMAL(38,18))::DOUBLE"
+
+    def nrm(t: str, c: str) -> str:
+        return (
+            "(SELECT CASE WHEN v IS NULL OR v = 0 THEN 1.0 ELSE v END "
+            "FROM (SELECT sqrt(" + dsum(c + "*" + c) + ") AS v FROM " + t + "))"
+        )
+
+    blocks = []
+    prev_h = "h0"
+    for i in range(1, iters + 1):
+        blocks.append(f"""a{i}r AS (
+  SELECT e.dst, {dsum('h.hub')} AS a
+  FROM e JOIN {prev_h} h ON h.id = e.src GROUP BY 1
+),
+a{i} AS (
+  SELECT v.id, coalesce(r.a, 0.0) / {nrm('a' + str(i) + 'r', 'a')} AS authority
+  FROM verts v LEFT JOIN a{i}r r ON r.dst = v.id
+),
+h{i}r AS (
+  SELECT e.src, {dsum('a.authority')} AS h
+  FROM e JOIN a{i} a ON a.id = e.dst GROUP BY 1
+),
+h{i} AS (
+  SELECT v.id, coalesce(r.h, 0.0) / {nrm('h' + str(i) + 'r', 'h')} AS hub
+  FROM verts v LEFT JOIN h{i}r r ON r.src = v.id
+)""")
+        prev_h = f"h{i}"
+    chain = ",\n".join(blocks)
+    return f"""
+WITH pairs AS ({SQL_SIMILARITY_EDGES}),
+e AS (SELECT DISTINCT src, dst FROM pairs),
+verts AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+h0 AS (SELECT id, 1.0 / sqrt((SELECT count(*) FROM verts)::DOUBLE) AS hub
+       FROM verts),
+{chain}
+SELECT h.id, round(h.hub, 6) AS hub, round(a.authority, 6) AS authority
+FROM h{iters} h JOIN a{iters} a ON a.id = h.id
+"""
+
+
+SQL_HITS = _hits_scores_sql()
+
+QUERIES.update({"hits_scores": q_hits})
+ORACLES.update({"hits_scores": SQL_HITS})
+
+
 def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zipf-law fit of the corpus vocabulary (top-200 tokens): slope
     near -1 marks a natural frequency distribution — the corpus-health

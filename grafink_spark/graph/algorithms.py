@@ -543,3 +543,90 @@ def closeness_centrality(
             ).alias("closeness"),
         )
     )
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 2,
+) -> DataFrame:
+    """(id, hub, authority) after ``iters`` rounds of HITS
+    (Kleinberg's hubs-and-authorities) over the DIRECTED edge set:
+    auth'(v) = Σ_{u→v} hub(u), hub'(u) = Σ_{u→v} auth'(v), each score
+    vector L2-normalized per round. Identifies "pointers to good
+    content" (hubs) separately from "good content" (authorities) —
+    the asymmetric-role sibling of PageRank's single score.
+
+    Same per-round plan as :func:`pagerank`: the static edge list is
+    pre-partitioned once per join side; every round shuffles only the
+    vertex-sized score table. All sums (scores AND the squared-norm
+    reductions) use decimal addends so scores are bit-identical in any
+    engine/partitioning; vertices with no in-edges (or out-edges) hold
+    score 0 for that role.
+    """
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    import math
+
+    dec = "decimal(38,18)"
+    e = edges.select(
+        F.col(src).alias("_s"), F.col(dst).alias("_d")
+    ).distinct().localCheckpoint()
+    verts = (
+        e.select(F.col("_s").alias("id"))
+        .unionByName(e.select(F.col("_d").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = verts.count()
+    init = 1.0 / math.sqrt(float(n))
+    # one copy partitioned per join key; each round joins shuffle-free
+    # against the pre-partitioned edges
+    e_by_s = e.repartition("_s").localCheckpoint()
+    e_by_d = e.repartition("_d").localCheckpoint()
+    scores = verts.select("id", F.lit(init).alias("hub"))
+
+    def _dsum(c):
+        return F.sum(c.cast(dec)).cast("double")
+
+    for _ in range(iters):
+        auth_raw = (
+            e_by_s.join(
+                scores.select(F.col("id").alias("_s"), "hub"), "_s"
+            )
+            .groupBy("_d")
+            .agg(_dsum(F.col("hub")).alias("_a"))
+        )
+        a_norm = float(
+            auth_raw.agg(
+                F.sqrt(_dsum(F.col("_a") * F.col("_a"))).alias("_n")
+            ).first()["_n"]
+            or 1.0
+        )
+        auth = verts.join(
+            auth_raw, verts["id"] == auth_raw["_d"], "left"
+        ).select(
+            "id",
+            (F.coalesce(F.col("_a"), F.lit(0.0)) / a_norm).alias("authority"),
+        ).localCheckpoint()
+        hub_raw = (
+            e_by_d.join(
+                auth.select(F.col("id").alias("_d"), "authority"), "_d"
+            )
+            .groupBy("_s")
+            .agg(_dsum(F.col("authority")).alias("_h"))
+        )
+        h_norm = float(
+            hub_raw.agg(
+                F.sqrt(_dsum(F.col("_h") * F.col("_h"))).alias("_n")
+            ).first()["_n"]
+            or 1.0
+        )
+        scores = verts.join(
+            hub_raw, verts["id"] == hub_raw["_s"], "left"
+        ).select(
+            "id",
+            (F.coalesce(F.col("_h"), F.lit(0.0)) / h_norm).alias("hub"),
+        ).localCheckpoint()
+    return scores.join(auth, "id").select("id", "hub", "authority")

@@ -282,3 +282,28 @@ def test_multi_source_bfs_string_ids(spark):
         ("a", "a"): 0, ("a", "b"): 1, ("a", "c"): 2,
         ("x", "x"): 0, ("x", "y"): 1,
     }
+
+
+def test_hits_star_graph_roles(spark):
+    """On a directed star u->{v1..v4}: u is a pure hub (authority 0),
+    the leaves are pure authorities (hub 0) with equal normalized
+    scores 1/sqrt(4); HITS must separate the roles PageRank merges."""
+    from grafink_spark.graph.algorithms import hits
+
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 5)], "src long, dst long"
+    )
+    got = {r.id: (round(r.hub, 9), round(r.authority, 9)) for r in hits(edges, iters=2).collect()}
+    assert got[0] == (1.0, 0.0)
+    for i in range(1, 5):
+        assert got[i] == (0.0, 0.5)
+
+
+def test_hits_rejects_zero_iters(spark):
+    import pytest
+
+    from grafink_spark.graph.algorithms import hits
+
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError):
+        hits(edges, iters=0)
