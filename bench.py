@@ -111,6 +111,7 @@ HEADLINE = [
     "containment_pairs",
     "minhash_estimate",
     "hits_scores",
+    "drop_near_dups_best",
 ]
 
 # Queries whose full row set is large: drain with a `noop`-format write

@@ -1039,6 +1039,38 @@ WHERE comp.doc_id IS NULL OR comp.doc_id = comp.component_id
 """
 
 
+def q_drop_near_dups_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup drop keeping the HIGHEST-QUALITY cluster member
+    (score = n_chars, ties to min id) instead of the lowest id — the
+    production survivor rule; returns surviving (doc_id, n_chars)."""
+    docs = load_table(spark, sf_dir, "documents")
+    kept = dd.drop_near_duplicates_keep_best(
+        docs, score_col="n_chars", threshold=0.5
+    )
+    return kept.select("doc_id", "n_chars")
+
+
+SQL_DROP_NEAR_DUPS_BEST = f"""
+WITH comp AS ({SQL_NEAR_DUP_COMPONENTS}),
+scored AS (
+  SELECT c.doc_id, c.component_id, d.n_chars
+  FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+),
+keep AS (
+  SELECT component_id, doc_id AS keep_id
+  FROM (SELECT component_id, doc_id,
+               row_number() OVER (PARTITION BY component_id
+                                  ORDER BY n_chars DESC, doc_id ASC) AS rn
+        FROM scored)
+  WHERE rn = 1
+)
+SELECT d.doc_id, d.n_chars FROM documents d
+LEFT JOIN comp ON comp.doc_id = d.doc_id
+WHERE comp.doc_id IS NULL
+   OR comp.doc_id IN (SELECT keep_id FROM keep)
+"""
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash per document — pins the bitwise vote math."""
     docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
@@ -2987,6 +3019,7 @@ QUERIES: dict[str, QueryFn] = {
     "jaccard_pairs": q_jaccard_pairs,
     "containment_pairs": q_containment_pairs,
     "minhash_estimate": q_minhash_estimate,
+    "drop_near_dups_best": q_drop_near_dups_best,
     "near_dup_components": q_near_dup_components,
     "drop_near_dups": q_drop_near_dups,
     "simhash": q_simhash,
@@ -3072,6 +3105,7 @@ ORACLES: dict[str, str] = {
     "jaccard_pairs": SQL_JACCARD_PAIRS,
     "containment_pairs": SQL_CONTAINMENT_PAIRS,
     "minhash_estimate": SQL_MINHASH_ESTIMATE,
+    "drop_near_dups_best": SQL_DROP_NEAR_DUPS_BEST,
     "near_dup_components": SQL_NEAR_DUP_COMPONENTS,
     "drop_near_dups": SQL_DROP_NEAR_DUPS,
     "simhash": SQL_SIMHASH,

@@ -673,6 +673,54 @@ def drop_near_duplicates(
     )
 
 
+def drop_near_duplicates_keep_best(
+    df: DataFrame,
+    score_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    k: int = 3,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup removal that keeps the BEST-scoring member of each
+    duplicate cluster instead of the lowest id: LSH -> Jaccard verify ->
+    connected components -> per-component argmax(``score_col``) (tie ->
+    min id). This is how production corpus cleaning picks survivors —
+    a near-dup cluster usually mixes a clean original with truncated or
+    boilerplate-wrapped copies, and min-id keeps whichever was crawled
+    first, not whichever is best.
+
+    Plan: the component table is vertex-sized (only docs in some
+    cluster); the keeper argmax is one hash aggregation on component_id
+    over a component-and-score join, then one left-anti against df —
+    no window over the full corpus."""
+    cand = minhash_lsh_candidates(df, text_col, id_col, num_hashes, k, bands)
+    verified = ngram_jaccard_pairs(
+        df, text_col, id_col, k, threshold, candidates=cand
+    )
+    comp = connected_components(verified)
+    scored = comp.join(
+        df.select(
+            F.col(id_col).alias("doc_id"), F.col(score_col).alias("_score")
+        ),
+        "doc_id",
+    )
+    # argmax via max(struct(score, -id)): greatest score wins, ties to
+    # the LOWEST id (negation flips struct order) — one hash agg, no
+    # window/sort
+    keepers = scored.groupBy("component_id").agg(
+        F.max(F.struct(F.col("_score"), (-F.col("doc_id")).alias("_nid")))
+        .alias("_best")
+    ).select((-F.col("_best._nid")).alias("_keep_id"))
+    losers = comp.join(
+        keepers, comp["doc_id"] == keepers["_keep_id"], "left_anti"
+    ).select("doc_id")
+    return df.join(
+        losers.withColumnRenamed("doc_id", id_col), id_col, "left_anti"
+    )
+
+
 # ------------------------------------------------- embedding near-dup
 
 

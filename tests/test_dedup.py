@@ -387,3 +387,29 @@ def test_minhash_estimate_identical_and_disjoint(spark):
     diff = rows[(1, 3)]
     assert diff.exact_jaccard == 0.0
     assert diff.est_jaccard <= 0.25  # a few chance collisions allowed
+
+
+def test_keep_best_prefers_high_score_over_min_id(spark):
+    """Three near-identical docs: keep-best retains the highest-scored
+    one (not the min id), the plain drop keeps the min id."""
+    from grafink_spark.llm.dedup import (
+        drop_near_duplicates,
+        drop_near_duplicates_keep_best,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [
+            (1, base + " x", 10),
+            (2, base + " y", 99),   # best quality, not min id
+            (3, base + " z", 50),
+            (9, "totally unrelated content lives here alone", 7),
+        ],
+        "doc_id long, text string, quality long",
+    )
+    best = {r.doc_id for r in drop_near_duplicates_keep_best(
+        docs, score_col="quality", threshold=0.5).collect()}
+    assert best == {2, 9}
+    plain = {r.doc_id for r in drop_near_duplicates(
+        docs, threshold=0.5).collect()}
+    assert plain == {1, 9}
