@@ -112,6 +112,7 @@ HEADLINE = [
     "minhash_estimate",
     "hits_scores",
     "drop_near_dups_best",
+    "event_transitions",
 ]
 
 # Queries whose full row set is large: drain with a `noop`-format write

@@ -2721,6 +2721,52 @@ FROM g
 """
 
 
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: (event_type, next_event, n, prob) with
+    prob = P(next | current). One window pass (lead over user_id
+    ordered by ts with event_id tie-break) + one count aggregation;
+    the per-row probability divides two exact integers, so round(6)
+    is engine-stable."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("_next", F.lead("event_type").over(w))
+        .where(F.col("_next").isNotNull())
+        .groupBy("event_type", F.col("_next").alias("next_event"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wt = Window.partitionBy("event_type")
+    return trans.select(
+        "event_type",
+        "next_event",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(wt).cast("double"), 6
+        ).alias("prob"),
+    )
+
+
+SQL_EVENT_TRANSITIONS = """
+WITH t AS (
+  SELECT event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_event
+  FROM events
+),
+c AS (
+  SELECT event_type, next_event, count(*) AS n
+  FROM t WHERE next_event IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT event_type, next_event, n,
+       round(n::DOUBLE / sum(n) OVER (PARTITION BY event_type)::DOUBLE,
+             6) AS prob
+FROM c
+"""
+
+
 def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered view → click → purchase funnel: users reaching each
     stage (stage i counted only at-or-after the first stage-(i-1))."""
@@ -3020,6 +3066,7 @@ QUERIES: dict[str, QueryFn] = {
     "containment_pairs": q_containment_pairs,
     "minhash_estimate": q_minhash_estimate,
     "drop_near_dups_best": q_drop_near_dups_best,
+    "event_transitions": q_event_transitions,
     "near_dup_components": q_near_dup_components,
     "drop_near_dups": q_drop_near_dups,
     "simhash": q_simhash,
@@ -3106,6 +3153,7 @@ ORACLES: dict[str, str] = {
     "containment_pairs": SQL_CONTAINMENT_PAIRS,
     "minhash_estimate": SQL_MINHASH_ESTIMATE,
     "drop_near_dups_best": SQL_DROP_NEAR_DUPS_BEST,
+    "event_transitions": SQL_EVENT_TRANSITIONS,
     "near_dup_components": SQL_NEAR_DUP_COMPONENTS,
     "drop_near_dups": SQL_DROP_NEAR_DUPS,
     "simhash": SQL_SIMHASH,
