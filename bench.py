@@ -113,6 +113,7 @@ HEADLINE = [
     "hits_scores",
     "drop_near_dups_best",
     "event_transitions",
+    "readability",
 ]
 
 # Queries whose full row set is large: drain with a `noop`-format write

@@ -1173,6 +1173,39 @@ WHERE {COSINE_SQL.format(a="a.embedding", b="b.embedding")} >= 0.3
 _SW = tx.DEFAULT_STOPWORDS
 
 
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document (vowel-group syllable estimate,
+    terminator-run sentence count) — the cheap readability quality
+    signal; exact integer counts make the double formula engine-stable
+    at round(4)."""
+    from grafink_spark.llm.text import readability
+
+    docs = load_table(spark, sf_dir, "documents")
+    return readability(docs)
+
+
+SQL_READABILITY = """
+WITH t AS (
+  SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         len(toks) AS n_words,
+         greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS n_sentences,
+         list_sum(list_transform(toks,
+             w -> greatest(1, len(regexp_extract_all(lower(w), '[aeiouy]+')))
+         )) AS n_syllables
+  FROM t WHERE len(toks) > 0
+)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       round(206.835
+             - 1.015 * (n_words::DOUBLE / n_sentences::DOUBLE)
+             - 84.6 * (n_syllables::DOUBLE / n_words::DOUBLE), 4) AS flesch
+FROM m
+"""
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counts, stopword ratio, quality score per document."""
     docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
@@ -3067,6 +3100,7 @@ QUERIES: dict[str, QueryFn] = {
     "minhash_estimate": q_minhash_estimate,
     "drop_near_dups_best": q_drop_near_dups_best,
     "event_transitions": q_event_transitions,
+    "readability": q_readability,
     "near_dup_components": q_near_dup_components,
     "drop_near_dups": q_drop_near_dups,
     "simhash": q_simhash,
@@ -3154,6 +3188,7 @@ ORACLES: dict[str, str] = {
     "minhash_estimate": SQL_MINHASH_ESTIMATE,
     "drop_near_dups_best": SQL_DROP_NEAR_DUPS_BEST,
     "event_transitions": SQL_EVENT_TRANSITIONS,
+    "readability": SQL_READABILITY,
     "near_dup_components": SQL_NEAR_DUP_COMPONENTS,
     "drop_near_dups": SQL_DROP_NEAR_DUPS,
     "simhash": SQL_SIMHASH,

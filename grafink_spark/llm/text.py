@@ -238,3 +238,49 @@ def zipf_fit(
         r2.alias("r2"),
         n.cast("long").alias("n_terms"),
     )
+
+
+def readability(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Flesch reading-ease per document:
+    206.835 − 1.015·(words/sentences) − 84.6·(syllables/words), with
+    syllables estimated as vowel-group count per word (min 1) and
+    sentences as terminator-run count (min 1) — the standard cheap
+    readability proxy used as a corpus quality signal (very low scores
+    flag boilerplate/code, implausibly high ones flag word salad).
+
+    Single narrow pass, all JVM expressions: one token split (staged),
+    one regexp_extract_all per word for vowel groups, one for sentence
+    terminators. Counts are exact integers, so the double formula and
+    round(4) reproduce bit-for-bit in any engine."""
+    t = tokens(F.col(text_col))
+    staged = df.select(F.col(id_col), F.col(text_col), t.alias("_t"))
+    syl = F.aggregate(
+        F.transform(
+            F.col("_t"),
+            lambda w: F.greatest(
+                F.lit(1),
+                F.size(F.regexp_extract_all(F.lower(w), F.lit("[aeiouy]+"), 0)),
+            ),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    sents = F.greatest(
+        F.lit(1),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit("[.!?]+"), 0)),
+    )
+    words = F.size("_t")
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * (words.cast("double") / sents.cast("double"))
+        - F.lit(84.6) * (syl.cast("double") / words.cast("double"))
+    )
+    return staged.where(words > 0).select(
+        F.col(id_col),
+        words.alias("n_words"),
+        sents.alias("n_sentences"),
+        syl.alias("n_syllables"),
+        F.round(flesch, 4).alias("flesch"),
+    )

@@ -112,3 +112,27 @@ def test_zipf_fit_recovers_power_law(spark):
     assert row.n_terms == 50
     assert -1.1 < row.slope < -0.9  # power-law exponent ≈ −1
     assert row.r2 > 0.99
+
+
+def test_readability_golden(spark):
+    """Hand-computed Flesch on a two-sentence doc; a no-terminator doc
+    gets the 1-sentence floor."""
+    from grafink_spark.llm.text import readability
+
+    docs = spark.createDataFrame(
+        [
+            (1, "The cat sat. The dog ran!"),
+            (2, "word salad here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in readability(docs).collect()}
+    r1 = got[1]
+    # tokens: [The, cat, sat., The, dog, ran!] -> 6 words, 2 sentences,
+    # syllables: each word has exactly one vowel group -> 6
+    assert (r1.n_words, r1.n_sentences, r1.n_syllables) == (6, 2, 6)
+    assert r1.flesch == round(206.835 - 1.015 * 3.0 - 84.6 * 1.0, 4)
+    r2 = got[2]
+    assert r2.n_sentences == 1  # floor, no terminators
+    # word=1, salad=2 (a, a), here=2 (e, e) -> 5 syllables
+    assert (r2.n_words, r2.n_syllables) == (3, 5)
