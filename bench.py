@@ -114,6 +114,7 @@ HEADLINE = [
     "drop_near_dups_best",
     "event_transitions",
     "readability",
+    "exact_median",
 ]
 
 # Queries whose full row set is large: drain with a `noop`-format write

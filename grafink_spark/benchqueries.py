@@ -1173,6 +1173,22 @@ WHERE {COSINE_SQL.format(a="a.embedding", b="b.embedding")} >= 0.3
 _SW = tx.DEFAULT_STOPWORDS
 
 
+def q_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT corpus-wide median of l_extendedprice in two scans and no
+    global sort (histogram bucket location + TakeOrdered within the
+    middle bucket) — bit-identical to the oracle's median()."""
+    from grafink_spark.ops import exact_median
+
+    li = load_table(spark, sf_dir, "lineitem")
+    m = exact_median(li, "l_extendedprice")
+    return spark.range(1).select(F.lit(m).alias("median_price"))
+
+
+SQL_EXACT_MEDIAN = """
+SELECT median(l_extendedprice) AS median_price FROM lineitem
+"""
+
+
 def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flesch reading-ease per document (vowel-group syllable estimate,
     terminator-run sentence count) — the cheap readability quality
@@ -3101,6 +3117,7 @@ QUERIES: dict[str, QueryFn] = {
     "drop_near_dups_best": q_drop_near_dups_best,
     "event_transitions": q_event_transitions,
     "readability": q_readability,
+    "exact_median": q_exact_median,
     "near_dup_components": q_near_dup_components,
     "drop_near_dups": q_drop_near_dups,
     "simhash": q_simhash,
@@ -3189,6 +3206,7 @@ ORACLES: dict[str, str] = {
     "drop_near_dups_best": SQL_DROP_NEAR_DUPS_BEST,
     "event_transitions": SQL_EVENT_TRANSITIONS,
     "readability": SQL_READABILITY,
+    "exact_median": SQL_EXACT_MEDIAN,
     "near_dup_components": SQL_NEAR_DUP_COMPONENTS,
     "drop_near_dups": SQL_DROP_NEAR_DUPS,
     "simhash": SQL_SIMHASH,

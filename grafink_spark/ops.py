@@ -525,3 +525,69 @@ def decimal_moments(xy: DataFrame, dec: str = "decimal(27,6)") -> DataFrame:
         F.sum((x * y).cast(dec)).cast("double").alias("sxy"),
         F.sum((y * y).cast(dec)).cast("double").alias("syy"),
     )
+
+
+def exact_median(df: DataFrame, col: str, bins: int = 2048) -> float:
+    """EXACT median of a numeric column in two scans and zero global
+    sorts — the scalable alternative to sort-the-world or approximate
+    percentiles when the answer must be exact (SLA thresholds, billing
+    cutoffs).
+
+    Pass 1: (min, max, count) + a ``bins``-bucket histogram (one agg
+    each, map-side combined). The driver walks the 2048-row histogram
+    to find which bucket(s) hold order statistics ceil(n/2) and
+    ceil((n+1)/2). Pass 2: only rows in those buckets are pulled
+    through a sort capped at the bucket's cardinality (orderBy+limit =
+    TakeOrdered, never a full shuffle sort). Even counts average the
+    two middle values — the same interpolation DuckDB's median() uses,
+    so the result is oracle-exact.
+
+    Degenerate case (all values in one bucket, e.g. constant columns)
+    short-circuits to that value. Pathologically concentrated
+    distributions make pass 2 large; raise ``bins`` (cost is one
+    histogram row per bin) — a production version would recurse
+    instead."""
+    row = df.agg(
+        F.min(col).alias("lo"),
+        F.max(col).alias("hi"),
+        F.count(col).alias("n"),
+    ).first()
+    lo, hi, n = float(row["lo"]), float(row["hi"]), int(row["n"])
+    if n == 0:
+        raise ValueError("exact_median of an empty column")
+    if lo == hi:
+        return lo
+    width = (hi - lo) / bins
+    c = F.col(col)
+    bucket = F.least(
+        F.lit(bins - 1), F.floor((c - F.lit(lo)) / F.lit(width))
+    ).cast("int")
+    hist = {
+        r["_b"]: r["_c"]
+        for r in df.where(c.isNotNull())
+        .groupBy(bucket.alias("_b"))
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .collect()
+    }
+    k1, k2 = (n + 1) // 2, (n + 2) // 2  # 1-based middle order stats
+    vals = []
+    for k in (k1, k2):
+        cum = 0
+        for b in range(bins):
+            cnt = hist.get(b, 0)
+            if cum + cnt >= k:
+                # k-th value lives in bucket b at local rank k - cum
+                local = (
+                    df.where(c.isNotNull())
+                    .where(bucket == b)
+                    .select(c.alias("_v"))
+                    .orderBy("_v")
+                    .limit(k - cum)
+                    .orderBy(F.col("_v").desc())
+                    .limit(1)
+                    .first()
+                )
+                vals.append(float(local["_v"]))
+                break
+            cum += cnt
+    return (vals[0] + vals[1]) / 2.0

@@ -359,3 +359,22 @@ def test_asof_join_rejects_bad_direction(spark):
     right = spark.createDataFrame([(1, 9, 1.0)], "k long, ts long, v double")
     with _pytest.raises(ValueError, match="direction"):
         asof_join(left, right, on="k", direction="Backward")
+
+
+def test_exact_median_matches_sorted_definition(spark):
+    """Odd and even counts, duplicates, constant columns, and the
+    interpolated even-count middle — all against the brute definition."""
+    from grafink_spark.ops import exact_median
+
+    cases = [
+        [5.0, 1.0, 3.0],                    # odd
+        [4.0, 1.0, 3.0, 2.0],              # even -> 2.5
+        [2.0, 2.0, 2.0, 2.0],              # constant
+        [1.0, 1.0, 2.0, 100.0, 100.0],     # duplicates, skew
+    ]
+    for vals in cases:
+        df = spark.createDataFrame([(v,) for v in vals], "x double")
+        sv = sorted(vals)
+        n = len(sv)
+        want = (sv[(n - 1) // 2] + sv[n // 2]) / 2.0
+        assert exact_median(df, "x", bins=8) == want, vals
