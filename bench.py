@@ -115,6 +115,7 @@ HEADLINE = [
     "event_transitions",
     "readability",
     "exact_median",
+    "mmr_topk",
 ]
 
 # Queries whose full row set is large: drain with a `noop`-format write

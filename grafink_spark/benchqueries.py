@@ -6515,3 +6515,88 @@ WHERE vol >= 50
 
 QUERIES.update({"community_conductance": q_community_conductance})
 ORACLES.update({"community_conductance": SQL_COMMUNITY_CONDUCTANCE})
+
+
+def q_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diverse top-3 (lambda=0.5, top-8 relevance candidates) for
+    the 3 lowest-id query vectors — the de-redundancy re-rank after a
+    similarity top-m; greedy steps replayed unrolled by the oracle."""
+    from grafink_spark.llm.simsearch import mmr_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.orderBy("vec_id").limit(3)
+    out = mmr_topk(emb, queries, k=3, m=8, lam=0.5)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.round("mmr_score", 6).alias("mmr_score"),
+    )
+
+
+def _mmr_sql(k: int = 3, m: int = 8, lam: float = 0.5) -> str:
+    cos_q = COSINE_SQL.format(a="q.qv", b="e.embedding")
+    cos_p = COSINE_SQL.format(a="r.ev", b="se.ev")
+    l_lit = repr(lam)
+    p_lit = repr(1.0 - lam)
+    parts = [f"""q AS (SELECT vec_id AS query_id, embedding AS qv
+  FROM embeddings ORDER BY vec_id LIMIT 3),
+scored AS (
+  SELECT q.query_id, e.vec_id AS nid, {cos_q} AS cs, e.embedding AS ev
+  FROM q, embeddings e WHERE e.vec_id <> q.query_id
+),
+cand AS (
+  SELECT query_id, nid, cs, ev FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cs DESC, nid ASC) AS rnk
+    FROM scored) WHERE rnk <= {m}
+),
+s1 AS (
+  SELECT query_id, nid, {l_lit} * cs AS score, 1 AS rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY {l_lit} * cs DESC, nid ASC) AS r
+    FROM cand) WHERE r = 1
+)"""]
+    prev_sel = "s1"
+    for t in range(2, k + 1):
+        sel_union = " UNION ALL ".join(
+            f"SELECT query_id, nid FROM s{i}" for i in range(1, t)
+        )
+        parts.append(f"""rem{t} AS (
+  SELECT c.* FROM cand c
+  WHERE NOT EXISTS (SELECT 1 FROM ({sel_union}) s
+                    WHERE s.query_id = c.query_id AND s.nid = c.nid)
+),
+pen{t} AS (
+  SELECT r.query_id, r.nid, max({cos_p}) AS pen
+  FROM rem{t} r
+  JOIN (SELECT s.query_id, c.ev FROM ({sel_union}) s
+        JOIN cand c ON c.query_id = s.query_id AND c.nid = s.nid) se
+    ON se.query_id = r.query_id
+  GROUP BY 1, 2
+),
+s{t} AS (
+  SELECT query_id, nid, score, {t} AS rank FROM (
+    SELECT r.query_id, r.nid,
+           {l_lit} * r.cs - {p_lit} * p.pen AS score,
+           row_number() OVER (PARTITION BY r.query_id
+                              ORDER BY {l_lit} * r.cs - {p_lit} * p.pen DESC,
+                                       r.nid ASC) AS rr
+    FROM rem{t} r JOIN pen{t} p
+      ON p.query_id = r.query_id AND p.nid = r.nid) WHERE rr = 1
+)""")
+        prev_sel = f"s{t}"
+    final = " UNION ALL ".join(f"SELECT * FROM s{i}" for i in range(1, k + 1))
+    body = ",\n".join(parts)
+    return f"""
+WITH {body}
+SELECT query_id, nid AS neighbor_id, rank,
+       round(score, 6) AS mmr_score
+FROM ({final})
+"""
+
+
+SQL_MMR_TOPK = _mmr_sql()
+
+QUERIES.update({"mmr_topk": q_mmr_topk})
+ORACLES.update({"mmr_topk": SQL_MMR_TOPK})

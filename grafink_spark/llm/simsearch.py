@@ -579,3 +579,105 @@ def quantized_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+def mmr_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    m: int = 8,
+    lam: float = 0.5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Diverse top-k per query via Maximal Marginal Relevance
+    (Carbonell & Goldstein): greedily pick the candidate maximizing
+    ``lam·sim(q, d) − (1−lam)·max_{s ∈ selected} sim(d, s)`` — the
+    de-redundancy re-rank every retrieval-for-training pipeline runs
+    after a similarity top-m, so three near-identical passages don't
+    crowd out the third-best distinct one.
+
+    Distributed formulation: the greedy loop is over RANK POSITIONS
+    (k steps), not rows — every step is one candidates×selected join +
+    one max aggregation + one per-query argmax, computed for ALL
+    queries at once. Ties break to the lowest neighbor id via a
+    (score, -id) struct max — one hash agg per step, no windows over
+    the full candidate set.
+
+    Returns (query_id, neighbor_id, rank 1..k, mmr_score). Step 1 has
+    an empty selected set (penalty 0), so mmr_score(rank 1) =
+    lam·sim."""
+    if k < 1 or m < k:
+        raise ValueError("need m >= k >= 1")
+    cand = brute_force_topk(corpus, queries, k=m, vec_col=vec_col, id_col=id_col)
+    norm = lambda v: F.sqrt(  # noqa: E731
+        F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    emb = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("_e"),
+    ).withColumn("_n", norm(F.col("_e")))
+    cand = (
+        cand.join(emb, "neighbor_id")
+        .select("query_id", "neighbor_id", "cosine_sim", "_e", "_n")
+        .localCheckpoint()
+    )
+
+    def argmax(df: DataFrame, score) -> DataFrame:
+        # max over (score, -id): greatest score, ties to LOWEST id
+        best = df.groupBy("query_id").agg(
+            F.max(
+                F.struct(
+                    score.alias("_s"), (-F.col("neighbor_id")).alias("_nid")
+                )
+            ).alias("_b")
+        )
+        return best.select(
+            "query_id",
+            (-F.col("_b._nid")).alias("neighbor_id"),
+            F.col("_b._s").alias("mmr_score"),
+        )
+
+    selected = argmax(cand, F.lit(lam) * F.col("cosine_sim")).withColumn(
+        "rank", F.lit(1)
+    )
+    remaining = cand.join(
+        selected.select("query_id", "neighbor_id"),
+        ["query_id", "neighbor_id"],
+        "left_anti",
+    )
+    for t in range(2, k + 1):
+        sel_emb = selected.select("query_id", "neighbor_id").join(
+            cand.select("query_id", "neighbor_id", "_e", "_n"),
+            ["query_id", "neighbor_id"],
+        ).select(
+            "query_id", F.col("_e").alias("_se"), F.col("_n").alias("_sn")
+        )
+        dot = F.aggregate(
+            F.zip_with(F.col("_e"), F.col("_se"), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        pen = (
+            remaining.join(sel_emb, "query_id")
+            .select(
+                "query_id",
+                "neighbor_id",
+                (dot / (F.col("_n") * F.col("_sn"))).alias("_p"),
+            )
+            .groupBy("query_id", "neighbor_id")
+            .agg(F.max("_p").alias("_pen"))
+        )
+        scored = remaining.join(pen, ["query_id", "neighbor_id"])
+        mmr = (
+            F.lit(lam) * F.col("cosine_sim")
+            - F.lit(1.0 - lam) * F.col("_pen")
+        )
+        winner = argmax(scored, mmr).withColumn("rank", F.lit(t))
+        selected = selected.unionByName(winner).localCheckpoint()
+        remaining = remaining.join(
+            winner.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+            "left_anti",
+        )
+    return selected.select("query_id", "neighbor_id", "rank", "mmr_score")

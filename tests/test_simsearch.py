@@ -279,3 +279,40 @@ def test_quantize_codes_range_and_determinism(spark):
     a = {r.vec_id: r.codes for r in codes.collect()}
     b = {r.vec_id: r.codes for r in quantize_embeddings(emb.repartition(13)).collect()}
     assert a == b  # partitioning-independent codes
+
+
+def test_mmr_prefers_diverse_over_redundant(spark):
+    """lambda=0.5 must pick the diverse candidate at rank 2 where pure
+    relevance (lambda=1) picks the near-duplicate of rank 1."""
+    from grafink_spark.llm.simsearch import mmr_topk
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),        # query
+        (1, [0.9, 0.436, 0.0]),      # most relevant
+        (2, [0.89, 0.44, 0.12]),     # redundant near-dup of 1
+        (3, [0.85, -0.5268, 0.0]),   # slightly less relevant, diverse
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.where("vec_id = 0")
+    diverse = {
+        r.rank: r.neighbor_id
+        for r in mmr_topk(emb, q, k=2, m=3, lam=0.5).collect()
+    }
+    assert diverse == {1: 1, 2: 3}
+    greedy = {
+        r.rank: r.neighbor_id
+        for r in mmr_topk(emb, q, k=2, m=3, lam=1.0).collect()
+    }
+    assert greedy == {1: 1, 2: 2}
+
+
+def test_mmr_rejects_bad_k(spark):
+    import pytest
+
+    from grafink_spark.llm.simsearch import mmr_topk
+
+    emb = spark.createDataFrame(
+        [(0, [1.0]), (1, [0.5])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError):
+        mmr_topk(emb, emb, k=5, m=3)
