@@ -116,6 +116,7 @@ HEADLINE = [
     "readability",
     "exact_median",
     "mmr_topk",
+    "cusum_anomalies",
 ]
 
 # Queries whose full row set is large: drain with a `noop`-format write

@@ -6600,3 +6600,63 @@ SQL_MMR_TOPK = _mmr_sql()
 
 QUERIES.update({"mmr_topk": q_mmr_topk})
 ORACLES.update({"mmr_topk": SQL_MMR_TOPK})
+
+
+def q_cusum_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM mean-shift alarms over daily event-value sums per type —
+    the windowed closed form (prefix sum minus running min) of the
+    classic recursion; decimal accumulations keep it engine-exact."""
+    from grafink_spark.timeseries import cusum_changepoints
+
+    ev = load_table(spark, sf_dir, "events")
+    out = cusum_changepoints(ev)
+    return out.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.round("x", 2).alias("x"),
+        F.round("cusum", 4).alias("cusum"),
+        "is_alarm",
+    )
+
+
+SQL_CUSUM_ANOMALIES = """
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         sum(value::DECIMAL(27,6))::DOUBLE AS x
+  FROM events GROUP BY 1, 2
+),
+stats AS (
+  SELECT event_type,
+         count(*)::DOUBLE AS n,
+         sum(x::DECIMAL(27,12))::DOUBLE AS sx,
+         sum((x * x)::DECIMAL(27,12))::DOUBLE AS sxx
+  FROM daily GROUP BY 1
+),
+j AS (
+  SELECT d.event_type, d.day, d.x,
+         s.sx / s.n AS mu,
+         sqrt(greatest(0.0, s.sxx / s.n - (s.sx / s.n) * (s.sx / s.n))) AS sigma
+  FROM daily d JOIN stats s USING (event_type)
+),
+w AS (
+  SELECT event_type, day, x, sigma,
+         sum((x - mu - 0.5 * sigma)::DECIMAL(27,12))
+             OVER (PARTITION BY event_type ORDER BY day
+                   ROWS UNBOUNDED PRECEDING) AS S
+  FROM j
+),
+c AS (
+  SELECT event_type, day, x, sigma,
+         (S - least(0::DECIMAL(27,12),
+                    min(S) OVER (PARTITION BY event_type ORDER BY day
+                                 ROWS UNBOUNDED PRECEDING)))::DOUBLE AS cusum
+  FROM w
+)
+SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+       round(x, 2) AS x, round(cusum, 4) AS cusum,
+       cusum > 4.0 * sigma AS is_alarm
+FROM c
+"""
+
+QUERIES.update({"cusum_anomalies": q_cusum_anomalies})
+ORACLES.update({"cusum_anomalies": SQL_CUSUM_ANOMALIES})

@@ -429,3 +429,66 @@ def linear_attribution(
             F.count(F.lit(1)).alias("n_conversions"),
         )
     )
+
+
+def cusum_changepoints(
+    df: DataFrame,
+    key: str = "event_type",
+    ts: str = "ts",
+    value: str = "value",
+    slack_k: float = 0.5,
+    h_k: float = 4.0,
+) -> DataFrame:
+    """One-sided CUSUM change-point detection per key over daily sums:
+    flag the days where the cumulative positive drift of the series
+    exceeds ``h_k``·sigma — the classic mean-shift detector (faster to
+    alarm than per-point z-scores, which never accumulate evidence).
+
+    The textbook recursion C_t = max(0, C_{t-1} + x_t − mu − slack) is
+    not a windowed expression, but its closed form is: with
+    d_t = x_t − mu − slack and S_t = Σ_{i≤t} d_i,
+    C_t = S_t − min(0, min_{j≤t} S_j). Both the prefix sum and the
+    running min are single ordered-window passes — no recursion, no
+    UDF. All accumulations use decimal addends (engine-exact: window
+    sums associate differently between Spark's incremental fold and
+    DuckDB's segment tree, which skews raw doubles).
+
+    Returns (key, day, x, cusum, is_alarm); one shuffle for the daily
+    rollup, one for the per-key stats join, windows reuse the daily
+    partitioning."""
+    d6 = "decimal(27,6)"
+    d12 = "decimal(27,12)"
+    daily = (
+        df.groupBy(
+            F.col(key).alias("_k"), F.date_trunc("day", F.col(ts)).alias("day")
+        )
+        .agg(F.sum(F.col(value).cast(d6)).cast("double").alias("_x"))
+    )
+    stats = daily.groupBy("_k").agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.sum(F.col("_x").cast(d12)).cast("double").alias("_sx"),
+        F.sum((F.col("_x") * F.col("_x")).cast(d12)).cast("double").alias("_sxx"),
+    )
+    j = daily.join(stats, "_k")
+    mu = F.col("_sx") / F.col("_n")
+    var = F.greatest(
+        F.lit(0.0), F.col("_sxx") / F.col("_n") - mu * mu
+    )
+    sigma = F.sqrt(var)
+    d = (F.col("_x") - mu - F.lit(slack_k) * sigma).cast(d12)
+    w = Window.partitionBy("_k").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    with_s = j.withColumn("_S", F.sum(d).over(w)).withColumn(
+        "_minS", F.min(F.col("_S")).over(w)
+    )
+    cusum = (
+        F.col("_S") - F.least(F.lit(0).cast(d12), F.col("_minS"))
+    ).cast("double")
+    return with_s.select(
+        F.col("_k").alias(key),
+        "day",
+        F.col("_x").alias("x"),
+        cusum.alias("cusum"),
+        (cusum > F.lit(h_k) * sigma).alias("is_alarm"),
+    )

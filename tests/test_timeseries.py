@@ -266,3 +266,37 @@ def test_event_transitions_rows_are_proper_distribution(spark):
     n_events = ev.count()
     n_users = ev.select("user_id").distinct().count()
     assert total_n == n_events - n_users  # one transition per non-last event
+
+
+def test_cusum_detects_mean_shift(spark):
+    """A flat series that jumps mid-way must alarm after the shift and
+    match the textbook recursion C_t = max(0, C_{t-1} + d_t) exactly."""
+    from datetime import datetime
+
+    from grafink_spark.timeseries import cusum_changepoints
+
+    vals = [10.0] * 10 + [25.0] * 5
+    rows = [
+        ("k", datetime(2024, 1, 1 + i), v) for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+    out = {
+        r.day.day: (r.cusum, r.is_alarm)
+        for r in cusum_changepoints(df).collect()
+    }
+    # replay the recursion in python
+    n = len(vals)
+    mu = sum(vals) / n
+    var = sum(v * v for v in vals) / n - mu * mu
+    sigma = var ** 0.5
+    c = 0.0
+    expect = {}
+    for i, v in enumerate(vals):
+        c = max(0.0, c + v - mu - 0.5 * sigma)
+        expect[i + 1] = (c, c > 4.0 * sigma)
+    for day, (cu, al) in expect.items():
+        got_cu, got_al = out[day]
+        assert abs(got_cu - cu) < 1e-6, day
+        assert got_al == al, day
+    assert any(al for _, al in out.values())  # the shift actually alarms
+    assert not out[10][1]  # pre-shift stays quiet
