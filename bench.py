@@ -117,6 +117,7 @@ HEADLINE = [
     "exact_median",
     "mmr_topk",
     "cusum_anomalies",
+    "hybrid_rrf",
 ]
 
 # Queries whose full row set is large: drain with a `noop`-format write

@@ -6660,3 +6660,53 @@ FROM c
 
 QUERIES.update({"cusum_anomalies": q_cusum_anomalies})
 ORACLES.update({"cusum_anomalies": SQL_CUSUM_ANOMALIES})
+
+
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 top-20 fused with embedding-cosine top-20
+    (query vector = vec 0) by reciprocal-rank fusion, final top-10 —
+    the standard lexical+semantic combiner; rank-based so the two score
+    scales need no calibration."""
+    from grafink_spark.llm.search import bm25_search, rrf_fuse
+    from grafink_spark.llm.simsearch import brute_force_topk
+
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    lex = bm25_search(docs, _BM25_QUERY, k=20).select("doc_id", "rank")
+    emb = load_table(spark, sf_dir, "embeddings")
+    sem = brute_force_topk(
+        emb, emb.where(F.col("vec_id") == 0), k=20
+    ).select(F.col("neighbor_id").alias("doc_id"), "rank")
+    out = rrf_fuse([lex, sem], top_n=10)
+    return out.select(
+        "doc_id",
+        F.round("rrf_score", 9).alias("rrf_score"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+SQL_HYBRID_RRF = f"""
+WITH lex AS ({_bm25_sql(_BM25_QUERY, k=20)}),
+qv AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0),
+sem_scored AS (
+  SELECT e.vec_id AS doc_id,
+         {COSINE_SQL.format(a="q.v", b="e.embedding")} AS cs
+  FROM embeddings e CROSS JOIN qv q WHERE e.vec_id <> 0
+),
+sem AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY cs DESC, doc_id ASC) AS rank
+  FROM sem_scored ORDER BY cs DESC, doc_id LIMIT 20
+),
+fused AS (
+  SELECT coalesce(l.doc_id, s.doc_id) AS doc_id,
+         coalesce(1.0 / (60.0 + l.rank), 0.0)
+         + coalesce(1.0 / (60.0 + s.rank), 0.0) AS rrf_score
+  FROM lex l FULL OUTER JOIN sem s ON s.doc_id = l.doc_id
+)
+SELECT doc_id, round(rrf_score, 9) AS rrf_score,
+       row_number() OVER (ORDER BY rrf_score DESC, doc_id ASC) AS rank
+FROM fused ORDER BY rrf_score DESC, doc_id LIMIT 10
+"""
+
+QUERIES.update({"hybrid_rrf": q_hybrid_rrf})
+ORACLES.update({"hybrid_rrf": SQL_HYBRID_RRF})

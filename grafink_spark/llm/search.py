@@ -140,3 +140,54 @@ def inverted_index(
         )
         .where(F.col("df") >= min_df)
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k: int = 60,
+    top_n: int | None = None,
+) -> DataFrame:
+    """Reciprocal-rank fusion of N rankings (the standard hybrid-
+    retrieval combiner, Cormack et al.): fused(d) = Σ_i 1/(k + rank_i(d))
+    over the lists that contain d. Rank-based, so BM25 and cosine
+    scores need no calibration against each other.
+
+    Determinism: each list's contribution is extracted with a tagged
+    max() and the terms are added in FIXED list order — double addition
+    is not associative, so a bag-style sum() over the union would be
+    partition-order dependent. One union + one hash agg; with top_n,
+    the final rank filter compiles to WindowGroupLimit.
+
+    Returns (id, rrf_score, rank) — rank only when ``top_n`` is set."""
+    if not rankings:
+        raise ValueError("need at least one ranking")
+    tagged = None
+    for i, r in enumerate(rankings):
+        t = r.select(
+            F.col(id_col).alias("_id"),
+            F.lit(i).alias("_src"),
+            (F.lit(1.0) / (F.lit(float(k)) + F.col(rank_col))).alias("_c"),
+        )
+        tagged = t if tagged is None else tagged.unionByName(t)
+    per_src = tagged.groupBy("_id").agg(
+        *[
+            F.max(F.when(F.col("_src") == i, F.col("_c"))).alias(f"_c{i}")
+            for i in range(len(rankings))
+        ]
+    )
+    score = None
+    for i in range(len(rankings)):
+        term = F.coalesce(F.col(f"_c{i}"), F.lit(0.0))
+        score = term if score is None else (score + term)
+    out = per_src.select(
+        F.col("_id").alias(id_col), score.alias("rrf_score")
+    )
+    if top_n is None:
+        return out
+    w = Window.orderBy(F.col("rrf_score").desc(), F.col(id_col).asc())
+    return (
+        out.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_n)
+    )

@@ -68,3 +68,34 @@ def test_inverted_index_min_df(spark):
     )
     toks = [r["token"] for r in inverted_index(df, min_df=2).collect()]
     assert toks == ["a"]
+
+
+def test_rrf_fusion_golden(spark):
+    """A doc present in both lists outranks single-list docs even when
+    neither ranks it first; exact 1/(60+r) sums."""
+    from grafink_spark.llm.search import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(10, 1), (20, 2), (30, 3)], "doc_id long, rank long"
+    )
+    sem = spark.createDataFrame(
+        [(40, 1), (20, 2), (50, 3)], "doc_id long, rank long"
+    )
+    got = {
+        r.doc_id: (r.rrf_score, r.rank)
+        for r in rrf_fuse([lex, sem], top_n=5).collect()
+    }
+    assert got[20][1] == 1  # in both lists at rank 2 -> wins
+    assert got[20][0] == 1.0 / 62 + 1.0 / 62
+    assert got[10][0] == 1.0 / 61  # single-list
+    # single-list rank-1 docs tie -> lower id first
+    assert got[10][1] == 2 and got[40][1] == 3
+
+
+def test_rrf_rejects_empty(spark):
+    import pytest
+
+    from grafink_spark.llm.search import rrf_fuse
+
+    with pytest.raises(ValueError):
+        rrf_fuse([])
