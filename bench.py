@@ -118,6 +118,7 @@ HEADLINE = [
     "mmr_topk",
     "cusum_anomalies",
     "hybrid_rrf",
+    "benford_audit",
 ]
 
 # Queries whose full row set is large: drain with a `noop`-format write

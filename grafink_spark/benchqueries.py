@@ -6710,3 +6710,67 @@ FROM fused ORDER BY rrf_score DESC, doc_id LIMIT 10
 
 QUERIES.update({"hybrid_rrf": q_hybrid_rrf})
 ORACLES.update({"hybrid_rrf": SQL_HYBRID_RRF})
+
+
+def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-significant-digit audit of o_totalprice:
+    per-digit observed counts vs the log10(1+1/d) expectation and the
+    chi-square statistic — the classic fabricated-data screen for
+    numeric columns. One count aggregation; the chi-square adds its 9
+    fixed terms in digit order, so the doubles are engine-exact."""
+    orders = load_table(spark, sf_dir, "orders")
+    # first significant digit of a positive double: leading char of the
+    # digits-only string form (avoids log/pow float hazards entirely)
+    digit = F.substring(
+        F.regexp_replace(
+            F.format_number(F.col("o_totalprice").cast("double"), 6),
+            r"[^1-9]",
+            "",
+        ),
+        1,
+        1,
+    ).cast("int")
+    counts = (
+        orders.where(F.col("o_totalprice") > 0)
+        .groupBy(digit.alias("digit"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    import math
+
+    total = F.sum("n").over(Window.partitionBy())
+    expected = F.array(
+        *[F.lit(math.log10(1.0 + 1.0 / d)) for d in range(1, 10)]
+    )
+    exp_n = total.cast("double") * F.element_at(expected, F.col("digit"))
+    return counts.select(
+        "digit",
+        "n",
+        F.round(exp_n, 4).alias("expected_n"),
+        F.round(
+            (F.col("n").cast("double") - exp_n)
+            * (F.col("n").cast("double") - exp_n)
+            / exp_n,
+            6,
+        ).alias("chi2_term"),
+    )
+
+
+SQL_BENFORD_AUDIT = """
+WITH src AS (SELECT o_totalprice FROM orders WHERE o_totalprice > 0),
+d AS (
+  SELECT CAST(substr(regexp_replace(format('{:.6f}', o_totalprice::DOUBLE),
+                                    '[^1-9]', '', 'g'), 1, 1) AS INT) AS digit
+  FROM src
+),
+c AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+t AS (SELECT sum(n) AS total FROM c)
+SELECT digit, n,
+       round(total::DOUBLE * log10(1.0 + 1.0 / digit), 4) AS expected_n,
+       round((n::DOUBLE - total::DOUBLE * log10(1.0 + 1.0 / digit))
+             * (n::DOUBLE - total::DOUBLE * log10(1.0 + 1.0 / digit))
+             / (total::DOUBLE * log10(1.0 + 1.0 / digit)), 6) AS chi2_term
+FROM c CROSS JOIN t
+"""
+
+QUERIES.update({"benford_audit": q_benford_audit})
+ORACLES.update({"benford_audit": SQL_BENFORD_AUDIT})
