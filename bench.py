@@ -119,6 +119,7 @@ HEADLINE = [
     "cusum_anomalies",
     "hybrid_rrf",
     "benford_audit",
+    "ewma_daily",
 ]
 
 # Queries whose full row set is large: drain with a `noop`-format write

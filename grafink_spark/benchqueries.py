@@ -6774,3 +6774,50 @@ FROM c CROSS JOIN t
 
 QUERIES.update({"benford_audit": q_benford_audit})
 ORACLES.update({"benford_audit": SQL_BENFORD_AUDIT})
+
+
+def q_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-16-day EWMA (alpha=0.3) of daily event-value sums per
+    type — literal weight tables in both engines, so the smoothing is
+    bit-identical."""
+    from grafink_spark.timeseries import ewma_trailing
+
+    ev = load_table(spark, sf_dir, "events")
+    out = ewma_trailing(ev, alpha=0.3, window=16)
+    return out.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.round("x", 2).alias("x"),
+        F.round("ewma", 6).alias("ewma"),
+    )
+
+
+SQL_EWMA_DAILY = """
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         sum(value::DECIMAL(27,6))::DOUBLE AS x
+  FROM events GROUP BY 1, 2
+),
+col AS (
+  SELECT event_type, day, x,
+         list(x) OVER (PARTITION BY event_type ORDER BY day
+                       ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS arr
+  FROM daily
+),
+e AS (
+  SELECT event_type, day, x,
+         list_reduce(list_transform(range(1, len(arr) + 1),
+             i -> arr[i] * ([0.3, 0.21, 0.14699999999999996, 0.10289999999999998, 0.07202999999999997, 0.05042099999999998, 0.035294699999999984, 0.02470628999999999, 0.01729440299999999, 0.012106082099999993, 0.008474257469999994, 0.005931980228999996, 0.0041523861602999965, 0.0029066703122099975, 0.002034669218546998, 0.0014242684529828986])[len(arr) - i + 1]),
+             (a, b) -> a + b)
+         / list_reduce(list_transform(range(1, len(arr) + 1),
+             j -> ([0.3, 0.21, 0.14699999999999996, 0.10289999999999998, 0.07202999999999997, 0.05042099999999998, 0.035294699999999984, 0.02470628999999999, 0.01729440299999999, 0.012106082099999993, 0.008474257469999994, 0.005931980228999996, 0.0041523861602999965, 0.0029066703122099975, 0.002034669218546998, 0.0014242684529828986])[j]),
+             (a, b) -> a + b) AS ewma
+  FROM col
+)
+SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+       round(x, 2) AS x, round(ewma, 6) AS ewma
+FROM e
+"""
+
+QUERIES.update({"ewma_daily": q_ewma_daily})
+ORACLES.update({"ewma_daily": SQL_EWMA_DAILY})

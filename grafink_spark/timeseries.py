@@ -492,3 +492,69 @@ def cusum_changepoints(
         cusum.alias("cusum"),
         (cusum > F.lit(h_k) * sigma).alias("is_alarm"),
     )
+
+
+def ewma_trailing(
+    df: DataFrame,
+    key: str = "event_type",
+    ts: str = "ts",
+    value: str = "value",
+    alpha: float = 0.3,
+    window: int = 16,
+) -> DataFrame:
+    """Finite-window EWMA per key over daily sums: weighted average of
+    the trailing ``window`` days with weights alpha·(1−alpha)^lag,
+    normalized over the lags actually present (so the series starts
+    unbiased instead of decaying from zero) — the standard smoothing
+    feature for monitoring/forecast baselines.
+
+    Engine-exactness: the weights are PYTHON-computed literals baked
+    into both plans — a runtime pow(1−alpha, lag) can differ in the
+    last ulp between libm implementations. The trailing values are
+    collected per row from an ordered window frame (deterministic
+    order) and folded newest-last in fixed array order.
+
+    Plan: one daily-rollup shuffle, one ordered window; the fold is a
+    per-row expression over ≤ ``window`` elements."""
+    d6 = "decimal(27,6)"
+    weights = []
+    decay = 1.0
+    for _ in range(window):
+        weights.append(alpha * decay)
+        decay = decay * (1.0 - alpha)
+    w_arr = F.array(*[F.lit(w) for w in weights])
+    daily = (
+        df.groupBy(
+            F.col(key).alias("_k"), F.date_trunc("day", F.col(ts)).alias("day")
+        )
+        .agg(F.sum(F.col(value).cast(d6)).cast("double").alias("_x"))
+    )
+    win = (
+        Window.partitionBy("_k")
+        .orderBy("day")
+        .rowsBetween(-(window - 1), Window.currentRow)
+    )
+    arr = F.collect_list("_x").over(win)  # oldest → newest, frame-ordered
+    staged = daily.withColumn("_arr", arr)
+    n = F.size("_arr")
+    idx = F.sequence(F.lit(0), n - 1)
+    num = F.aggregate(
+        F.transform(
+            idx,
+            lambda i: F.element_at(F.col("_arr"), i + 1)
+            * F.element_at(w_arr, n - i),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    den = F.aggregate(
+        F.transform(idx, lambda j: F.element_at(w_arr, j + 1)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return staged.select(
+        F.col("_k").alias(key),
+        "day",
+        F.col("_x").alias("x"),
+        (num / den).alias("ewma"),
+    )

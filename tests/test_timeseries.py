@@ -300,3 +300,28 @@ def test_cusum_detects_mean_shift(spark):
         assert got_al == al, day
     assert any(al for _, al in out.values())  # the shift actually alarms
     assert not out[10][1]  # pre-shift stays quiet
+
+
+def test_ewma_trailing_matches_reference(spark):
+    """Windowed EWMA must equal the normalized weighted average
+    computed directly; a constant series smooths to itself."""
+    from datetime import datetime
+
+    from grafink_spark.timeseries import ewma_trailing
+
+    vals = [10.0, 20.0, 10.0, 40.0, 10.0]
+    rows = [("k", datetime(2024, 2, 1 + i), v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+    out = {r.day.day: r.ewma for r in ewma_trailing(df, alpha=0.5, window=3).collect()}
+    a = 0.5
+    w = [a, a * (1 - a), a * (1 - a) ** 2]  # lag 0, 1, 2
+    for t in range(len(vals)):
+        lags = [vals[t - j] for j in range(min(t + 1, 3))]
+        want = sum(v * w[j] for j, v in enumerate(lags)) / sum(w[: len(lags)])
+        assert abs(out[t + 1] - want) < 1e-12, t
+    const = spark.createDataFrame(
+        [("c", datetime(2024, 3, 1 + i), 7.5) for i in range(4)],
+        "event_type string, ts timestamp, value double",
+    )
+    for r in ewma_trailing(const).collect():
+        assert abs(r.ewma - 7.5) < 1e-12
