@@ -120,6 +120,8 @@ HEADLINE = [
     "hybrid_rrf",
     "benford_audit",
     "ewma_daily",
+    "ranking_agreement",
+    "corpus_datasheet",
 ]
 
 # Queries whose full row set is large: drain with a `noop`-format write

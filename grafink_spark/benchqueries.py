@@ -6821,3 +6821,150 @@ FROM e
 
 QUERIES.update({"ewma_daily": q_ewma_daily})
 ORACLES.update({"ewma_daily": SQL_EWMA_DAILY})
+
+
+def q_ranking_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-a between the BM25 top-20 and the cosine top-20
+    (query vec 0) over their SHARED documents: exact concordant /
+    discordant pair counts via an id-ordered pair self-join — the
+    calibration check run before fusing two retrieval systems."""
+    from grafink_spark.llm.search import bm25_search
+    from grafink_spark.llm.simsearch import brute_force_topk
+
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    lex = bm25_search(docs, _BM25_QUERY, k=20).select(
+        "doc_id", F.col("rank").alias("_ra")
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    sem = brute_force_topk(
+        emb, emb.where(F.col("vec_id") == 0), k=20
+    ).select(F.col("neighbor_id").alias("doc_id"), F.col("rank").alias("_rb"))
+    shared = lex.join(sem, "doc_id").localCheckpoint()
+    a = shared.select(
+        F.col("doc_id").alias("_i"), F.col("_ra").alias("_rai"),
+        F.col("_rb").alias("_rbi"),
+    )
+    b = shared.select(
+        F.col("doc_id").alias("_j"), F.col("_ra").alias("_raj"),
+        F.col("_rb").alias("_rbj"),
+    )
+    pairs = a.join(b, F.col("_i") < F.col("_j"))
+    sgn = (F.col("_rai") - F.col("_raj")) * (F.col("_rbi") - F.col("_rbj"))
+    agg = pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.when(sgn > 0, 1).otherwise(0)).alias("concordant"),
+        F.sum(F.when(sgn < 0, 1).otherwise(0)).alias("discordant"),
+    )
+    return agg.select(
+        "n_pairs",
+        "concordant",
+        "discordant",
+        F.round(
+            (F.col("concordant") - F.col("discordant")).cast("double")
+            / F.col("n_pairs").cast("double"),
+            6,
+        ).alias("tau"),
+    )
+
+
+SQL_RANKING_AGREEMENT = f"""
+WITH lex AS ({_bm25_sql(_BM25_QUERY, k=20)}),
+qv AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0),
+sem_scored AS (
+  SELECT e.vec_id AS doc_id,
+         {COSINE_SQL.format(a="q.v", b="e.embedding")} AS cs
+  FROM embeddings e CROSS JOIN qv q WHERE e.vec_id <> 0
+),
+sem AS (
+  SELECT doc_id, row_number() OVER (ORDER BY cs DESC, doc_id ASC) AS rank
+  FROM sem_scored ORDER BY cs DESC, doc_id LIMIT 20
+),
+shared AS (
+  SELECT l.doc_id, l.rank AS ra, s.rank AS rb
+  FROM lex l JOIN sem s USING (doc_id)
+),
+p AS (
+  SELECT (a.ra - b.ra) * (a.rb - b.rb) AS sgn
+  FROM shared a JOIN shared b ON a.doc_id < b.doc_id
+)
+SELECT count(*) AS n_pairs,
+       sum(CASE WHEN sgn > 0 THEN 1 ELSE 0 END) AS concordant,
+       sum(CASE WHEN sgn < 0 THEN 1 ELSE 0 END) AS discordant,
+       round((sum(CASE WHEN sgn > 0 THEN 1 ELSE 0 END)
+              - sum(CASE WHEN sgn < 0 THEN 1 ELSE 0 END))::DOUBLE
+             / count(*)::DOUBLE, 6) AS tau
+FROM p
+"""
+
+QUERIES.update({"ranking_agreement": q_ranking_agreement})
+ORACLES.update({"ranking_agreement": SQL_RANKING_AGREEMENT})
+
+
+def q_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus datasheet in ONE pass over documents: volume,
+    exact-duplicate rate (md5 distinct), char totals, and the mean
+    composite quality score — the summary table a dataset card ships
+    with. All ratios divide exact integers / decimal sums."""
+    from grafink_spark.llm.text import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = quality_score(docs)
+    agg = q.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(F.md5("text")).alias("n_distinct"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(F.col("quality_score").cast("decimal(27,6)"))
+        .cast("double")
+        .alias("_qsum"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        F.round(
+            F.lit(1.0)
+            - F.col("n_distinct").cast("double") / F.col("n_docs").cast("double"),
+            6,
+        ).alias("dup_rate"),
+        "total_chars",
+        F.round(
+            F.col("total_chars").cast("double") / F.col("n_docs").cast("double"), 2
+        ).alias("avg_chars"),
+        F.round(F.col("_qsum") / F.col("n_docs").cast("double"), 6).alias(
+            "mean_quality"
+        ),
+    )
+
+
+_DATASHEET_QUALITY_SQL = """
+  SELECT doc_id, source, n_chars, text,
+         (CASE WHEN len(t) BETWEEN 5 AND 100000 THEN 0.25 ELSE 0.0 END
+          + CASE WHEN len(t) > 0 AND
+                 (length(text) - len(t) + 1)::DOUBLE / len(t) BETWEEN 2 AND 12
+                 THEN 0.25 ELSE 0.0 END
+          + CASE WHEN length(text) > 0 AND
+                 (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::DOUBLE
+                 / length(text) <= 0.3 THEN 0.25 ELSE 0.0 END
+          + CASE WHEN len(t) > 0 AND
+                 len(list_filter(t, x -> list_contains(
+                     ['the','a','of','and','to','in','is','that','it','for'], x)))::DOUBLE
+                 / len(t) >= 0.01 THEN 0.25 ELSE 0.0 END) AS quality_score
+  FROM (SELECT doc_id, source, n_chars, text,
+               regexp_split_to_array(trim(text), '\\s+') AS t
+        FROM documents)
+"""
+
+SQL_CORPUS_DATASHEET = f"""
+WITH q AS ({_DATASHEET_QUALITY_SQL})
+SELECT source,
+       count(*) AS n_docs,
+       round(1.0 - count(DISTINCT md5(text))::DOUBLE / count(*)::DOUBLE,
+             6) AS dup_rate,
+       sum(n_chars) AS total_chars,
+       round(sum(n_chars)::DOUBLE / count(*)::DOUBLE, 2) AS avg_chars,
+       round(sum(quality_score::DECIMAL(27,6))::DOUBLE
+             / count(*)::DOUBLE, 6) AS mean_quality
+FROM q GROUP BY source
+"""
+
+QUERIES.update({"corpus_datasheet": q_corpus_datasheet})
+ORACLES.update({"corpus_datasheet": SQL_CORPUS_DATASHEET})
