@@ -122,6 +122,9 @@ HEADLINE = [
     "ewma_daily",
     "ranking_agreement",
     "corpus_datasheet",
+    "label_noise",
+    "quantile_transform",
+    "vertex_jaccard",
 ]
 
 # Queries whose full row set is large: drain with a `noop`-format write

@@ -6968,3 +6968,186 @@ FROM q GROUP BY source
 
 QUERIES.update({"corpus_datasheet": q_corpus_datasheet})
 ORACLES.update({"corpus_datasheet": SQL_CORPUS_DATASHEET})
+
+
+def q_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mislabeled-sample mining: for every vector, the fraction of its
+    k=5 cosine nearest neighbors whose label disagrees — rows where
+    most neighbors disagree are label-noise candidates (the standard
+    kNN-based cleaning pass before training a classifier). Composes
+    the exact top-k with one label join; integer counts → exact."""
+    from grafink_spark.llm.simsearch import brute_force_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # every vector is a query against the full corpus
+    nn = brute_force_topk(emb, emb, k=5)
+    labels = emb.select("vec_id", "label")
+    tagged = (
+        nn.join(
+            labels.select(
+                F.col("vec_id").alias("query_id"), F.col("label").alias("_lq")
+            ),
+            "query_id",
+        )
+        .join(
+            labels.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("label").alias("_ln"),
+            ),
+            "neighbor_id",
+        )
+    )
+    agg = tagged.groupBy("query_id", "_lq").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum(
+            F.when(F.col("_ln") != F.col("_lq"), 1).otherwise(0)
+        ).alias("n_disagree"),
+    )
+    return (
+        agg.select(
+            F.col("query_id").alias("vec_id"),
+            F.col("_lq").alias("label"),
+            "n_disagree",
+            F.round(
+                F.col("n_disagree").cast("double") / F.col("k").cast("double"),
+                6,
+            ).alias("disagree_rate"),
+        )
+        .where(F.col("n_disagree") * 2 > F.col("k"))  # majority disagrees
+    )
+
+
+SQL_LABEL_NOISE = f"""
+WITH scored AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         {COSINE_SQL.format(a="q.embedding", b="e.embedding")} AS cs
+  FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+),
+nn AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cs DESC, neighbor_id ASC) AS rnk
+    FROM scored) WHERE rnk <= 5
+),
+t AS (
+  SELECT n.query_id, lq.label AS lbl_q, ln.label AS lbl_n
+  FROM nn n
+  JOIN embeddings lq ON lq.vec_id = n.query_id
+  JOIN embeddings ln ON ln.vec_id = n.neighbor_id
+),
+a AS (
+  SELECT query_id, lbl_q, count(*) AS k,
+         sum(CASE WHEN lbl_n <> lbl_q THEN 1 ELSE 0 END) AS n_disagree
+  FROM t GROUP BY 1, 2
+)
+SELECT query_id AS vec_id, lbl_q AS label, n_disagree,
+       round(n_disagree::DOUBLE / k::DOUBLE, 6) AS disagree_rate
+FROM a WHERE n_disagree * 2 > k
+"""
+
+QUERIES.update({"label_noise": q_label_noise})
+ORACLES.update({"label_noise": SQL_LABEL_NOISE})
+
+
+def q_quantile_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group quantile (rank) normalization of o_totalprice within
+    each customer market segment: value → (rank−1)/(n−1) in [0,1] —
+    the ML-preprocessing transform robust to arbitrary value
+    distributions. Exact integer ranks; WindowGroupLimit does not
+    apply (full output) but the single window shuffle is the floor."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    j = orders.join(F.broadcast(cust), "o_custkey")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    n = F.count(F.lit(1)).over(Window.partitionBy("c_mktsegment"))
+    r = F.row_number().over(w)
+    return j.select(
+        "o_orderkey",
+        "c_mktsegment",
+        F.col("o_totalprice").cast("double").alias("price"),
+        F.round(
+            (r - F.lit(1)).cast("double") / (n - F.lit(1)).cast("double"), 6
+        ).alias("pct"),
+    )
+
+
+SQL_QUANTILE_TRANSFORM = """
+WITH j AS (
+  SELECT o.o_orderkey, c.c_mktsegment, o.o_totalprice
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+)
+SELECT o_orderkey, c_mktsegment, o_totalprice::DOUBLE AS price,
+       round((row_number() OVER (PARTITION BY c_mktsegment
+                                 ORDER BY o_totalprice ASC, o_orderkey ASC)
+              - 1)::DOUBLE
+             / (count(*) OVER (PARTITION BY c_mktsegment) - 1)::DOUBLE,
+             6) AS pct
+FROM j
+"""
+
+QUERIES.update({"quantile_transform": q_quantile_transform})
+ORACLES.update({"quantile_transform": SQL_QUANTILE_TRANSFORM})
+
+
+def q_vertex_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structural Jaccard link prediction over the similarity graph:
+    for wedge-connected vertex pairs, |Γ(u)∩Γ(v)| / |Γ(u)∪Γ(v)| ≥ 0.5
+    — the unweighted sibling of Adamic-Adar (which this engine also
+    ships); integer set sizes → engine-exact scores."""
+    e = _similarity_edges_undirected(spark, sf_dir).localCheckpoint()
+    nbrs = e.select("src", "dst").distinct()
+    deg = nbrs.groupBy("src").agg(F.count(F.lit(1)).alias("_deg"))
+    # wedges: u -x- v with u < v; count per (u,v) = |common neighbors|
+    a = nbrs.select(F.col("dst").alias("u"), F.col("src").alias("x"))
+    b = nbrs.select(F.col("dst").alias("v"), F.col("src").alias("x"))
+    common = (
+        a.join(b, "x")
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("_common"))
+    )
+    jac = F.col("_common").cast("double") / (
+        F.col("_du") + F.col("_dv") - F.col("_common")
+    ).cast("double")
+    out = (
+        common.join(deg.select(F.col("src").alias("u"), F.col("_deg").alias("_du")), "u")
+        .join(deg.select(F.col("src").alias("v"), F.col("_deg").alias("_dv")), "v")
+        # filter the UNROUNDED score (as the oracle does) — filtering a
+        # rounded value admits 0.49999ish boundary cases the SQL drops
+        .where(jac >= 0.5)
+    )
+    return out.select(
+        F.col("u").alias("id_a"), F.col("v").alias("id_b"),
+        F.col("_common").alias("common_neighbors"),
+        F.round(jac, 6).alias("jaccard"),
+    )
+
+
+SQL_VERTEX_JACCARD = f"""
+WITH pairs AS ({SQL_SIMILARITY_EDGES}),
+e AS (
+  SELECT src, dst FROM pairs
+  UNION ALL
+  SELECT dst AS src, src AS dst FROM pairs
+),
+nbrs AS (SELECT DISTINCT src, dst FROM e),
+deg AS (SELECT src, count(*) AS d FROM nbrs GROUP BY 1),
+common AS (
+  SELECT a.dst AS u, b.dst AS v, count(*) AS c
+  FROM nbrs a JOIN nbrs b ON a.src = b.src AND a.dst < b.dst
+  GROUP BY 1, 2
+)
+SELECT u AS id_a, v AS id_b, c AS common_neighbors,
+       round(c::DOUBLE / (du.d + dv.d - c)::DOUBLE, 6) AS jaccard
+FROM common
+JOIN deg du ON du.src = u
+JOIN deg dv ON dv.src = v
+WHERE c::DOUBLE / (du.d + dv.d - c)::DOUBLE >= 0.5
+"""
+
+QUERIES.update({"vertex_jaccard": q_vertex_jaccard})
+ORACLES.update({"vertex_jaccard": SQL_VERTEX_JACCARD})
