@@ -125,6 +125,7 @@ HEADLINE = [
     "label_noise",
     "quantile_transform",
     "vertex_jaccard",
+    "ewma_recursive",
 ]
 
 # Queries whose full row set is large: drain with a `noop`-format write

@@ -7151,3 +7151,46 @@ WHERE c::DOUBLE / (du.d + dv.d - c)::DOUBLE >= 0.5
 
 QUERIES.update({"vertex_jaccard": q_vertex_jaccard})
 ORACLES.update({"vertex_jaccard": SQL_VERTEX_JACCARD})
+
+
+def q_ewma_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unbounded-memory EWMA recursion per type (alpha=0.3) via
+    applyInPandas — the justified-Pandas operator; the oracle replays
+    the recursion as a recursive CTE, value-checking the Arrow path."""
+    from grafink_spark.timeseries import ewma_recursive
+
+    ev = load_table(spark, sf_dir, "events")
+    out = ewma_recursive(ev, alpha=0.3)
+    return out.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.round("x", 2).alias("x"),
+        F.round("ewma", 6).alias("ewma"),
+    )
+
+
+SQL_EWMA_RECURSIVE = """
+WITH RECURSIVE daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         sum(value::DECIMAL(27,6))::DOUBLE AS x
+  FROM events GROUP BY 1, 2
+),
+idx AS (
+  SELECT event_type, day, x,
+         row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+  FROM daily
+),
+r(event_type, rn, day, x, ewma) AS (
+  SELECT event_type, rn, day, x, x FROM idx WHERE rn = 1
+  UNION ALL
+  SELECT i.event_type, i.rn, i.day, i.x,
+         0.3 * i.x + 0.7 * r.ewma
+  FROM idx i JOIN r ON r.event_type = i.event_type AND i.rn = r.rn + 1
+)
+SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+       round(x, 2) AS x, round(ewma, 6) AS ewma
+FROM r
+"""
+
+QUERIES.update({"ewma_recursive": q_ewma_recursive})
+ORACLES.update({"ewma_recursive": SQL_EWMA_RECURSIVE})

@@ -150,3 +150,72 @@ def sessionize_stream(
             GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def ewma_stream(
+    events: DataFrame,
+    key: str = "event_type",
+    ts: str = "ts",
+    value: str = "value",
+    alpha: float = 0.3,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming sibling of :func:`grafink_spark.timeseries.ewma_recursive`:
+    per-key EWMA folded across microbatches with
+    ``applyInPandasWithState`` — state is ONE (last_ewma, n_seen) tuple
+    per key, so state size is O(keys) regardless of stream length.
+    Each batch's rows are sorted by event time and folded in order;
+    emits one row per input event with the running EWMA. Replays of
+    the same sorted prefix produce identical doubles, and the batch
+    twin (``ewma_recursive``'s per-event variant) is the exactness
+    oracle in tests."""
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+
+    a = float(alpha)
+    b = 1.0 - a
+    out_schema = (
+        f"{key} string, {ts} timestamp, x double, ewma double, n long"
+    )
+    state_schema = "ewma double, n long"
+
+    def fn(key_t, pdfs, state):
+        import pandas as pd  # noqa: PLC0415
+
+        (k,) = key_t
+        rows = pd.concat(list(pdfs), ignore_index=True).sort_values(ts)
+        if state.exists:
+            cur, n = state.get
+        else:
+            cur, n = None, 0
+        out_ts, out_x, out_e = [], [], []
+        for t, x in zip(rows[ts], rows[value]):
+            x = float(x)
+            cur = x if cur is None else a * x + b * cur
+            n += 1
+            out_ts.append(t)
+            out_x.append(x)
+            out_e.append(cur)
+        state.update((cur, n))
+        yield pd.DataFrame(
+            {
+                key: k,
+                ts: out_ts,
+                "x": out_x,
+                "ewma": out_e,
+                "n": range(n - len(out_ts) + 1, n + 1),
+            }
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        events.withWatermark(ts, watermark)
+        .groupBy(key)
+        .applyInPandasWithState(
+            fn,
+            out_schema,
+            state_schema,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

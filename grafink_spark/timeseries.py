@@ -558,3 +558,55 @@ def ewma_trailing(
         F.col("_x").alias("x"),
         (num / den).alias("ewma"),
     )
+
+
+def ewma_recursive(
+    df: DataFrame,
+    key: str = "event_type",
+    ts: str = "ts",
+    value: str = "value",
+    alpha: float = 0.3,
+) -> DataFrame:
+    """INFINITE-memory EWMA per key over daily sums — the true
+    recursion e_t = alpha·x_t + (1−alpha)·e_{t−1}, seeded with the
+    first observation. Unlike :func:`ewma_trailing` (finite window,
+    pure expressions), the unbounded recursion is not expressible as a
+    window aggregate without numerically explosive (1−alpha)^{-t}
+    rescaling, so this is the repo's canonical justified-Pandas case:
+    one Arrow ``applyInPandas`` per key group, each group sorted by day
+    and folded locally — O(group) memory, no driver involvement, and
+    the per-key series is exactly the shape a key-partitioned stream
+    would deliver (see ``ewma_stream``).
+
+    The DuckDB oracle replays the identical recursion as a recursive
+    CTE, so even this Pandas-path operator is value-checked."""
+    d6 = "decimal(27,6)"
+    daily = (
+        df.groupBy(
+            F.col(key).alias("_k"), F.date_trunc("day", F.col(ts)).alias("day")
+        )
+        .agg(F.sum(F.col(value).cast(d6)).cast("double").alias("_x"))
+    )
+    key_type = daily.schema["_k"].dataType.simpleString()
+    out_schema = f"_k {key_type}, day timestamp, _x double, ewma double"
+    a = float(alpha)
+    b = 1.0 - a
+
+    def fold(pdf):
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        out = []
+        cur = None
+        for x in pdf["_x"]:
+            x = float(x)
+            cur = x if cur is None else a * x + b * cur
+            out.append(cur)
+        pdf["ewma"] = out
+        return pdf
+
+    return (
+        daily.groupBy("_k")
+        .applyInPandas(fold, out_schema)
+        .select(
+            F.col("_k").alias(key), "day", F.col("_x").alias("x"), "ewma"
+        )
+    )

@@ -111,3 +111,69 @@ def test_stream_sessions_match_batch(spark, tmp_path):
     # (every batch session except possibly ones involving the sentinel)
     n_batch = batch.count()
     assert got.count() >= n_batch - 2
+
+
+def test_ewma_stream_matches_recursion_across_batches(spark, tmp_path):
+    """Per-key EWMA folded across TWO microbatches must equal the
+    single-pass recursion over the full event sequence — state carries
+    (last_ewma, n) across the batch boundary."""
+    import pandas as pd
+
+    from grafink_spark.streaming.sessionize import ewma_stream
+
+    src_dir = str(tmp_path / "ewma_src")
+    out = str(tmp_path / "ewma_out")
+    ckpt = str(tmp_path / "ewma_ckpt")
+    os.makedirs(src_dir, exist_ok=True)
+
+    full = (
+        load_table(spark, "/root/testdata/sf0.001", "events")
+        .select("event_type", "ts", "value")
+        .toPandas()
+        .sort_values("ts")
+        .reset_index(drop=True)
+    )
+    half = len(full) // 2
+    spark.createDataFrame(full.iloc[:half]).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src_dir)
+
+    def run():
+        stream = (
+            spark.readStream.schema("event_type string, ts timestamp, value double")
+            .parquet(src_dir)
+        )
+        q = (
+            ewma_stream(stream, alpha=0.3)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run()
+    spark.createDataFrame(full.iloc[half:]).coalesce(1).write.mode(
+        "append"
+    ).parquet(src_dir)
+    run()
+
+    got = (
+        spark.read.parquet(out)
+        .orderBy("event_type", "n")
+        .toPandas()
+    )
+    assert len(got) == len(full)
+    for k, grp in full.groupby("event_type"):
+        grp = grp.sort_values("ts")
+        cur = None
+        want = []
+        for x in grp["value"]:
+            x = float(x)
+            cur = x if cur is None else 0.3 * x + 0.7 * cur
+            want.append(cur)
+        g = got[got["event_type"] == k].sort_values("n")
+        assert len(g) == len(want)
+        assert max(abs(a - b) for a, b in zip(g["ewma"], want)) < 1e-9, k
