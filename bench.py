@@ -126,6 +126,8 @@ HEADLINE = [
     "quantile_transform",
     "vertex_jaccard",
     "ewma_recursive",
+    "target_encoding",
+    "entropy_profile",
 ]
 
 # Queries whose full row set is large: drain with a `noop`-format write

@@ -7194,3 +7194,111 @@ FROM r
 
 QUERIES.update({"ewma_recursive": q_ewma_recursive})
 ORACLES.update({"ewma_recursive": SQL_EWMA_RECURSIVE})
+
+
+def q_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target (mean) encoding of the customer market
+    segment against order value: each order's encoding is its
+    segment's mean o_totalprice EXCLUDING the order itself —
+    (sum − x)/(n − 1) — the leakage-safe categorical encoder for
+    tree/linear models. Decimal segment sums → engine-exact;
+    singleton segments get null (no leave-one-out mean exists)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    j = orders.join(F.broadcast(cust), "o_custkey")
+    seg = j.groupBy("c_mktsegment").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(27,6)")).alias("_sum"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    out = j.join(F.broadcast(seg), "c_mktsegment")
+    loo = F.when(
+        F.col("_n") > 1,
+        (F.col("_sum") - F.col("o_totalprice").cast("decimal(27,6)"))
+        .cast("double")
+        / (F.col("_n") - 1).cast("double"),
+    )
+    return out.select(
+        "o_orderkey",
+        "c_mktsegment",
+        F.round(loo, 4).alias("loo_encoding"),
+    )
+
+
+SQL_TARGET_ENCODING = """
+WITH j AS (
+  SELECT o.o_orderkey, c.c_mktsegment, o.o_totalprice
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+),
+seg AS (
+  SELECT c_mktsegment,
+         sum(o_totalprice::DECIMAL(27,6)) AS s,
+         count(*) AS n
+  FROM j GROUP BY 1
+)
+SELECT j.o_orderkey, j.c_mktsegment,
+       round(CASE WHEN seg.n > 1
+                  THEN (seg.s - j.o_totalprice::DECIMAL(27,6))::DOUBLE
+                       / (seg.n - 1)::DOUBLE
+             END, 4) AS loo_encoding
+FROM j JOIN seg USING (c_mktsegment)
+"""
+
+QUERIES.update({"target_encoding": q_target_encoding})
+ORACLES.update({"target_encoding": SQL_TARGET_ENCODING})
+
+
+def q_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each user's event-type distribution (nats) —
+    the behavioral-diversity profile (bots and single-purpose accounts
+    sit near 0). The −p·ln p terms are folded in CATEGORY-SORTED order
+    over a collected (type, count) list, so the double sum is
+    engine-exact despite float addition being non-associative."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    per_user = counts.groupBy("user_id").agg(
+        F.sum("_c").alias("_n"),
+        F.sort_array(
+            F.collect_list(F.struct("event_type", "_c"))
+        ).alias("_cs"),
+    )
+    cs_counts = F.transform(F.col("_cs"), lambda s: s["_c"])
+    ent = F.aggregate(
+        cs_counts,
+        F.lit(0.0),
+        lambda acc, c: acc
+        - (c.cast("double") / F.col("_n").cast("double"))
+        * F.log(c.cast("double") / F.col("_n").cast("double")),
+    )
+    return per_user.select(
+        "user_id",
+        F.col("_n").alias("n_events"),
+        F.size("_cs").alias("n_types"),
+        F.round(ent, 6).alias("entropy"),
+    )
+
+
+SQL_ENTROPY_PROFILE = """
+WITH c AS (
+  SELECT user_id, event_type, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+u AS (
+  SELECT user_id, sum(n) AS total,
+         list(n ORDER BY event_type) AS cs
+  FROM c GROUP BY 1
+)
+SELECT user_id, total AS n_events, len(cs) AS n_types,
+       round(list_reduce(
+           list_prepend(0.0, list_transform(cs,
+               x -> -(x::DOUBLE / total::DOUBLE)
+                    * ln(x::DOUBLE / total::DOUBLE))),
+           (a, b) -> a + b), 6) AS entropy
+FROM u
+"""
+
+QUERIES.update({"entropy_profile": q_entropy_profile})
+ORACLES.update({"entropy_profile": SQL_ENTROPY_PROFILE})
