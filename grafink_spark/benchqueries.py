@@ -1204,6 +1204,9 @@ SQL_READABILITY = """
 WITH t AS (
   SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS toks
   FROM documents
+  -- Spark tokens('') = [] (guarded) but DuckDB split('') = [''] — drop
+  -- blank docs here so both engines agree if the corpus ever has one
+  WHERE trim(text) <> ''
 ),
 m AS (
   SELECT doc_id,
@@ -6941,9 +6944,12 @@ _DATASHEET_QUALITY_SQL = """
           + CASE WHEN len(t) > 0 AND
                  (length(text) - len(t) + 1)::DOUBLE / len(t) BETWEEN 2 AND 12
                  THEN 0.25 ELSE 0.0 END
-          + CASE WHEN length(text) > 0 AND
+          + CASE WHEN length(text) = 0 OR
                  (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::DOUBLE
                  / length(text) <= 0.3 THEN 0.25 ELSE 0.0 END
+          -- length=0 OR: Spark scores punct_ratio 0.0 for empty text,
+          -- which passes the <=0.3 gate (kept in sync with
+          -- quality_score / SQL_TEXT_STATS semantics)
           + CASE WHEN len(t) > 0 AND
                  len(list_filter(t, x -> list_contains(
                      ['the','a','of','and','to','in','is','that','it','for'], x)))::DOUBLE
@@ -6979,8 +6985,10 @@ def q_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
     from grafink_spark.llm.simsearch import brute_force_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
-    # every vector is a query against the full corpus
-    nn = brute_force_topk(emb, emb, k=5)
+    # every vector is a query against the full corpus — partitioned
+    # cross join, NOT the broadcast path (the query side is the whole
+    # corpus; broadcasting it would exhaust driver/broadcast limits)
+    nn = brute_force_topk(emb, emb, k=5, broadcast_queries=False)
     labels = emb.select("vec_id", "label")
     tagged = (
         nn.join(

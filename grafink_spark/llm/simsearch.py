@@ -31,9 +31,18 @@ def brute_force_topk(
     k: int = 10,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Exact top-k: (query_id, neighbor_id, cosine_sim, rank). Self-pairs
-    (same id) are excluded. Ties broken by neighbor id (deterministic)."""
+    (same id) are excluded. Ties broken by neighbor id (deterministic).
+
+    ``broadcast_queries=True`` (the point-lookup shape: a handful of
+    query vectors against a large corpus) pins a broadcast so the
+    corpus streams once with no shuffle. Pass ``False`` when the query
+    side is corpus-sized (all-pairs kNN, e.g. label-noise mining) —
+    broadcasting the whole corpus to every executor would exhaust the
+    driver/broadcast limits that a plain partitioned cross join
+    avoids."""
     norm = lambda v: F.sqrt(  # noqa: E731
         F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
     )
@@ -53,8 +62,9 @@ def brute_force_topk(
         lambda acc, x: acc + x,
     )
     denom = F.col("_qn") * F.col("_cn")
+    q_side = F.broadcast(q) if broadcast_queries else q
     scored = (
-        c.crossJoin(F.broadcast(q))
+        c.crossJoin(q_side)
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
@@ -624,18 +634,21 @@ def mmr_topk(
     )
 
     def argmax(df: DataFrame, score) -> DataFrame:
-        # max over (score, -id): greatest score, ties to LOWEST id
+        # min over (-score, id): greatest score, ties to LOWEST id.
+        # The SCORE is negated (always a double here), never the id —
+        # negating a string/uuid id column would null out or error
+        # (ANSI) for the non-numeric id spaces brute_force_topk accepts
         best = df.groupBy("query_id").agg(
-            F.max(
+            F.min(
                 F.struct(
-                    score.alias("_s"), (-F.col("neighbor_id")).alias("_nid")
+                    (-score).alias("_ns"), F.col("neighbor_id").alias("_nid")
                 )
             ).alias("_b")
         )
         return best.select(
             "query_id",
-            (-F.col("_b._nid")).alias("neighbor_id"),
-            F.col("_b._s").alias("mmr_score"),
+            F.col("_b._nid").alias("neighbor_id"),
+            (-F.col("_b._ns")).alias("mmr_score"),
         )
 
     selected = argmax(cand, F.lit(lam) * F.col("cosine_sim")).withColumn(

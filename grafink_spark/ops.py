@@ -552,9 +552,11 @@ def exact_median(df: DataFrame, col: str, bins: int = 2048) -> float:
         F.max(col).alias("hi"),
         F.count(col).alias("n"),
     ).first()
-    lo, hi, n = float(row["lo"]), float(row["hi"]), int(row["n"])
-    if n == 0:
+    # null min/max = zero non-null rows; check BEFORE float() so the
+    # intended error fires instead of a TypeError on float(None)
+    if row["lo"] is None or int(row["n"]) == 0:
         raise ValueError("exact_median of an empty column")
+    lo, hi, n = float(row["lo"]), float(row["hi"]), int(row["n"])
     if lo == hi:
         return lo
     width = (hi - lo) / bins
@@ -570,24 +572,45 @@ def exact_median(df: DataFrame, col: str, bins: int = 2048) -> float:
         .collect()
     }
     k1, k2 = (n + 1) // 2, (n + 2) // 2  # 1-based middle order stats
-    vals = []
-    for k in (k1, k2):
+
+    def locate(k: int) -> tuple[int, int]:
         cum = 0
         for b in range(bins):
             cnt = hist.get(b, 0)
             if cum + cnt >= k:
-                # k-th value lives in bucket b at local rank k - cum
-                local = (
-                    df.where(c.isNotNull())
-                    .where(bucket == b)
-                    .select(c.alias("_v"))
-                    .orderBy("_v")
-                    .limit(k - cum)
-                    .orderBy(F.col("_v").desc())
-                    .limit(1)
-                    .first()
-                )
-                vals.append(float(local["_v"]))
-                break
+                return b, cum
             cum += cnt
+        raise AssertionError("order statistic beyond histogram total")
+
+    b1, cum1 = locate(k1)
+    b2, cum2 = locate(k2)
+    # one pass-2 job when both middle stats share a bucket (always true
+    # for odd n, where k1 == k2): TakeOrdered to local rank k2, then
+    # the top (k2 - k1 + 1) of those are the needed value(s)
+    if (b1, cum1) == (b2, cum2):
+        top = (
+            df.where(c.isNotNull())
+            .where(bucket == b1)
+            .select(c.alias("_v"))
+            .orderBy("_v")
+            .limit(k2 - cum1)
+            .orderBy(F.col("_v").desc())
+            .limit(k2 - k1 + 1)
+            .collect()
+        )
+        vals = [float(top[-1]["_v"]), float(top[0]["_v"])]
+    else:
+        vals = []
+        for k, (b, cum) in ((k1, (b1, cum1)), (k2, (b2, cum2))):
+            local = (
+                df.where(c.isNotNull())
+                .where(bucket == b)
+                .select(c.alias("_v"))
+                .orderBy("_v")
+                .limit(k - cum)
+                .orderBy(F.col("_v").desc())
+                .limit(1)
+                .first()
+            )
+            vals.append(float(local["_v"]))
     return (vals[0] + vals[1]) / 2.0

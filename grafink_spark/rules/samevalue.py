@@ -100,8 +100,8 @@ class SameValueClassifier(ClassifierRule):
             )
 
         # Hot keys are collected to the driver: the list is bounded by
-        # |new| / hot_threshold (e.g. ≤ 200 keys for 2M rows at the 10k
-        # default), and literal isin() filters keep the split NARROW —
+        # (|new|+|old|) / hot_threshold (e.g. ≤ 400 keys for 2M rows a
+        # side at the 10k default), and literal isin() filters keep the split NARROW —
         # a join-based split would re-execute the count-agg subplan once
         # per semi/anti join (measured 3× on the samevalue bench
         # queries).

@@ -173,8 +173,12 @@ def ewma_stream(
 
     a = float(alpha)
     b = 1.0 - a
+    # key type derived from the stream's own schema (as the batch twin
+    # does) — a hardcoded string key breaks bigint user ids at Arrow
+    # conversion time
+    key_type = events.schema[key].dataType.simpleString()
     out_schema = (
-        f"{key} string, {ts} timestamp, x double, ewma double, n long"
+        f"{key} {key_type}, {ts} timestamp, x double, ewma double, n long"
     )
     state_schema = "ewma double, n long"
 
