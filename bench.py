@@ -186,6 +186,19 @@ NOOP_DRAIN = {
     "pack_sequences",
     "personalized_pagerank",
     "rolling_median",
+    "containment_pairs",
+    "minhash_estimate",
+    "drop_near_dups_best",
+    "event_transitions",
+    "readability",
+    "ewma_daily",
+    "cusum_anomalies",
+    "label_noise",
+    "quantile_transform",
+    "vertex_jaccard",
+    "ewma_recursive",
+    "target_encoding",
+    "entropy_profile",
 }
 
 
@@ -266,7 +279,11 @@ def main() -> int:
 
         sf1_dir = os.environ.get("SPARK_GRAFT_SF1_DIR") or ensure()
         sf1_timings: dict[str, float] = {}
-        sf1_skip = {"similarity_multi", "semantic_dedup"}
+        # quadratic-by-semantics entries: similarity_multi's OUTPUT,
+        # semantic_dedup's fixed-nlist pair space (nlist64 twin runs
+        # instead), and label_noise's all-pairs kNN (O(n^2) cosines —
+        # the scale path is the IVF/LSH ANN family, measured separately)
+        sf1_skip = {"similarity_multi", "semantic_dedup", "label_noise"}
         for name in [q for q in HEADLINE if q not in sf1_skip]:
             fn = QUERIES[name]
             t0 = time.perf_counter()

@@ -62,7 +62,17 @@ def brute_force_topk(
         lambda acc, x: acc + x,
     )
     denom = F.col("_qn") * F.col("_cn")
-    q_side = F.broadcast(q) if broadcast_queries else q
+    if broadcast_queries:
+        q_side = F.broadcast(q)
+    else:
+        # CartesianProduct parallelism = left-partitions x right-
+        # partitions; a corpus read as 1-2 splits would evaluate the
+        # whole quadratic pair space (interpreted higher-order cosine,
+        # no codegen) in 1-4 tasks. Spread BOTH sides first.
+        from grafink_spark.util import ensure_min_partitions
+
+        c = ensure_min_partitions(c)
+        q_side = ensure_min_partitions(q, min_partitions=8)
     scored = (
         c.crossJoin(q_side)
         .where(F.col("query_id") != F.col("neighbor_id"))
