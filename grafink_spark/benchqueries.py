@@ -5989,12 +5989,6 @@ def _hits_scores_sql(iters: int = 2) -> str:
     def dsum(x: str) -> str:
         return "sum((" + x + ")::DECIMAL(38,18))::DOUBLE"
 
-    def nrm(t: str, c: str) -> str:
-        return (
-            "(SELECT CASE WHEN v IS NULL OR v = 0 THEN 1.0 ELSE v END "
-            "FROM (SELECT sqrt(" + dsum(c + "*" + c) + ") AS v FROM " + t + "))"
-        )
-
     blocks = []
     prev_h = "h0"
     for i in range(1, iters + 1):
@@ -6003,7 +5997,7 @@ def _hits_scores_sql(iters: int = 2) -> str:
   FROM e JOIN {prev_h} h ON h.id = e.src GROUP BY 1
 ),
 a{i} AS (
-  SELECT v.id, coalesce(r.a, 0.0) / {nrm('a' + str(i) + 'r', 'a')} AS authority
+  SELECT v.id, coalesce(r.a, 0.0) AS authority
   FROM verts v LEFT JOIN a{i}r r ON r.dst = v.id
 ),
 h{i}r AS (
@@ -6011,20 +6005,29 @@ h{i}r AS (
   FROM e JOIN a{i} a ON a.id = e.dst GROUP BY 1
 ),
 h{i} AS (
-  SELECT v.id, coalesce(r.h, 0.0) / {nrm('h' + str(i) + 'r', 'h')} AS hub
+  SELECT v.id, coalesce(r.h, 0.0) AS hub
   FROM verts v LEFT JOIN h{i}r r ON r.src = v.id
 )""")
         prev_h = f"h{i}"
     chain = ",\n".join(blocks)
+    hn = dsum("hub*hub")
+    an = dsum("authority*authority")
     return f"""
 WITH pairs AS ({SQL_SIMILARITY_EDGES}),
 e AS (SELECT DISTINCT src, dst FROM pairs),
 verts AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
 h0 AS (SELECT id, 1.0 / sqrt((SELECT count(*) FROM verts)::DOUBLE) AS hub
        FROM verts),
-{chain}
-SELECT h.id, round(h.hub, 6) AS hub, round(a.authority, 6) AS authority
-FROM h{iters} h JOIN a{iters} a ON a.id = h.id
+{chain},
+nrm AS (
+  SELECT CASE WHEN hv IS NULL OR hv = 0 THEN 1.0 ELSE hv END AS hn,
+         CASE WHEN av IS NULL OR av = 0 THEN 1.0 ELSE av END AS an
+  FROM (SELECT (SELECT sqrt({hn}) FROM h{iters}) AS hv,
+               (SELECT sqrt({an}) FROM a{iters}) AS av)
+)
+SELECT h.id, round(h.hub / nrm.hn, 6) AS hub,
+       round(a.authority / nrm.an, 6) AS authority
+FROM h{iters} h JOIN a{iters} a ON a.id = h.id CROSS JOIN nrm
 """
 
 

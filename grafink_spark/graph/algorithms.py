@@ -553,10 +553,14 @@ def hits(
 ) -> DataFrame:
     """(id, hub, authority) after ``iters`` rounds of HITS
     (Kleinberg's hubs-and-authorities) over the DIRECTED edge set:
-    auth'(v) = Σ_{u→v} hub(u), hub'(u) = Σ_{u→v} auth'(v), each score
-    vector L2-normalized per round. Identifies "pointers to good
-    content" (hubs) separately from "good content" (authorities) —
-    the asymmetric-role sibling of PageRank's single score.
+    auth'(v) = sum_{u->v} hub(u), hub'(u) = sum_{u->v} auth'(v), with
+    ONE L2 normalization of each vector at the end — HITS is linear,
+    so per-round rescaling changes nothing but the intermediate
+    floats, and deferring it removes two driver actions and two
+    materialized tables per round (the oracle replays the same
+    deferred form). Unnormalized scores grow ~(max degree)^iters;
+    decimal(38,18) partial sums hold that comfortably for the small
+    fixed ``iters`` this formulation targets.
 
     Same per-round plan as :func:`pagerank`: the static edge list is
     pre-partitioned once per join side; every round shuffles only the
@@ -598,17 +602,10 @@ def hits(
             .groupBy("_d")
             .agg(_dsum(F.col("hub")).alias("_a"))
         )
-        a_norm = float(
-            auth_raw.agg(
-                F.sqrt(_dsum(F.col("_a") * F.col("_a"))).alias("_n")
-            ).first()["_n"]
-            or 1.0
-        )
         auth = verts.join(
             auth_raw, verts["id"] == auth_raw["_d"], "left"
         ).select(
-            "id",
-            (F.coalesce(F.col("_a"), F.lit(0.0)) / a_norm).alias("authority"),
+            "id", F.coalesce(F.col("_a"), F.lit(0.0)).alias("authority")
         ).localCheckpoint()
         hub_raw = (
             e_by_d.join(
@@ -617,16 +614,21 @@ def hits(
             .groupBy("_s")
             .agg(_dsum(F.col("authority")).alias("_h"))
         )
-        h_norm = float(
-            hub_raw.agg(
-                F.sqrt(_dsum(F.col("_h") * F.col("_h"))).alias("_n")
-            ).first()["_n"]
-            or 1.0
-        )
         scores = verts.join(
             hub_raw, verts["id"] == hub_raw["_s"], "left"
         ).select(
-            "id",
-            (F.coalesce(F.col("_h"), F.lit(0.0)) / h_norm).alias("hub"),
+            "id", F.coalesce(F.col("_h"), F.lit(0.0)).alias("hub")
         ).localCheckpoint()
-    return scores.join(auth, "id").select("id", "hub", "authority")
+    # single deferred normalization (norms of the FINAL vectors)
+    joined = scores.join(auth, "id").localCheckpoint()
+    norms = joined.agg(
+        F.sqrt(_dsum(F.col("hub") * F.col("hub"))).alias("_hn"),
+        F.sqrt(_dsum(F.col("authority") * F.col("authority"))).alias("_an"),
+    ).first()
+    h_norm = float(norms["_hn"] or 1.0) or 1.0
+    a_norm = float(norms["_an"] or 1.0) or 1.0
+    return joined.select(
+        "id",
+        (F.col("hub") / h_norm).alias("hub"),
+        (F.col("authority") / a_norm).alias("authority"),
+    )
