@@ -7109,8 +7109,11 @@ def q_vertex_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     for wedge-connected vertex pairs, |Γ(u)∩Γ(v)| / |Γ(u)∪Γ(v)| ≥ 0.5
     — the unweighted sibling of Adamic-Adar (which this engine also
     ships); integer set sizes → engine-exact scores."""
-    e = _similarity_edges_undirected(spark, sf_dir).localCheckpoint()
-    nbrs = e.select("src", "dst").distinct()
+    e = _similarity_edges_undirected(spark, sf_dir)
+    # nbrs feeds FOUR consumers (degree agg, both wedge sides, nothing
+    # else reads e) — checkpoint the distinct set once, not the raw
+    # union (plan audit: 11 exchanges -> 6, no triple distinct)
+    nbrs = e.select("src", "dst").distinct().localCheckpoint()
     deg = nbrs.groupBy("src").agg(F.count(F.lit(1)).alias("_deg"))
     # wedges: u -x- v with u < v; count per (u,v) = |common neighbors|
     a = nbrs.select(F.col("dst").alias("u"), F.col("src").alias("x"))

@@ -700,19 +700,29 @@ def drop_near_duplicates_keep_best(
         df, text_col, id_col, k, threshold, candidates=cand
     )
     comp = connected_components(verified)
+    # component-sized (only docs in some cluster); checkpointed because
+    # both argmax phases read it — uncheckpointed, the join subtree
+    # executes twice and the plan doubles its exchanges
     scored = comp.join(
         df.select(
             F.col(id_col).alias("doc_id"), F.col(score_col).alias("_score")
         ),
         "doc_id",
+    ).localCheckpoint()
+    # two-phase argmax (the mutual_best_match pattern): per-component
+    # max score, then min id among rows achieving it. Both phases are
+    # primitive-typed hash aggregations — max(struct)/max_by(struct)
+    # would demote the stage to SortAggregate (structs aren't mutable
+    # hash-buffer types), and the component table is re-read cheaply
+    # because connected_components returns it checkpointed
+    best = scored.groupBy("component_id").agg(F.max("_score").alias("_bs"))
+    keepers = (
+        scored.join(best, "component_id")
+        .where(F.col("_score") == F.col("_bs"))
+        .groupBy("component_id")
+        .agg(F.min("doc_id").alias("_keep_id"))
+        .select("_keep_id")
     )
-    # argmax via max(struct(score, -id)): greatest score wins, ties to
-    # the LOWEST id (negation flips struct order) — one hash agg, no
-    # window/sort
-    keepers = scored.groupBy("component_id").agg(
-        F.max(F.struct(F.col("_score"), (-F.col("doc_id")).alias("_nid")))
-        .alias("_best")
-    ).select((-F.col("_best._nid")).alias("_keep_id"))
     losers = comp.join(
         keepers, comp["doc_id"] == keepers["_keep_id"], "left_anti"
     ).select("doc_id")

@@ -515,3 +515,58 @@ def test_seventh_batch_query_plans_stay_narrow(spark):
         )
         assert plan.count("BroadcastNestedLoopJoin") <= max_bnlj, name
         assert "CartesianProduct" not in plan, name
+
+
+def test_eighth_batch_query_plans_stay_narrow(spark):
+    """Late round-2 queries hold their audited shapes. hybrid_rrf's one
+    BroadcastNestedLoopJoin is the 1-row-query broadcast in
+    brute_force_topk; ranking_agreement's CartesianProduct is the
+    k x k pair self-join over two top-20 lists (bounded by k², checked
+    explicitly); drop_near_dups_best must stay SortAggregate-free (the
+    two-phase primitive argmax exists for exactly that)."""
+    import grafink_spark.benchqueries as bq
+
+    sf = "/root/testdata/sf0.001"
+    budgets = {
+        "containment_pairs": 2,
+        "minhash_estimate": 2,
+        "readability": 0,
+        "ewma_daily": 2,
+        "cusum_anomalies": 3,
+        "event_transitions": 3,
+        "target_encoding": 1,
+        "entropy_profile": 2,
+        "quantile_transform": 1,
+        "benford_audit": 1,
+        "corpus_datasheet": 2,
+        "vertex_jaccard": 7,
+        "drop_near_dups_best": 9,
+    }
+    for name, max_ex in budgets.items():
+        plan = (
+            bq.QUERIES[name](spark, sf)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        n_ex = plan.count("Exchange hashpartitioning") + plan.count(
+            "Exchange rangepartitioning"
+        )
+        assert n_ex <= max_ex, f"{name}: {n_ex} exchanges"
+        assert "SortAggregate" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
+    rrf_plan = (
+        bq.QUERIES["hybrid_rrf"](spark, sf)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # two benign 1-row broadcasts: the cosine query vector and BM25's
+    # corpus-stats row
+    assert rrf_plan.count("BroadcastNestedLoopJoin") <= 2
+    assert "CartesianProduct" not in rrf_plan
+    ra_plan = (
+        bq.QUERIES["ranking_agreement"](spark, sf)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert ra_plan.count("CartesianProduct") <= 1
+    assert "SortAggregate" not in ra_plan
