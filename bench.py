@@ -128,6 +128,8 @@ HEADLINE = [
     "ewma_recursive",
     "target_encoding",
     "entropy_profile",
+    "neighbor_features",
+    "negative_edges",
 ]
 
 # Queries whose full row set is large: drain with a `noop`-format write
@@ -199,6 +201,8 @@ NOOP_DRAIN = {
     "ewma_recursive",
     "target_encoding",
     "entropy_profile",
+    "neighbor_features",
+    "negative_edges",
 }
 
 

@@ -7316,3 +7316,164 @@ FROM u
 
 QUERIES.update({"entropy_profile": q_entropy_profile})
 ORACLES.update({"entropy_profile": SQL_ENTROPY_PROFILE})
+
+
+def q_neighbor_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GNN-style message passing over the similarity graph: per vertex
+    the mean rfscore of its 1-hop neighborhood and of its 2-hop
+    neighborhood (neighbors-of-neighbors, path-counted — the standard
+    A·A aggregation) — the feature-smoothing primitive graph learning
+    pipelines precompute. Decimal sums over path counts → exact."""
+    ev, current = _alertish_events(spark, sf_dir)
+    feats = ev.select(F.col("id").alias("_fid"), F.col("rfscore").alias("_f"))
+    e = _similarity_edges_undirected(spark, sf_dir).localCheckpoint()
+    d27 = "decimal(27,9)"
+    hop1 = (
+        e.join(feats, e["dst"] == feats["_fid"])
+        .groupBy("src")
+        .agg(
+            F.count(F.lit(1)).alias("deg"),
+            F.sum(F.col("_f").cast(d27)).alias("_s1"),
+        )
+    )
+    # 2-hop paths: src -> mid -> far (far may equal src; path semantics)
+    two = (
+        e.select(F.col("src").alias("a"), F.col("dst").alias("m"))
+        .join(e.select(F.col("src").alias("m"), F.col("dst").alias("b")), "m")
+        .join(feats, F.col("b") == feats["_fid"])
+        .groupBy("a")
+        .agg(
+            F.count(F.lit(1)).alias("n_paths"),
+            F.sum(F.col("_f").cast(d27)).alias("_s2"),
+        )
+    )
+    out = hop1.join(two, hop1["src"] == two["a"], "left")
+    return out.select(
+        F.col("src").alias("id"),
+        "deg",
+        # divide as DOUBLES: decimal/bigint quotient scale rules differ
+        # between Spark and DuckDB, skewing the 6th decimal
+        F.round(
+            F.col("_s1").cast("double") / F.col("deg").cast("double"), 6
+        ).alias("mean_1hop"),
+        F.coalesce(F.col("n_paths"), F.lit(0)).alias("n_2hop_paths"),
+        F.round(
+            F.col("_s2").cast("double") / F.col("n_paths").cast("double"), 6
+        ).alias("mean_2hop"),
+    )
+
+
+SQL_NEIGHBOR_FEATURES = f"""
+WITH pairs AS ({SQL_SIMILARITY_EDGES}),
+e AS (
+  SELECT src, dst FROM pairs
+  UNION ALL
+  SELECT dst AS src, src AS dst FROM pairs
+),
+a AS ({_ALERTISH_SQL}),
+h1 AS (
+  SELECT e.src, count(*) AS deg, sum(a.rfscore::DECIMAL(27,9)) AS s1
+  FROM e JOIN a ON a.id = e.dst GROUP BY 1
+),
+h2 AS (
+  SELECT e1.src AS a_id, count(*) AS n_paths,
+         sum(f.rfscore::DECIMAL(27,9)) AS s2
+  FROM e e1 JOIN e e2 ON e2.src = e1.dst
+  JOIN a f ON f.id = e2.dst
+  GROUP BY 1
+)
+SELECT h1.src AS id, h1.deg,
+       round(h1.s1::DOUBLE / h1.deg::DOUBLE, 6) AS mean_1hop,
+       coalesce(h2.n_paths, 0) AS n_2hop_paths,
+       round(h2.s2::DOUBLE / h2.n_paths::DOUBLE, 6) AS mean_2hop
+FROM h1 LEFT JOIN h2 ON h2.a_id = h1.src
+"""
+
+QUERIES.update({"neighbor_features": q_neighbor_features})
+ORACLES.update({"neighbor_features": SQL_NEIGHBOR_FEATURES})
+
+
+def q_negative_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for link prediction: per vertex,
+    3 pseudo-random candidate partners drawn by md5(u, j) mod |V| over
+    the ranked vertex list, minus self-pairs and true edges — the
+    labeled-negatives generator every link-prediction trainer needs,
+    reproducible across runs and engines (no RNG, just hashes)."""
+    e = _similarity_edges_undirected(spark, sf_dir).localCheckpoint()
+    verts = (
+        e.select(F.col("src").alias("id")).distinct().localCheckpoint()
+    )
+    n = verts.count()
+    # zip_with_index(order_by=id): globally consecutive ranks via range
+    # repartition + local sort — the engine's own id machinery, not a
+    # single-task row_number over every vertex
+    from grafink_spark.id_manager import zip_with_index
+
+    ranked = zip_with_index(
+        verts, id_col="rn", order_by=["id"]
+    ).select("id", F.col("rn").cast("int").alias("rn")).localCheckpoint()
+    cand = ranked.select(
+        F.col("id").alias("src"),
+        F.explode(
+            F.array(
+                *[
+                    (
+                        F.conv(
+                            F.substring(
+                                F.md5(
+                                    F.concat_ws(
+                                        ":", F.col("id").cast("string"), F.lit(j)
+                                    )
+                                ),
+                                1,
+                                8,
+                            ),
+                            16,
+                            10,
+                        ).cast("long")
+                        % n
+                        + 1
+                    ).cast("int")
+                    for j in range(3)
+                ]
+            )
+        ).alias("_trn"),
+    )
+    picked = cand.join(
+        ranked.select(F.col("rn").alias("_trn"), F.col("id").alias("dst")),
+        "_trn",
+    ).where(F.col("src") != F.col("dst"))
+    neg = picked.join(e, ["src", "dst"], "left_anti")
+    return neg.select("src", "dst").distinct()
+
+
+SQL_NEGATIVE_EDGES = f"""
+WITH pairs AS ({SQL_SIMILARITY_EDGES}),
+e AS (
+  SELECT src, dst FROM pairs
+  UNION ALL
+  SELECT dst AS src, src AS dst FROM pairs
+),
+verts AS (SELECT DISTINCT src AS id FROM e),
+ranked AS (
+  SELECT id, row_number() OVER (ORDER BY id) AS rn FROM verts
+),
+cand AS (
+  SELECT r.id AS src,
+         (('0x' || substr(md5(r.id::VARCHAR || ':' || j.j::VARCHAR), 1, 8))::BIGINT
+          % (SELECT count(*) FROM verts) + 1)::INT AS trn
+  FROM ranked r CROSS JOIN (SELECT unnest([0, 1, 2]) AS j) j
+),
+picked AS (
+  SELECT c.src, t.id AS dst
+  FROM cand c JOIN ranked t ON t.rn = c.trn
+  WHERE c.src <> t.id
+)
+SELECT DISTINCT p.src, p.dst
+FROM picked p
+LEFT JOIN e ON e.src = p.src AND e.dst = p.dst
+WHERE e.src IS NULL
+"""
+
+QUERIES.update({"negative_edges": q_negative_edges})
+ORACLES.update({"negative_edges": SQL_NEGATIVE_EDGES})
