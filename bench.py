@@ -130,6 +130,7 @@ HEADLINE = [
     "entropy_profile",
     "neighbor_features",
     "negative_edges",
+    "normalized_adjacency",
 ]
 
 # Queries whose full row set is large: drain with a `noop`-format write
@@ -203,6 +204,7 @@ NOOP_DRAIN = {
     "entropy_profile",
     "neighbor_features",
     "negative_edges",
+    "normalized_adjacency",
 }
 
 

@@ -7477,3 +7477,47 @@ WHERE e.src IS NULL
 
 QUERIES.update({"negative_edges": q_negative_edges})
 ORACLES.update({"negative_edges": SQL_NEGATIVE_EDGES})
+
+
+def q_normalized_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric (GCN) normalization of the similarity graph's
+    adjacency: weight(u,v) = 1/sqrt(deg(u)·deg(v)) — the D^(-1/2) A
+    D^(-1/2) edge weighting graph-convolution pipelines precompute.
+    Integer degrees → the sqrt/division doubles are engine-exact."""
+    e = _similarity_edges_undirected(spark, sf_dir).localCheckpoint()
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("_d"))
+    out = (
+        e.join(deg.withColumnRenamed("_d", "_du"), "src")
+        .join(
+            deg.select(F.col("src").alias("dst"), F.col("_d").alias("_dv")),
+            "dst",
+        )
+    )
+    return out.select(
+        "src",
+        "dst",
+        F.round(
+            F.lit(1.0)
+            / F.sqrt((F.col("_du") * F.col("_dv")).cast("double")),
+            9,
+        ).alias("weight"),
+    )
+
+
+SQL_NORMALIZED_ADJACENCY = f"""
+WITH pairs AS ({SQL_SIMILARITY_EDGES}),
+e AS (
+  SELECT src, dst FROM pairs
+  UNION ALL
+  SELECT dst AS src, src AS dst FROM pairs
+),
+deg AS (SELECT src, count(*) AS d FROM e GROUP BY 1)
+SELECT e.src, e.dst,
+       round(1.0 / sqrt((du.d * dv.d)::DOUBLE), 9) AS weight
+FROM e
+JOIN deg du ON du.src = e.src
+JOIN deg dv ON dv.src = e.dst
+"""
+
+QUERIES.update({"normalized_adjacency": q_normalized_adjacency})
+ORACLES.update({"normalized_adjacency": SQL_NORMALIZED_ADJACENCY})
