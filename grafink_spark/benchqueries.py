@@ -1212,9 +1212,11 @@ m AS (
   SELECT doc_id,
          len(toks) AS n_words,
          greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS n_sentences,
-         list_sum(list_transform(toks,
+         -- CAST: DuckDB list_sum surfaces as float64 in pandas while Spark
+         -- emits long — cast to BIGINT so the driver's value hash agrees
+         CAST(list_sum(list_transform(toks,
              w -> greatest(1, len(regexp_extract_all(lower(w), '[aeiouy]+')))
-         )) AS n_syllables
+         )) AS BIGINT) AS n_syllables
   FROM t WHERE len(toks) > 0
 )
 SELECT doc_id, n_words, n_sentences, n_syllables,
