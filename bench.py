@@ -221,8 +221,14 @@ def main() -> int:
     QUERIES["max_id"](spark, sf_dir).collect()
 
     iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "2"))
+    # Smoke-run subset: SPARK_GRAFT_BENCH_ONLY=q1,q2 limits the headline
+    # set (local iteration / CI smoke); unset = full headline set.
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    headline = (
+        [q for q in HEADLINE if q in set(only.split(","))] if only else HEADLINE
+    )
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in headline:
         fn = QUERIES[name]
         best = float("inf")
         for _ in range(iters):
@@ -326,6 +332,20 @@ def main() -> int:
         }
 
     print(json.dumps(out))
+    # Compact summary LAST: the full JSON line (100+ queries) can exceed
+    # the driver's captured stdout tail, front-truncating the one line it
+    # parses. A short trailing line always survives truncation.
+    print(
+        json.dumps(
+            {
+                "metric": out["metric"],
+                "value": out["value"],
+                "unit": out["unit"],
+                "sf": out["sf"],
+                "n_queries": len(timings),
+            }
+        )
+    )
     return 0
 
 

@@ -1,0 +1,33 @@
+"""Docs can't drift from the registry: the query counts printed in
+COVERAGE.md and README.md must equal the live registry sizes."""
+
+from __future__ import annotations
+
+import re
+from pathlib import Path
+
+from grafink_spark.benchqueries import ORACLES, QUERIES
+
+ROOT = Path(__file__).resolve().parent.parent
+
+
+def test_registry_is_fully_oracled():
+    assert set(QUERIES) == set(ORACLES), (
+        "every queries() entry needs an oracle_sql() twin"
+    )
+
+
+def test_coverage_md_counts_match_registry():
+    text = (ROOT / "COVERAGE.md").read_text()
+    m = re.search(
+        r"\*\*(\d+) registered queries, (\d+) oracle SQL twins", text
+    )
+    assert m, "COVERAGE.md Status line missing or reformatted"
+    assert int(m.group(1)) == len(QUERIES), "COVERAGE.md query count drifted"
+    assert int(m.group(2)) == len(ORACLES), "COVERAGE.md oracle count drifted"
+
+
+def test_readme_counts_match_registry():
+    text = (ROOT / "README.md").read_text()
+    for n in re.findall(r"(\d+)\s+(?:declared|registered)\s+queries", text):
+        assert int(n) == len(QUERIES), f"README.md says {n}, registry has {len(QUERIES)}"

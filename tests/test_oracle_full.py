@@ -1,0 +1,40 @@
+"""Full-registry oracle sweep as a recorded artifact.
+
+Runs every ``queries()`` entry against its DuckDB ``oracle_sql()`` twin
+at sf0.01 (the driver's correctness scale) and fails on ANY mismatch,
+so the queries the driver doesn't sample still get exercised each round.
+
+Gated behind ``SPARK_GRAFT_FULL_ORACLE=1`` because the sweep runs the
+whole 169-query registry (~10 min): the default pytest gate stays fast,
+and the round workflow runs this once per round via
+
+    SPARK_GRAFT_FULL_ORACLE=1 python -m pytest tests/test_oracle_full.py -q
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_ORACLE", "/root/testdata/sf0.01")
+
+
+@pytest.mark.skipif(
+    os.environ.get("SPARK_GRAFT_FULL_ORACLE") != "1",
+    reason="full 169-query oracle sweep (~10 min); set SPARK_GRAFT_FULL_ORACLE=1",
+)
+def test_all_registered_oracles_match():
+    # Subprocess so the sweep gets its own full-core Spark session instead
+    # of the test suite's local[4] fixture.
+    proc = subprocess.run(
+        [sys.executable, os.path.join(os.path.dirname(__file__), "oracle_check.py"), SF_DIR],
+        capture_output=True,
+        text=True,
+        timeout=3600,
+    )
+    tail = "\n".join(proc.stdout.splitlines()[-12:])
+    assert proc.returncode == 0, f"oracle sweep failed:\n{tail}\n{proc.stderr[-2000:]}"
+    assert "all queries match" in proc.stdout
