@@ -89,9 +89,14 @@ def file_clustering_stats(
     (n_files, avg_overlap, max_overlap).
 
     Cost: one footer-cheap scan aggregated per input file (min/max/
-    count partial-aggregate map-side), then an n_files²-sized range
-    self-join — file counts are small even at 100 TB (thousands), so
-    the pairwise step is trivial next to the scan."""
+    count partial-aggregate map-side), then an O(n log n) sweep over
+    the 2·n_files interval endpoints — NO pairwise join. For file a,
+    overlap(a) = n − #{b: hi_b < lo_a} − #{b: lo_b > hi_a} − 1 (the
+    "entirely before" and "entirely after" sets are disjoint), and both
+    counts fall out of one ordered cumulative sum each over the merged
+    endpoint stream. At ~10⁶ files of a 100 TB table that's two single-
+    column sorts of 2M tiny rows instead of 10¹² range comparisons."""
+    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     per_file = (
@@ -104,26 +109,67 @@ def file_clustering_stats(
             F.count(F.lit(1)).alias("_rows"),
         )
     )
-    a = per_file.select(
-        F.col("_f").alias("_fa"), F.col("_lo").alias("_la"), F.col("_hi").alias("_ha")
+    # Files whose column is all-NULL have a NULL range: they overlap
+    # nothing (NULL comparisons are false) but still count as files.
+    valid = per_file.where(F.col("_lo").isNotNull())
+    null_files = per_file.where(F.col("_lo").isNull()).select(
+        F.col("_f"), F.lit(0).cast("long").alias("_n")
     )
-    b = per_file.select(
-        F.col("_f").alias("_fb"), F.col("_lo").alias("_lb"), F.col("_hi").alias("_hb")
+
+    # Sweep 1 — before(a) = #{b: hi_b < lo_a}: merge hi endpoints with
+    # lo probes, order ascending with probes FIRST on ties so an equal
+    # hi (which overlaps) is not counted, and take the running hi-count.
+    hi_ev = valid.select(
+        F.lit(None).cast("string").alias("_f"),
+        F.col("_hi").alias("_val"),
+        F.lit(1).alias("_is_end"),
     )
-    overlaps = (
-        a.crossJoin(b)
-        .where(
-            (F.col("_fa") != F.col("_fb"))
-            & (F.col("_la") <= F.col("_hb"))
-            & (F.col("_lb") <= F.col("_ha"))
+    lo_probe = valid.select(
+        F.col("_f"), F.col("_lo").alias("_val"), F.lit(0).alias("_is_end")
+    )
+    w_asc = Window.orderBy(F.col("_val").asc(), F.col("_is_end").asc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    before = (
+        hi_ev.unionByName(lo_probe)
+        .withColumn("_before", F.sum("_is_end").over(w_asc))
+        .where(F.col("_is_end") == 0)
+        .select("_f", "_before")
+    )
+
+    # Sweep 2 — after(a) = #{b: lo_b > hi_a}: same stream mirrored, lo
+    # endpoints descending with probes first on ties.
+    lo_ev = valid.select(
+        F.lit(None).cast("string").alias("_f"),
+        F.col("_lo").alias("_val"),
+        F.lit(1).alias("_is_end"),
+    )
+    hi_probe = valid.select(
+        F.col("_f"), F.col("_hi").alias("_val"), F.lit(0).alias("_is_end")
+    )
+    w_desc = Window.orderBy(F.col("_val").desc(), F.col("_is_end").asc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    after = (
+        lo_ev.unionByName(hi_probe)
+        .withColumn("_after", F.sum("_is_end").over(w_desc))
+        .where(F.col("_is_end") == 0)
+        .select(F.col("_f").alias("_f2"), "_after")
+    )
+
+    n_valid = valid.agg(F.count(F.lit(1)).alias("_n_valid"))
+    per_overlap = (
+        before.join(after, before["_f"] == after["_f2"])
+        .crossJoin(F.broadcast(n_valid))
+        .select(
+            "_f",
+            (F.col("_n_valid") - F.col("_before") - F.col("_after") - 1)
+            .cast("long")
+            .alias("_n"),
         )
-        .groupBy("_fa")
-        .agg(F.count(F.lit(1)).alias("_n_overlap"))
+        .unionByName(null_files)
     )
-    joined = per_file.join(
-        overlaps, per_file["_f"] == overlaps["_fa"], "left"
-    ).select(F.coalesce(F.col("_n_overlap"), F.lit(0)).alias("_n"))
-    return joined.agg(
+    return per_overlap.agg(
         F.count(F.lit(1)).alias("n_files"),
         F.round(F.avg("_n"), 3).alias("avg_overlap"),
         F.max("_n").alias("max_overlap"),

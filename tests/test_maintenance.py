@@ -61,3 +61,61 @@ def test_file_clustering_stats_ranks_layouts(spark, tmp_path):
     # range partitioning → disjoint ranges; random → everyone overlaps
     assert s.avg_overlap <= 1.0
     assert r.avg_overlap >= 6.0
+    # the sweep must not fall back to a pairwise cartesian product
+    plan = file_clustering_stats(spark, random_p, "v")._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+
+def test_file_clustering_stats_matches_bruteforce(spark, tmp_path):
+    """Endpoint-sweep overlap counts == brute-force pairwise counts,
+    including tied endpoints (touching ranges DO overlap) and an
+    all-NULL file (overlaps nothing, still counted in n_files)."""
+    from pyspark.sql import functions as F
+
+    from grafink_spark.maintenance import file_clustering_stats
+
+    # 6 files with hand-picked ranges: disjoint, nested, touching at an
+    # endpoint, duplicated range, and one all-NULL file.
+    ranges = {
+        "a": [1, 5],
+        "b": [5, 9],      # touches a at 5 → overlaps a
+        "c": [2, 3],      # nested in a
+        "d": [20, 30],    # disjoint
+        "e": [2, 3],      # duplicate of c
+    }
+    path = str(tmp_path / "bf")
+    for name, (lo, hi) in ranges.items():
+        spark.createDataFrame([(lo,), (hi,)], "v long").coalesce(1).write.mode(
+            "append"
+        ).parquet(path)
+    spark.createDataFrame(
+        [(None,), (None,)], "v long"
+    ).coalesce(1).write.mode("append").parquet(path)
+
+    # brute force over the same per-file min/max Spark sees
+    per_file = (
+        spark.read.parquet(path)
+        .select(F.input_file_name().alias("f"), "v")
+        .groupBy("f")
+        .agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+        .collect()
+    )
+    counts = []
+    for x in per_file:
+        n = sum(
+            1
+            for y in per_file
+            if y.f != x.f
+            and x.lo is not None
+            and y.lo is not None
+            and x.lo <= y.hi
+            and y.lo <= x.hi
+        )
+        counts.append(n)
+    expect_avg = round(sum(counts) / len(counts), 3)
+
+    got = file_clustering_stats(spark, path, "v").first()
+    assert got.n_files == len(per_file) == 6
+    assert got.avg_overlap == expect_avg
+    assert got.max_overlap == max(counts)
