@@ -21,12 +21,32 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+# Reliable-checkpoint support: localCheckpoint is executor-storage
+# resident and NOT fault-tolerant — on a 1000-executor run, losing one
+# executor mid-iteration kills the whole lineage. Every iterative
+# algorithm takes ``checkpoint_dir``; when set, lineage cuts go through
+# df.checkpoint() into that (HDFS/S3) directory and survive executor
+# loss. Default (None) keeps the fast local path.
+_CKPT_DIR_BY_APP: dict[str, str] = {}
+
+
+def _cp(df: DataFrame, checkpoint_dir: str | None = None) -> DataFrame:
+    if checkpoint_dir is None:
+        return df.localCheckpoint()
+    sc = df.sparkSession.sparkContext
+    if _CKPT_DIR_BY_APP.get(sc.applicationId) != checkpoint_dir:
+        sc.setCheckpointDir(checkpoint_dir)
+        _CKPT_DIR_BY_APP[sc.applicationId] = checkpoint_dir
+    return df.checkpoint()
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     iters: int = 3,
     damping: float = 0.85,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(id, rank) after ``iters`` iterations over the DIRECTED edge set
     (pass both directions for an undirected graph)."""
@@ -35,19 +55,19 @@ def pagerank(
     # pipeline — without this it re-executes once per consumer
     e = edges.select(
         F.col(src).alias("_s"), F.col(dst).alias("_d")
-    ).localCheckpoint()
+    ).transform(_cp, checkpoint_dir)
     verts = (
         e.select(F.col("_s").alias("id"))
         .unionByName(e.select(F.col("_d").alias("id")))
         .distinct()
-        .localCheckpoint()
+        .transform(_cp, checkpoint_dir)
     )
     n = verts.count()
     deg = e.groupBy("_s").agg(F.count(F.lit(1)).alias("_deg"))
     # pre-partition the (static) weighted edge list on the per-iteration
     # join key; the checkpoint preserves the hash partitioning, so each
     # iteration shuffles only the vertex-sized rank table, never the edges
-    ed = e.join(deg, "_s").repartition("_s").localCheckpoint()
+    ed = e.join(deg, "_s").repartition("_s").transform(_cp, checkpoint_dir)
     pr = verts.withColumn("rank", F.lit(1.0 / n))
     base = (1.0 - damping) / n
     for _ in range(iters):
@@ -75,13 +95,16 @@ def pagerank(
                     "rank"
                 ),
             )
-            .localCheckpoint()
+            .transform(_cp, checkpoint_dir)
         )
     return pr
 
 
 def triangle_counts(
-    edges: DataFrame, src: str = "src", dst: str = "dst"
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Per-vertex triangle counts (id, n_triangles) over the undirected
     simple graph induced by ``edges`` (direction and duplicates are
@@ -112,7 +135,7 @@ def triangle_counts(
         # orientation join, closure join) — cut lineage once instead of
         # re-running the upstream edge derivation (often a full
         # classifier pipeline) three times
-        .localCheckpoint()
+        .transform(_cp, checkpoint_dir)
     )
     deg = (
         und.select(F.col("u").alias("id"))
@@ -131,7 +154,7 @@ def triangle_counts(
     oriented = j.select(
         F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("x"),
         F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("y"),
-    ).localCheckpoint()
+    ).transform(_cp, checkpoint_dir)
     e1 = oriented.select("x", F.col("y").alias("y1"))
     e2 = oriented.select("x", F.col("y").alias("y2"))
     wedges = e1.join(e2, "x").where(F.col("y1") < F.col("y2"))
@@ -153,6 +176,7 @@ def k_core(
     src: str = "src",
     dst: str = "dst",
     rounds: int = 4,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(id, core_degree) for vertices surviving ``rounds`` peel rounds
     of k-core decomposition over the undirected simple graph: each
@@ -175,7 +199,7 @@ def k_core(
             F.least("_a", "_b").alias("u"), F.greatest("_a", "_b").alias("v")
         )
         .distinct()
-        .localCheckpoint()
+        .transform(_cp, checkpoint_dir)
     )
     for _ in range(rounds):
         deg = (
@@ -188,7 +212,7 @@ def k_core(
         cur = (
             cur.join(keep.withColumnRenamed("id", "u"), "u", "left_semi")
             .join(keep.withColumnRenamed("id", "v"), "v", "left_semi")
-            .localCheckpoint()
+            .transform(_cp, checkpoint_dir)
         )
     return (
         cur.select(F.col("u").alias("id"))
@@ -204,6 +228,7 @@ def bfs_distances(
     max_hops: int = 6,
     src: str = "src",
     dst: str = "dst",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(id, dist) — minimum hop count from ``source`` over the DIRECTED
     edge set (pass both directions for undirected), bounded at
@@ -224,7 +249,7 @@ def bfs_distances(
         F.col(src).alias("_s"), F.col(dst).alias("_d")
     ).distinct()
     # static join side: partition once on the probe key, reused per hop
-    e = e.repartition("_s").localCheckpoint()
+    e = e.repartition("_s").transform(_cp, checkpoint_dir)
     seen = spark.createDataFrame([(int(source), 0)], "id long, dist int")
     frontier = seen
     for h in range(1, max_hops + 1):
@@ -236,11 +261,11 @@ def bfs_distances(
             .distinct()
             .join(seen.select("id"), "id", "left_anti")
             .withColumn("dist", F.lit(h))
-            .localCheckpoint()
+            .transform(_cp, checkpoint_dir)
         )
         if not nxt.take(1):
             break
-        seen = seen.unionByName(nxt).localCheckpoint()
+        seen = seen.unionByName(nxt).transform(_cp, checkpoint_dir)
         frontier = nxt
     return seen
 
@@ -250,6 +275,7 @@ def adamic_adar(
     min_common: int = 2,
     src: str = "src",
     dst: str = "dst",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Link prediction over the undirected simple graph: for every
     non-adjacent pair (a, b) with ≥ ``min_common`` common neighbors,
@@ -272,7 +298,7 @@ def adamic_adar(
             F.least("_a", "_b").alias("u"), F.greatest("_a", "_b").alias("v")
         )
         .distinct()
-        .localCheckpoint()
+        .transform(_cp, checkpoint_dir)
     )
     both = und.unionByName(
         und.select(F.col("v").alias("u"), F.col("u").alias("v"))
@@ -312,6 +338,7 @@ def shortest_paths(
     src: str = "src",
     dst: str = "dst",
     weight: str = "weight",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(id, dist) — minimum-weight path cost from ``source`` using at
     most ``rounds`` edges (bounded Bellman-Ford relaxation over the
@@ -337,7 +364,7 @@ def shortest_paths(
         .groupBy("_s", "_d")
         .agg(F.min("_w").alias("_w"))
         .repartition("_s")
-        .localCheckpoint()
+        .transform(_cp, checkpoint_dir)
     )
     dist = spark.createDataFrame([(int(source), 0.0)], "id long, dist double")
     for _ in range(rounds):
@@ -349,7 +376,7 @@ def shortest_paths(
             dist.unionByName(relaxed)
             .groupBy("id")
             .agg(F.min("dist").alias("dist"))
-            .localCheckpoint()
+            .transform(_cp, checkpoint_dir)
         )
     return dist
 
@@ -359,6 +386,7 @@ def label_propagation(
     src: str = "src",
     dst: str = "dst",
     iters: int = 2,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Synchronous label-propagation community detection: labels start
     as vertex ids; each round every vertex adopts the most frequent
@@ -377,15 +405,15 @@ def label_propagation(
     """
     e = edges.select(
         F.col(src).alias("_u"), F.col(dst).alias("_v")
-    ).localCheckpoint()
+    ).transform(_cp, checkpoint_dir)
     both = e.unionByName(
         e.select(F.col("_v").alias("_u"), F.col("_u").alias("_v"))
-    ).repartition("_v").localCheckpoint()
+    ).repartition("_v").transform(_cp, checkpoint_dir)
     labels = (
         both.select(F.col("_u").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
-        .localCheckpoint()
+        .transform(_cp, checkpoint_dir)
     )
     for _ in range(iters):
         counted = (
@@ -406,7 +434,7 @@ def label_propagation(
                 ).alias("label")
             )
             .select(F.col("_u").alias("id"), "label")
-            .localCheckpoint()
+            .transform(_cp, checkpoint_dir)
         )
     return labels
 
@@ -418,6 +446,7 @@ def personalized_pagerank(
     dst: str = "dst",
     iters: int = 3,
     damping: float = 0.85,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(id, rank) after ``iters`` rounds of random-walk-with-restart:
     the teleport mass returns to the ``seeds`` (uniformly) instead of
@@ -429,15 +458,15 @@ def personalized_pagerank(
     literal IN-list."""
     e = edges.select(
         F.col(src).alias("_s"), F.col(dst).alias("_d")
-    ).localCheckpoint()
+    ).transform(_cp, checkpoint_dir)
     verts = (
         e.select(F.col("_s").alias("id"))
         .unionByName(e.select(F.col("_d").alias("id")))
         .distinct()
-        .localCheckpoint()
+        .transform(_cp, checkpoint_dir)
     )
     deg = e.groupBy("_s").agg(F.count(F.lit(1)).alias("_deg"))
-    ed = e.join(deg, "_s").repartition("_s").localCheckpoint()
+    ed = e.join(deg, "_s").repartition("_s").transform(_cp, checkpoint_dir)
     n_seeds = float(len(seeds))
     is_seed = F.col("id").isin(seeds)
     restart = F.when(is_seed, F.lit(1.0 / n_seeds)).otherwise(F.lit(0.0))
@@ -468,7 +497,7 @@ def personalized_pagerank(
                     + damping * F.coalesce(F.col("_in"), F.lit(0.0))
                 ).alias("rank"),
             )
-            .localCheckpoint()
+            .transform(_cp, checkpoint_dir)
         )
     return pr
 
@@ -479,6 +508,7 @@ def multi_source_bfs(
     max_hops: int = 6,
     src: str = "src",
     dst: str = "dst",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(seed, id, dist) hop distances from EVERY seed at once — one
     frontier carries (seed, vertex) pairs, so k seeds cost the same
@@ -490,7 +520,7 @@ def multi_source_bfs(
     e = edges.select(
         F.col(src).alias("_s"), F.col(dst).alias("_d")
     ).distinct()
-    e = e.repartition("_s").localCheckpoint()
+    e = e.repartition("_s").transform(_cp, checkpoint_dir)
     # seed/id typed from the graph's own dst column (long, string, ...)
     # so string-id graphs work and joins never silently type-coerce
     id_type = e.schema["_d"].dataType
@@ -512,11 +542,11 @@ def multi_source_bfs(
             .distinct()
             .join(seen.select("seed", "id"), ["seed", "id"], "left_anti")
             .withColumn("dist", F.lit(h))
-            .localCheckpoint()
+            .transform(_cp, checkpoint_dir)
         )
         if not nxt.take(1):
             break
-        seen = seen.unionByName(nxt).localCheckpoint()
+        seen = seen.unionByName(nxt).transform(_cp, checkpoint_dir)
         frontier = nxt
     return seen
 
@@ -527,11 +557,14 @@ def closeness_centrality(
     max_hops: int = 6,
     src: str = "src",
     dst: str = "dst",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(seed, n_reached, closeness): bounded closeness centrality for
     the seed set — closeness = (n_reached − 1) / Σ dist over vertices
     within ``max_hops``. Exact integer distance sums → engine-exact."""
-    d = multi_source_bfs(edges, sources, max_hops, src, dst)
+    d = multi_source_bfs(
+        edges, sources, max_hops, src, dst, checkpoint_dir=checkpoint_dir
+    )
     return (
         d.where(F.col("dist") > 0)
         .groupBy("seed")
@@ -550,6 +583,7 @@ def hits(
     src: str = "src",
     dst: str = "dst",
     iters: int = 2,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(id, hub, authority) after ``iters`` rounds of HITS
     (Kleinberg's hubs-and-authorities) over the DIRECTED edge set:
@@ -576,19 +610,19 @@ def hits(
     dec = "decimal(38,18)"
     e = edges.select(
         F.col(src).alias("_s"), F.col(dst).alias("_d")
-    ).distinct().localCheckpoint()
+    ).distinct().transform(_cp, checkpoint_dir)
     verts = (
         e.select(F.col("_s").alias("id"))
         .unionByName(e.select(F.col("_d").alias("id")))
         .distinct()
-        .localCheckpoint()
+        .transform(_cp, checkpoint_dir)
     )
     n = verts.count()
     init = 1.0 / math.sqrt(float(n))
     # one copy partitioned per join key; each round joins shuffle-free
     # against the pre-partitioned edges
-    e_by_s = e.repartition("_s").localCheckpoint()
-    e_by_d = e.repartition("_d").localCheckpoint()
+    e_by_s = e.repartition("_s").transform(_cp, checkpoint_dir)
+    e_by_d = e.repartition("_d").transform(_cp, checkpoint_dir)
     scores = verts.select("id", F.lit(init).alias("hub"))
 
     def _dsum(c):
@@ -606,7 +640,7 @@ def hits(
             auth_raw, verts["id"] == auth_raw["_d"], "left"
         ).select(
             "id", F.coalesce(F.col("_a"), F.lit(0.0)).alias("authority")
-        ).localCheckpoint()
+        ).transform(_cp, checkpoint_dir)
         hub_raw = (
             e_by_d.join(
                 auth.select(F.col("id").alias("_d"), "authority"), "_d"
@@ -618,9 +652,9 @@ def hits(
             hub_raw, verts["id"] == hub_raw["_s"], "left"
         ).select(
             "id", F.coalesce(F.col("_h"), F.lit(0.0)).alias("hub")
-        ).localCheckpoint()
+        ).transform(_cp, checkpoint_dir)
     # single deferred normalization (norms of the FINAL vectors)
-    joined = scores.join(auth, "id").localCheckpoint()
+    joined = scores.join(auth, "id").transform(_cp, checkpoint_dir)
     norms = joined.agg(
         F.sqrt(_dsum(F.col("hub") * F.col("hub"))).alias("_hn"),
         F.sqrt(_dsum(F.col("authority") * F.col("authority"))).alias("_an"),

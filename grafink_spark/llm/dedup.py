@@ -562,6 +562,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iterations: int = 20,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(doc_id, component_id) for every id appearing in ``pairs``, where
     component_id = min id reachable in the undirected pair graph.
@@ -572,12 +573,14 @@ def connected_components(
     O(log n) rounds on ANY topology — a 1M-node path graph needs ~20
     rounds where plain min-label propagation needs 1M (its worst case
     silently truncated at max_iterations; VERDICT r1 item 4). Each
-    round is two groupBy-min + join stages; ``localCheckpoint`` per
-    round truncates the growing lineage (the classic iterative-
+    round is two groupBy-min + join stages; a lineage cut per round
+    (``localCheckpoint``, or reliable ``checkpoint(checkpoint_dir)``
+    for executor-loss survivability) truncates the growing lineage (the classic iterative-
     algorithm hazard). Raises ConvergenceException if the edge set is
     still moving after ``max_iterations`` rounds instead of returning
     a silently-wrong labeling."""
     from grafink_spark.errors import ConvergenceException
+    from grafink_spark.graph.algorithms import _cp
 
     e = pairs.select(
         F.col(id_a).cast("long").alias("a"), F.col(id_b).cast("long").alias("b")
@@ -589,7 +592,7 @@ def connected_components(
             F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
         )
         .distinct()
-        .localCheckpoint()
+        .transform(_cp, checkpoint_dir)
     )
     converged = False
     # +1: convergence is only OBSERVABLE one round after the edge set
@@ -623,7 +626,7 @@ def connected_components(
             .where(F.col("x") != F.col("m"))
             .select(F.col("x").alias("u"), F.col("m").alias("v"))
             .distinct()
-            .localCheckpoint()
+            .transform(_cp, checkpoint_dir)
         )
         # fixpoint ⇔ identical edge set (both sides are distinct sets:
         # equal count + empty difference ⇒ equality)

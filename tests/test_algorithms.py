@@ -307,3 +307,46 @@ def test_hits_rejects_zero_iters(spark):
     edges = spark.createDataFrame([(1, 2)], "src long, dst long")
     with pytest.raises(ValueError):
         hits(edges, iters=0)
+
+
+def test_reliable_checkpoint_dir_matches_local_path(spark, tmp_path):
+    """checkpoint_dir routes lineage cuts through reliable
+    df.checkpoint() (files land under the dir — executor-loss-proof on
+    a real cluster) and the results are identical to the default
+    localCheckpoint path, across the iterative family."""
+    import os
+
+    from grafink_spark.graph.algorithms import hits, pagerank
+    from grafink_spark.llm.dedup import connected_components
+
+    ckpt = str(tmp_path / "ckpt")
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4)], "src long, dst long"
+    )
+
+    pr_local = {r.id: round(r.rank, 12) for r in pagerank(edges, iters=3).collect()}
+    pr_ckpt = {
+        r.id: round(r.rank, 12)
+        for r in pagerank(edges, iters=3, checkpoint_dir=ckpt).collect()
+    }
+    assert pr_local == pr_ckpt
+
+    h_local = {r.id: (round(r.hub, 12), round(r.authority, 12)) for r in hits(edges).collect()}
+    h_ckpt = {
+        r.id: (round(r.hub, 12), round(r.authority, 12))
+        for r in hits(edges, checkpoint_dir=ckpt).collect()
+    }
+    assert h_local == h_ckpt
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    cc = {
+        r.doc_id: r.component_id
+        for r in connected_components(pairs, checkpoint_dir=ckpt).collect()
+    }
+    assert cc == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+    # reliable checkpoints actually landed on the shared dir
+    found = [f for _, _, fs in os.walk(ckpt) for f in fs]
+    assert found, "no checkpoint files written to checkpoint_dir"
