@@ -53,6 +53,7 @@ HEADLINE = [
     "repetition_signals",
     "contamination",
     "semantic_dedup",
+    "semantic_dedup_auto",
     "bm25_search",
     "pagerank",
     "chunk_dedup",
@@ -151,6 +152,7 @@ NOOP_DRAIN = {
     "lsh_candidates",
     "repetition_signals",
     "semantic_dedup",
+    "semantic_dedup_auto",
     "simhash",
     "text_stats",
     "pagerank",
@@ -295,7 +297,12 @@ def main() -> int:
         # semantic_dedup's fixed-nlist pair space (nlist64 twin runs
         # instead), and label_noise's all-pairs kNN (O(n^2) cosines —
         # the scale path is the IVF/LSH ANN family, measured separately)
-        sf1_skip = {"similarity_multi", "semantic_dedup", "label_noise"}
+        sf1_skip = {
+            "similarity_multi",
+            "semantic_dedup",
+            "semantic_dedup_auto",  # timed by the dedicated block below
+            "label_noise",
+        }
         for name in [q for q in HEADLINE if q not in sf1_skip]:
             fn = QUERIES[name]
             t0 = time.perf_counter()
@@ -306,24 +313,24 @@ def main() -> int:
                 df.collect()
             sf1_timings[name] = round(time.perf_counter() - t0, 3)
             print(f"# sf1 {name}: {sf1_timings[name]:.3f}s", file=sys.stderr)
-        # semantic dedup with nlist grown for the corpus (the engine's
-        # documented scaling rule): pair space stays ~linear per list
+        # semantic dedup at the API default: count-derived nlist
+        # (max(8, ceil(N/target_per_list)) — per-vector pair work
+        # constant as the corpus grows)
         from grafink_spark.llm.dedup import semantic_dedup  # noqa: E402
         from grafink_spark.sources.tables import load_table  # noqa: E402
 
         t0 = time.perf_counter()
         semantic_dedup(
             load_table(spark, sf1_dir, "embeddings"),
-            nlist=64,
             iters=1,
             threshold=0.3,
         ).write.format("noop").mode("overwrite").save()
-        sf1_timings["semantic_dedup_nlist64"] = round(
+        sf1_timings["semantic_dedup_auto"] = round(
             time.perf_counter() - t0, 3
         )
         print(
-            f"# sf1 semantic_dedup_nlist64: "
-            f"{sf1_timings['semantic_dedup_nlist64']:.3f}s",
+            f"# sf1 semantic_dedup_auto: "
+            f"{sf1_timings['semantic_dedup_auto']:.3f}s",
             file=sys.stderr,
         )
         out["sf1"] = {

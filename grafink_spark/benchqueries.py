@@ -1707,11 +1707,13 @@ def q_embedding_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_asgn_ctes(nlist: int, dim: int) -> str:
+def _ivf_asgn_ctes(nlist: int | str, dim: int) -> str:
     """Shared CTE prefix replaying ivf_train(iters=1) + ivf_assign:
     seeds → initial assignment → one Lloyd mean step → final assignment
     (``asgn``: vec_id, embedding, list_id). Tie rule mirrors the Spark
-    side: lowest cid among cosine maxima."""
+    side: lowest cid among cosine maxima. ``nlist`` may be a SQL
+    expression string (e.g. a count-derived scalar subquery) — DuckDB
+    accepts subqueries in LIMIT."""
     cos_sc = COSINE_SQL.format(a="e.embedding", b="s.cv")
     cos_cc = COSINE_SQL.format(a="e.embedding", b="c.cv")
     return f"""seeds AS (
@@ -2022,7 +2024,7 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _semantic_dedup_sql(
-    nlist: int = 8, dim: int = 64, threshold: float = 0.3
+    nlist: int | str = 8, dim: int = 64, threshold: float = 0.3
 ) -> str:
     """SQL replay of semantic_dedup: shared IVF-assignment CTEs, then
     the drop rule (any lower-id same-cluster neighbor at ≥ threshold)."""
@@ -2042,6 +2044,27 @@ WHERE s.vec_id NOT IN (SELECT vec_id FROM dropped)
 
 
 SQL_SEMANTIC_DEDUP = _semantic_dedup_sql()
+
+
+def q_semantic_dedup_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with the API-default COUNT-DERIVED nlist (max(8,
+    ceil(N/target)) — per-vector pair work stays constant as the corpus
+    grows). target_per_list=32 here so the derivation is actually
+    exercised at the sf0.01 gate (500 vectors → nlist=16, a different
+    blocking than the pinned-8 twin); the oracle replays the same
+    count-derived rule via a scalar-subquery LIMIT, so the row stays
+    green at any sf."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = dd.semantic_dedup(emb, iters=1, threshold=0.3, target_per_list=32)
+    return out.select(
+        "vec_id", F.col("list_id").cast("long").alias("list_id")
+    )
+
+
+SQL_SEMANTIC_DEDUP_AUTO = _semantic_dedup_sql(
+    nlist="(SELECT CAST(greatest(8, ceil(count(*) / 32.0)) AS BIGINT) "
+    "FROM embeddings)"
+)
 
 
 def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7523,3 +7546,6 @@ JOIN deg dv ON dv.src = e.dst
 
 QUERIES.update({"normalized_adjacency": q_normalized_adjacency})
 ORACLES.update({"normalized_adjacency": SQL_NORMALIZED_ADJACENCY})
+
+QUERIES.update({"semantic_dedup_auto": q_semantic_dedup_auto})
+ORACLES.update({"semantic_dedup_auto": SQL_SEMANTIC_DEDUP_AUTO})

@@ -824,9 +824,10 @@ def semantic_dedup(
     df: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    nlist: int = 8,
+    nlist: int | None = None,
     iters: int = 1,
     threshold: float = 0.8,
+    target_per_list: int = 1024,
 ) -> DataFrame:
     """SemDeDup-style embedding dedup (Abbas et al. 2023): k-means the
     corpus into ``nlist`` clusters (deterministic seeded IVF training),
@@ -842,10 +843,22 @@ def semantic_dedup(
     only the qualifying pairs' b-side ids — a distinct + left_anti, no
     connected components. When nlist is smaller than the shuffle
     partition count the join is salted so the quadratic pair work still
-    uses every core (nlist should really grow with the corpus)."""
+    uses every core.
+
+    ``nlist`` defaults to count-derived: ``max(8, ceil(N /
+    target_per_list))``, i.e. ~``target_per_list`` vectors per cluster
+    — that keeps the per-vector pair work CONSTANT as the corpus grows
+    (total cosine evaluations ≈ N × target_per_list, linear in N). A
+    pinned ``nlist`` stays supported for reproducing a fixed blocking,
+    but grows quadratically per cluster with corpus size — don't pin it
+    at real scale."""
     from grafink_spark.util import ensure_min_partitions
 
     from .simsearch import ivf_assign, ivf_train  # local: avoids cycle
+
+    if nlist is None:
+        n = df.count()
+        nlist = max(8, -(-n // target_per_list))
 
     # the interpreted higher-order cosine work is CPU-bound: fan a
     # few-split input out to all cores (no-op at real scale, where
