@@ -6,12 +6,15 @@ frame-sample) runs as Arrow-batched ``mapInPandas`` so bytes stream
 through Python in columnar batches, never row-at-a-time, and the plan
 stays a narrow map (no shuffle).
 
-The actual codecs (PIL/ffmpeg/torchaudio) are NOT in this environment,
-so the decode kernel is pluggable: the default kernel is a
-deterministic fake (parses only our own fake header) and a real one
-raises NotImplementedError until a codec library is installed. The
-Spark-side contract — schemas, batching, partitioning — is real and
-tested; swapping in a real decoder changes one python function.
+The decode kernel is pluggable. ``fake_*`` kernels parse a
+deterministic fake header (what the DuckDB oracles replay);
+``real_decode_kernel`` / ``real_audio_kernel`` are pure-stdlib PNG
+(zlib inflate + scanline unfilter) and PCM-WAV (struct) decoders —
+actually exercised on real bytes in tests. Formats beyond those
+(JPEG, mp3, mp4) still need external codec libraries (PIL/ffmpeg,
+not in this container) and raise NotImplementedError at the same
+swap-in points. The Spark-side contract — schemas, batching,
+partitioning — is identical for every kernel.
 
 The reference carries media the same way: ZTF cutout stamps are binary
 struct fields (cutoutScience.stampData — SURVEY §1.2) that grafink
@@ -83,13 +86,109 @@ def fake_decode_kernel(doc_id: int, payload: bytes) -> dict:
     return {"width": w, "height": h, "mean_luma": mean}
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_unfilter(raw: bytes, width: int, height: int, bpp: int) -> bytearray:
+    """Undo PNG scanline filters (types 0-4) — returns the raw pixel
+    bytes, ``width * bpp`` per row."""
+    stride = width * bpp
+    out = bytearray()
+    prev = bytearray(stride)
+    pos = 0
+    for _ in range(height):
+        ftype = raw[pos]
+        pos += 1
+        line = bytearray(raw[pos : pos + stride])
+        pos += stride
+        if ftype == 1:  # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                if pa <= pb and pa <= pc:
+                    pr = a
+                elif pb <= pc:
+                    pr = b
+                else:
+                    pr = c
+                line[i] = (line[i] + pr) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out.extend(line)
+        prev = line
+    return out
+
+
 def real_decode_kernel(doc_id: int, payload: bytes) -> dict:
-    """Swap-in point for a real decoder (PIL etc.) — not available in
-    this container."""
-    raise NotImplementedError(
-        "image codec libraries are not installed in this environment; "
-        "use fake_decode_kernel or install PIL and implement here"
-    )
+    """Real image decode — pure-stdlib PNG (zlib inflate + scanline
+    unfilter), no third-party codec needed. Supports the common
+    non-interlaced 8-bit color types (gray, gray+alpha, RGB, RGBA);
+    other formats (JPEG etc.) still need an external library and raise
+    NotImplementedError so the caller knows to swap kernels. mean_luma
+    uses the Rec.601 weights (0.299 R + 0.587 G + 0.114 B)."""
+    import zlib
+
+    if payload is None or len(payload) < len(_PNG_SIG):
+        return {"width": None, "height": None, "mean_luma": None}
+    if not payload.startswith(_PNG_SIG):
+        raise NotImplementedError(
+            "real_decode_kernel handles PNG; other formats need an "
+            "external codec (PIL) — or use fake_decode_kernel"
+        )
+    pos = len(_PNG_SIG)
+    width = height = None
+    bit_depth = color_type = interlace = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, _comp, _filt, interlace = (
+                struct.unpack(">IIBBBBB", data)
+            )
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    if bit_depth != 8 or interlace != 0:
+        raise NotImplementedError(
+            f"PNG bit_depth={bit_depth} interlace={interlace} unsupported "
+            "(8-bit non-interlaced only)"
+        )
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
+    if channels is None:
+        raise NotImplementedError(f"PNG color_type={color_type} unsupported")
+    pixels = _png_unfilter(zlib.decompress(bytes(idat)), width, height, channels)
+    n = width * height
+    if n == 0:
+        return {"width": width, "height": height, "mean_luma": None}
+    total = 0.0
+    if color_type in (0, 4):  # gray / gray+alpha: luma is the gray byte
+        total = sum(pixels[i * channels] for i in range(n))
+    else:  # RGB / RGBA
+        for i in range(n):
+            o = i * channels
+            total += (
+                0.299 * pixels[o] + 0.587 * pixels[o + 1] + 0.114 * pixels[o + 2]
+            )
+    return {"width": width, "height": height, "mean_luma": total / n}
 
 
 def extract_image_features(
@@ -198,11 +297,55 @@ def fake_audio_kernel(doc_id: int, payload: bytes) -> dict:
 
 
 def real_audio_kernel(doc_id: int, payload: bytes) -> dict:
-    """Swap-in point for torchaudio/soundfile — not in this container."""
-    raise NotImplementedError(
-        "audio codec libraries are not installed in this environment; "
-        "use fake_audio_kernel or install soundfile and implement here"
+    """Real audio decode — pure-stdlib RIFF/WAV PCM parser (8-bit
+    unsigned and 16-bit signed LE, any channel count). Compressed
+    formats (mp3 etc.) need an external library and raise
+    NotImplementedError so the caller knows to swap kernels. rms is
+    over normalized samples in [-1, 1]."""
+    if payload is None or len(payload) < 12:
+        return {"duration_ms": None, "rms": None}
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise NotImplementedError(
+            "real_audio_kernel handles PCM WAV; other formats need an "
+            "external codec (soundfile) — or use fake_audio_kernel"
+        )
+    pos = 12
+    sample_rate = channels = bits = None
+    data = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (length,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + length]
+        pos += 8 + length + (length & 1)  # chunks are word-aligned
+        if cid == b"fmt ":
+            audio_format, channels, sample_rate, _brate, _align, bits = (
+                struct.unpack("<HHIIHH", body[:16])
+            )
+            if audio_format != 1:
+                raise NotImplementedError(
+                    f"WAV audio_format={audio_format} unsupported (PCM only)"
+                )
+        elif cid == b"data":
+            data = body
+    if sample_rate is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    if bits == 16:
+        n = len(data) // 2
+        samples = struct.unpack(f"<{n}h", data[: n * 2])
+        scale = 32768.0
+    elif bits == 8:
+        samples = tuple(b - 128 for b in data)
+        scale = 128.0
+    else:
+        raise NotImplementedError(f"WAV bits_per_sample={bits} unsupported")
+    n_frames = len(samples) // channels if channels else 0
+    duration_ms = n_frames * 1000 // sample_rate if sample_rate else None
+    rms = (
+        math.sqrt(sum((s / scale) ** 2 for s in samples) / len(samples))
+        if samples
+        else None
     )
+    return {"duration_ms": duration_ms, "rms": rms}
 
 
 def extract_audio_features(

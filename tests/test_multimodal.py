@@ -30,12 +30,12 @@ def test_extract_image_features(spark, media):
     assert again[2].mean_luma == out[2].mean_luma
 
 
-def test_real_kernel_is_explicitly_stubbed(spark, media):
-    import pandas as pd  # noqa: F401
-
+def test_real_kernel_rejects_non_png(spark, media):
+    # fake-image payloads aren't PNG: the real kernel must say so loudly
+    # (NotImplementedError → swap kernels), never silently mis-decode
     with pytest.raises(Exception) as ei:
         mm.extract_image_features(media, kernel=mm.real_decode_kernel).collect()
-    assert "NotImplementedError" in str(ei.value) or "not installed" in str(ei.value)
+    assert "NotImplementedError" in str(ei.value) or "PNG" in str(ei.value)
 
 
 def test_sample_frames_one_to_many(spark, media):
@@ -90,8 +90,147 @@ def test_audio_features(spark):
     assert fake_audio_kernel(1, make_fake_audio(1, 2000)) == fake_audio_kernel(
         1, make_fake_audio(1, 2000)
     )
-    # the real kernel is a clearly-marked stub
+    # the real kernel rejects non-WAV formats loudly
     import pytest
 
     with pytest.raises(NotImplementedError):
-        real_audio_kernel(1, b"")
+        real_audio_kernel(1, b"ID3\x03mp3-ish junk bytes")
+
+
+# ------------------------- real stdlib codecs on actual PNG/WAV bytes
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data))
+    )
+
+
+def encode_png(pixels, width, height, color_type=2, filters=None):
+    """Minimal stdlib PNG encoder: 8-bit, per-row filter types (default
+    all 0). ``pixels`` is the raw byte sequence, channels inferred from
+    color_type."""
+    import struct
+    import zlib
+
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+    stride = width * channels
+    filters = filters or [0] * height
+    raw = bytearray()
+    prev = bytearray(stride)
+    for y in range(height):
+        row = bytearray(pixels[y * stride : (y + 1) * stride])
+        f = filters[y]
+        raw.append(f)
+        enc = bytearray(row)
+        for i in range(stride):
+            a = row[i - channels] if i >= channels else 0
+            b = prev[i]
+            c = prev[i - channels] if i >= channels else 0
+            if f == 1:
+                enc[i] = (row[i] - a) & 0xFF
+            elif f == 2:
+                enc[i] = (row[i] - b) & 0xFF
+            elif f == 3:
+                enc[i] = (row[i] - ((a + b) >> 1)) & 0xFF
+            elif f == 4:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc[i] = (row[i] - pr) & 0xFF
+        raw.extend(enc)
+        prev = row
+    ihdr = __import__("struct").pack(
+        ">IIBBBBB", width, height, 8, color_type, 0, 0, 0
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def encode_wav(samples, sample_rate=8000, channels=1, bits=16):
+    import struct
+
+    if bits == 16:
+        data = struct.pack(f"<{len(samples)}h", *samples)
+    else:
+        data = bytes((s + 128) & 0xFF for s in samples)
+    byte_rate = sample_rate * channels * bits // 8
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate, byte_rate,
+        channels * bits // 8, bits,
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_real_decode_kernel_rgb_png_golden():
+    # 2x2 RGB: pure red, green, blue, white — Rec.601 mean luma exact
+    px = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255])
+    d = mm.real_decode_kernel(1, encode_png(px, 2, 2, color_type=2))
+    assert (d["width"], d["height"]) == (2, 2)
+    expect = (0.299 * 255 + 0.587 * 255 + 0.114 * 255 + 255.0) / 4
+    assert abs(d["mean_luma"] - expect) < 1e-9
+
+
+def test_real_decode_kernel_all_filters_gray():
+    # 5x4 grayscale, one row per filter type (0,1,2,3,4) exercises the
+    # whole unfilter path; mean is exact
+    px = bytes(range(20))
+    for filters in ([0, 1, 2, 3], [4, 3, 2, 1], [1, 4, 1, 4]):
+        d = mm.real_decode_kernel(1, encode_png(px, 5, 4, 0, filters))
+        assert (d["width"], d["height"]) == (5, 4)
+        assert d["mean_luma"] == sum(px) / 20
+
+
+def test_real_decode_kernel_rgba_and_gray_alpha():
+    # alpha must be excluded from luma
+    rgba = bytes([10, 20, 30, 255, 50, 60, 70, 0])
+    d = mm.real_decode_kernel(1, encode_png(rgba, 2, 1, color_type=6))
+    expect = (
+        (0.299 * 10 + 0.587 * 20 + 0.114 * 30)
+        + (0.299 * 50 + 0.587 * 60 + 0.114 * 70)
+    ) / 2
+    assert abs(d["mean_luma"] - expect) < 1e-9
+    ga = bytes([100, 255, 200, 0])
+    d = mm.real_decode_kernel(1, encode_png(ga, 2, 1, color_type=4))
+    assert d["mean_luma"] == 150.0
+
+
+def test_real_audio_kernel_wav_golden():
+    # 16-bit mono square wave at half amplitude → rms exactly 0.5
+    sq = [16384, -16384] * 4000
+    d = mm.real_audio_kernel(1, encode_wav(sq, sample_rate=8000))
+    assert d["duration_ms"] == 1000
+    assert abs(d["rms"] - 0.5) < 1e-12
+    # 8-bit stereo: 500 frames at 1000 Hz → 500 ms
+    st = [64, -64] * 500  # L/R interleaved, |s|/128 = 0.5
+    d8 = mm.real_audio_kernel(1, encode_wav(st, 1000, channels=2, bits=8))
+    assert d8["duration_ms"] == 500
+    assert abs(d8["rms"] - 0.5) < 1e-12
+
+
+def test_real_kernels_through_spark(spark):
+    """The same mapInPandas plumbing runs the real codecs end-to-end."""
+    png = encode_png(bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255]), 2, 2)
+    imgs = spark.createDataFrame([(1, png)], "doc_id long, payload binary")
+    r = mm.extract_image_features(imgs, kernel=mm.real_decode_kernel).first()
+    assert (r.width, r.height) == (2, 2) and r.n_bytes == len(png)
+
+    wav = encode_wav([16384, -16384] * 4000)
+    auds = spark.createDataFrame([(1, wav)], "doc_id long, payload binary")
+    a = mm.extract_audio_features(auds, kernel=mm.real_audio_kernel).first()
+    assert a.duration_ms == 1000 and abs(a.rms - 0.5) < 1e-12
