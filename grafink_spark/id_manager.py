@@ -85,6 +85,31 @@ def _plan_has_exchange(df: DataFrame) -> bool:
     return "Exchange" in plan
 
 
+def _plan_is_nondeterministic(df: DataFrame) -> bool:
+    """True when the ANALYZED logical plan contains a nondeterministic
+    node (rand/randn/uuid, a UDF marked ``asNondeterministic``) or a
+    Sample — lineages that may recompute differently between the
+    two-pass id assignment's count pass and id pass even without a
+    shuffle. Seeded rand/sample are layout-stable in practice, but the
+    conservative answer (pin with a checkpoint) costs one
+    materialization and removes the whole hazard class (ADVICE r1
+    item 1, the public-API residual). Introspection failure counts as
+    nondeterministic (be safe, checkpoint)."""
+    try:
+        stack = [df._jdf.queryExecution().analyzed()]
+        while stack:
+            node = stack.pop()
+            # QueryPlan.deterministic = all of THIS node's expressions
+            if node.nodeName() == "Sample" or not node.deterministic():
+                return True
+            children = node.children()
+            for i in range(children.size()):
+                stack.append(children.apply(i))
+        return False
+    except Exception:  # noqa: BLE001 — any introspection failure → pin
+        return True
+
+
 def zip_with_index(
     df: DataFrame,
     offset: int = 0,
@@ -98,12 +123,18 @@ def zip_with_index(
     zipWithIndex). order_by=[cols]: globally deterministic id order via
     range repartition + local sort (adds one shuffle).
 
-    Correctness requires the count pass and the id pass to see the
-    identical partition layout. File scans and cached inputs satisfy
-    this; a shuffled lineage (post-join/agg/repartition under AQE) may
-    not, so such inputs are pinned with ``localCheckpoint`` before the
-    two passes (ADVICE r1: the constraint used to be documented but
-    unenforced)."""
+    Correctness requires the count pass and the id pass to compute the
+    identical rows in the identical partition layout. File scans and
+    cached inputs satisfy this; two lineage classes may not and are
+    pinned with ``localCheckpoint`` before the two passes:
+
+    - shuffled plans (post-join/agg/repartition): AQE coalescing or
+      task retry can change the layout between passes (ADVICE r1: the
+      constraint used to be documented but unenforced);
+    - nondeterministic plans (``sample()``, ``rand``-derived columns,
+      UDFs marked nondeterministic): recomputation can change the ROWS
+      themselves (the residual VERDICT r2 flagged at the public API
+      boundary — now enforced)."""
     original_cols = df.columns
     if order_by:
         cols = [F.col(c) for c in order_by]
@@ -114,7 +145,7 @@ def zip_with_index(
             .sortWithinPartitions(*cols)
             .localCheckpoint()
         )
-    elif _plan_has_exchange(df):
+    elif _plan_has_exchange(df) or _plan_is_nondeterministic(df):
         df = df.localCheckpoint()
 
     # monotonically_increasing_id = pid * 2^33 + local row index
