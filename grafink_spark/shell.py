@@ -35,7 +35,15 @@ def build_bindings(config: GrafinkConfig, spark=None) -> dict[str, Any]:
     )
     g = GraphQuery(store)
     g.register_views()
-    return {"spark": spark, "store": store, "g": g}
+
+    def gremlin(query: str):
+        """Run a Gremlin traversal string (the reference's REPL syntax),
+        e.g. gremlin('g.V().outE("similarity").has("value", 2)')."""
+        from grafink_spark.gremlin import GremlinExecutor
+
+        return GremlinExecutor(g).run(query)
+
+    return {"spark": spark, "store": store, "g": g, "gremlin": gremlin}
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -46,9 +54,10 @@ def main(argv: list[str] | None = None) -> int:
     args = p.parse_args(argv)
     bindings = build_bindings(GrafinkConfig.load(args.config))
     banner = (
-        "grafink-spark shell — bound: spark, store, g "
+        "grafink-spark shell — bound: spark, store, g, gremlin "
         "(+ temp views: vertices, edges)\n"
-        'try: g.count_by_label().show()  |  spark.sql("SELECT * FROM edges").show()'
+        'try: g.count_by_label().show()  |  spark.sql("SELECT * FROM edges").show()\n'
+        "     gremlin('g.V().outE(\"similarity\").has(\"value\", 2)').show()"
     )
     code.interact(banner=banner, local=bindings)
     return 0

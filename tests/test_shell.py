@@ -41,7 +41,7 @@ def test_shell_bindings(spark, tmp_path):
 
     cfg = GrafinkConfig.from_dict({"graph": {"storagePath": root}})
     b = build_bindings(cfg, spark=spark)
-    assert set(b) == {"spark", "store", "g"}
+    assert set(b) == {"spark", "store", "g", "gremlin"}
     g = b["g"]
     assert g.vertex_count() == 2
     assert g.V(objectId="ZTFa").count() == 1
@@ -116,3 +116,77 @@ def test_neighborhood_deep_checkpointed(spark, tmp_path):
     j5, j11 = njoins(g.neighborhood(1, hops=5)), njoins(g.neighborhood(1, hops=11))
     assert j11 == j5
     assert j11 <= 10
+
+
+def test_gremlin_string_surface(spark, tmp_path):
+    """The seven §2.8 traversals typed as Gremlin STRINGS — the
+    reference's REPL syntax (/root/reference/README.md:419-489) parsed
+    onto GraphQuery (VERDICT r2 item 10)."""
+    import pytest
+
+    from grafink_spark.config import GrafinkConfig
+    from grafink_spark.gremlin import GremlinParseError, gremlin
+    from grafink_spark.shell import build_bindings
+
+    root = str(tmp_path / "graph")
+    store = GraphStore(spark, root, task_size=100, parallelism=2)
+    store.write_vertices(
+        spark.createDataFrame(
+            [(11, "ZTFa", None), (12, "ZTFb", None)],
+            "id long, objectId string, recipe string",
+        )
+    )
+    store.write_vertices(
+        spark.createDataFrame(
+            [(3, None, "asteroids")], "id long, objectId string, recipe string"
+        ),
+        label="similarity",
+    )
+    store.write_edges(
+        spark.createDataFrame(
+            [(12, 11, 2)], "src long, dst long, propVal int"
+        ),
+        _FakeRule(),
+    )
+
+    cfg = GrafinkConfig.from_dict({"graph": {"storagePath": root}})
+    b = build_bindings(cfg, spark=spark)
+    g = b["g"]
+
+    # 1. vertex count
+    assert gremlin(g, "g.V().count()") == 3
+    # 2. point lookup by property (composite-index path) + .next()
+    df = gremlin(g, 'g.V().has("objectId", "ZTFa")')
+    assert [r.id for r in df.collect()] == [11]
+    row = gremlin(g, 'g.V().has("objectId", "ZTFa").next()')
+    assert row.id == 11
+    # 3. edge filter by property (both directions materialized)
+    e = gremlin(g, 'g.V().outE("similarity").has("value", 2)')
+    assert {(r.src, r.dst) for r in e.collect()} == {(12, 11), (11, 12)}
+    # 4. neighborhood from a vertex id
+    e1 = gremlin(g, 'g.V(12).outE("similarity").has("value", 2)')
+    assert [(r.src, r.dst) for r in e1.collect()] == [(12, 11)]
+    # 4b. .out() neighbor ids
+    n = gremlin(g, 'g.V(12).out("similarity")')
+    assert [r.neighbor_id for r in n.collect()] == [11]
+    # 5. degree of a filtered vertex set
+    assert gremlin(g, 'g.V().has("recipe", "asteroids").outE().count()') == 0
+    assert gremlin(g, 'g.V().has("objectId", "ZTFb").outE().count()') == 1
+    # 6. valueMap(true)
+    vm = gremlin(g, "g.V(11).valueMap(true)")
+    assert vm["objectId"] == "ZTFa" and vm["label"] == "alert"
+    # 7. per-label counts
+    by_label = {
+        r.label: r["count"]
+        for r in gremlin(g, "g.V().groupCount().by(label)").collect()
+    }
+    assert by_label == {"alert": 2, "similarity": 1}
+
+    # transcript no-ops parse: .asScala.toList collects
+    rows = gremlin(g, 'g.V().outE("similarity").has("value", 2).asScala.toList')
+    assert len(rows) == 2
+    # shell binding closes over g
+    assert b["gremlin"]("g.V().count()") == 3
+    # unsupported steps fail loudly, naming the step
+    with pytest.raises(GremlinParseError, match="repeat"):
+        gremlin(g, "g.V().repeat(out()).times(2)")
