@@ -226,9 +226,14 @@ def main() -> int:
     # Smoke-run subset: SPARK_GRAFT_BENCH_ONLY=q1,q2 limits the headline
     # set (local iteration / CI smoke); unset = full headline set.
     only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
-    headline = (
-        [q for q in HEADLINE if q in set(only.split(","))] if only else HEADLINE
-    )
+    if only:
+        wanted = {n.strip() for n in only.split(",") if n.strip()}
+        headline = [q for q in HEADLINE if q in wanted]
+        unknown = wanted - set(HEADLINE)
+        if unknown:
+            print(f"# BENCH_ONLY: not in HEADLINE: {sorted(unknown)}", file=sys.stderr)
+    else:
+        headline = HEADLINE
     timings: dict[str, float] = {}
     for name in headline:
         fn = QUERIES[name]
@@ -286,24 +291,25 @@ def main() -> int:
     # (threshold-branch OUTPUT is quadratic in sf — the query's
     # semantics) and semantic_dedup (its oracle pins nlist=8, so the
     # per-cluster pair space grows quadratically with the corpus; the
-    # correctly-parameterized nlist∝N run is timed separately below as
-    # semantic_dedup_nlist64). SPARK_GRAFT_SF1=0 skips.
+    # count-derived-nlist default is timed separately below as
+    # semantic_dedup_auto). SPARK_GRAFT_SF1=0 skips.
     if os.environ.get("SPARK_GRAFT_SF1", "1") != "0":
         from grafink_spark.sfgen import ensure  # noqa: E402
 
         sf1_dir = os.environ.get("SPARK_GRAFT_SF1_DIR") or ensure()
         sf1_timings: dict[str, float] = {}
         # quadratic-by-semantics entries: similarity_multi's OUTPUT,
-        # semantic_dedup's fixed-nlist pair space (nlist64 twin runs
-        # instead), and label_noise's all-pairs kNN (O(n^2) cosines —
-        # the scale path is the IVF/LSH ANN family, measured separately)
+        # semantic_dedup's pinned-nlist pair space (the count-derived
+        # semantic_dedup_auto runs instead, below), and label_noise's
+        # all-pairs kNN (O(n^2) cosines — the scale path is the IVF/LSH
+        # ANN family, measured separately)
         sf1_skip = {
             "similarity_multi",
             "semantic_dedup",
             "semantic_dedup_auto",  # timed by the dedicated block below
             "label_noise",
         }
-        for name in [q for q in HEADLINE if q not in sf1_skip]:
+        for name in [q for q in headline if q not in sf1_skip]:
             fn = QUERIES[name]
             t0 = time.perf_counter()
             df = fn(spark, sf1_dir)
@@ -316,23 +322,24 @@ def main() -> int:
         # semantic dedup at the API default: count-derived nlist
         # (max(8, ceil(N/target_per_list)) — per-vector pair work
         # constant as the corpus grows)
-        from grafink_spark.llm.dedup import semantic_dedup  # noqa: E402
-        from grafink_spark.sources.tables import load_table  # noqa: E402
+        if not only or "semantic_dedup_auto" in only:
+            from grafink_spark.llm.dedup import semantic_dedup  # noqa: E402
+            from grafink_spark.sources.tables import load_table  # noqa: E402
 
-        t0 = time.perf_counter()
-        semantic_dedup(
-            load_table(spark, sf1_dir, "embeddings"),
-            iters=1,
-            threshold=0.3,
-        ).write.format("noop").mode("overwrite").save()
-        sf1_timings["semantic_dedup_auto"] = round(
-            time.perf_counter() - t0, 3
-        )
-        print(
-            f"# sf1 semantic_dedup_auto: "
-            f"{sf1_timings['semantic_dedup_auto']:.3f}s",
-            file=sys.stderr,
-        )
+            t0 = time.perf_counter()
+            semantic_dedup(
+                load_table(spark, sf1_dir, "embeddings"),
+                iters=1,
+                threshold=0.3,
+            ).write.format("noop").mode("overwrite").save()
+            sf1_timings["semantic_dedup_auto"] = round(
+                time.perf_counter() - t0, 3
+            )
+            print(
+                f"# sf1 semantic_dedup_auto: "
+                f"{sf1_timings['semantic_dedup_auto']:.3f}s",
+                file=sys.stderr,
+            )
         out["sf1"] = {
             "total": round(sum(sf1_timings.values()), 3),
             "queries": sf1_timings,

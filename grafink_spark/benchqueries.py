@@ -1730,11 +1730,17 @@ a0 AS (
   ) WHERE rn = 1
 ),
 cent AS (
-  SELECT cid, list(m ORDER BY pos) AS cv FROM (
-    SELECT a.cid, g.pos, avg(a.embedding[g.pos]::DOUBLE) AS m
-    FROM a0 a, generate_series(1, {dim}) g(pos)
-    GROUP BY a.cid, g.pos
-  ) GROUP BY cid
+  -- LEFT JOIN from seeds: a cluster that ends the Lloyd step EMPTY
+  -- keeps its seed centroid (ivf_train's `else prev` branch — without
+  -- this the oracle silently drops the cid and assignments diverge)
+  SELECT s.cid, COALESCE(m.cv, s.cv) AS cv
+  FROM seeds s LEFT JOIN (
+    SELECT cid, list(m ORDER BY pos) AS cv FROM (
+      SELECT a.cid, g.pos, avg(a.embedding[g.pos]::DOUBLE) AS m
+      FROM a0 a, generate_series(1, {dim}) g(pos)
+      GROUP BY a.cid, g.pos
+    ) GROUP BY cid
+  ) m ON m.cid = s.cid
 ),
 asgn AS (
   SELECT vec_id, embedding, cid AS list_id FROM (

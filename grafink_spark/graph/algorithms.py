@@ -27,17 +27,39 @@ from pyspark.sql import types as T
 # algorithm takes ``checkpoint_dir``; when set, lineage cuts go through
 # df.checkpoint() into that (HDFS/S3) directory and survive executor
 # loss. Default (None) keeps the fast local path.
-_CKPT_DIR_BY_APP: dict[str, str] = {}
+#
+# Checkpoint files accumulate for the app's lifetime (each cut is a new
+# UUID-named rdd dir): enable
+# ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` at session
+# build or clean the directory after the job — _cp cannot delete
+# superseded checkpoints itself because callers may still hold
+# DataFrames backed by them.
 
 
 def _cp(df: DataFrame, checkpoint_dir: str | None = None) -> DataFrame:
     if checkpoint_dir is None:
         return df.localCheckpoint()
     sc = df.sparkSession.sparkContext
-    if _CKPT_DIR_BY_APP.get(sc.applicationId) != checkpoint_dir:
+    # read the LIVE dir (Spark resolves our path to a UUID subdir):
+    # external setCheckpointDir calls or another algorithm's different
+    # dir must not be masked by a stale cache
+    current = sc.getCheckpointDir()
+    # resolved dir is scheme-qualified (file:/..., hdfs://...) + a UUID
+    # subdir; strip a bare "file:" for the plain-local-path comparison
+    req = checkpoint_dir.rstrip("/")
+    if current is None or not (
+        current.startswith(req)
+        or current.removeprefix("file:").startswith(req)
+    ):
         sc.setCheckpointDir(checkpoint_dir)
-        _CKPT_DIR_BY_APP[sc.applicationId] = checkpoint_dir
-    return df.checkpoint()
+    # persist first: reliable checkpoint runs a SECOND job to write the
+    # files — without a persist that job recomputes the whole lineage
+    # (Spark's own docs recommend caching before checkpoint)
+    df = df.persist()
+    try:
+        return df.checkpoint()
+    finally:
+        df.unpersist()
 
 
 def pagerank(

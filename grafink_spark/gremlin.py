@@ -81,6 +81,22 @@ def _parse_args(raw: str) -> list:
     return args
 
 
+def _find_close(q: str, start: int) -> int:
+    """Index of the step's closing paren, ignoring parens inside quoted
+    string arguments (e.g. has("objectId", "AT2019(bkz)"))."""
+    quote = None
+    for i in range(start, len(q)):
+        c = q[i]
+        if quote:
+            if c == quote:
+                quote = None
+        elif c in ("'", '"'):
+            quote = c
+        elif c == ")":
+            return i
+    return -1
+
+
 def parse(query: str) -> list[Step]:
     """``g.V().outE("x").has("value", 2).next()`` → [Step, ...]."""
     q = query.strip().rstrip(";")
@@ -99,8 +115,7 @@ def parse(query: str) -> list[Step]:
                 continue
             raise GremlinParseError(f"cannot parse at: {q[pos:]!r}")
         name = m.group(1)
-        # find the matching close paren (args never nest in this surface)
-        close = q.find(")", m.end())
+        close = _find_close(q, m.end())
         if close < 0:
             raise GremlinParseError(f"unbalanced parens in {query!r}")
         try:
@@ -133,12 +148,31 @@ class GremlinExecutor:
             raise GremlinParseError("traversal must start with g.V(...)")
         df = self.g.store.vertices()
         mode = "vertices"
-        vertex_id = None
-        if steps[0].args:
-            vertex_id = int(steps[0].args[0])
-            df = df.where(F.col("id") == vertex_id)
+        # explicit restriction tracking (NOT plan sniffing): set by
+        # V(ids...), has() on vertices, and limit() on vertices — outE
+        # must semi-join whenever the upstream vertex set is narrowed
+        restricted = False
+        vertex_id = None  # single-id fast path (src pushdown, valueMap)
+        ids = [self._vid(a) for a in steps[0].args]
+        if ids:
+            restricted = True
+            if len(ids) == 1:
+                vertex_id = ids[0]
+                df = df.where(F.col("id") == vertex_id)
+            else:
+                df = df.where(F.col("id").isin(ids))
+        done = None  # set once a terminal materializes a python value
         it = iter(steps[1:])
         for step in it:
+            if done is not None:
+                # only transcript no-ops may follow a materialized value
+                # (e.g. g.V().count().next() in the reference REPL log)
+                if step.name in ("next", "toList", "asScala", "iterate"):
+                    continue
+                raise GremlinParseError(
+                    f"step {step.name}() after a terminal step has no "
+                    "effect — remove it or split the traversal"
+                )
             if step.name == "has":
                 if len(step.args) != 2:
                     raise GremlinParseError("has(key, value) takes 2 args")
@@ -149,13 +183,14 @@ class GremlinExecutor:
                     df = df.where(F.col(col) == F.lit(str(v)))
                 else:
                     df = df.where(F.col(k) == F.lit(v))
+                    restricted = True
             elif step.name == "outE":
                 label = step.args[0] if step.args else None
                 edges = self.g.out_e(label)
                 if vertex_id is not None:
                     df = edges.where(F.col(SRC) == vertex_id)
-                elif self._is_filtered(df):
-                    # semi-join: only edges whose src matched the V() filter
+                elif restricted:
+                    # semi-join: only edges whose src is in the vertex set
                     df = edges.join(
                         df.select(F.col("id").alias(SRC)), SRC, "left_semi"
                     )
@@ -169,7 +204,7 @@ class GremlinExecutor:
                 df = self.g.neighbors(vertex_id, label)
                 mode = "neighbors"
             elif step.name == "count":
-                return df.count()
+                done = df.count()
             elif step.name == "groupCount":
                 by = next(it, None)
                 if by is None or by.name != "by":
@@ -177,35 +212,43 @@ class GremlinExecutor:
                 key = by.args[0] if by.args else "label"
                 if key in ("label", "T.label"):
                     key = "label"
-                return df.groupBy(key).agg(F.count(F.lit(1)).alias("count"))
+                df = df.groupBy(key).agg(F.count(F.lit(1)).alias("count"))
             elif step.name == "valueMap":
                 if vertex_id is None:
                     raise GremlinParseError("valueMap needs g.V(<id>)")
-                return self.g.value_map(vertex_id)
+                done = self.g.value_map(vertex_id)
             elif step.name == "limit":
                 df = df.limit(int(step.args[0]))
+                if mode == "vertices":
+                    restricted = True
             elif step.name == "next":
                 rows = df.take(1)
-                return rows[0] if rows else None
-            elif step.name in ("toList", "asScala", "iterate", "fold"):
-                if step.name == "toList":
-                    return df.collect()
-                continue  # transcript no-ops
+                done = rows[0] if rows else None
+                if done is None:
+                    return None
+            elif step.name == "toList":
+                done = df.collect()
+            elif step.name in ("asScala", "iterate", "fold"):
+                continue  # transcript no-ops on a DataFrame
             else:
                 raise GremlinParseError(
                     f"unsupported Gremlin step: {step.name}() — supported: "
                     "V, has, outE, out, count, groupCount().by, valueMap, "
                     "limit, next, toList"
                 )
-        return df
+        return df if done is None else done
 
     @staticmethod
-    def _is_filtered(df: DataFrame) -> bool:
-        # a bare g.V() plan has no Filter node; cheap logical check
+    def _vid(arg) -> int:
+        """Vertex ids are longs; accept the quoted form the reference's
+        transcripts use (g.V("28928"))."""
         try:
-            return "Filter" in df._jdf.queryExecution().analyzed().toString()
-        except Exception:  # noqa: BLE001 — safe default: treat as filtered
-            return True
+            return int(arg)
+        except (TypeError, ValueError):
+            raise GremlinParseError(
+                f"V() takes numeric vertex ids, got {arg!r} — property "
+                'lookups go through has(), e.g. g.V().has("objectId", ...)'
+            ) from None
 
 
 def gremlin(g: GraphQuery, query: str):

@@ -190,3 +190,54 @@ def test_gremlin_string_surface(spark, tmp_path):
     # unsupported steps fail loudly, naming the step
     with pytest.raises(GremlinParseError, match="repeat"):
         gremlin(g, "g.V().repeat(out()).times(2)")
+
+
+def test_gremlin_edge_cases(spark, tmp_path):
+    """Review hardening: explicit restriction tracking (limit), multi-id
+    V(), quoted parens, terminals, loud errors."""
+    import pytest
+
+    from grafink_spark.config import GrafinkConfig
+    from grafink_spark.gremlin import GremlinParseError, gremlin
+    from grafink_spark.shell import build_bindings
+
+    root = str(tmp_path / "graph")
+    store = GraphStore(spark, root, task_size=100, parallelism=2)
+    store.write_vertices(
+        spark.createDataFrame(
+            [(11, "AT2019(bkz)"), (12, "ZTFb"), (13, "ZTFc")],
+            "id long, objectId string",
+        )
+    )
+    store.write_edges(
+        spark.createDataFrame(
+            [(12, 11, 2), (13, 11, 3)], "src long, dst long, propVal int"
+        ),
+        _FakeRule(),
+    )
+    cfg = GrafinkConfig.from_dict({"graph": {"storagePath": root}})
+    g = build_bindings(cfg, spark=spark)["g"]
+
+    # limit() restricts the vertex set feeding outE (was silently all-edges)
+    assert gremlin(g, "g.V().limit(1).outE().count()") <= 2
+    # any 2-of-3 vertex subset has strictly fewer out-edges than all 4
+    assert gremlin(g, "g.V().limit(2).outE().count()") < gremlin(
+        g, "g.V().outE().count()"
+    )
+    # multi-id V(): all listed vertices
+    assert gremlin(g, "g.V(11, 12).count()") == 2
+    assert gremlin(g, 'g.V("12", "13").outE().count()') == 2
+    # ')' inside a quoted property value parses
+    row = gremlin(g, 'g.V().has("objectId", "AT2019(bkz)").next()')
+    assert row.id == 11
+    # transcript form: count().next() tolerated
+    assert gremlin(g, "g.V().count().next()") == 3
+    # non-numeric V() id fails loudly as a parse error
+    with pytest.raises(GremlinParseError, match="numeric"):
+        gremlin(g, 'g.V("ZTFb").count()')
+    # real steps after a terminal fail loudly instead of being dropped
+    with pytest.raises(GremlinParseError, match="terminal"):
+        gremlin(g, 'g.V().count().has("objectId", "x")')
+    # groupCount().by(label).next() now yields a Row
+    r = gremlin(g, "g.V().groupCount().by(label).next()")
+    assert r["count"] == 3
