@@ -75,6 +75,7 @@ HEADLINE = [
     "local_supplier_volume",
     "zorder_curve",
     "token_budget_sample",
+    "dsir_select",
     "best_match",
     "incremental_agg",
     "weighted_sample",

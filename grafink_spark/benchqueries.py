@@ -7555,3 +7555,73 @@ ORACLES.update({"normalized_adjacency": SQL_NORMALIZED_ADJACENCY})
 
 QUERIES.update({"semantic_dedup_auto": q_semantic_dedup_auto})
 ORACLES.update({"semantic_dedup_auto": SQL_SEMANTIC_DEDUP_AUTO})
+
+
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023): top-100 raw docs by
+    hashed-ngram importance log-weight against the doc_id%20==7 slice
+    standing in for the high-quality target corpus (same convention as
+    `contamination`). Score column rounded to the oracle boundary."""
+    from grafink_spark.llm.corpus import dsir_select
+
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    target = docs.where(F.col("doc_id") % 20 == 7)
+    raw = docs.where(F.col("doc_id") % 20 != 7)
+    out = dsir_select(raw, target, k=100, buckets=8192)
+    return out.select(
+        "doc_id", F.round("dsir_score", 6).alias("dsir_score")
+    )
+
+
+SQL_DSIR_SELECT = f"""
+WITH tgt AS (SELECT doc_id, text FROM documents WHERE doc_id % 20 = 7),
+raw AS (SELECT doc_id, text FROM documents WHERE doc_id % 20 <> 7),
+-- Spark tokens('') = [] (guarded); DuckDB split('') = [''] — drop blanks
+ttoks AS (SELECT doc_id, {TOKENS_SQL} AS t FROM tgt WHERE trim(text) <> ''),
+rtoks AS (SELECT doc_id, {TOKENS_SQL} AS t FROM raw WHERE trim(text) <> ''),
+tgrams AS (
+  SELECT doc_id, unnest(t) AS gram FROM ttoks
+  UNION ALL
+  SELECT doc_id, unnest(list_transform(range(1, len(t)),
+         i -> array_to_string(t[i:i+1], ' '))) AS gram FROM ttoks
+),
+rgrams AS (
+  SELECT doc_id, unnest(t) AS gram FROM rtoks
+  UNION ALL
+  SELECT doc_id, unnest(list_transform(range(1, len(t)),
+         i -> array_to_string(t[i:i+1], ' '))) AS gram FROM rtoks
+),
+tb AS (SELECT ('0x' || substr(md5(gram), 1, 6))::BIGINT % 8192 AS b,
+              count(*) AS cp
+       FROM tgrams GROUP BY 1),
+rb AS (SELECT doc_id,
+              ('0x' || substr(md5(gram), 1, 6))::BIGINT % 8192 AS b,
+              count(*) AS c
+       FROM rgrams GROUP BY 1, 2),
+qb AS (SELECT b, sum(c) AS cq FROM rb GROUP BY 1),
+model AS (
+  SELECT COALESCE(tb.b, qb.b) AS b,
+         COALESCE(cp, 0) AS cp, COALESCE(cq, 0) AS cq
+  FROM tb FULL OUTER JOIN qb ON tb.b = qb.b
+),
+tot AS (SELECT sum(cp) AS tp, sum(cq) AS tq FROM model),
+lr AS (
+  SELECT b,
+         ln((cp + 1.0) / (tp + 1.0 * 8192))
+       - ln((cq + 1.0) / (tq + 1.0 * 8192)) AS lr
+  FROM model CROSS JOIN tot
+),
+sc AS (
+  -- decimal addends: accumulation-order-independent double sums
+  SELECT rb.doc_id,
+         CAST(sum(CAST(lr * c AS DECIMAL(38,18))) AS DOUBLE) AS s
+  FROM rb JOIN lr USING (b) GROUP BY 1
+)
+SELECT r.doc_id, round(COALESCE(s, 0.0), 6) AS dsir_score
+FROM raw r LEFT JOIN sc ON sc.doc_id = r.doc_id
+ORDER BY COALESCE(s, 0.0) DESC, r.doc_id ASC
+LIMIT 100
+"""
+
+QUERIES.update({"dsir_select": q_dsir_select})
+ORACLES.update({"dsir_select": SQL_DSIR_SELECT})

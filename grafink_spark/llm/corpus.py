@@ -346,3 +346,107 @@ def kfold_assign(
         F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10
     ).cast("int")
     return df.withColumn(out_col, bucket % k)
+
+
+def dsir_scores(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 8192,
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """(doc_id, dsir_score) importance log-weights for Data Selection
+    via Importance Resampling (Xie et al., NeurIPS 2023 — the standard
+    pretraining-data selection recipe): featurize documents as hashed
+    unigram+bigram counts, fit two add-λ-smoothed multinomial models —
+    p̂ on the (small) ``target`` corpus, q̂ on the ``raw`` pool — and
+    score every raw document with
+
+        score(d) = Σ_grams  log p̂(bucket(g)) − log q̂(bucket(g))
+
+    High scores = raw documents whose n-gram profile looks like the
+    target distribution.
+
+    Plan/scale: gram extraction is one explode per corpus (linear in
+    token count, narrow); both models are groupBy(bucket) aggregations
+    whose output is ≤ ``buckets`` rows (map-side partials make the
+    shuffle vocabulary-sized, corpus-independent); the per-document
+    score is a BROADCAST join of the ≤8k-row log-ratio table onto the
+    per-(doc, bucket) counts followed by one keyed sum. No pairwise
+    work anywhere — the whole selection is two linear passes.
+
+    Determinism: bucket = md5-hex prefix mod ``buckets`` (engine-
+    reproducible, used by every sampler here); the per-document sum
+    casts each double addend to decimal(38,18) so accumulation order
+    cannot move scores across the round(6) oracle boundary (the
+    pagerank rule). Empty-text documents score 0.0.
+    """
+    from grafink_spark.llm.signals import ngram_counts
+
+    def bucketed(df: DataFrame) -> DataFrame:
+        g = ngram_counts(df, id_col=id_col, text_col=text_col, ns=(1, 2))
+        return g.select(
+            id_col,
+            (
+                F.conv(F.substring(F.md5("gram"), 1, 6), 16, 10).cast("long")
+                % buckets
+            ).alias("_b"),
+            "cnt",
+        )
+
+    tb = bucketed(target).groupBy("_b").agg(F.sum("cnt").alias("_cp"))
+    raw_b = bucketed(raw).groupBy(id_col, "_b").agg(F.sum("cnt").alias("_c"))
+    qb = raw_b.groupBy("_b").agg(F.sum("_c").alias("_cq"))
+    model = tb.join(qb, "_b", "full_outer").select(
+        "_b",
+        F.coalesce("_cp", F.lit(0)).alias("_cp"),
+        F.coalesce("_cq", F.lit(0)).alias("_cq"),
+    )
+    totals = model.agg(F.sum("_cp").alias("_tp"), F.sum("_cq").alias("_tq"))
+    lam = F.lit(float(smoothing))
+    lam_b = F.lit(float(smoothing) * buckets)
+    log_ratio = (
+        model.crossJoin(F.broadcast(totals)).select(
+            "_b",
+            (
+                F.log((F.col("_cp") + lam) / (F.col("_tp") + lam_b))
+                - F.log((F.col("_cq") + lam) / (F.col("_tq") + lam_b))
+            ).alias("_lr"),
+        )
+    )
+    scored = (
+        raw_b.join(F.broadcast(log_ratio), "_b")
+        .groupBy(id_col)
+        .agg(
+            F.sum((F.col("_lr") * F.col("_c")).cast("decimal(38,18)"))
+            .cast("double")
+            .alias("dsir_score")
+        )
+    )
+    return (
+        raw.select(id_col)
+        .distinct()
+        .join(scored, id_col, "left")
+        .select(
+            id_col, F.coalesce("dsir_score", F.lit(0.0)).alias("dsir_score")
+        )
+    )
+
+
+def dsir_select(
+    raw: DataFrame,
+    target: DataFrame,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 8192,
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """Top-``k`` raw documents by DSIR importance weight (ties broken by
+    id — fully deterministic; the paper's Gumbel-noise sampling can be
+    layered on by adding a seeded-hash Gumbel column before the sort).
+    orderBy+limit compiles to TakeOrdered — no global sort
+    materialization."""
+    s = dsir_scores(raw, target, text_col, id_col, buckets, smoothing)
+    return s.orderBy(F.col("dsir_score").desc(), F.col(id_col).asc()).limit(k)

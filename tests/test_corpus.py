@@ -211,3 +211,33 @@ def test_pack_sequences_invariants(spark):
         F.sum("n_taken").alias("total")).collect()}
     assert per_seq[0] == per_seq[1] == per_seq[2] == 512
     assert per_seq[3] == 364
+
+
+def test_dsir_select_prefers_target_like_docs(spark):
+    """DSIR must rank raw docs sharing the target's n-gram profile above
+    unrelated ones, score empty docs 0, and keep top-k deterministic."""
+    from grafink_spark.llm.corpus import dsir_scores, dsir_select
+
+    target = spark.createDataFrame(
+        [(100 + i, "the quick brown fox jumps over lazy dogs") for i in range(4)],
+        "doc_id long, text string",
+    )
+    raw = spark.createDataFrame(
+        [
+            (1, "quick brown fox and lazy dogs again"),   # target-like
+            (2, "the quick brown fox jumps high"),        # target-like
+            (3, "completely unrelated legal boilerplate text here"),
+            (4, "zzz qqq xxx yyy www vvv uuu"),
+            (5, "   "),                                   # blank → 0.0
+        ],
+        "doc_id long, text string",
+    )
+    scores = {r.doc_id: r.dsir_score for r in dsir_scores(raw, target).collect()}
+    assert len(scores) == 5
+    assert scores[5] == 0.0
+    assert min(scores[1], scores[2]) > max(scores[3], scores[4])
+
+    top2 = [r.doc_id for r in dsir_select(raw, target, k=2).collect()]
+    assert set(top2) == {1, 2}
+    # deterministic across runs
+    assert top2 == [r.doc_id for r in dsir_select(raw, target, k=2).collect()]
