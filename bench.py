@@ -76,6 +76,7 @@ HEADLINE = [
     "zorder_curve",
     "token_budget_sample",
     "dsir_select",
+    "semantic_contamination",
     "best_match",
     "incremental_agg",
     "weighted_sample",

@@ -7625,3 +7625,36 @@ LIMIT 100
 
 QUERIES.update({"dsir_select": q_dsir_select})
 ORACLES.update({"dsir_select": SQL_DSIR_SELECT})
+
+
+def q_semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-level decontamination: corpus vectors at cosine ≥ 0.3
+    to any vec_id%20==7 'eval set' vector (broadcast test side, one
+    narrow corpus pass — no shuffle)."""
+    emb = ensure_min_partitions(load_table(spark, sf_dir, "embeddings"))
+    test = emb.where(F.col("vec_id") % 20 == 7)
+    corpus = emb.where(F.col("vec_id") % 20 != 7)
+    out = dd.semantic_contamination(corpus, test, threshold=0.3)
+    return out.select(
+        "vec_id",
+        "n_hits",
+        F.round("max_sim", 6).alias("max_sim"),
+    )
+
+
+_COS_CT = COSINE_SQL.format(a="c.embedding", b="t.embedding")
+
+SQL_SEMANTIC_CONTAMINATION = f"""
+WITH test AS (SELECT embedding FROM embeddings WHERE vec_id % 20 = 7),
+corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 20 <> 7),
+pairs AS (
+  SELECT c.vec_id, {_COS_CT} AS cs
+  FROM corpus c CROSS JOIN test t
+  WHERE {_COS_CT} >= 0.3
+)
+SELECT vec_id, count(*) AS n_hits, round(max(cs), 6) AS max_sim
+FROM pairs GROUP BY 1
+"""
+
+QUERIES.update({"semantic_contamination": q_semantic_contamination})
+ORACLES.update({"semantic_contamination": SQL_SEMANTIC_CONTAMINATION})

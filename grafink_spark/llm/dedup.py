@@ -1193,3 +1193,48 @@ def ngram_span_coverage(
             ).alias("dup_fraction"),
         )
     )
+
+
+def semantic_contamination(
+    corpus: DataFrame,
+    test: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """(id, n_hits, max_sim): corpus vectors with cosine ≥ ``threshold``
+    to ANY test-set vector — embedding-level benchmark decontamination,
+    the semantic sibling of the 8-gram :func:`~grafink_spark.llm.corpus.
+    contamination` (catches paraphrased eval leakage that exact n-gram
+    overlap misses).
+
+    Plan/scale: eval sets are small (10²–10⁵ vectors) while the corpus
+    is the 100 TB side, so the test side is BROADCAST and the whole
+    check is one narrow pass over the corpus — corpus×test cosines with
+    no shuffle at all; the only aggregation is per-corpus-id (map-side
+    partials). For very large test sets swap the broadcast for the IVF
+    blocking used by semantic_dedup. count/max aggregates are
+    accumulation-order independent, so no decimal staging is needed."""
+    v = F.col(vec_col).cast("array<double>")
+    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+    c = corpus.select(
+        F.col(id_col).alias(id_col), v.alias("_vc"), norm.alias("_nc")
+    )
+    t = test.select(v.alias("_vt"), norm.alias("_nt"))
+    dot = F.aggregate(
+        F.zip_with(F.col("_vc"), F.col("_vt"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    denom = F.col("_nc") * F.col("_nt")
+    cos = F.when(denom > 0, dot / denom).otherwise(F.lit(0.0))
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(id_col, cos.alias("_cs"))
+        .where(F.col("_cs") >= threshold)
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            F.max("_cs").alias("max_sim"),
+        )
+    )

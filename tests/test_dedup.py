@@ -413,3 +413,37 @@ def test_keep_best_prefers_high_score_over_min_id(spark):
     plain = {r.doc_id for r in drop_near_duplicates(
         docs, threshold=0.5).collect()}
     assert plain == {1, 9}
+
+
+def test_semantic_contamination_flags_near_test_vectors(spark):
+    from grafink_spark.llm.dedup import semantic_contamination
+
+    test = spark.createDataFrame(
+        [(900, [1.0, 0.0, 0.0]), (901, [0.0, 1.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, [0.99, 0.1, 0.0]),   # ≈ test 900
+            (2, [0.1, 0.99, 0.0]),   # ≈ test 901
+            (3, [0.7, 0.7, 0.0]),    # close-ish to both
+            (4, [0.0, 0.0, 1.0]),    # orthogonal to both
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = {
+        r.vec_id: (r.n_hits, r.max_sim)
+        for r in semantic_contamination(corpus, test, threshold=0.9).collect()
+    }
+    assert set(out) == {1, 2}
+    assert out[1][0] == 1 and out[1][1] > 0.99
+    # lower threshold picks up the in-between vector against BOTH
+    out2 = {
+        r.vec_id: r.n_hits
+        for r in semantic_contamination(corpus, test, threshold=0.5).collect()
+    }
+    assert out2[3] == 2 and 4 not in out2
+    # plan: broadcast nested loop, no shuffle of the corpus side
+    plan = semantic_contamination(corpus, test, threshold=0.5)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
