@@ -107,6 +107,7 @@ HEADLINE = [
     "pack_sequences",
     "seasonal_decompose",
     "personalized_pagerank",
+    "betweenness",
     "zipf_fit",
     "rolling_median",
     "linear_attribution",
@@ -192,6 +193,7 @@ NOOP_DRAIN = {
     "bloom_prefilter",
     "pack_sequences",
     "personalized_pagerank",
+    "betweenness",
     "rolling_median",
     "containment_pairs",
     "minhash_estimate",

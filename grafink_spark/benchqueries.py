@@ -7658,3 +7658,95 @@ FROM pairs GROUP BY 1
 
 QUERIES.update({"semantic_contamination": q_semantic_contamination})
 ORACLES.update({"semantic_contamination": SQL_SEMANTIC_CONTAMINATION})
+
+
+def q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-bounded sampled-Brandes betweenness (3 lowest-id seeds,
+    max_hops=3) on the similarity graph — the path-centrality measure
+    the closeness/PageRank family can't express."""
+    from grafink_spark.graph.algorithms import betweenness_sampled
+
+    edges = _similarity_edges_undirected(spark, sf_dir, checkpoint=True)
+    verts = edges.select(F.col("src").alias("v")).unionByName(
+        edges.select(F.col("dst").alias("v"))
+    )
+    seeds = [r.v for r in verts.distinct().orderBy("v").limit(3).collect()]
+    out = betweenness_sampled(edges, seeds, max_hops=3)
+    return out.select(
+        "id", F.round("betweenness", 6).alias("betweenness")
+    )
+
+
+SQL_BETWEENNESS = f"""
+WITH pairs AS ({{sim}}),
+e0 AS (
+  SELECT src, dst FROM pairs
+  UNION ALL
+  SELECT dst AS src, src AS dst FROM pairs
+),
+e AS (SELECT DISTINCT src, dst FROM e0),
+s AS (
+  SELECT v AS seed FROM (
+    SELECT src AS v FROM e UNION SELECT dst AS v FROM e
+  ) GROUP BY 1 ORDER BY 1 LIMIT 3
+),
+l0 AS (SELECT seed, seed AS id, 1::BIGINT AS sigma FROM s),
+l1 AS (
+  SELECT l0.seed, e.dst AS id, sum(l0.sigma) AS sigma
+  FROM l0 JOIN e ON e.src = l0.id
+  WHERE e.dst <> l0.seed
+  GROUP BY 1, 2
+),
+l2 AS (
+  SELECT l1.seed, e.dst AS id, sum(l1.sigma) AS sigma
+  FROM l1 JOIN e ON e.src = l1.id
+  WHERE NOT EXISTS (SELECT 1 FROM l0 WHERE l0.seed = l1.seed AND l0.id = e.dst)
+    AND NOT EXISTS (SELECT 1 FROM l1 x WHERE x.seed = l1.seed AND x.id = e.dst)
+  GROUP BY 1, 2
+),
+l3 AS (
+  SELECT l2.seed, e.dst AS id, sum(l2.sigma) AS sigma
+  FROM l2 JOIN e ON e.src = l2.id
+  WHERE NOT EXISTS (SELECT 1 FROM l0 WHERE l0.seed = l2.seed AND l0.id = e.dst)
+    AND NOT EXISTS (SELECT 1 FROM l1 WHERE l1.seed = l2.seed AND l1.id = e.dst)
+    AND NOT EXISTS (SELECT 1 FROM l2 x WHERE x.seed = l2.seed AND x.id = e.dst)
+  GROUP BY 1, 2
+),
+d2 AS (
+  SELECT l2.seed, l2.id,
+         CAST(sum(CAST((l2.sigma::DOUBLE / l3.sigma::DOUBLE) * 1.0
+                       AS DECIMAL(38,18))) AS DOUBLE) AS delta
+  FROM l2 JOIN e ON e.src = l2.id
+       JOIN l3 ON l3.seed = l2.seed AND l3.id = e.dst
+  GROUP BY 1, 2
+),
+d2f AS (
+  SELECT l2.seed, l2.id, COALESCE(d2.delta, 0.0) AS delta
+  FROM l2 LEFT JOIN d2 ON d2.seed = l2.seed AND d2.id = l2.id
+),
+d1 AS (
+  SELECT l1.seed, l1.id,
+         CAST(sum(CAST((l1.sigma::DOUBLE / l2.sigma::DOUBLE)
+                       * (1.0 + d2f.delta) AS DECIMAL(38,18))) AS DOUBLE) AS delta
+  FROM l1 JOIN e ON e.src = l1.id
+       JOIN l2 ON l2.seed = l1.seed AND l2.id = e.dst
+       JOIN d2f ON d2f.seed = l2.seed AND d2f.id = l2.id
+  GROUP BY 1, 2
+),
+d1f AS (
+  SELECT l1.seed, l1.id, COALESCE(d1.delta, 0.0) AS delta
+  FROM l1 LEFT JOIN d1 ON d1.seed = l1.seed AND d1.id = l1.id
+),
+alld AS (
+  SELECT * FROM d1f
+  UNION ALL SELECT * FROM d2f
+  UNION ALL SELECT seed, id, 0.0 AS delta FROM l3
+)
+SELECT id,
+       round(CAST(sum(CAST(delta AS DECIMAL(38,18))) AS DOUBLE), 6)
+         AS betweenness
+FROM alld GROUP BY 1
+""".format(sim=SQL_SIMILARITY_EDGES)
+
+QUERIES.update({"betweenness": q_betweenness})
+ORACLES.update({"betweenness": SQL_BETWEENNESS})

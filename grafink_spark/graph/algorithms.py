@@ -688,3 +688,122 @@ def hits(
         (F.col("hub") / h_norm).alias("hub"),
         (F.col("authority") / a_norm).alias("authority"),
     )
+
+
+def betweenness_sampled(
+    edges: DataFrame,
+    sources: list,
+    max_hops: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """(id, betweenness) — Brandes dependency accumulation from a seed
+    SAMPLE over the DIRECTED edge set (pass both directions for
+    undirected), truncated at ``max_hops`` (k-bounded betweenness).
+    Exact betweenness needs all |V| sources; sampling seeds is the
+    standard estimator (Brandes & Pich 2007) and each seed costs one
+    BFS forward pass + one layered backward pass.
+
+    Forward: layer-synchronous BFS carrying exact integer path counts
+    σ (σ(w) = Σ σ(v) over layer-h predecessors). Backward: δ(v) =
+    Σ_{w ∈ layer h+1 successors} (σ_v/σ_w)·(1+δ_w), accumulated from
+    the deepest layer up; betweenness(v) = Σ_seeds δ_seed(v) for
+    v ≠ seed (reached leaves report 0.0).
+
+    Plan/scale: the edge list is pre-partitioned on the probe key once
+    and every hop/layer is one equi join + one keyed aggregation over
+    frontier-sized tables (the multi_source_bfs shape — k seeds widen
+    the frontier, not the round count). All δ sums stage addends as
+    decimal(38,18), so the doubles are accumulation-order independent
+    and the oracle can replay them bit-for-bit."""
+    dec = "decimal(38,18)"
+    e = (
+        edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+        .distinct()
+        .repartition("_s")
+        .transform(_cp, checkpoint_dir)
+    )
+    id_type = e.schema["_d"].dataType
+    spark = edges.sparkSession
+    l0 = spark.createDataFrame(
+        [(s, s, 1) for s in sources],
+        T.StructType(
+            [
+                T.StructField("seed", id_type),
+                T.StructField("id", id_type),
+                T.StructField("sigma", T.LongType()),
+            ]
+        ),
+    )
+    layers = [l0]
+    seen = l0.select("seed", "id")
+    for _h in range(1, max_hops + 1):
+        frontier = layers[-1]
+        nxt = (
+            e.join(
+                frontier.select("seed", F.col("id").alias("_s"), "sigma"),
+                "_s",
+            )
+            .groupBy("seed", F.col("_d").alias("id"))
+            .agg(F.sum("sigma").alias("sigma"))
+            .join(seen, ["seed", "id"], "left_anti")
+            .transform(_cp, checkpoint_dir)
+        )
+        if not nxt.take(1):
+            break
+        layers.append(nxt)
+        seen = seen.unionByName(nxt.select("seed", "id")).transform(
+            _cp, checkpoint_dir
+        )
+    if len(layers) == 1:
+        # no seed reached anyone: no interior vertices, empty result
+        return l0.select(
+            "id", F.lit(0.0).alias("betweenness")
+        ).where(F.lit(False))
+    # backward dependency accumulation, deepest layer first (δ = 0 there)
+    deltas = [
+        layers[-1].select("seed", "id", F.lit(0.0).alias("delta"))
+    ]
+    for h in range(len(layers) - 2, 0, -1):
+        cur = layers[h]
+        succ = layers[h + 1].join(deltas[-1], ["seed", "id"]).select(
+            "seed",
+            F.col("id").alias("_d"),
+            F.col("sigma").alias("_sw"),
+            F.col("delta").alias("_dw"),
+        )
+        contrib = (
+            e.join(cur.select("seed", F.col("id").alias("_s"), "sigma"), "_s")
+            .join(succ, ["seed", "_d"])
+            .groupBy("seed", F.col("_s").alias("id"))
+            .agg(
+                F.sum(
+                    (
+                        (
+                            F.col("sigma").cast("double")
+                            / F.col("_sw").cast("double")
+                        )
+                        * (F.lit(1.0) + F.col("_dw"))
+                    ).cast(dec)
+                )
+                .cast("double")
+                .alias("_delta")
+            )
+        )
+        cur_delta = (
+            cur.join(contrib, ["seed", "id"], "left")
+            .select(
+                "seed",
+                "id",
+                F.coalesce("_delta", F.lit(0.0)).alias("delta"),
+            )
+            .transform(_cp, checkpoint_dir)
+        )
+        deltas.append(cur_delta)
+    out = deltas[0]
+    for d in deltas[1:]:
+        out = out.unionByName(d)
+    return out.groupBy("id").agg(
+        F.sum(F.col("delta").cast(dec)).cast("double").alias("betweenness")
+    )

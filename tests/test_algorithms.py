@@ -350,3 +350,43 @@ def test_reliable_checkpoint_dir_matches_local_path(spark, tmp_path):
     # reliable checkpoints actually landed on the shared dir
     found = [f for _, _, fs in os.walk(ckpt) for f in fs]
     assert found, "no checkpoint files written to checkpoint_dir"
+
+
+def test_betweenness_path_graph_golden(spark):
+    """Path a-b-c-d-e, all vertices as seeds: raw Brandes dependency
+    sums are {b:6, c:8, d:6}, endpoints 0 (ordered-pair convention)."""
+    from grafink_spark.graph.algorithms import betweenness_sampled
+
+    und = [(i, i + 1) for i in range(4)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src long, dst long"
+    )
+    out = {
+        r.id: round(r.betweenness, 9)
+        for r in betweenness_sampled(
+            edges, sources=[0, 1, 2, 3, 4], max_hops=4
+        ).collect()
+    }
+    assert out == {0: 0.0, 1: 6.0, 2: 8.0, 3: 6.0, 4: 0.0}
+
+
+def test_betweenness_diamond_splits_paths(spark):
+    """Diamond a→{b,c}→d (directed, seeds=[a]): two equal shortest
+    paths, so b and c each carry δ = 1/2."""
+    from grafink_spark.graph.algorithms import betweenness_sampled
+
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 3), (2, 3)], "src long, dst long"
+    )
+    out = {
+        r.id: r.betweenness
+        for r in betweenness_sampled(edges, [0], max_hops=3).collect()
+    }
+    assert out[1] == 0.5 and out[2] == 0.5 and out[3] == 0.0
+
+
+def test_betweenness_isolated_seed_empty(spark):
+    from grafink_spark.graph.algorithms import betweenness_sampled
+
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    assert betweenness_sampled(edges, [99], max_hops=2).count() == 0
