@@ -570,3 +570,31 @@ def test_eighth_batch_query_plans_stay_narrow(spark):
     )
     assert ra_plan.count("CartesianProduct") <= 1
     assert "SortAggregate" not in ra_plan
+
+
+def test_dsir_plan_broadcasts_model_and_takeordered(spark):
+    """DSIR: no cartesian pair work; the ≤8k-row log-ratio model joins
+    the per-doc counts via BROADCAST; top-k compiles to TakeOrdered
+    (no global sort materialization)."""
+    from grafink_spark.llm.corpus import dsir_select
+
+    docs = _docs(spark)
+    target = docs.where(F.col("doc_id") % 5 == 0)
+    raw = docs.where(F.col("doc_id") % 5 != 0)
+    plan = physical_plan(dsir_select(raw, target, k=5))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrdered" in plan
+
+
+def test_betweenness_layered_joins_no_pairwise(spark):
+    """Brandes layers: every join is an equi join against the
+    pre-partitioned edge list — no cartesian, no nested loop."""
+    from grafink_spark.graph.algorithms import betweenness_sampled
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (1, 3)], "src long, dst long"
+    )
+    plan = physical_plan(betweenness_sampled(edges, [0], max_hops=3))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
