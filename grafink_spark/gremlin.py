@@ -184,24 +184,64 @@ class GremlinExecutor:
                 else:
                     df = df.where(F.col(k) == F.lit(v))
                     restricted = True
-            elif step.name == "outE":
+            elif step.name in ("outE", "inE", "bothE"):
+                # the store materializes BOTH directions of every edge,
+                # so inE anchors on dst and bothE matches either end
                 label = step.args[0] if step.args else None
                 edges = self.g.out_e(label)
+                anchor = {"outE": [SRC], "inE": [DST], "bothE": [SRC, DST]}[
+                    step.name
+                ]
                 if vertex_id is not None:
-                    df = edges.where(F.col(SRC) == vertex_id)
+                    cond = anchor[0]
+                    m = F.col(cond) == vertex_id
+                    for c in anchor[1:]:
+                        m = m | (F.col(c) == vertex_id)
+                    df = edges.where(m)
                 elif restricted:
-                    # semi-join: only edges whose src is in the vertex set
-                    df = edges.join(
-                        df.select(F.col("id").alias(SRC)), SRC, "left_semi"
+                    # semi-join: only edges anchored in the vertex set
+                    ids = df.select("id")
+                    matched = edges.join(
+                        ids.select(F.col("id").alias(anchor[0])),
+                        anchor[0],
+                        "left_semi",
                     )
+                    for c in anchor[1:]:
+                        matched = matched.unionByName(
+                            edges.join(
+                                ids.select(F.col("id").alias(c)),
+                                c,
+                                "left_semi",
+                            )
+                        ).distinct()
+                    df = matched
                 else:
                     df = edges
                 mode = "edges"
-            elif step.name == "out":
+            elif step.name in ("out", "in", "both"):
                 label = step.args[0] if step.args else None
                 if vertex_id is None:
-                    raise GremlinParseError("out() needs g.V(<id>)")
-                df = self.g.neighbors(vertex_id, label)
+                    raise GremlinParseError(f"{step.name}() needs g.V(<id>)")
+                # both directions are materialized: in == out over the
+                # reverse rows; both == distinct union of the two
+                if step.name == "out":
+                    df = self.g.neighbors(vertex_id, label)
+                elif step.name == "in":
+                    df = (
+                        self.g.out_e(label)
+                        .where(F.col(DST) == vertex_id)
+                        .select(F.col(SRC).alias("neighbor_id"))
+                    )
+                else:
+                    df = (
+                        self.g.neighbors(vertex_id, label)
+                        .unionByName(
+                            self.g.out_e(label)
+                            .where(F.col(DST) == vertex_id)
+                            .select(F.col(SRC).alias("neighbor_id"))
+                        )
+                        .distinct()
+                    )
                 mode = "neighbors"
             elif step.name == "count":
                 done = df.count()
@@ -233,8 +273,8 @@ class GremlinExecutor:
             else:
                 raise GremlinParseError(
                     f"unsupported Gremlin step: {step.name}() — supported: "
-                    "V, has, outE, out, count, groupCount().by, valueMap, "
-                    "limit, next, toList"
+                    "V, has, outE/inE/bothE, out/in/both, count, "
+                    "groupCount().by, valueMap, limit, next, toList"
                 )
         return df if done is None else done
 

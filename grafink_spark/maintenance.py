@@ -43,11 +43,21 @@ def compact_parquet_dir(
     path: str,
     target_file_mb: int = 128,
     partition_cols: list[str] | None = None,
+    sort_by: list[str] | None = None,
 ) -> CompactionStats:
     """Rewrite ``path`` (a parquet dir) into ``ceil(bytes/target)``
     files and atomically swap it in place. With ``partition_cols`` the
     hive layout is preserved (repartition on the partition columns so
     each output task writes one file per partition it owns).
+
+    ``sort_by`` makes the compaction CLUSTERING-AWARE: rows are
+    range-repartitioned + locally sorted on those columns, so each
+    output file owns a disjoint value range and min/max file pruning
+    answers range predicates with ~1 file (validate with
+    :func:`file_clustering_stats` — avg_overlap drops to ~0). This is
+    the linear-key sibling of the Z-order/Hilbert layouts: same scan,
+    same write volume as a plain compaction, one range-exchange
+    instead of a round-robin one.
 
     The swap is delete-then-rename of the directory — readers racing
     the swap should retry (same caveat as the graph store's swap; a
@@ -64,6 +74,13 @@ def compact_parquet_dir(
             df.repartition(max(n, 1), *partition_cols)
             .write.mode("overwrite")
             .partitionBy(*partition_cols)
+            .parquet(tmp)
+        )
+    elif sort_by:
+        (
+            df.repartitionByRange(n, *sort_by)
+            .sortWithinPartitions(*sort_by)
+            .write.mode("overwrite")
             .parquet(tmp)
         )
     else:

@@ -119,3 +119,36 @@ def test_file_clustering_stats_matches_bruteforce(spark, tmp_path):
     assert got.n_files == len(per_file) == 6
     assert got.avg_overlap == expect_avg
     assert got.max_overlap == max(counts)
+
+
+def test_sorted_compaction_improves_clustering(spark, tmp_path):
+    """sort_by compaction turns a random layout into a range-clustered
+    one — data identical, avg_overlap drops to ~0."""
+    import random
+
+    from grafink_spark.maintenance import (
+        compact_parquet_dir,
+        file_clustering_stats,
+    )
+
+    rnd = random.Random(7)
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(rnd.randrange(100000), i) for i in range(20000)], "v long, payload long"
+    )
+    df.repartition(8).write.parquet(path)
+    before = file_clustering_stats(spark, path, "v").first()
+    assert before.avg_overlap >= 6.0  # random: everyone overlaps
+
+    # force multiple output files so clustering is observable
+    stats = compact_parquet_dir(spark, path, target_file_mb=1, sort_by=["v"])
+    assert stats.files_before == 8
+
+    after = file_clustering_stats(spark, path, "v").first()
+    assert after.n_files >= 1
+    if after.n_files > 1:
+        assert after.avg_overlap <= 1.0  # disjoint ranges
+
+    back = spark.read.parquet(path)
+    assert back.count() == 20000
+    assert back.selectExpr("sum(payload) s").first().s == sum(range(20000))

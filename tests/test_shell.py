@@ -241,3 +241,35 @@ def test_gremlin_edge_cases(spark, tmp_path):
     # groupCount().by(label).next() now yields a Row
     r = gremlin(g, "g.V().groupCount().by(label).next()")
     assert r["count"] == 3
+
+
+def test_gremlin_in_both_directions(spark, tmp_path):
+    """inE/bothE/in/both — both edge directions are materialized, so
+    these anchor on dst (or either end)."""
+    from grafink_spark.config import GrafinkConfig
+    from grafink_spark.gremlin import gremlin
+    from grafink_spark.shell import build_bindings
+
+    root = str(tmp_path / "graph")
+    store = GraphStore(spark, root, task_size=100, parallelism=2)
+    store.write_vertices(
+        spark.createDataFrame(
+            [(21, "a"), (22, "b"), (23, "c")], "id long, objectId string"
+        )
+    )
+    store.write_edges(
+        spark.createDataFrame([(22, 21, 2)], "src long, dst long, propVal int"),
+        _FakeRule(),
+    )
+    cfg = GrafinkConfig.from_dict({"graph": {"storagePath": root}})
+    g = build_bindings(cfg, spark=spark)["g"]
+
+    # both directions materialized: 2 edge rows total
+    assert gremlin(g, "g.V(22).outE().count()") == 1
+    assert gremlin(g, "g.V(22).inE().count()") == 1
+    assert gremlin(g, "g.V(22).bothE().count()") == 2
+    assert gremlin(g, "g.V(23).bothE().count()") == 0
+    assert [r.neighbor_id for r in gremlin(g, "g.V(22).in()").collect()] == [21]
+    assert [r.neighbor_id for r in gremlin(g, "g.V(22).both()").collect()] == [21]
+    # filtered-set bothE: vertices {21} touch both rows of the pair
+    assert gremlin(g, 'g.V().has("objectId", "a").bothE().count()') == 2
