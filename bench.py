@@ -330,20 +330,26 @@ def main() -> int:
             from grafink_spark.llm.dedup import semantic_dedup  # noqa: E402
             from grafink_spark.sources.tables import load_table  # noqa: E402
 
-            t0 = time.perf_counter()
-            semantic_dedup(
-                load_table(spark, sf1_dir, "embeddings"),
-                iters=1,
-                threshold=0.3,
-            ).write.format("noop").mode("overwrite").save()
-            sf1_timings["semantic_dedup_auto"] = round(
-                time.perf_counter() - t0, 3
-            )
-            print(
-                f"# sf1 semantic_dedup_auto: "
-                f"{sf1_timings['semantic_dedup_auto']:.3f}s",
-                file=sys.stderr,
-            )
+            # both pair backends on the count-derived default: the expr
+            # path is the oracle-exact one, the arrow path is the BLAS
+            # production fast path (identical survivors, ~10x/pair)
+            for backend in ("expr", "arrow"):
+                key = (
+                    "semantic_dedup_auto"
+                    if backend == "expr"
+                    else "semantic_dedup_auto_arrow"
+                )
+                t0 = time.perf_counter()
+                semantic_dedup(
+                    load_table(spark, sf1_dir, "embeddings"),
+                    iters=1,
+                    threshold=0.3,
+                    pair_backend=backend,
+                ).write.format("noop").mode("overwrite").save()
+                sf1_timings[key] = round(time.perf_counter() - t0, 3)
+                print(
+                    f"# sf1 {key}: {sf1_timings[key]:.3f}s", file=sys.stderr
+                )
         out["sf1"] = {
             "total": round(sum(sf1_timings.values()), 3),
             "queries": sf1_timings,

@@ -447,3 +447,40 @@ def test_semantic_contamination_flags_near_test_vectors(spark):
     plan = semantic_contamination(corpus, test, threshold=0.5)._jdf.queryExecution(
     ).executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_semantic_dedup_arrow_backend_matches_expr(spark):
+    """The BLAS pair backend must drop the identical survivor set as
+    the Catalyst-expression backend (non-boundary threshold)."""
+    import random
+
+    from grafink_spark.llm.dedup import semantic_dedup
+
+    rnd = random.Random(11)
+    base = [[rnd.uniform(-1, 1) for _ in range(16)] for _ in range(6)]
+    rows = []
+    for i in range(120):
+        v = list(base[i % 6])
+        v[0] += rnd.uniform(-0.05, 0.05)  # near-dup clusters
+        rows.append((i, v))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    expr = {
+        r.vec_id
+        for r in semantic_dedup(
+            df, nlist=4, iters=1, threshold=0.95, pair_backend="expr"
+        ).collect()
+    }
+    arrow = {
+        r.vec_id
+        for r in semantic_dedup(
+            df, nlist=4, iters=1, threshold=0.95, pair_backend="arrow"
+        ).collect()
+    }
+    assert expr == arrow
+    assert len(expr) < 120  # something was actually deduped
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        semantic_dedup(df, nlist=4, pair_backend="nope")
