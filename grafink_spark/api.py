@@ -75,7 +75,10 @@ def info_for(cache: CatalogCache, table_name: str, root: str = ".") -> dict:
         path = resolve_table_path(root, table_name)
         if not os.path.exists(os.path.join(path, "catalog.json")):
             return {**EMPTY_INFO, "error": f"no catalog at {table_name}"}
-        return {**cache.get(path).info(), "error": None}
+        # success carries error = "" — the reference's InfoResponse default
+        # (RequestResponse.scala:4), so migrating clients checking
+        # error == "" keep working
+        return {**cache.get(path).info(), "error": ""}
     except CacheFullError as e:
         return {**EMPTY_INFO, "error": str(e)}
     except Exception as e:  # noqa: BLE001 — degrade, never 500

@@ -37,7 +37,7 @@ def test_info_endpoint(tmp_path):
     try:
         port = server.server_address[1]
         info = _post(port, {"tableName": "mygraph"})
-        assert info["error"] is None
+        assert info["error"] == ""  # reference default, not null
         assert info["vertexLabels"] == ["alert"]
         assert info["edgeLabels"] == [{"name": "similarity", "multiplicity": "MULTI"}]
         assert {"name": "value", "type": "Integer", "cardinality": "SINGLE"} in info[
