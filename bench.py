@@ -108,6 +108,8 @@ HEADLINE = [
     "seasonal_decompose",
     "personalized_pagerank",
     "betweenness",
+    "pareto_parts",
+    "pareto_suppliers",
     "zipf_fit",
     "rolling_median",
     "linear_attribution",

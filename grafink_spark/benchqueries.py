@@ -7750,3 +7750,106 @@ FROM alld GROUP BY 1
 
 QUERIES.update({"betweenness": q_betweenness})
 ORACLES.update({"betweenness": SQL_BETWEENNESS})
+
+
+# ------------------------------------------------- round-3 second batch:
+# Pareto frontiers (skyline queries)
+
+
+def q_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline of parts — cheapest price for each size tier
+    (minimize p_retailprice, maximize p_size). Pure-Catalyst path:
+    groupBy(price) + prefix-max window over DISTINCT prices + join
+    back; no pairwise work (ops.pareto_frontier_2d)."""
+    from grafink_spark.ops import pareto_frontier_2d
+
+    part = load_table(spark, sf_dir, "part")
+    out = pareto_frontier_2d(part, minimize="p_retailprice", maximize="p_size")
+    return out.select(
+        "p_partkey",
+        "p_size",
+        F.round("p_retailprice", 2).alias("p_retailprice"),
+    )
+
+
+SQL_PARETO_PARTS = """
+SELECT p.p_partkey, p.p_size, round(p.p_retailprice, 2) AS p_retailprice
+FROM part p
+WHERE NOT EXISTS (
+  SELECT 1 FROM part q
+  WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
+)
+"""
+
+
+def q_pareto_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-D skyline of suppliers — no supplier beats them on all of
+    (avg sale price low, total quantity shipped high, account balance
+    high). Generic MR-skyline path: Arrow local-skyline prefilter per
+    partition, then broadcast pairwise verify over candidates only
+    (ops.pareto_frontier). Decimal sums keep the averaged dimension
+    bit-deterministic across partition orders."""
+    from grafink_spark.ops import pareto_frontier
+
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    per = li.groupBy("l_suppkey").agg(
+        (
+            F.sum(F.col("l_extendedprice").cast("decimal(27,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_price"),
+        F.sum(F.col("l_quantity").cast("decimal(27,6)"))
+        .cast("double")
+        .alias("total_qty"),
+    )
+    dims = per.join(
+        sup.select("s_suppkey", "s_acctbal"),
+        per.l_suppkey == sup.s_suppkey,
+    ).select("s_suppkey", "avg_price", "total_qty", "s_acctbal")
+    out = pareto_frontier(
+        dims, minimize=["avg_price"], maximize=["total_qty", "s_acctbal"]
+    )
+    return out.select(
+        "s_suppkey",
+        F.round("avg_price", 6).alias("avg_price"),
+        F.round("total_qty", 2).alias("total_qty"),
+        F.round("s_acctbal", 2).alias("s_acctbal"),
+    )
+
+
+SQL_PARETO_SUPPLIERS = """
+WITH dims AS (
+  SELECT s.s_suppkey,
+         CAST(sum(l.l_extendedprice::DECIMAL(27,6)) AS DOUBLE) / count(*)
+           AS avg_price,
+         CAST(sum(l.l_quantity::DECIMAL(27,6)) AS DOUBLE) AS total_qty,
+         s.s_acctbal
+  FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  GROUP BY s.s_suppkey, s.s_acctbal
+)
+SELECT s_suppkey, round(avg_price, 6) AS avg_price,
+       round(total_qty, 2) AS total_qty, round(s_acctbal, 2) AS s_acctbal
+FROM dims p
+WHERE NOT EXISTS (
+  SELECT 1 FROM dims q
+  WHERE q.avg_price <= p.avg_price AND q.total_qty >= p.total_qty
+    AND q.s_acctbal >= p.s_acctbal
+    AND (q.avg_price < p.avg_price OR q.total_qty > p.total_qty
+         OR q.s_acctbal > p.s_acctbal)
+)
+"""
+
+
+QUERIES.update(
+    {
+        "pareto_parts": q_pareto_parts,
+        "pareto_suppliers": q_pareto_suppliers,
+    }
+)
+ORACLES.update(
+    {
+        "pareto_parts": SQL_PARETO_PARTS,
+        "pareto_suppliers": SQL_PARETO_SUPPLIERS,
+    }
+)

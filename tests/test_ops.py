@@ -448,3 +448,111 @@ def test_entropy_profile_bounds(spark):
         assert -1e-9 <= r.entropy <= math.log(r.n_types) + 1e-9
         if r.n_types == 1:
             assert abs(r.entropy) < 1e-12
+
+
+# ------------------------------------------------------- pareto frontier
+
+
+def _brute_skyline(rows, mins, maxs):
+    def dominated(a, b):
+        leq = all(b[c] <= a[c] for c in mins) and all(
+            b[c] >= a[c] for c in maxs
+        )
+        strict = any(b[c] < a[c] for c in mins) or any(
+            b[c] > a[c] for c in maxs
+        )
+        return leq and strict
+
+    return {
+        a["id"]
+        for a in rows
+        if not any(dominated(a, b) for b in rows)
+    }
+
+
+def test_pareto_frontier_2d_matches_brute_force(spark):
+    from grafink_spark.ops import pareto_frontier_2d
+
+    rows = [
+        {"id": 1, "price": 1.0, "size": 1},
+        {"id": 2, "price": 2.0, "size": 5},
+        {"id": 3, "price": 2.0, "size": 5},   # exact tie with 2: both live
+        {"id": 4, "price": 2.0, "size": 4},   # dominated by 2 (same price)
+        {"id": 5, "price": 3.0, "size": 5},   # dominated by 2 (same size)
+        {"id": 6, "price": 4.0, "size": 9},
+        {"id": 7, "price": 0.5, "size": 0},
+    ]
+    df = spark.createDataFrame(
+        [(r["id"], r["price"], r["size"]) for r in rows],
+        "id long, price double, size int",
+    )
+    got = {
+        r.id
+        for r in pareto_frontier_2d(df, "price", "size").collect()
+    }
+    assert got == _brute_skyline(rows, ["price"], ["size"])
+    assert {2, 3} <= got and 4 not in got and 5 not in got
+
+
+def test_pareto_frontier_generic_matches_2d_and_brute(spark):
+    import random
+
+    from grafink_spark.ops import pareto_frontier, pareto_frontier_2d
+
+    rng = random.Random(7)
+    rows = [
+        {
+            "id": i,
+            "price": round(rng.uniform(0, 10), 1),
+            "size": rng.randint(0, 9),
+            "bal": round(rng.uniform(-5, 5), 1),
+        }
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(
+        [(r["id"], r["price"], r["size"], float(r["bal"])) for r in rows],
+        "id long, price double, size int, bal double",
+    ).repartition(7)
+
+    got2 = {
+        r.id for r in pareto_frontier_2d(df, "price", "size").collect()
+    }
+    gotg = {
+        r.id
+        for r in pareto_frontier(
+            df, minimize=["price"], maximize=["size"]
+        ).collect()
+    }
+    assert got2 == gotg == _brute_skyline(rows, ["price"], ["size"])
+
+    got3 = {
+        r.id
+        for r in pareto_frontier(
+            df, minimize=["price"], maximize=["size", "bal"]
+        ).collect()
+    }
+    assert got3 == _brute_skyline(rows, ["price"], ["size", "bal"])
+    assert got2 <= got3  # extra dimension only widens the frontier
+
+
+def test_pareto_frontier_plans(spark):
+    from grafink_spark.ops import pareto_frontier, pareto_frontier_2d
+
+    df = spark.createDataFrame(
+        [(i, float(i % 13), i % 7) for i in range(100)],
+        "id long, price double, size int",
+    )
+    plan2 = (
+        pareto_frontier_2d(df, "price", "size")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan2
+    assert "BroadcastHashJoin" in plan2
+
+    plang = (
+        pareto_frontier(df, minimize=["price"], maximize=["size"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plang
+    # global verify runs against broadcast candidates only
+    assert "BroadcastNestedLoopJoin" in plang or "BroadcastHashJoin" in plang
