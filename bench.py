@@ -110,6 +110,8 @@ HEADLINE = [
     "betweenness",
     "pareto_parts",
     "pareto_suppliers",
+    "frequent_sequences",
+    "holt_trend",
     "zipf_fit",
     "rolling_median",
     "linear_attribution",

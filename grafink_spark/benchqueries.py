@@ -7853,3 +7853,95 @@ ORACLES.update(
         "pareto_suppliers": SQL_PARETO_SUPPLIERS,
     }
 )
+
+
+# ---------------------------------------- round-3 second batch: sequences
+# + double-exponential smoothing
+
+
+def q_frequent_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 consecutive event-type 3-grams across per-user timelines
+    (contiguous sequential-pattern support; extends event_transitions
+    from bigrams to ranked k-grams). One window shuffle on user_id, one
+    gram-count shuffle, TakeOrdered top-N (timeseries.frequent_sequences)."""
+    from grafink_spark.timeseries import frequent_sequences
+
+    ev = load_table(spark, sf_dir, "events")
+    return frequent_sequences(ev, k=3, top=20)
+
+
+SQL_FREQUENT_SEQUENCES = """
+WITH seq AS (
+  SELECT event_type AS e1,
+         lead(event_type, 1) OVER w AS e2,
+         lead(event_type, 2) OVER w AS e3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+)
+SELECT e1 || '>' || e2 || '>' || e3 AS gram, count(*) AS n
+FROM seq WHERE e3 IS NOT NULL
+GROUP BY 1
+ORDER BY n DESC, gram ASC
+LIMIT 20
+"""
+
+
+def q_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear (level+trend) smoothing of daily event value per
+    type — the coupled unbounded recursion as one Arrow applyInPandas
+    fold per key (timeseries.holt_trend); the oracle replays the exact
+    recursion as a recursive CTE, value-checking the Arrow path."""
+    from grafink_spark.timeseries import holt_trend
+
+    ev = load_table(spark, sf_dir, "events")
+    out = holt_trend(ev, alpha=0.3, beta=0.1)
+    return out.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.round("x", 2).alias("x"),
+        F.round("level", 6).alias("level"),
+        F.round("trend", 6).alias("trend"),
+        F.round("fitted", 6).alias("fitted"),
+    )
+
+
+SQL_HOLT_TREND = """
+WITH RECURSIVE daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         sum(value::DECIMAL(27,6))::DOUBLE AS x
+  FROM events GROUP BY 1, 2
+),
+idx AS (
+  SELECT event_type, day, x,
+         row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+  FROM daily
+),
+r(event_type, rn, day, x, level, trend, fitted) AS (
+  SELECT event_type, rn, day, x, x, 0.0::DOUBLE, x FROM idx WHERE rn = 1
+  UNION ALL
+  SELECT i.event_type, i.rn, i.day, i.x,
+         0.3 * i.x + 0.7 * (r.level + r.trend),
+         0.1 * ((0.3 * i.x + 0.7 * (r.level + r.trend)) - r.level)
+           + 0.9 * r.trend,
+         r.level + r.trend
+  FROM idx i JOIN r ON r.event_type = i.event_type AND i.rn = r.rn + 1
+)
+SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+       round(x, 2) AS x, round(level, 6) AS level,
+       round(trend, 6) AS trend, round(fitted, 6) AS fitted
+FROM r
+"""
+
+
+QUERIES.update(
+    {
+        "frequent_sequences": q_frequent_sequences,
+        "holt_trend": q_holt_trend,
+    }
+)
+ORACLES.update(
+    {
+        "frequent_sequences": SQL_FREQUENT_SEQUENCES,
+        "holt_trend": SQL_HOLT_TREND,
+    }
+)

@@ -610,3 +610,116 @@ def ewma_recursive(
             F.col("_k").alias(key), "day", F.col("_x").alias("x"), "ewma"
         )
     )
+
+
+def holt_trend(
+    df: DataFrame,
+    key: str = "event_type",
+    ts: str = "ts",
+    value: str = "value",
+    alpha: float = 0.3,
+    beta: float = 0.1,
+) -> DataFrame:
+    """Holt's linear (double-exponential) smoothing per key over daily
+    sums — the coupled recursion
+
+        l_t = alpha·x_t + (1−alpha)·(l_{t−1} + b_{t−1})
+        b_t = beta·(l_t − l_{t−1}) + (1−beta)·b_{t−1}
+
+    seeded l_1 = x_1, b_1 = 0 (trend learns from the second point).
+    Adds the one-step-ahead fit f_t = l_{t−1} + b_{t−1}. Like
+    :func:`ewma_recursive`, the level/trend pair is a linear recurrence
+    whose unbounded horizon has no stable window-aggregate form, so the
+    per-key fold runs as one Arrow ``applyInPandas`` group — O(group)
+    memory, sorted by day, no driver involvement. The DuckDB oracle
+    replays the identical recursion as a recursive CTE.
+
+    Plan/scale: one shuffle to daily sums (decimal — partition-order
+    independent), one shuffle on the key for the fold; series length
+    per key is bounded by the calendar, not the corpus."""
+    d6 = "decimal(27,6)"
+    daily = (
+        df.groupBy(
+            F.col(key).alias("_k"), F.date_trunc("day", F.col(ts)).alias("day")
+        )
+        .agg(F.sum(F.col(value).cast(d6)).cast("double").alias("_x"))
+    )
+    key_type = daily.schema["_k"].dataType.simpleString()
+    out_schema = (
+        f"_k {key_type}, day timestamp, _x double, "
+        "level double, trend double, fitted double"
+    )
+    a = float(alpha)
+    bb = float(beta)
+
+    def fold(pdf):
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        levels, trends, fits = [], [], []
+        lev = tr = None
+        for x in pdf["_x"]:
+            x = float(x)
+            if lev is None:
+                fits.append(x)
+                lev, tr = x, 0.0
+            else:
+                fit = lev + tr
+                fits.append(fit)
+                new_lev = a * x + (1.0 - a) * fit
+                tr = bb * (new_lev - lev) + (1.0 - bb) * tr
+                lev = new_lev
+            levels.append(lev)
+            trends.append(tr)
+        pdf["level"] = levels
+        pdf["trend"] = trends
+        pdf["fitted"] = fits
+        return pdf
+
+    return (
+        daily.groupBy("_k")
+        .applyInPandas(fold, out_schema)
+        .select(
+            F.col("_k").alias(key),
+            "day",
+            F.col("_x").alias("x"),
+            "level",
+            "trend",
+            "fitted",
+        )
+    )
+
+
+def frequent_sequences(
+    df: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    event: str = "event_type",
+    tiebreak: str = "event_id",
+    k: int = 3,
+    top: int = 20,
+) -> DataFrame:
+    """Top frequent consecutive k-grams of ``event`` across per-key
+    timelines (sequential-pattern support counting, the contiguous
+    special case): each key's events are ordered by (ts, tiebreak),
+    every window of k consecutive events contributes one occurrence of
+    its ``a>b>c`` gram, grams ranked by total count (ties broken by
+    gram text so the result is deterministic).
+
+    Plan/scale: one shuffle on the key for the ordering window
+    (``lead`` is a local sort within each key's partition — no pair
+    space), one hash shuffle on the gram for the count (map-side
+    partial agg first), and the top-N is a TakeOrdered — never a
+    global sort of all grams."""
+    w = Window.partitionBy(key).orderBy(F.col(ts).asc(), F.col(tiebreak).asc())
+    steps = [F.col(event)] + [
+        F.lead(event, i).over(w) for i in range(1, k)
+    ]
+    grams = df.select(
+        F.concat_ws(">", *steps).alias("gram"),
+        steps[-1].isNotNull().alias("_full"),
+    ).where(F.col("_full"))
+    return (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("gram").asc())
+        .limit(top)
+    )

@@ -325,3 +325,71 @@ def test_ewma_trailing_matches_reference(spark):
     )
     for r in ewma_trailing(const).collect():
         assert abs(r.ewma - 7.5) < 1e-12
+
+
+def test_holt_trend_matches_hand_recursion(spark):
+    from grafink_spark.timeseries import holt_trend
+
+    xs = [10.0, 14.0, 9.0, 20.0, 18.0]
+    df = spark.createDataFrame(
+        [("a", datetime(2024, 3, 1 + i), x) for i, x in enumerate(xs)],
+        "event_type string, ts timestamp, value double",
+    )
+    got = {
+        r.day.day: (r.level, r.trend, r.fitted)
+        for r in holt_trend(df, alpha=0.5, beta=0.5).collect()
+    }
+    lev, tr = xs[0], 0.0
+    expect = {1: (lev, tr, xs[0])}
+    for i, x in enumerate(xs[1:], start=2):
+        fit = lev + tr
+        new_lev = 0.5 * x + 0.5 * fit
+        tr = 0.5 * (new_lev - lev) + 0.5 * tr
+        lev = new_lev
+        expect[i] = (lev, tr, fit)
+    assert got.keys() == expect.keys()
+    for d in expect:
+        for a, b in zip(got[d], expect[d]):
+            assert abs(a - b) < 1e-9
+
+
+def test_holt_trend_tracks_linear_series_exactly_in_the_limit(spark):
+    # on a perfectly linear series the fitted one-step-ahead error
+    # shrinks toward zero once the trend is learned
+    from grafink_spark.timeseries import holt_trend
+
+    df = spark.createDataFrame(
+        [("a", datetime(2024, 3, 1 + i), 5.0 + 3.0 * i) for i in range(25)],
+        "event_type string, ts timestamp, value double",
+    )
+    rows = sorted(
+        holt_trend(df, alpha=0.5, beta=0.5).collect(), key=lambda r: r.day
+    )
+    last = rows[-1]
+    assert abs(last.fitted - last.x) < 0.05
+    assert abs(last.trend - 3.0) < 0.05
+
+
+def test_frequent_sequences_counts_and_ordering(spark):
+    from grafink_spark.timeseries import frequent_sequences
+
+    rows = []
+    eid = 0
+    for u, seq in [
+        (1, ["a", "b", "c", "a", "b", "c"]),
+        (2, ["a", "b", "c"]),
+        (3, ["x", "y"]),          # shorter than k: contributes nothing
+    ]:
+        for i, e in enumerate(seq):
+            rows.append((eid, u, datetime(2024, 3, 1, 0, i), e))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    got = [(r.gram, r.n) for r in frequent_sequences(df, k=3, top=10).collect()]
+    assert got[0] == ("a>b>c", 3)
+    assert ("b>c>a", 1) in got and ("c>a>b", 1) in got
+    assert all(g != "x>y" for g, _ in got)
+    # deterministic tie-break: equal counts ordered by gram text
+    ties = [g for g, n in got if n == 1]
+    assert ties == sorted(ties)
