@@ -21,8 +21,13 @@ Terminal no-ops from the reference transcripts (``.next()``,
 materializes the first row, ``toList`` collects. Everything stays a
 lazy DataFrame plan until one of those terminals (or ``count``) runs.
 
-Scope is deliberately the reference's documented query set — anything
-else raises GremlinParseError naming the unsupported step.
+Scope is the reference's documented query set plus the common next
+steps a migrating TinkerPop user types: ``hasLabel``, ``values``,
+``dedup``, ``order().by(key[, desc])``, ``id``, ``outV/inV/bothV``,
+and P predicates in ``has`` (``gt/gte/lt/lte/eq/neq/between/inside/
+within/without``, bare or ``P.``-qualified — numeric bounds against
+the string-stored edge property compare numerically). Anything else
+raises GremlinParseError naming the unsupported step.
 """
 
 from __future__ import annotations
@@ -47,10 +52,50 @@ class Step:
     args: list
 
 
+@dataclass
+class Pred:
+    """A Gremlin P predicate argument — ``gt(0.9)``, ``between(1, 5)``,
+    ``within("a", "b")`` — kept symbolic until the executor builds the
+    column condition (so types can adapt to the stored column)."""
+
+    name: str
+    args: list
+
+    _OPS = {"gt", "gte", "lt", "lte", "eq", "neq", "between", "within",
+            "inside", "without"}
+
+    def condition(self, col):
+        a = self.args
+        if self.name == "gt":
+            return col > F.lit(a[0])
+        if self.name == "gte":
+            return col >= F.lit(a[0])
+        if self.name == "lt":
+            return col < F.lit(a[0])
+        if self.name == "lte":
+            return col <= F.lit(a[0])
+        if self.name == "eq":
+            return col == F.lit(a[0])
+        if self.name == "neq":
+            return col != F.lit(a[0])
+        if self.name == "between":  # [a, b) — TinkerPop semantics
+            return (col >= F.lit(a[0])) & (col < F.lit(a[1]))
+        if self.name == "inside":  # (a, b) exclusive
+            return (col > F.lit(a[0])) & (col < F.lit(a[1]))
+        if self.name == "within":
+            return col.isin(list(a))
+        if self.name == "without":
+            return ~col.isin(list(a))
+        raise GremlinParseError(f"unsupported predicate P.{self.name}")
+
+
 _STEP_RE = re.compile(r"\s*\.?\s*(\w+)\s*\(")
 _ARG_RE = re.compile(
     r"""\s*(?:'([^']*)'|"([^"]*)"|([A-Za-z_][\w.]*)|(-?\d+\.\d+)|(-?\d+))\s*(?:,|$)"""
 )
+
+
+_PRED_RE = re.compile(r"\s*(?:P\s*\.\s*)?(\w+)\s*\(")
 
 
 def _parse_args(raw: str) -> list:
@@ -59,6 +104,22 @@ def _parse_args(raw: str) -> list:
         return []
     args, pos = [], 0
     while pos < len(raw):
+        pm = _PRED_RE.match(raw, pos)
+        if pm and pm.group(1) in Pred._OPS:
+            close = _find_close(raw, pm.end())
+            if close < 0:
+                raise GremlinParseError(
+                    f"unbalanced parens in predicate: {raw[pos:]!r}"
+                )
+            args.append(Pred(pm.group(1), _parse_args(raw[pm.end():close])))
+            pos = close + 1
+            tail = re.match(r"\s*(?:,|$)", raw[pos:])
+            if not tail:
+                raise GremlinParseError(
+                    f"cannot parse after predicate: {raw[pos:]!r}"
+                )
+            pos += tail.end()
+            continue
         m = _ARG_RE.match(raw, pos)
         if not m:
             raise GremlinParseError(f"cannot parse arguments: {raw[pos:]!r}")
@@ -83,8 +144,10 @@ def _parse_args(raw: str) -> list:
 
 def _find_close(q: str, start: int) -> int:
     """Index of the step's closing paren, ignoring parens inside quoted
-    string arguments (e.g. has("objectId", "AT2019(bkz)"))."""
+    string arguments (e.g. has("objectId", "AT2019(bkz)")) and counting
+    nested unquoted parens (predicate args: has("rfscore", gt(0.9)))."""
     quote = None
+    depth = 0
     for i in range(start, len(q)):
         c = q[i]
         if quote:
@@ -92,8 +155,12 @@ def _find_close(q: str, start: int) -> int:
                 quote = None
         elif c in ("'", '"'):
             quote = c
+        elif c == "(":
+            depth += 1
         elif c == ")":
-            return i
+            if depth == 0:
+                return i
+            depth -= 1
     return -1
 
 
@@ -179,11 +246,70 @@ class GremlinExecutor:
                 k, v = step.args
                 if mode == "edges":
                     col = _EDGE_PROP.get(k, k)
-                    # edge propVal is stored as string (reference parity)
-                    df = df.where(F.col(col) == F.lit(str(v)))
+                    # edge propVal is stored as string (reference parity);
+                    # P predicates with numeric bounds compare numerically
+                    if isinstance(v, Pred):
+                        c = F.col(col)
+                        if any(isinstance(a, (int, float)) for a in v.args):
+                            c = c.cast("double")
+                        df = df.where(v.condition(c))
+                    else:
+                        df = df.where(F.col(col) == F.lit(str(v)))
                 else:
-                    df = df.where(F.col(k) == F.lit(v))
+                    if isinstance(v, Pred):
+                        df = df.where(v.condition(F.col(k)))
+                    else:
+                        df = df.where(F.col(k) == F.lit(v))
                     restricted = True
+            elif step.name == "hasLabel":
+                if not step.args:
+                    raise GremlinParseError("hasLabel(label) takes 1+ args")
+                df = df.where(F.col("label").isin([str(a) for a in step.args]))
+                if mode == "vertices":
+                    restricted = True
+            elif step.name == "values":
+                if len(step.args) != 1:
+                    raise GremlinParseError("values(prop) takes 1 arg")
+                prop = step.args[0]
+                if mode == "edges":
+                    prop = _EDGE_PROP.get(prop, prop)
+                df = df.select(prop)
+            elif step.name == "dedup":
+                df = df.distinct()
+            elif step.name == "id":
+                if mode == "edges":
+                    raise GremlinParseError("id() applies to vertices")
+                col = "id" if mode == "vertices" else "neighbor_id"
+                df = df.select(F.col(col).alias("id"))
+            elif step.name == "order":
+                by = next(it, None)
+                if by is None or by.name != "by":
+                    raise GremlinParseError("order() needs .by(key[, desc])")
+                key = by.args[0] if by.args else "id"
+                if mode == "edges":
+                    key = _EDGE_PROP.get(key, key)
+                direction = (
+                    str(by.args[1]).rsplit(".", 1)[-1].lower()
+                    if len(by.args) > 1
+                    else "asc"
+                )
+                c = F.col(key)
+                df = df.orderBy(
+                    c.desc() if direction in ("desc", "decr") else c.asc()
+                )
+            elif step.name in ("outV", "inV", "bothV"):
+                if mode != "edges":
+                    raise GremlinParseError(f"{step.name}() needs edges")
+                anchors = {"outV": [SRC], "inV": [DST], "bothV": [SRC, DST]}[
+                    step.name
+                ]
+                idset = df.select(F.col(anchors[0]).alias("id"))
+                for c in anchors[1:]:
+                    idset = idset.unionByName(df.select(F.col(c).alias("id")))
+                df = self.g.store.vertices().join(
+                    idset.distinct(), "id", "left_semi"
+                )
+                mode, restricted, vertex_id = "vertices", True, None
             elif step.name in ("outE", "inE", "bothE"):
                 # the store materializes BOTH directions of every edge,
                 # so inE anchors on dst and bothE matches either end
@@ -273,8 +399,11 @@ class GremlinExecutor:
             else:
                 raise GremlinParseError(
                     f"unsupported Gremlin step: {step.name}() — supported: "
-                    "V, has, outE/inE/bothE, out/in/both, count, "
-                    "groupCount().by, valueMap, limit, next, toList"
+                    "V, has (incl. P.gt/gte/lt/lte/eq/neq/between/inside/"
+                    "within/without), hasLabel, outE/inE/bothE, "
+                    "out/in/both, outV/inV/bothV, values, id, dedup, "
+                    "order().by, count, groupCount().by, valueMap, limit, "
+                    "next, toList"
                 )
         return df if done is None else done
 

@@ -273,3 +273,84 @@ def test_gremlin_in_both_directions(spark, tmp_path):
     assert [r.neighbor_id for r in gremlin(g, "g.V(22).both()").collect()] == [21]
     # filtered-set bothE: vertices {21} touch both rows of the pair
     assert gremlin(g, 'g.V().has("objectId", "a").bothE().count()') == 2
+
+
+def test_gremlin_widened_steps(spark, tmp_path):
+    """Round-3 widening: P predicates, hasLabel, values, dedup,
+    order().by, id, outV/inV — the common next steps a migrating
+    TinkerPop user types beyond the reference's transcripts."""
+    import pytest
+
+    from grafink_spark.config import GrafinkConfig
+    from grafink_spark.gremlin import GremlinParseError, gremlin
+    from grafink_spark.shell import build_bindings
+
+    root = str(tmp_path / "graph")
+    store = GraphStore(spark, root, task_size=100, parallelism=2)
+    store.write_vertices(
+        spark.createDataFrame(
+            [
+                (11, "ZTFa", 0.95, None),
+                (12, "ZTFb", 0.40, None),
+                (13, "ZTFc", 0.80, None),
+            ],
+            "id long, objectId string, rfscore double, recipe string",
+        )
+    )
+    store.write_vertices(
+        spark.createDataFrame(
+            [(3, None, None, "asteroids")],
+            "id long, objectId string, rfscore double, recipe string",
+        ),
+        label="similarity",
+    )
+    store.write_edges(
+        spark.createDataFrame(
+            [(12, 11, 2), (13, 11, 5)], "src long, dst long, propVal int"
+        ),
+        _FakeRule(),
+    )
+    cfg = GrafinkConfig.from_dict({"graph": {"storagePath": root}})
+    g = build_bindings(cfg, spark=spark)["g"]
+
+    # P predicates on vertices
+    assert gremlin(g, 'g.V().has("rfscore", gt(0.9)).count()') == 1
+    assert gremlin(g, 'g.V().has("rfscore", P.gte(0.8)).count()') == 2
+    assert gremlin(g, 'g.V().has("rfscore", between(0.4, 0.8)).count()') == 1
+    assert gremlin(g, 'g.V().has("rfscore", inside(0.4, 0.95)).count()') == 1
+    assert (
+        gremlin(g, 'g.V().has("objectId", within("ZTFa", "ZTFc")).count()')
+        == 2
+    )
+    assert gremlin(g, 'g.V().has("rfscore", neq(0.4)).count()') == 2
+    # numeric P on the string-stored edge property casts to double
+    assert gremlin(g, 'g.V().outE().has("value", gt(2)).count()') == 2
+    assert gremlin(g, 'g.V().outE().has("value", lte(2)).count()') == 2
+    # hasLabel
+    assert gremlin(g, 'g.V().hasLabel("alert").count()') == 3
+    assert gremlin(g, 'g.V().hasLabel("similarity").count()') == 1
+    # predicate-restricted vertices constrain outE (semi-join path)
+    assert (
+        gremlin(g, 'g.V().has("rfscore", gt(0.9)).outE().count()') == 2
+    )  # both directions of (12,11) and (13,11) anchor at 11
+    # values / dedup / order.by
+    vals = gremlin(g, 'g.V().hasLabel("alert").values("objectId").toList')
+    assert sorted(v.objectId for v in vals) == ["ZTFa", "ZTFb", "ZTFc"]
+    ordered = gremlin(
+        g, 'g.V().hasLabel("alert").order().by("rfscore", desc).toList'
+    )
+    assert [r.id for r in ordered] == [11, 13, 12]
+    deduped = gremlin(g, 'g.V().outE().values("value").dedup().toList')
+    assert sorted(r.propVal for r in deduped) == ["2", "5"]
+    # id() projection
+    ids = gremlin(g, 'g.V().hasLabel("similarity").id().toList')
+    assert [r.id for r in ids] == [3]
+    # outV/inV walk back to vertices
+    assert gremlin(g, 'g.V().outE().has("value", gt(2)).inV().count()') == 2
+    dst = gremlin(g, 'g.V(13).outE("similarity").inV().values("objectId")')
+    assert [r.objectId for r in dst.collect()] == ["ZTFa"]
+    # parse errors stay informative
+    with pytest.raises(GremlinParseError, match="cannot parse arguments"):
+        gremlin(g, 'g.V().has("rfscore", regex("x"))')
+    with pytest.raises(GremlinParseError):
+        gremlin(g, "g.V().order()")
