@@ -54,6 +54,7 @@ HEADLINE = [
     "contamination",
     "semantic_dedup",
     "semantic_dedup_auto",
+    "semantic_dedup_arrow",
     "bm25_search",
     "pagerank",
     "chunk_dedup",
@@ -160,6 +161,7 @@ NOOP_DRAIN = {
     "repetition_signals",
     "semantic_dedup",
     "semantic_dedup_auto",
+    "semantic_dedup_arrow",
     "simhash",
     "text_stats",
     "pagerank",
