@@ -282,6 +282,10 @@ def main() -> int:
         per_entry = {
             "skew_clique": 0.5 * stress_scale,
             "similarity_skew": 0.5 * stress_scale,
+            # the numeric A/B only needs enough edges for a stable
+            # ratio (decimal ≈ 4x double at any size past ~1M edges)
+            "pagerank_exact": 0.25 * stress_scale,
+            "pagerank_double": 0.25 * stress_scale,
         }
         stress: dict[str, float] = {}
         for name, fn in STRESS.items():

@@ -69,9 +69,18 @@ def pagerank(
     iters: int = 3,
     damping: float = 0.85,
     checkpoint_dir: str | None = None,
+    exact: bool = True,
 ) -> DataFrame:
     """(id, rank) after ``iters`` iterations over the DIRECTED edge set
-    (pass both directions for an undirected graph)."""
+    (pass both directions for an undirected graph).
+
+    ``exact=True`` (default) accumulates contributions as
+    decimal(38,18) — partition-order independent, bit-identical across
+    engines (the oracle contract). ``exact=False`` sums plain doubles:
+    the production fast path at scale (no 128-bit decimal arithmetic
+    per addend); ranks then agree with the exact path to ~1 ulp but the
+    last digit can vary between runs. Measured as the
+    pagerank_exact/pagerank_double stress pair."""
     # cut lineage on the raw edge list FIRST: verts/deg/ed all consume
     # it, and the upstream derivation is often a whole classifier
     # pipeline — without this it re-executes once per consumer
@@ -104,9 +113,13 @@ def pagerank(
             # sub-1.0 ranks; the per-element double->decimal rounding
             # is identical in Spark and DuckDB.
             .agg(
-                F.sum((F.col("rank") / F.col("_deg")).cast("decimal(38,18)"))
-                .cast("double")
-                .alias("_in")
+                (
+                    F.sum(
+                        (F.col("rank") / F.col("_deg")).cast("decimal(38,18)")
+                    ).cast("double")
+                    if exact
+                    else F.sum(F.col("rank") / F.col("_deg"))
+                ).alias("_in")
             )
         )
         pr = (
@@ -469,6 +482,7 @@ def personalized_pagerank(
     iters: int = 3,
     damping: float = 0.85,
     checkpoint_dir: str | None = None,
+    exact: bool = True,
 ) -> DataFrame:
     """(id, rank) after ``iters`` rounds of random-walk-with-restart:
     the teleport mass returns to the ``seeds`` (uniformly) instead of
@@ -505,9 +519,13 @@ def personalized_pagerank(
             # sub-1.0 ranks; the per-element double->decimal rounding
             # is identical in Spark and DuckDB.
             .agg(
-                F.sum((F.col("rank") / F.col("_deg")).cast("decimal(38,18)"))
-                .cast("double")
-                .alias("_in")
+                (
+                    F.sum(
+                        (F.col("rank") / F.col("_deg")).cast("decimal(38,18)")
+                    ).cast("double")
+                    if exact
+                    else F.sum(F.col("rank") / F.col("_deg"))
+                ).alias("_in")
             )
         )
         pr = (
@@ -606,6 +624,7 @@ def hits(
     dst: str = "dst",
     iters: int = 2,
     checkpoint_dir: str | None = None,
+    exact: bool = True,
 ) -> DataFrame:
     """(id, hub, authority) after ``iters`` rounds of HITS
     (Kleinberg's hubs-and-authorities) over the DIRECTED edge set:
@@ -648,7 +667,9 @@ def hits(
     scores = verts.select("id", F.lit(init).alias("hub"))
 
     def _dsum(c):
-        return F.sum(c.cast(dec)).cast("double")
+        # exact=False: plain double sums (production fast path; scores
+        # agree to ~1 ulp, last digit run-dependent — see pagerank)
+        return F.sum(c.cast(dec)).cast("double") if exact else F.sum(c)
 
     for _ in range(iters):
         auth_raw = (

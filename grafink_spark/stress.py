@@ -108,6 +108,30 @@ def skew_clique(spark: SparkSession, scale: float = 1.0) -> DataFrame:
     return rule.classify(empty, rows)
 
 
+def pagerank_numeric(
+    spark: SparkSession, mode: str, scale: float = 1.0
+) -> DataFrame:
+    """Exact-decimal vs plain-double PageRank A/B over a synthetic
+    4-regular directed graph (2M vertices / 8M edges at scale=1, edges
+    from a multiplicative hash so the build is scan-only). Measures
+    what the bit-reproducibility guarantee costs per iteration: the
+    decimal path casts every addend to decimal(38,18) inside the
+    per-round aggregation; the double path is the production
+    ``exact=False`` swap (ranks agree to ~1 ulp)."""
+    from grafink_spark.graph.algorithms import pagerank
+
+    n = int(2_000_000 * scale)
+    ids = spark.range(n).select(F.col("id").alias("src"))
+    edges = None
+    for k in range(4):
+        e = ids.select(
+            "src",
+            ((F.col("src") * 2654435761 + 40503 * (k + 1)) % n).alias("dst"),
+        )
+        edges = e if edges is None else edges.unionByName(e)
+    return pagerank(edges, iters=3, exact=(mode == "exact"))
+
+
 STRESS = {
     "similarity_50m": similarity_50m,
     "similarity_skew": similarity_skew,
@@ -118,4 +142,10 @@ STRESS = {
         spark, "reference", s
     ),
     "skew_clique": skew_clique,
+    "pagerank_exact": lambda spark, s=1.0: pagerank_numeric(
+        spark, "exact", s
+    ),
+    "pagerank_double": lambda spark, s=1.0: pagerank_numeric(
+        spark, "double", s
+    ),
 }

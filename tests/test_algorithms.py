@@ -390,3 +390,27 @@ def test_betweenness_isolated_seed_empty(spark):
 
     edges = spark.createDataFrame([(1, 2)], "src long, dst long")
     assert betweenness_sampled(edges, [99], max_hops=2).count() == 0
+
+
+def test_inexact_paths_agree_with_exact_to_ulp(spark):
+    """exact=False (plain-double production sums) must agree with the
+    decimal oracle path to floating-point noise on every algorithm
+    that offers the swap."""
+    from grafink_spark.graph.algorithms import hits, personalized_pagerank
+
+    edges = spark.createDataFrame(
+        [(a, b) for a in range(12) for b in range(12)
+         if a != b and (a * 7 + b) % 3 == 0],
+        "src long, dst long",
+    )
+    for fn, kw, cols in (
+        (pagerank, {"iters": 3}, ["rank"]),
+        (personalized_pagerank, {"seeds": [0, 1], "iters": 3}, ["rank"]),
+        (hits, {"iters": 2}, ["hub", "authority"]),
+    ):
+        ex = {r["id"]: r for r in fn(edges, **kw).collect()}
+        fast = {r["id"]: r for r in fn(edges, exact=False, **kw).collect()}
+        assert ex.keys() == fast.keys()
+        for vid in ex:
+            for c in cols:
+                assert abs(ex[vid][c] - fast[vid][c]) < 1e-9, (fn, vid, c)
