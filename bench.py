@@ -69,6 +69,7 @@ HEADLINE = [
     "merge_upsert",
     "approx_distinct",
     "dup_ngram_spans",
+    "strip_dup_spans",
     "bfs_distances",
     "adamic_adar",
     "shortest_paths",
@@ -176,6 +177,7 @@ NOOP_DRAIN = {
     "k_core",
     "merge_upsert",
     "dup_ngram_spans",
+    "strip_dup_spans",
     "bfs_distances",
     "adamic_adar",
     "shortest_paths",

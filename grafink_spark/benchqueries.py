@@ -7967,3 +7967,46 @@ ORACLES.update(
         "holt_trend": SQL_HOLT_TREND,
     }
 )
+
+
+def q_strip_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup transform: tokens inside any corpus-wide
+    duplicated 5-gram window removed; returns the cleaned text plus
+    removal counts (llm.dedup.strip_dup_spans — the apply step to
+    dup_ngram_spans' report step)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.strip_dup_spans(docs, n=5)
+
+
+SQL_STRIP_DUP_SPANS = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS l
+  FROM documents
+),
+w0 AS (
+  SELECT doc_id, l, unnest(generate_series(1, len(l) - 4)) AS i FROM t
+),
+w AS (
+  SELECT doc_id, i,
+         ('0x' || substr(md5(array_to_string(l[i:i+4], ' ')), 1, 15))::BIGINT
+           AS h
+  FROM w0
+),
+c AS (SELECT h, count(*) AS cnt FROM w GROUP BY 1),
+dup AS (SELECT doc_id, i FROM w JOIN c USING (h) WHERE c.cnt > 1),
+cov AS (
+  SELECT DISTINCT doc_id, unnest(generate_series(i, i + 4)) AS p FROM dup
+),
+covs AS (SELECT doc_id, list(p) AS ps FROM cov GROUP BY 1)
+SELECT t.doc_id, len(t.l) AS n_tokens,
+       coalesce(len(covs.ps), 0) AS n_removed,
+       coalesce(array_to_string(
+         list_filter(t.l, (x, j) -> covs.ps IS NULL
+                                    OR NOT list_contains(covs.ps, j)),
+         ' '), '') AS clean_text
+FROM t LEFT JOIN covs USING (doc_id)
+"""
+
+
+QUERIES.update({"strip_dup_spans": q_strip_dup_spans})
+ORACLES.update({"strip_dup_spans": SQL_STRIP_DUP_SPANS})

@@ -1306,3 +1306,71 @@ def semantic_contamination(
             F.max("_cs").alias("max_sim"),
         )
     )
+
+
+def strip_dup_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Exact-substring dedup TRANSFORM (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better"): remove every token
+    that lies inside a duplicated n-gram window — a window whose
+    60-bit gram hash occurs more than once ANYWHERE in the corpus
+    (across documents or repeated within one). Where
+    :func:`ngram_span_coverage` only reports the duplication fraction,
+    this returns the cleaned text a training pipeline actually feeds
+    the tokenizer.
+
+    Returns (id, n_tokens, n_removed, clean_text); documents shorter
+    than ``n`` tokens pass through untouched (no windows).
+
+    Scale: one tokenize/posexplode scan → narrow (hash, doc, pos)
+    rows; a corpus-wide count per hash (linear shuffle); dup windows
+    explode to ≤ n positions each, distinct-ed per (doc, pos); the
+    per-doc covered-position set comes back as one sorted array
+    (bounded by document length, never corpus size) and the rebuild is
+    a single higher-order ``filter`` + ``array_join`` — no per-row
+    Python. A mega-duplicated boilerplate gram contributes one count
+    row and its member docs' positions, bounded by real occurrences.
+    """
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    base = df.select(F.col(id_col).alias("_id"), toks.alias("_toks"))
+    grams = F.when(
+        F.size(F.col("_toks")) >= n,
+        F.expr(
+            f"transform(sequence(1, size(_toks) - {n} + 1), "
+            f"i -> conv(substring(md5(concat_ws(' ', slice(_toks, i, {n}))), "
+            "1, 15), 16, 10))"
+        ),
+    ).otherwise(F.array())
+    win = base.select(
+        "_id", F.posexplode(grams).alias("_i", "_hs")
+    ).select("_id", "_i", F.col("_hs").cast("long").alias("_h"))
+    counts = win.groupBy("_h").agg(F.count(F.lit(1)).alias("_c"))
+    dup = win.join(counts.where(F.col("_c") > 1), "_h")
+    cov = (
+        dup.select(
+            "_id",
+            F.explode(F.expr(f"sequence(_i, _i + {n - 1})")).alias("_p"),
+        )
+        .distinct()
+        .groupBy("_id")
+        .agg(F.sort_array(F.collect_set("_p")).alias("_cov"))
+    )
+    return (
+        base.join(cov, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.size("_toks").alias("n_tokens"),
+            F.coalesce(F.size("_cov"), F.lit(0)).alias("n_removed"),
+            F.array_join(
+                F.expr(
+                    "filter(_toks, (t, j) -> _cov IS NULL "
+                    "OR NOT array_contains(_cov, j))"
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+    )

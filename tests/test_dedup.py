@@ -484,3 +484,36 @@ def test_semantic_dedup_arrow_backend_matches_expr(spark):
 
     with pytest.raises(ValueError):
         semantic_dedup(df, nlist=4, pair_backend="nope")
+
+
+def test_strip_dup_spans_removes_shared_and_repeated_windows(spark):
+    from grafink_spark.llm.dedup import strip_dup_spans
+
+    boiler = "all rights reserved by the site"  # 6 tokens → two 5-windows
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta gamma {boiler} delta"),
+            (2, f"unrelated words here {boiler} epsilon zeta"),
+            (3, "one two three four"),             # < n tokens: untouched
+            (4, "x y z w v x y z w v"),            # internal repeat
+            (5, "totally unique sentence with many distinct tokens here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in strip_dup_spans(docs, n=5).collect()}
+
+    # the shared boilerplate (and windows overlapping it) is gone
+    for d in (1, 2):
+        assert "rights" not in out[d].clean_text
+        assert out[d].n_removed > 0
+    # doc 1 keeps no overlap-free prefix shorter than the window reach
+    assert out[1].n_tokens == 10
+    # short doc passes through verbatim
+    assert out[3].clean_text == "one two three four"
+    assert out[3].n_removed == 0
+    # within-doc repetition counts as duplication (corpus-wide count > 1)
+    assert out[4].n_removed == out[4].n_tokens  # every window duplicated
+    assert out[4].clean_text == ""
+    # unique doc untouched
+    assert out[5].n_removed == 0
+    assert out[5].clean_text == out[5].clean_text.strip()
