@@ -129,6 +129,7 @@ HEADLINE = [
     "cusum_anomalies",
     "hybrid_rrf",
     "benford_audit",
+    "k_anonymity",
     "ewma_daily",
     "ranking_agreement",
     "corpus_datasheet",

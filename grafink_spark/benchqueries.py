@@ -8010,3 +8010,35 @@ FROM t LEFT JOIN covs USING (doc_id)
 
 QUERIES.update({"strip_dup_spans": q_strip_dup_spans})
 ORACLES.update({"strip_dup_spans": SQL_STRIP_DUP_SPANS})
+
+
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity + l-diversity audit of the customer table treating
+    (nation, market segment) as quasi-identifiers and the account-
+    balance sign as the sensitive attribute (llm.pii.k_anonymity_audit)."""
+    from grafink_spark.llm.pii import k_anonymity_audit
+
+    cust = load_table(spark, sf_dir, "customer").withColumn(
+        "bal_sign", F.signum("c_acctbal").cast("int")
+    )
+    return k_anonymity_audit(
+        cust,
+        quasi_cols=["c_nationkey", "c_mktsegment"],
+        sensitive_col="bal_sign",
+        k=5,
+        l_div=2,
+    )
+
+
+SQL_K_ANONYMITY = """
+SELECT c_nationkey, c_mktsegment, count(*) AS group_size,
+       count(DISTINCT CAST(sign(c_acctbal) AS INT)) AS n_sensitive,
+       (count(*) < 5
+        OR count(DISTINCT CAST(sign(c_acctbal) AS INT)) < 2) AS at_risk
+FROM customer
+GROUP BY 1, 2
+"""
+
+
+QUERIES.update({"k_anonymity": q_k_anonymity})
+ORACLES.update({"k_anonymity": SQL_K_ANONYMITY})

@@ -54,3 +54,41 @@ def redact_pii(
     for pat, token in PII_PATTERNS.values():
         red = F.regexp_replace(red, pat, token)
     return df.withColumn(out_col or text_col, red)
+
+
+def k_anonymity_audit(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str | None = None,
+    k: int = 5,
+    l_div: int = 2,
+) -> DataFrame:
+    """Re-identification risk audit before a dataset ships: group rows
+    by the quasi-identifier combination and report, per group, its size
+    (k-anonymity) and — when ``sensitive_col`` is given — its count of
+    distinct sensitive values (l-diversity). A group is ``at_risk``
+    when it has fewer than ``k`` members or fewer than ``l_div``
+    distinct sensitive values (an attacker who maps a person to the
+    group learns their sensitive value outright when diversity is 1).
+
+    Returns (quasi_cols..., group_size, n_sensitive, at_risk) — one row
+    per quasi combination, so the output is group-cardinality sized,
+    never row sized.
+
+    Scale: one hash shuffle on the quasi columns with map-side partial
+    aggregation; count_distinct over the sensitive column is the only
+    non-algebraic aggregate (exact here — at 100 TB swap for
+    approx_count_distinct when an estimated diversity bound suffices).
+    """
+    aggs = [F.count(F.lit(1)).alias("group_size")]
+    if sensitive_col is not None:
+        aggs.append(
+            F.countDistinct(F.col(sensitive_col)).alias("n_sensitive")
+        )
+    else:
+        aggs.append(F.lit(None).cast("long").alias("n_sensitive"))
+    out = df.groupBy(*quasi_cols).agg(*aggs)
+    risk = F.col("group_size") < k
+    if sensitive_col is not None:
+        risk = risk | (F.col("n_sensitive") < l_div)
+    return out.withColumn("at_risk", risk)

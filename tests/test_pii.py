@@ -30,3 +30,32 @@ def test_redact_in_place(spark):
     out = pi.redact_pii(df)
     assert out.columns == ["doc_id", "text"]
     assert out.where(F.col("text") == "x <EMAIL> x").count() == 1
+
+
+def test_k_anonymity_audit_flags(spark):
+    from grafink_spark.llm.pii import k_anonymity_audit
+
+    rows = (
+        [("us", "a", "x")] * 6          # big, diverse? sensitive all 'x'
+        + [("us", "b", "x"), ("us", "b", "y")] * 3  # big + diverse
+        + [("fr", "a", "x"), ("fr", "a", "y")]      # small group
+    )
+    df = spark.createDataFrame(rows, "nation string, seg string, s string")
+    out = {
+        (r.nation, r.seg): r
+        for r in k_anonymity_audit(
+            df, ["nation", "seg"], sensitive_col="s", k=5, l_div=2
+        ).collect()
+    }
+    assert out[("us", "a")].group_size == 6
+    assert out[("us", "a")].at_risk          # diversity 1 < 2
+    assert not out[("us", "b")].at_risk      # size 6, diversity 2
+    assert out[("fr", "a")].at_risk          # size 2 < k
+    # without a sensitive column only the size rule applies
+    out2 = {
+        (r.nation, r.seg): r
+        for r in k_anonymity_audit(df, ["nation", "seg"], k=5).collect()
+    }
+    assert not out2[("us", "a")].at_risk
+    assert out2[("fr", "a")].at_risk
+    assert out2[("us", "a")].n_sensitive is None
