@@ -79,6 +79,7 @@ HEADLINE = [
     "token_budget_sample",
     "dsir_select",
     "semantic_contamination",
+    "bitext_mine",
     "best_match",
     "incremental_agg",
     "weighted_sample",

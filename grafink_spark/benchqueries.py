@@ -8042,3 +8042,68 @@ GROUP BY 1, 2
 
 QUERIES.update({"k_anonymity": q_k_anonymity})
 ORACLES.update({"k_anonymity": SQL_K_ANONYMITY})
+
+
+def q_bitext_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based bitext mining between two label slices of the
+    embedding corpus (label 0 as the "source language", label 1 as the
+    "target") — llm.simsearch.bitext_mine, ratio-margin criterion with
+    k=4 neighborhood means."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = ss.bitext_mine(
+        emb.where(F.col("label") == 0),
+        emb.where(F.col("label") == 1),
+        k=4,
+        threshold=1.0,
+    )
+    return out.select(
+        "a_id",
+        "b_id",
+        F.round("cosine_sim", 6).alias("cosine_sim"),
+        F.round("margin", 6).alias("margin"),
+    )
+
+
+SQL_BITEXT_MINE = f"""
+WITH a AS (SELECT vec_id AS a_id, embedding AS av FROM embeddings WHERE label = 0),
+b AS (SELECT vec_id AS b_id, embedding AS bv FROM embeddings WHERE label = 1),
+scored AS (
+  SELECT a.a_id, b.b_id,
+         {COSINE_SQL.format(a="a.av", b="b.bv")} AS cs
+  FROM a, b
+),
+ra AS (
+  SELECT a_id, b_id, cs,
+         row_number() OVER (PARTITION BY a_id ORDER BY cs DESC, b_id ASC) AS r
+  FROM scored
+),
+ma AS (
+  SELECT a_id, CAST(sum(cs::DECIMAL(20,18)) AS DOUBLE) / count(*) AS m_a
+  FROM ra WHERE r <= 4 GROUP BY 1
+),
+rb AS (
+  SELECT a_id, b_id, cs,
+         row_number() OVER (PARTITION BY b_id ORDER BY cs DESC, a_id ASC) AS r
+  FROM scored
+),
+mb AS (
+  SELECT b_id, CAST(sum(cs::DECIMAL(20,18)) AS DOUBLE) / count(*) AS m_b
+  FROM rb WHERE r <= 4 GROUP BY 1
+),
+marg AS (
+  SELECT s.a_id, s.b_id, s.cs, s.cs / ((ma.m_a + mb.m_b) / 2) AS margin
+  FROM scored s JOIN ma USING (a_id) JOIN mb USING (b_id)
+),
+best AS (
+  SELECT a_id, b_id, cs, margin,
+         row_number() OVER (PARTITION BY a_id
+                            ORDER BY margin DESC, b_id ASC) AS rk
+  FROM marg
+)
+SELECT a_id, b_id, round(cs, 6) AS cosine_sim, round(margin, 6) AS margin
+FROM best WHERE rk = 1 AND margin >= 1.0
+"""
+
+
+QUERIES.update({"bitext_mine": q_bitext_mine})
+ORACLES.update({"bitext_mine": SQL_BITEXT_MINE})

@@ -704,3 +704,97 @@ def mmr_topk(
             "left_anti",
         )
     return selected.select("query_id", "neighbor_id", "rank", "mmr_score")
+
+
+def bitext_mine(
+    side_a: DataFrame,
+    side_b: DataFrame,
+    k: int = 4,
+    threshold: float = 1.0,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Margin-based parallel-pair mining (Artetxe & Schwenk 2019, the
+    standard bitext-mining criterion): for every vector in ``side_a``,
+    its best ``side_b`` match scored by RATIO MARGIN — cosine divided
+    by the mean of both directions' k-NN cosines — which suppresses
+    hub vectors that are "near everything". Pairs with margin below
+    ``threshold`` are dropped; ties break on the b-side id.
+
+    Returns (a_id, b_id, cosine_sim, margin).
+
+    Scale: this exact form scores A×B once (side_b broadcast — the
+    mined corpus streams ONE pass; both k-NN means and the final
+    argmax reuse the same scored set via an eager-free localCheckpoint
+    instead of recomputing the pair space per consumer). At real
+    corpus sizes swap the scorer for the IVF/LSH candidate generators
+    in this module and compute the same margins over candidates only;
+    the criterion itself is unchanged. k-NN means use decimal addends
+    so margins are bit-deterministic (oracle contract).
+    """
+    norm = lambda v: F.sqrt(  # noqa: E731
+        F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    a = side_a.select(
+        F.col(id_col).alias("a_id"),
+        F.col(vec_col).cast("array<double>").alias("_av"),
+    ).withColumn("_an", norm(F.col("_av")))
+    b = side_b.select(
+        F.col(id_col).alias("b_id"),
+        F.col(vec_col).cast("array<double>").alias("_bv"),
+    ).withColumn("_bn", norm(F.col("_bv")))
+    dot = F.aggregate(
+        F.zip_with(F.col("_av"), F.col("_bv"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    denom = F.col("_an") * F.col("_bn")
+    scored = (
+        a.crossJoin(F.broadcast(b))
+        .select(
+            "a_id",
+            "b_id",
+            F.when(denom > 0, dot / denom).otherwise(F.lit(0.0)).alias("_cs"),
+        )
+        .localCheckpoint(eager=False)
+    )
+
+    def knn_mean(part_col: str) -> DataFrame:
+        w = Window.partitionBy(part_col).orderBy(
+            F.col("_cs").desc(), F.col("b_id" if part_col == "a_id" else "a_id").asc()
+        )
+        return (
+            scored.withColumn("_r", F.row_number().over(w))
+            .where(F.col("_r") <= k)
+            .groupBy(part_col)
+            .agg(
+                (
+                    F.sum(F.col("_cs").cast("decimal(20,18)")).cast("double")
+                    / F.count(F.lit(1))
+                ).alias(f"_m_{part_col}")
+            )
+        )
+
+    means_a = knn_mean("a_id")
+    means_b = knn_mean("b_id")
+    margins = (
+        scored.join(F.broadcast(means_a), "a_id")
+        .join(F.broadcast(means_b), "b_id")
+        .withColumn(
+            "margin",
+            F.col("_cs") / ((F.col("_m_a_id") + F.col("_m_b_id")) / 2),
+        )
+    )
+    w_best = Window.partitionBy("a_id").orderBy(
+        F.col("margin").desc(), F.col("b_id").asc()
+    )
+    return (
+        margins.withColumn("_rk", F.row_number().over(w_best))
+        .where((F.col("_rk") == 1) & (F.col("margin") >= threshold))
+        .select(
+            "a_id",
+            "b_id",
+            F.col("_cs").alias("cosine_sim"),
+            "margin",
+        )
+    )

@@ -316,3 +316,33 @@ def test_mmr_rejects_bad_k(spark):
     )
     with pytest.raises(ValueError):
         mmr_topk(emb, emb, k=5, m=3)
+
+
+def test_bitext_mine_margin_suppresses_hubs(spark):
+    """A hub vector close to everything must not win every pairing:
+    the ratio margin normalizes by neighborhood means, so an exclusive
+    (even if slightly weaker) match outranks the hub."""
+    import math
+
+    from grafink_spark.llm.simsearch import bitext_mine
+
+    def unit(angle):
+        return [math.cos(angle), math.sin(angle)]
+
+    # side A: two vectors; side B: a hub near everything (bisector) and
+    # a dedicated partner aligned with a2
+    a = spark.createDataFrame(
+        [(1, unit(0.0)), (2, unit(1.0))], "vec_id long, embedding array<double>"
+    )
+    b = spark.createDataFrame(
+        [(10, unit(0.5)), (11, unit(1.02))],
+        "vec_id long, embedding array<double>",
+    )
+    got = {r.a_id: r for r in bitext_mine(a, b, k=2, threshold=0.0).collect()}
+    assert got[2].b_id == 11          # dedicated partner beats the hub
+    assert got[1].b_id == 10          # the hub still serves its best case
+    assert got[2].margin > 1.0
+
+    # threshold filters weak-margin rows
+    strict = bitext_mine(a, b, k=2, threshold=2.0).collect()
+    assert len(strict) <= 1
