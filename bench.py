@@ -70,6 +70,7 @@ HEADLINE = [
     "approx_distinct",
     "dup_ngram_spans",
     "strip_dup_spans",
+    "dedup_provenance",
     "bfs_distances",
     "adamic_adar",
     "shortest_paths",
@@ -180,6 +181,7 @@ NOOP_DRAIN = {
     "merge_upsert",
     "dup_ngram_spans",
     "strip_dup_spans",
+    "dedup_provenance",
     "bfs_distances",
     "adamic_adar",
     "shortest_paths",

@@ -8107,3 +8107,38 @@ FROM best WHERE rk = 1 AND margin >= 1.0
 
 QUERIES.update({"bitext_mine": q_bitext_mine})
 ORACLES.update({"bitext_mine": SQL_BITEXT_MINE})
+
+
+def q_dedup_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document dedup provenance: which family (exact / near /
+    substring) would drop each doc and the verdict under exact→near→
+    substring precedence (llm.dedup.dedup_provenance)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.dedup_provenance(docs)
+
+
+SQL_DEDUP_PROVENANCE = f"""
+WITH comp AS ({{comp}}),
+spans AS ({{spans}}),
+ex AS (
+  SELECT doc_id,
+         min(doc_id) OVER (PARTITION BY md5(text)) AS keep
+  FROM documents
+)
+SELECT d.doc_id AS id,
+       (ex.keep <> d.doc_id) AS exact_dup,
+       coalesce(c.component_id < d.doc_id, FALSE) AS near_dup,
+       coalesce(round(s.dup_fraction, 6), 0.0) AS dup_span_frac,
+       CASE WHEN ex.keep <> d.doc_id THEN 'exact'
+            WHEN coalesce(c.component_id < d.doc_id, FALSE) THEN 'near'
+            WHEN coalesce(s.dup_fraction, 0.0) >= 0.5 THEN 'substring'
+            ELSE 'keep' END AS verdict
+FROM documents d
+JOIN ex ON ex.doc_id = d.doc_id
+LEFT JOIN comp c ON c.doc_id = d.doc_id
+LEFT JOIN spans s ON s.id = d.doc_id
+""".format(comp=SQL_NEAR_DUP_COMPONENTS, spans=SQL_DUP_NGRAM_SPANS)
+
+
+QUERIES.update({"dedup_provenance": q_dedup_provenance})
+ORACLES.update({"dedup_provenance": SQL_DEDUP_PROVENANCE})

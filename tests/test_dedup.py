@@ -517,3 +517,33 @@ def test_strip_dup_spans_removes_shared_and_repeated_windows(spark):
     # unique doc untouched
     assert out[5].n_removed == 0
     assert out[5].clean_text == out[5].clean_text.strip()
+
+
+def test_dedup_provenance_verdict_precedence(spark):
+    from grafink_spark.llm.dedup import dedup_provenance
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [
+            (1, base),                       # keeper of the exact group
+            (2, base),                       # exact dup of 1
+            (3, base + " tail"),             # near dup of the group
+            (4, "completely different words " * 4),   # self-repeat only
+            (5, "entirely unrelated unique content lives here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.id: r for r in dedup_provenance(docs).collect()}
+    assert out[1].verdict in ("keep", "substring")  # min id never 'exact'
+    assert not out[1].exact_dup
+    assert out[1].dup_span_frac == 1.0              # spans shared with 2/3
+    assert out[2].verdict == "exact"                # precedence over near
+    assert out[2].exact_dup and out[2].near_dup
+    assert out[3].verdict == "near"
+    assert not out[3].exact_dup
+    # span coverage is CROSS-document (strip_dup_spans handles
+    # within-doc repeats); a self-repeating singleton is clean here
+    assert out[4].dup_span_frac == 0.0
+    assert out[4].verdict == "keep"
+    assert out[5].verdict == "keep"
+    assert set(out) == {1, 2, 3, 4, 5}
