@@ -47,6 +47,7 @@ HEADLINE = [
     "exact_dedup",
     "minhash_signature",
     "lsh_candidates",
+    "ssjoin_exact",
     "simhash",
     "embedding_topk",
     "text_stats",
@@ -162,6 +163,7 @@ NOOP_DRAIN = {
     "exact_dedup",
     "minhash_signature",
     "lsh_candidates",
+    "ssjoin_exact",
     "repetition_signals",
     "semantic_dedup",
     "semantic_dedup_auto",

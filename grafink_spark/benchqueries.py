@@ -8142,3 +8142,33 @@ LEFT JOIN spans s ON s.id = d.doc_id
 
 QUERIES.update({"dedup_provenance": q_dedup_provenance})
 ORACLES.update({"dedup_provenance": SQL_DEDUP_PROVENANCE})
+
+
+def q_ssjoin_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity self-join (PPJoin-style prefix filtering)
+    at Jaccard ≥ 0.5 over 3-shingle sets. The oracle is the FULL
+    all-pairs join, so a green row certifies the prefix filter lost
+    nothing (llm.dedup.set_similarity_join)."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = dd.set_similarity_join(docs, k=3, threshold=0.5)
+    return out.select(
+        "id_a", "id_b", F.round("jaccard_sim", 6).alias("jaccard_sim")
+    )
+
+
+SQL_SSJOIN_EXACT = f"""
+WITH sh AS (
+  SELECT doc_id, list_distinct(s) AS ds FROM ({_SHINGLES_SQL})
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(len(list_intersect(a.ds, b.ds))::DOUBLE /
+             (len(a.ds) + len(b.ds) - len(list_intersect(a.ds, b.ds))),
+             6) AS jaccard_sim
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.ds, b.ds))::DOUBLE /
+      (len(a.ds) + len(b.ds) - len(list_intersect(a.ds, b.ds))) >= 0.5
+"""
+
+
+QUERIES.update({"ssjoin_exact": q_ssjoin_exact})
+ORACLES.update({"ssjoin_exact": SQL_SSJOIN_EXACT})

@@ -1449,3 +1449,108 @@ def dedup_provenance(
             .alias("verdict"),
         )
     )
+
+
+def set_similarity_join(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT set-similarity self-join over distinct k-shingle sets —
+    every pair with Jaccard ≥ ``threshold``, guaranteed (prefix
+    filtering, the PPJoin family: Chaudhuri et al. ICDE'06 / Xiao et
+    al. WWW'08). Where the MinHash-LSH path trades recall for speed,
+    this is LOSSLESS: a pair at J ≥ t must share at least one token of
+    each side's (n − ⌈t·n⌉ + 1)-length prefix under any fixed global
+    token order (pigeonhole over the ≥ ⌈t·n⌉ required overlap), so
+    blocking on prefix tokens misses nothing. The oracle replays the
+    FULL all-pairs join — the correctness row certifies losslessness,
+    not just candidate agreement.
+
+    Returns (id_a, id_b, jaccard_sim), id_a < id_b.
+
+    Scale: the global order is rarity-first (document frequency asc,
+    60-bit shingle hash as tie-break) — prefixes hold a document's
+    RAREST shingles, so bucket sizes track how often rare shingles
+    repeat, not corpus size. One shuffle for the frequency table, one
+    for the per-doc re-sort, one for the prefix buckets, then
+    candidate verification joins the shingle sets back by id (pairs
+    only — never all-pairs). A boilerplate-heavy corpus shifts its
+    common shingles out of every prefix automatically."""
+    from grafink_spark.llm.text import tokens as _tokens
+
+    base = (
+        df.select(
+            F.col(id_col).alias("_id"), _tokens(F.col(text_col)).alias("_t")
+        )
+        .select(
+            "_id",
+            F.array_distinct(shingles_from_tokens(F.col("_t"), k)).alias(
+                "_s"
+            ),
+        )
+    )
+    base = base.localCheckpoint(eager=False)
+    tok = base.select(
+        "_id",
+        F.explode("_s").alias("_g"),
+    ).select(
+        "_id",
+        F.conv(F.substring(F.md5(F.col("_g")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("_h"),
+    )
+    freq = tok.groupBy("_h").agg(F.count(F.lit(1)).alias("_df"))
+    ordered = (
+        tok.join(freq, "_h")
+        .groupBy("_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_df"), F.col("_h")))
+            ).alias("_arr")
+        )
+    )
+    n = F.size("_arr")
+    p = (n - F.ceil(F.lit(float(threshold)) * n) + 1).cast("int")
+    prefix = ordered.select(
+        "_id",
+        F.explode(
+            F.slice(F.expr("transform(_arr, x -> x._h)"), 1, p)
+        ).alias("_h"),
+    )
+    buckets = (
+        prefix.groupBy("_h")
+        .agg(F.array_sort(F.collect_list("_id")).alias("_ids"))
+        .where(F.size("_ids") > 1)
+    )
+    ids = F.col("_ids")
+    pair_structs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + F.lit(2), F.size(ids)),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    cand = (
+        buckets.select(F.explode(pair_structs).alias("_p"))
+        .select(F.col("_p.id_a"), F.col("_p.id_b"))
+        .distinct()
+    )
+    a = base.select(F.col("_id").alias("id_a"), F.col("_s").alias("_sa"))
+    b = base.select(F.col("_id").alias("id_b"), F.col("_s").alias("_sb"))
+    inter = F.size(F.array_intersect("_sa", "_sb"))
+    union = F.size("_sa") + F.size("_sb") - inter
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (inter.cast("double") / union).alias("jaccard_sim"),
+        )
+        .where(F.col("jaccard_sim") >= threshold)
+    )

@@ -547,3 +547,54 @@ def test_dedup_provenance_verdict_precedence(spark):
     assert out[4].verdict == "keep"
     assert out[5].verdict == "keep"
     assert set(out) == {1, 2, 3, 4, 5}
+
+
+def test_set_similarity_join_is_lossless_vs_brute_force(spark):
+    import itertools
+
+    from grafink_spark.llm.dedup import set_similarity_join
+
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta"]
+    rows = []
+    for i in range(40):
+        # overlapping sliding vocab windows → a dense near-dup band
+        words = [vocab[(i + j) % len(vocab)] for j in range(5)] * 3
+        rows.append((i, " ".join(words)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = {
+        (r.id_a, r.id_b): r.jaccard_sim
+        for r in set_similarity_join(df, k=3, threshold=0.4).collect()
+    }
+
+    # brute force ground truth on distinct 3-shingle sets
+    def shset(text):
+        t = text.split()
+        return {" ".join(t[i : i + 3]) for i in range(len(t) - 2)}
+
+    sets = {i: shset(t) for i, t in rows}
+    expect = {}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        j = inter / (len(sets[a]) + len(sets[b]) - inter)
+        if j >= 0.4:
+            expect[(a, b)] = j
+    assert got.keys() == expect.keys()
+    for p, j in expect.items():
+        assert abs(got[p] - j) < 1e-12
+    assert len(expect) > 0  # the fixture actually exercises matches
+
+
+def test_set_similarity_join_plan_has_no_cartesian(spark):
+    from grafink_spark.llm.dedup import set_similarity_join
+
+    df = spark.createDataFrame(
+        [(i, f"w{i} w{i+1} w{i+2} w{i+3}") for i in range(30)],
+        "doc_id long, text string",
+    )
+    plan = (
+        set_similarity_join(df)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
