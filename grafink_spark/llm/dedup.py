@@ -1540,6 +1540,21 @@ def set_similarity_join(
         .select(F.col("_p.id_a"), F.col("_p.id_b"))
         .distinct()
     )
+    # length filter (PPJoin): J >= t forces t*max(na,nb) <= min(na,nb);
+    # prune on a NARROW size table before shipping the shingle arrays
+    # into the verify join
+    sizes = base.select("_id", F.size("_s").alias("_n"))
+    cand = (
+        cand.join(sizes.select(F.col("_id").alias("id_a"),
+                               F.col("_n").alias("_na")), "id_a")
+        .join(sizes.select(F.col("_id").alias("id_b"),
+                           F.col("_n").alias("_nb")), "id_b")
+        .where(
+            F.least("_na", "_nb").cast("double")
+            >= F.lit(float(threshold)) * F.greatest("_na", "_nb")
+        )
+        .select("id_a", "id_b")
+    )
     a = base.select(F.col("_id").alias("id_a"), F.col("_s").alias("_sa"))
     b = base.select(F.col("_id").alias("id_b"), F.col("_s").alias("_sb"))
     inter = F.size(F.array_intersect("_sa", "_sb"))
