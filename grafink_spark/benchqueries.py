@@ -8172,3 +8172,237 @@ WHERE len(list_intersect(a.ds, b.ds))::DOUBLE /
 
 QUERIES.update({"ssjoin_exact": q_ssjoin_exact})
 ORACLES.update({"ssjoin_exact": SQL_SSJOIN_EXACT})
+
+
+# ---------------------------------------------- round-3 third batch
+
+
+def q_norm_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-text exact-duplicate groups: lowercase + collapse
+    non-alphanumerics + trim before hashing, so casing/punctuation/
+    whitespace variants collapse into one group (the canonicalization
+    pass ahead of exact dedup in CCNet/C4-style pipelines). Same
+    single md5-key shuffle as exact_dedup. The generated corpus is
+    duplicate-free, so every tenth doc is re-appended as a SURFACE
+    VARIANT (uppercased, junk punctuation appended) under a shifted id
+    — invisible to exact md5 dedup, caught only by normalization."""
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    var = (
+        docs.where(F.col("doc_id") % 10 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 1000000)
+        .withColumn("text", F.concat(F.upper("text"), F.lit("  !! ")))
+    )
+    return dd.normalized_duplicates(docs.unionByName(var))
+
+
+SQL_NORM_DEDUP = """
+WITH corpus AS (
+  SELECT * FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, upper(text) || '  !! ' AS text,
+         lang, source, n_chars
+  FROM documents WHERE doc_id % 10 = 0
+),
+nf AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS norm_hash
+  FROM corpus
+)
+SELECT norm_hash, min(doc_id) AS keeper_id, count(*) AS dup_count
+FROM nf GROUP BY 1 HAVING count(*) > 1
+"""
+
+QUERIES.update({"norm_dedup": q_norm_dedup})
+ORACLES.update({"norm_dedup": SQL_NORM_DEDUP})
+
+
+def q_ccnet_bucket_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity-bucket quality filter: every document
+    scored by the self-trained add-0.1 bigram LM, each language split
+    into 3 equal-depth buckets by (rounded) mean log-prob, tail bucket
+    dropped. Buckets tile the ROUNDED score so cross-engine ln() ulp
+    drift can't flip a bucket boundary (llm/lm.py
+    perplexity_bucket_filter)."""
+    from grafink_spark.llm.lm import perplexity_bucket_filter
+
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    out = perplexity_bucket_filter(docs, group_col="lang", buckets=3, keep=2)
+    return out.select(
+        "doc_id", "lang", "avg_logp", F.col("bucket").cast("long").alias("bucket")
+    )
+
+
+SQL_CCNET_BUCKET_FILTER = f"""
+WITH toks AS (SELECT doc_id, {TOKENS_SQL} AS t FROM documents),
+bg AS (
+  SELECT doc_id, i AS pos, t[i+1] AS w1, t[i+2] AS w2
+  FROM toks, unnest(range(0, len(t) - 1)) AS u(i)
+  WHERE len(t) >= 2
+),
+c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+c1 AS (SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY 1),
+v AS (SELECT count(DISTINCT x) AS v
+      FROM (SELECT unnest(t) AS x FROM toks)),
+lp AS (
+  SELECT b.doc_id, b.pos,
+         ln((c12.c12 + 0.1) / (c1.c1 + 0.1 * v.v)) AS logp
+  FROM bg b JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+),
+scored AS (
+  SELECT doc_id,
+         round(list_reduce(list(logp ORDER BY pos), (x, y) -> x + y)
+               / count(*), 6) AS avg_logp
+  FROM lp GROUP BY doc_id
+),
+b AS (
+  SELECT s.doc_id, d.lang, s.avg_logp,
+         ntile(3) OVER (PARTITION BY d.lang
+                        ORDER BY s.avg_logp DESC, s.doc_id) AS bucket
+  FROM scored s JOIN documents d USING (doc_id)
+)
+SELECT doc_id, lang, avg_logp, bucket::BIGINT AS bucket
+FROM b WHERE bucket <= 2
+"""
+
+QUERIES.update({"ccnet_bucket_filter": q_ccnet_bucket_filter})
+ORACLES.update({"ccnet_bucket_filter": SQL_CCNET_BUCKET_FILTER})
+
+
+def q_rouge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-2 precision/recall/F1 over the LSH candidate pairs —
+    the clipped-multiset n-gram overlap eval metric (Lin, 2004),
+    composed over the same banded MinHash candidate generator as
+    lsh_candidates, so the pairwise work stays candidates-only
+    (llm/text.py rouge_overlap)."""
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    cand = dd.minhash_lsh_candidates(docs, num_hashes=16, k=3, bands=4)
+    out = tx.rouge_overlap(docs, cand, n=2)
+    return out.select(
+        "id_a",
+        "id_b",
+        F.col("clip").cast("long").alias("clip"),
+        F.col("n_ref").cast("long").alias("n_ref"),
+        F.col("n_cand").cast("long").alias("n_cand"),
+        F.round("precision", 6).alias("rouge_p"),
+        F.round("recall", 6).alias("rouge_r"),
+        F.round("f1", 6).alias("rouge_f1"),
+    )
+
+
+SQL_ROUGE_PAIRS = f"""
+WITH cand AS ({_lsh_candidates_sql()}),
+ids AS (SELECT DISTINCT d FROM (
+  SELECT id_a AS d FROM cand UNION ALL SELECT id_b FROM cand)),
+bg AS (
+  SELECT doc_id AS _doc, g, count(*) AS c FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(t)),
+                                 i -> array_to_string(t[i:i+1], ' '))) AS g
+    FROM (SELECT doc_id, {TOKENS_SQL} AS t
+          FROM documents JOIN ids ON doc_id = d)
+  ) GROUP BY 1, 2
+),
+tot AS (SELECT _doc, sum(c) AS ntot FROM bg GROUP BY 1),
+ov AS (
+  SELECT p.id_a, p.id_b, sum(least(a.c, b.c)) AS clip
+  FROM cand p
+  JOIN bg a ON a._doc = p.id_a
+  JOIN bg b ON b._doc = p.id_b AND b.g = a.g
+  GROUP BY 1, 2
+),
+m AS (
+  SELECT p.id_a, p.id_b,
+         coalesce(o.clip, 0) AS clip,
+         coalesce(ta.ntot, 0) AS n_ref,
+         coalesce(tb.ntot, 0) AS n_cand,
+         CASE WHEN coalesce(tb.ntot, 0) > 0
+              THEN coalesce(o.clip, 0)::DOUBLE / tb.ntot ELSE 0.0 END AS p,
+         CASE WHEN coalesce(ta.ntot, 0) > 0
+              THEN coalesce(o.clip, 0)::DOUBLE / ta.ntot ELSE 0.0 END AS r
+  FROM cand p
+  LEFT JOIN ov o ON o.id_a = p.id_a AND o.id_b = p.id_b
+  LEFT JOIN tot ta ON ta._doc = p.id_a
+  LEFT JOIN tot tb ON tb._doc = p.id_b
+)
+SELECT id_a, id_b, clip::BIGINT AS clip,
+       n_ref::BIGINT AS n_ref, n_cand::BIGINT AS n_cand,
+       round(p, 6) AS rouge_p, round(r, 6) AS rouge_r,
+       round(CASE WHEN p + r > 0 THEN 2.0 * p * r / (p + r)
+                  ELSE 0.0 END, 6) AS rouge_f1
+FROM m
+"""
+
+QUERIES.update({"rouge_pairs": q_rouge_pairs})
+ORACLES.update({"rouge_pairs": SQL_ROUGE_PAIRS})
+
+
+def q_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer train/apply split: BPE merges learned on the 20%
+    training slice (doc_id % 5 = 0), then applied to the FULL corpus as
+    a pure narrow map (merge list rides as expression literals — no
+    join). The oracle replays both halves: pair selection rounds over
+    the evolving train slice, rewrite rounds over everything
+    (llm/phrases.py learn_merges/apply_merges)."""
+    from grafink_spark.llm.phrases import apply_merges, learn_merges
+
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    train = docs.where(F.col("doc_id") % 5 == 0)
+    merges = learn_merges(train, rounds=3)
+    out = apply_merges(docs, merges)
+    return out.select(
+        "doc_id",
+        F.concat_ws(" ", "toks").alias("merged_text"),
+        F.size("toks").cast("long").alias("n_tokens"),
+    )
+
+
+def _rewrite_sql(src: str, pr: str) -> str:
+    """One greedy left-to-right merge rewrite of relation ``src`` by the
+    single-row pair relation ``pr`` (same CASE as _phrase_merge_sql)."""
+    return f"""
+  SELECT _id,
+         CASE WHEN len(toks) = 0 OR p.w1 IS NULL THEN toks
+              ELSE list_reduce(
+                list_transform(toks, x -> [x]),
+                (acc, x) -> CASE
+                  WHEN acc[-1] = p.w1 AND x[1] = p.w2
+                  THEN acc[1:len(acc) - 1] || [p.m]
+                  ELSE acc || x END)
+         END AS toks
+  FROM {src} LEFT JOIN {pr} p ON true
+"""
+
+
+def _bpe_apply_sql(rounds: int = 3) -> str:
+    blocks = [
+        f"t0 AS MATERIALIZED (SELECT doc_id AS _id, {TOKENS_SQL} AS toks "
+        "FROM documents WHERE doc_id % 5 = 0)",
+        f"a0 AS MATERIALIZED (SELECT doc_id AS _id, {TOKENS_SQL} AS toks "
+        "FROM documents)",
+    ]
+    for r in range(1, rounds + 1):
+        blocks.append(f"""p{r} AS MATERIALIZED (
+  SELECT w1, w2, w1 || '_' || w2 AS m FROM (
+    SELECT toks[CAST(u.i AS INT)] AS w1,
+           toks[CAST(u.i AS INT) + 1] AS w2, count(*) AS c
+    FROM t{r - 1}, unnest(range(1, len(toks))) u(i)
+    GROUP BY 1, 2
+  ) WHERE c >= 2
+  ORDER BY c DESC, w1, w2 LIMIT 1
+),
+t{r} AS MATERIALIZED ({_rewrite_sql(f"t{r - 1}", f"p{r}")}),
+a{r} AS MATERIALIZED ({_rewrite_sql(f"a{r - 1}", f"p{r}")})""")
+    chain = ",\n".join(blocks)
+    return f"""
+WITH {chain}
+SELECT _id AS doc_id,
+       array_to_string(toks, ' ') AS merged_text,
+       len(toks)::BIGINT AS n_tokens
+FROM a{rounds}
+"""
+
+
+SQL_BPE_APPLY = _bpe_apply_sql()
+
+QUERIES.update({"bpe_apply": q_bpe_apply})
+ORACLES.update({"bpe_apply": SQL_BPE_APPLY})

@@ -127,3 +127,41 @@ def lm_score(
             "avg_logp",
         )
     )
+
+
+def perplexity_bucket_filter(
+    docs: DataFrame,
+    group_col: str = "lang",
+    buckets: int = 3,
+    keep: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.1,
+) -> DataFrame:
+    """CCNet-style perplexity-bucket quality filter (Wenzek et al.,
+    2020): score every document with the add-alpha bigram LM
+    (:func:`lm_score`), split each ``group_col`` group (language) into
+    ``buckets`` equal-depth tiles by score — bucket 1 = head (highest
+    mean log-prob = lowest perplexity) — and keep buckets ``<= keep``
+    (head + middle; the tail is the noisy web slop CCNet drops).
+
+    Buckets rank on the ROUNDED score (6 dp) so the tiling is immune to
+    cross-engine libm ulp drift in ln(); ties break on doc id. One
+    vocabulary-sized model shuffle (inherited from lm_score) plus one
+    per-group window shuffle — no pairwise work, scales linearly.
+    Documents with no bigrams (< 2 tokens) are unscorable and drop, as
+    in CCNet."""
+    from pyspark.sql import Window
+
+    scored = lm_score(docs, text_col=text_col, id_col=id_col, alpha=alpha)
+    j = scored.select(
+        id_col, F.round("avg_logp", 6).alias("avg_logp")
+    ).join(docs.select(id_col, group_col), id_col)
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("avg_logp").desc(), F.col(id_col).asc()
+    )
+    return (
+        j.withColumn("bucket", F.ntile(buckets).over(w))
+        .where(F.col("bucket") <= keep)
+        .select(id_col, group_col, "avg_logp", "bucket")
+    )

@@ -89,3 +89,74 @@ def phrase_merge(
             "_id", _merge_pair(F.col("_t"), w1, w2, f"{w1}{sep}{w2}").alias("_t")
         ).localCheckpoint()
     return cur.select(F.col("_id").alias(id_col), F.col("_t").alias("toks"))
+
+
+def learn_merges(
+    docs: DataFrame,
+    rounds: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "_",
+) -> list[tuple[str, str, str]]:
+    """Learn an ordered BPE merge list ``[(w1, w2, merged), ...]`` from
+    ``docs`` — the training half of the tokenizer train/apply split.
+    Identical round semantics to :func:`phrase_merge` (most frequent
+    adjacent pair, count desc then lexicographic, greedy left-to-right
+    rewrite between rounds, stop when no pair repeats); the learned
+    merges are driver-side scalars, so applying them elsewhere needs no
+    join against the training corpus."""
+    cur = docs.select(
+        F.col(id_col).alias("_id"), tokens(text_col).alias("_t")
+    ).localCheckpoint()
+    merges: list[tuple[str, str, str]] = []
+    for _ in range(rounds):
+        pairs = (
+            cur.where(F.size("_t") >= 2)
+            .select(
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("_t") - 1),
+                        lambda i: F.struct(
+                            F.element_at("_t", i).alias("w1"),
+                            F.element_at("_t", i + 1).alias("w2"),
+                        ),
+                    )
+                ).alias("p")
+            )
+            .groupBy("p.w1", "p.w2")
+            .agg(F.count(F.lit(1)).alias("_c"))
+        )
+        top = pairs.orderBy(
+            F.col("_c").desc(), F.col("w1").asc(), F.col("w2").asc()
+        ).first()
+        if top is None or top["_c"] < 2:
+            break
+        w1, w2 = top["w1"], top["w2"]
+        merges.append((w1, w2, f"{w1}{sep}{w2}"))
+        cur = cur.select(
+            "_id", _merge_pair(F.col("_t"), w1, w2, f"{w1}{sep}{w2}").alias("_t")
+        ).localCheckpoint()
+    return merges
+
+
+def apply_merges(
+    docs: DataFrame,
+    merges: list[tuple[str, str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply an ordered merge list (from :func:`learn_merges`) to a
+    corpus — the tokenizer-apply step. Pure narrow map: every merge is
+    the same greedy left-to-right Catalyst fold the trainer used, chained
+    in merge order with no shuffle and no join (the merge table rides in
+    the expression tree as literals). For production-sized merge lists
+    (thousands), checkpoint every ~8 merges to bound expression depth —
+    here k stays small by construction."""
+    out = docs.select(
+        F.col(id_col).alias("_id"), tokens(text_col).alias("_t")
+    )
+    for w1, w2, merged in merges:
+        out = out.select(
+            "_id", _merge_pair(F.col("_t"), w1, w2, merged).alias("_t")
+        )
+    return out.select(F.col("_id").alias(id_col), F.col("_t").alias("toks"))

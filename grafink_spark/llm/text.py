@@ -284,3 +284,116 @@ def readability(
         syl.alias("n_syllables"),
         F.round(flesch, 4).alias("flesch"),
     )
+
+
+def ngram_multiset(col: Column | str, n: int = 2) -> Column:
+    """Word n-grams WITH multiplicity (array, not set) — the multiset
+    ROUGE counts clip against. Documents shorter than n tokens yield an
+    empty array (ROUGE convention: no n-gram evidence)."""
+    t = tokens(col)
+    return F.when(
+        F.size(t) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(t, i + j) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def rouge_overlap(
+    docs: DataFrame,
+    pairs: DataFrame,
+    n: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ref_col: str = "id_a",
+    cand_col: str = "id_b",
+) -> DataFrame:
+    """ROUGE-n precision/recall/F1 between document pairs (Lin, 2004) —
+    the n-gram overlap eval metric, computed with CLIPPED multiset
+    counts (each reference n-gram creditable at most as often as it
+    occurs). ``pairs`` supplies (ref_col, cand_col) id pairs — e.g. LSH
+    candidates, retrieval results, or generated-vs-source links.
+
+    Plan: one explode + hash-agg builds per-doc n-gram count tables for
+    ONLY the docs appearing in pairs (semi-join prune), then the clip is
+    an equi join on (doc, gram) — work is Σ pair-gram overlap, never
+    corpus×corpus. All counts are integers, so P/R/F1 are single IEEE
+    divisions of exact integers — engine-identical before rounding."""
+    ids = (
+        pairs.select(F.col(ref_col).alias("_d"))
+        .union(pairs.select(F.col(cand_col).alias("_d")))
+        .distinct()
+    )
+    g = (
+        docs.join(ids, F.col(id_col) == F.col("_d"), "left_semi")
+        .select(
+            F.col(id_col).alias("_doc"),
+            F.explode(ngram_multiset(F.col(text_col), n)).alias("g"),
+        )
+        .groupBy("_doc", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = g.groupBy("_doc").agg(F.sum("c").alias("ntot"))
+    ov = (
+        pairs.join(
+            g.select(
+                F.col("_doc").alias(ref_col), "g", F.col("c").alias("_ca")
+            ),
+            ref_col,
+        )
+        .join(
+            g.select(
+                F.col("_doc").alias(cand_col), "g", F.col("c").alias("_cb")
+            ),
+            [cand_col, "g"],
+        )
+        .groupBy(ref_col, cand_col)
+        .agg(F.sum(F.least("_ca", "_cb")).alias("clip"))
+    )
+    out = (
+        pairs.join(ov, [ref_col, cand_col], "left")
+        .join(
+            tot.select(F.col("_doc").alias(ref_col), F.col("ntot").alias("_na")),
+            ref_col,
+            "left",
+        )
+        .join(
+            tot.select(F.col("_doc").alias(cand_col), F.col("ntot").alias("_nb")),
+            cand_col,
+            "left",
+        )
+        .select(
+            ref_col,
+            cand_col,
+            F.coalesce("clip", F.lit(0)).alias("clip"),
+            F.coalesce("_na", F.lit(0)).alias("n_ref"),
+            F.coalesce("_nb", F.lit(0)).alias("n_cand"),
+        )
+    )
+    p = F.when(F.col("n_cand") > 0, F.col("clip") / F.col("n_cand")).otherwise(
+        F.lit(0.0)
+    )
+    r = F.when(F.col("n_ref") > 0, F.col("clip") / F.col("n_ref")).otherwise(
+        F.lit(0.0)
+    )
+    f1 = F.when(
+        (F.col("_p") + F.col("_r")) > 0,
+        2.0 * F.col("_p") * F.col("_r") / (F.col("_p") + F.col("_r")),
+    ).otherwise(F.lit(0.0))
+    return (
+        out.withColumn("_p", p)
+        .withColumn("_r", r)
+        .select(
+            ref_col,
+            cand_col,
+            "clip",
+            "n_ref",
+            "n_cand",
+            F.col("_p").alias("precision"),
+            F.col("_r").alias("recall"),
+            f1.alias("f1"),
+        )
+    )

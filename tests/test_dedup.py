@@ -598,3 +598,22 @@ def test_set_similarity_join_plan_has_no_cartesian(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_normalized_duplicates(spark):
+    """Casing/punctuation/whitespace variants collapse; distinct
+    content does not; keeper is min id."""
+    from grafink_spark.llm.dedup import normalized_duplicates
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Hello, World!"),
+            (2, "hello   world"),
+            (3, "HELLO WORLD?!"),
+            (4, "goodbye world"),
+        ],
+        "doc_id long, text string",
+    )
+    out = normalized_duplicates(docs).collect()
+    assert len(out) == 1
+    assert out[0].keeper_id == 1 and out[0].dup_count == 3

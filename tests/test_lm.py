@@ -106,3 +106,27 @@ def test_nb_classify_resubstitution_beats_chance(spark):
     ).first().a
     n_classes = docs.select("lang").distinct().count()
     assert acc > 1.5 / n_classes
+
+
+def test_perplexity_bucket_filter(spark):
+    """Per-group tertiles on the rounded LM score: tail bucket dropped,
+    head/middle kept, unscorable (<2 token) docs absent."""
+    from grafink_spark.llm.lm import perplexity_bucket_filter
+
+    rows = [
+        (i, "the cat sat on the mat " * (1 + i % 3), "en") for i in range(9)
+    ] + [(100, "zz qq xx yy ww vv", "fr"), (101, "zz qq xx yy", "fr"),
+         (102, "one", "fr")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = perplexity_bucket_filter(docs, group_col="lang", buckets=3, keep=2)
+    got = out.collect()
+    by_lang = {}
+    for r in got:
+        by_lang.setdefault(r.lang, []).append(r)
+    # en: 9 scored docs → tertiles of 3/3/3, keep 6
+    assert len(by_lang["en"]) == 6
+    assert all(r.bucket in (1, 2) for r in got)
+    # fr: doc 102 has 1 token → unscorable, absent; 2 scorable → ntile
+    # puts them in buckets 1 and 2, both kept
+    fr_ids = sorted(r.doc_id for r in by_lang["fr"])
+    assert fr_ids == [100, 101]

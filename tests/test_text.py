@@ -136,3 +136,44 @@ def test_readability_golden(spark):
     assert r2.n_sentences == 1  # floor, no terminators
     # word=1, salad=2 (a, a), here=2 (e, e) -> 5 syllables
     assert (r2.n_words, r2.n_syllables) == (3, 5)
+
+
+def test_rouge_overlap_clipped_counts(spark):
+    """ROUGE-2 with multiset clipping: a repeated reference bigram only
+    credits up to its count in the candidate; P/R denominators are the
+    sides' own bigram totals."""
+    from grafink_spark.llm.text import rouge_overlap
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b c"),   # bigrams: ab, ba, ab, bc  (ab x2)
+            (2, "a b x"),       # bigrams: ab, bx
+            (3, "p q"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3)], "id_a long, id_b long"
+    )
+    out = {(r.id_a, r.id_b): r for r in rouge_overlap(docs, pairs, n=2).collect()}
+    r12 = out[(1, 2)]
+    # clip = min(2,1)[a b] = 1; n_ref=4, n_cand=2
+    assert (r12.clip, r12.n_ref, r12.n_cand) == (1, 4, 2)
+    assert abs(r12.precision - 0.5) < 1e-12
+    assert abs(r12.recall - 0.25) < 1e-12
+    assert abs(r12.f1 - (2 * 0.5 * 0.25 / 0.75)) < 1e-12
+    r13 = out[(1, 3)]
+    assert (r13.clip, r13.precision, r13.recall, r13.f1) == (0, 0.0, 0.0, 0.0)
+
+
+def test_rouge_overlap_short_doc_no_grams(spark):
+    """A one-token side has zero bigrams -> all-zero metrics, no NaN."""
+    from grafink_spark.llm.text import rouge_overlap
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a")], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    r = rouge_overlap(docs, pairs, n=2).collect()[0]
+    assert (r.clip, r.n_ref, r.n_cand) == (0, 2, 0)
+    assert (r.precision, r.recall, r.f1) == (0.0, 0.0, 0.0)
