@@ -8177,15 +8177,14 @@ ORACLES.update({"ssjoin_exact": SQL_SSJOIN_EXACT})
 # ---------------------------------------------- round-3 third batch
 
 
-def q_norm_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Normalized-text exact-duplicate groups: lowercase + collapse
-    non-alphanumerics + trim before hashing, so casing/punctuation/
-    whitespace variants collapse into one group (the canonicalization
-    pass ahead of exact dedup in CCNet/C4-style pipelines). Same
-    single md5-key shuffle as exact_dedup. The generated corpus is
-    duplicate-free, so every tenth doc is re-appended as a SURFACE
-    VARIANT (uppercased, junk punctuation appended) under a shifted id
-    — invisible to exact md5 dedup, caught only by normalization."""
+def q_variant_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surface-variant dedup gate: every tenth doc re-appended as a
+    SURFACE VARIANT (uppercased, junk punctuation appended) under a
+    shifted id — invisible to exact md5 dedup, caught only after
+    normalize_text canonicalization. Reports the >1 groups with their
+    min-id keeper (dedup.normalized_duplicates; the sibling
+    normalized_dedup query reports per-form multiplicities over the
+    raw corpus). Same single md5-key shuffle as exact_dedup."""
     docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
     var = (
         docs.where(F.col("doc_id") % 10 == 0)
@@ -8195,7 +8194,7 @@ def q_norm_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.normalized_duplicates(docs.unionByName(var))
 
 
-SQL_NORM_DEDUP = """
+SQL_VARIANT_DEDUP = """
 WITH corpus AS (
   SELECT * FROM documents
   UNION ALL
@@ -8212,8 +8211,8 @@ SELECT norm_hash, min(doc_id) AS keeper_id, count(*) AS dup_count
 FROM nf GROUP BY 1 HAVING count(*) > 1
 """
 
-QUERIES.update({"norm_dedup": q_norm_dedup})
-ORACLES.update({"norm_dedup": SQL_NORM_DEDUP})
+QUERIES.update({"variant_dedup": q_variant_dedup})
+ORACLES.update({"variant_dedup": SQL_VARIANT_DEDUP})
 
 
 def q_ccnet_bucket_filter(spark: SparkSession, sf_dir: str) -> DataFrame:

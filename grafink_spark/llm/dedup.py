@@ -88,24 +88,17 @@ def drop_exact_duplicates(
     )
 
 
-def normalize_text(col: Column | str) -> Column:
-    """Canonical dedup key normalization: lowercase, every non-alnum
-    run collapsed to a single space, trimmed. The cheap row-local
-    canonicalization that catches punctuation/casing/whitespace
-    variants exact dedup misses (the "text normalization" pass CCNet
-    and C4 run before hashing)."""
-    c = F.col(col) if isinstance(col, str) else col
-    return F.trim(F.regexp_replace(F.lower(c), "[^a-z0-9]+", " "))
-
-
 def normalized_duplicates(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """Exact-duplicate groups AFTER normalization: (norm_hash,
     keeper_id, dup_count), groups with >1 member, keeper = min id.
     Same single-shuffle plan as :func:`exact_duplicates` — the md5 is
-    over the normalized form, so casing/punctuation variants collapse
-    into one group."""
+    over :func:`grafink_spark.llm.text.normalize_text`'s canonical
+    form, so casing/punctuation/whitespace variants collapse into one
+    group."""
+    from grafink_spark.llm.text import normalize_text
+
     return (
         df.select(
             F.md5(normalize_text(F.col(text_col))).alias("norm_hash"),
