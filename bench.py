@@ -117,6 +117,13 @@ HEADLINE = [
     "pareto_suppliers",
     "frequent_sequences",
     "holt_trend",
+    "variant_dedup",
+    "ccnet_bucket_filter",
+    "rouge_pairs",
+    "bpe_apply",
+    "apss_cosine",
+    "cms_heavy_hitters",
+    "group_kfold",
     "zipf_fit",
     "rolling_median",
     "linear_attribution",

@@ -8405,3 +8405,129 @@ SQL_BPE_APPLY = _bpe_apply_sql()
 
 QUERIES.update({"bpe_apply": q_bpe_apply})
 ORACLES.update({"bpe_apply": SQL_BPE_APPLY})
+
+
+def q_apss_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT weighted-cosine set-similarity self-join (AllPairs/APSS,
+    Bayardo et al. WWW'07) at cosine ≥ 9/10 over term-count vectors —
+    prefix filtering under the rarity-first global order, all
+    threshold comparisons in exact integer/decimal arithmetic. The
+    oracle replays the FULL all-pairs term join, so the green row
+    certifies losslessness, not just candidate agreement
+    (llm/dedup.py weighted_cosine_join)."""
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    out = dd.weighted_cosine_join(docs, threshold=(9, 10))
+    return out.select(
+        "id_a",
+        "id_b",
+        F.col("dot").cast("long").alias("dot"),
+        F.col("t_a").cast("long").alias("t_a"),
+        F.col("t_b").cast("long").alias("t_b"),
+        F.round("cosine_sim", 6).alias("cosine_sim"),
+    )
+
+
+SQL_APSS_COSINE = f"""
+WITH tc AS (
+  SELECT doc_id, term, count(*) AS c FROM (
+    SELECT doc_id, unnest({TOKENS_SQL}) AS term FROM documents
+  ) GROUP BY 1, 2
+),
+tot AS (SELECT doc_id, sum(c * c) AS tt FROM tc GROUP BY 1),
+dots AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, sum(a.c * b.c) AS dot
+  FROM tc a JOIN tc b ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT d.id_a, d.id_b, d.dot,
+       ta.tt AS t_a, tb.tt AS t_b,
+       round(d.dot / sqrt((ta.tt * tb.tt)::DOUBLE), 6) AS cosine_sim
+FROM dots d
+JOIN tot ta ON ta.doc_id = d.id_a
+JOIN tot tb ON tb.doc_id = d.id_b
+WHERE 100::HUGEINT * d.dot * d.dot >= 81::HUGEINT * ta.tt * tb.tt
+"""
+
+QUERIES.update({"apss_cosine": q_apss_cosine})
+ORACLES.update({"apss_cosine": SQL_APSS_COSINE})
+
+
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters over the corpus token stream via a count-min
+    sketch (depth 4 × width 512 integer registers, deterministic md5
+    row hashes): tokens whose sketch estimate is ≥ 1% of the stream,
+    exact count alongside. The oracle replays the registers
+    cell-for-cell and the min-over-rows estimates, value-checking the
+    sketch math itself (sketches.py cms_*; registers merge by sum, so
+    the same state maintains incrementally/streaming)."""
+    from grafink_spark.sketches import cms_heavy_hitters
+
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    stream = docs.select(F.explode(tx.tokens("text")).alias("token"))
+    out = cms_heavy_hitters(stream, "token", phi=(1, 100))
+    return out.select(
+        "token",
+        F.col("cms_est").cast("long").alias("cms_est"),
+        F.col("exact_cnt").cast("long").alias("exact_cnt"),
+    )
+
+
+SQL_CMS_HEAVY_HITTERS = f"""
+WITH stream AS (
+  SELECT unnest({TOKENS_SQL}) AS token FROM documents
+),
+total AS (SELECT count(*) AS n FROM stream),
+cells AS (
+  SELECT t.r AS _row,
+         ('0x' || substr(md5(t.r::VARCHAR || ':' || token), 1, 15))::BIGINT
+           % 512 AS _col,
+         count(*) AS _cnt
+  FROM stream, range(4) t(r)
+  GROUP BY 1, 2
+),
+dist AS (SELECT token, count(*) AS exact_cnt FROM stream GROUP BY 1),
+probes AS (
+  SELECT d.token, t.r AS _row,
+         ('0x' || substr(md5(t.r::VARCHAR || ':' || d.token), 1, 15))::BIGINT
+           % 512 AS _col
+  FROM dist d, range(4) t(r)
+),
+est AS (
+  SELECT p.token, min(coalesce(c._cnt, 0)) AS cms_est
+  FROM probes p LEFT JOIN cells c ON c._row = p._row AND c._col = p._col
+  GROUP BY 1
+)
+SELECT d.token, e.cms_est, d.exact_cnt
+FROM est e JOIN dist d USING (token)
+WHERE 100 * e.cms_est >= (SELECT n FROM total)
+"""
+
+QUERIES.update({"cms_heavy_hitters": q_cms_heavy_hitters})
+ORACLES.update({"cms_heavy_hitters": SQL_CMS_HEAVY_HITTERS})
+
+
+def q_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe GROUP k-fold: fold hashed from the GROUP key
+    (source), so near-identical rows clustering within a source can
+    never span a train/test boundary — sklearn's GroupKFold as a
+    zero-shuffle map (corpus.group_kfold_assign). Aggregated per
+    (fold, source) to pin that every group maps to exactly one fold."""
+    from grafink_spark.llm.corpus import group_kfold_assign
+
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    out = group_kfold_assign(docs, k=5, group_col="source")
+    return (
+        out.groupBy("fold", "source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select(F.col("fold").cast("long").alias("fold"), "source", "n_docs")
+    )
+
+
+SQL_GROUP_KFOLD = """
+SELECT ('0x' || substr(md5(source), 1, 4))::INT % 5 AS fold,
+       source, count(*) AS n_docs
+FROM documents GROUP BY 1, 2
+"""
+
+QUERIES.update({"group_kfold": q_group_kfold})
+ORACLES.update({"group_kfold": SQL_GROUP_KFOLD})

@@ -347,6 +347,24 @@ def kfold_assign(
     ).cast("int")
     return df.withColumn(out_col, bucket % k)
 
+def group_kfold_assign(
+    df: DataFrame,
+    k: int = 5,
+    group_col: str = "source",
+    out_col: str = "fold",
+) -> DataFrame:
+    """GROUP-aware k-fold assignment: the fold is hashed from the GROUP
+    key, so every row of a group lands in the same fold — the
+    leakage-safe split when near-identical rows cluster within a group
+    (same crawl domain, same source, same user). sklearn's GroupKFold,
+    as a zero-shuffle deterministic map pass: fold = first 4 md5 hex
+    digits of the group key mod k."""
+    bucket = F.conv(
+        F.substring(F.md5(F.col(group_col).cast("string")), 1, 4), 16, 10
+    ).cast("int")
+    return df.withColumn(out_col, bucket % k)
+
+
 
 def dsir_scores(
     raw: DataFrame,

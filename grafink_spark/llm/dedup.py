@@ -1594,3 +1594,131 @@ def set_similarity_join(
         )
         .where(F.col("jaccard_sim") >= threshold)
     )
+
+
+def weighted_cosine_join(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: tuple[int, int] = (7, 10),
+) -> DataFrame:
+    """EXACT cosine set-similarity self-join over term-COUNT vectors —
+    every pair with cosine ≥ num/den, guaranteed (the AllPairs/APSS
+    prefix-filter family: Bayardo et al. WWW'07, weighted sibling of
+    :func:`set_similarity_join`). LOSSLESS by the first-shared-term
+    argument: order every document's terms by a fixed global order
+    (document frequency asc, term asc — rarest first); if a pair's
+    first shared term sits outside either side's prefix, ALL shared
+    terms sit in that side's suffix, so by Cauchy-Schwarz
+    cos ≤ ‖suffix‖/‖doc‖ < t. Hence blocking on (term ∈ prefix(a)) ∧
+    (term ∈ prefix(b)) misses nothing, and the oracle certifies that
+    by replaying the FULL all-pairs term join.
+
+    The threshold is a RATIONAL (num, den), and every comparison is
+    integer arithmetic: prefix keeps position i while
+    den²·(T − S_i) ≥ num²·T (T = Σc², S_i = squared norm before i), and
+    the verify keeps a pair iff den²·dot² ≥ num²·T_a·T_b — zero float
+    threshold hazard in either engine (comparisons run in DECIMAL(38)
+    so giant documents can't overflow). Reported cosine is the single
+    IEEE expression dot/√(T_a·T_b) of exact integers.
+
+    Returns (id_a, id_b, dot, t_a, t_b, cosine_sim), id_a < id_b.
+
+    Scale: one shuffle for term counts, one for the df table join +
+    per-doc window, one for prefix buckets; verification joins the
+    candidate pairs back to the count table — pairs only, never
+    all-pairs. Stopword-heavy mass sits LAST in the canonical order,
+    so ubiquitous terms leave every prefix as soon as the rare head
+    carries ≥ (1−t²) of the norm."""
+    from pyspark.sql import Window
+
+    from grafink_spark.llm.text import tokens as _tokens
+
+    num, den = threshold
+    tc = (
+        df.select(
+            F.col(id_col).alias("_id"), _tokens(F.col(text_col)).alias("_t")
+        )
+        .select("_id", F.explode("_t").alias("_term"))
+        .groupBy("_id", "_term")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .localCheckpoint(eager=False)
+    )
+    freq = tc.groupBy("_term").agg(F.count(F.lit(1)).alias("_df"))
+    tot = tc.groupBy("_id").agg(F.sum(F.col("_c") * F.col("_c")).alias("_tt"))
+    w = Window.partitionBy("_id").orderBy(F.col("_df").asc(), F.col("_term").asc())
+    ranked = (
+        tc.join(freq, "_term")
+        .withColumn(
+            "_s",
+            F.coalesce(
+                F.sum(F.col("_c") * F.col("_c")).over(
+                    w.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .join(tot, "_id")
+    )
+    dec = "decimal(38,0)"
+    prefix = ranked.where(
+        F.lit(den * den).cast(dec) * (F.col("_tt") - F.col("_s")).cast(dec)
+        >= F.lit(num * num).cast(dec) * F.col("_tt").cast(dec)
+    ).select("_id", "_term")
+    buckets = (
+        prefix.groupBy("_term")
+        .agg(F.array_sort(F.collect_list("_id")).alias("_ids"))
+        .where(F.size("_ids") > 1)
+    )
+    ids = F.col("_ids")
+    pair_structs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + F.lit(2), F.size(ids)),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    cand = (
+        buckets.select(F.explode(pair_structs).alias("_p"))
+        .select(F.col("_p.id_a"), F.col("_p.id_b"))
+        .distinct()
+    )
+    a = tc.select(F.col("_id").alias("id_a"), "_term", F.col("_c").alias("_ca"))
+    b = tc.select(F.col("_id").alias("id_b"), "_term", F.col("_c").alias("_cb"))
+    dots = (
+        cand.join(a, "id_a")
+        .join(b, ["id_b", "_term"])
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("_ca") * F.col("_cb")).alias("dot"))
+    )
+    out = (
+        dots.join(
+            tot.select(F.col("_id").alias("id_a"), F.col("_tt").alias("t_a")),
+            "id_a",
+        )
+        .join(
+            tot.select(F.col("_id").alias("id_b"), F.col("_tt").alias("t_b")),
+            "id_b",
+        )
+        .where(
+            F.lit(den * den).cast(dec)
+            * F.col("dot").cast(dec)
+            * F.col("dot").cast(dec)
+            >= F.lit(num * num).cast(dec)
+            * F.col("t_a").cast(dec)
+            * F.col("t_b").cast(dec)
+        )
+    )
+    return out.select(
+        "id_a",
+        "id_b",
+        "dot",
+        "t_a",
+        "t_b",
+        (
+            F.col("dot")
+            / F.sqrt((F.col("t_a") * F.col("t_b")).cast("double"))
+        ).alias("cosine_sim"),
+    )

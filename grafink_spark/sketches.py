@@ -210,3 +210,100 @@ def kmv_join_estimate(
         F.round(est, 2).alias(out),
         F.count(F.lit(1)).alias("n_sampled_keys"),
     ).select(out, "n_sampled_keys")
+
+
+# ------------------------------------------------- count-min sketch
+
+CMS_DEPTH = 4
+CMS_WIDTH = 512
+
+
+def cms_hash(col: Column, row: int, width: int = CMS_WIDTH) -> Column:
+    """Row-``row`` column index for a value: 60-bit md5 hash of
+    "row:value" mod width — deterministic and engine-identical."""
+    return hash60(F.concat(F.lit(f"{row}:"), col.cast("string"))) % width
+
+
+def cms_registers(
+    df: DataFrame,
+    value: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Count-min sketch register table (_row, _col, _cnt) over a value
+    stream (Cormode & Muthukrishnan, 2005) — the sketch STATE. Fixed
+    depth×width integer registers regardless of stream size; registers
+    merge by SUM, so per-partition/per-batch sketches combine into
+    exactly the full-stream sketch (the mergeable-state property HLL
+    registers have for distinct counts, here for frequencies). One
+    map-side-combined shuffle of ≤ depth·width rows."""
+    rows = None
+    for r in range(depth):
+        part = df.select(
+            F.lit(r).alias("_row"),
+            cms_hash(F.col(value), r, width).alias("_col"),
+        )
+        rows = part if rows is None else rows.unionByName(part)
+    return rows.groupBy("_row", "_col").agg(F.count(F.lit(1)).alias("_cnt"))
+
+
+def cms_merge(*register_tables: DataFrame) -> DataFrame:
+    """Merge CMS register tables (union + sum per cell) — exact,
+    order-insensitive."""
+    merged = register_tables[0]
+    for t in register_tables[1:]:
+        merged = merged.unionByName(t)
+    return merged.groupBy("_row", "_col").agg(F.sum("_cnt").alias("_cnt"))
+
+
+def cms_point_estimates(
+    regs: DataFrame,
+    items: DataFrame,
+    value: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Point-query every row of ``items``: estimate = min over the
+    depth rows of the addressed registers. Never underestimates
+    (conservative by construction); overshoot is bounded by collisions
+    (≤ e·N/width with prob 1−e^−depth). Broadcast-joins the ≤
+    depth·width register table against the probes — no wide shuffle."""
+    est = None
+    for r in range(depth):
+        probe = items.select(
+            F.col(value),
+            F.lit(r).alias("_row"),
+            cms_hash(F.col(value), r, width).alias("_col"),
+        )
+        got = (
+            probe.join(F.broadcast(regs), ["_row", "_col"], "left")
+            .select(value, F.coalesce("_cnt", F.lit(0)).alias("_est"))
+        )
+        est = got if est is None else est.unionByName(got)
+    return est.groupBy(value).agg(F.min("_est").alias("cms_est"))
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    value: str,
+    phi: tuple[int, int] = (1, 100),
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Heavy hitters by CMS estimate: values whose sketch estimate is
+    ≥ (num/den)·N, with the exact count alongside (the conservative
+    guarantee est ≥ exact means NO true heavy hitter is missed — the
+    sketch can only add false positives near the threshold). The
+    threshold compare is exact integer arithmetic: den·est ≥ num·N."""
+    num, den = phi
+    regs = cms_registers(df, value, depth, width)
+    n = df.count()
+    distinct = df.groupBy(value).agg(F.count(F.lit(1)).alias("exact_cnt"))
+    est = cms_point_estimates(
+        regs, distinct.select(value), value, depth, width
+    )
+    return (
+        est.join(distinct, value)
+        .where(F.lit(den) * F.col("cms_est") >= F.lit(num) * F.lit(n))
+        .select(value, "cms_est", "exact_cnt")
+    )

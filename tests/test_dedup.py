@@ -617,3 +617,55 @@ def test_normalized_duplicates(spark):
     out = normalized_duplicates(docs).collect()
     assert len(out) == 1
     assert out[0].keeper_id == 1 and out[0].dup_count == 3
+
+
+def test_weighted_cosine_join_is_lossless_vs_brute_force(spark):
+    import itertools
+    import math
+    from collections import Counter
+
+    from grafink_spark.llm.dedup import weighted_cosine_join
+
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon"]
+    rows = []
+    for i in range(30):
+        # repeated sliding windows → graded count-vector overlap
+        words = [vocab[(i + j) % len(vocab)] for j in range(3)] * (2 + i % 3)
+        rows.append((i, " ".join(words)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = {
+        (r.id_a, r.id_b): (r.dot, r.t_a, r.t_b)
+        for r in weighted_cosine_join(df, threshold=(7, 10)).collect()
+    }
+
+    cnt = {i: Counter(t.split()) for i, t in rows}
+    expect = {}
+    for a, b in itertools.combinations(sorted(cnt), 2):
+        dot = sum(cnt[a][w] * cnt[b][w] for w in cnt[a])
+        ta = sum(v * v for v in cnt[a].values())
+        tb = sum(v * v for v in cnt[b].values())
+        if 100 * dot * dot >= 49 * ta * tb:
+            expect[(a, b)] = (dot, ta, tb)
+    assert got == expect
+    assert len(expect) > 0
+    # and the reported cosine is the plain IEEE expression
+    for r in weighted_cosine_join(df, threshold=(7, 10)).collect():
+        assert abs(
+            r.cosine_sim - r.dot / math.sqrt(r.t_a * r.t_b)
+        ) < 1e-15
+
+
+def test_weighted_cosine_join_plan_has_no_cartesian(spark):
+    from grafink_spark.llm.dedup import weighted_cosine_join
+
+    df = spark.createDataFrame(
+        [(i, f"w{i} w{i+1} w{i+2}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    plan = (
+        weighted_cosine_join(df)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

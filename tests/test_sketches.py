@@ -174,3 +174,49 @@ def test_hll_streaming_incremental_merge(spark, tmp_path):
         ).collect()
     }
     assert got == want  # register-exact merge → identical estimates
+
+
+def test_cms_never_underestimates_and_merges_exactly(spark):
+    """Conservative guarantee: est >= exact for every value; and
+    per-batch registers merged == full-stream registers (mergeable
+    state), so incremental maintenance is exact."""
+    from grafink_spark.sketches import (
+        cms_merge,
+        cms_point_estimates,
+        cms_registers,
+    )
+
+    rows = [(f"v{i % 7}",) for i in range(200)] + [("rare",)]
+    df = spark.createDataFrame(rows, "val string")
+    regs = cms_registers(df, "val", depth=4, width=16)  # narrow → collisions
+    items = df.select("val").distinct()
+    est = {
+        r.val: r.cms_est
+        for r in cms_point_estimates(regs, items, "val", 4, 16).collect()
+    }
+    exact = {r.val: r.cnt for r in df.groupBy("val").count().withColumnRenamed("count", "cnt").collect()}
+    assert set(est) == set(exact)
+    for v, e in est.items():
+        assert e >= exact[v]
+
+    b1 = df.where(df.val != "rare")
+    b2 = df.where(df.val == "rare")
+    merged = cms_merge(
+        cms_registers(b1, "val", 4, 16), cms_registers(b2, "val", 4, 16)
+    )
+    full = {(r._row, r._col): r._cnt for r in cms_registers(df, "val", 4, 16).collect()}
+    got = {(r._row, r._col): r._cnt for r in merged.collect()}
+    assert got == full
+
+
+def test_cms_heavy_hitters_finds_all_true_hitters(spark):
+    from grafink_spark.sketches import cms_heavy_hitters
+
+    rows = [("hot",)] * 50 + [(f"cold{i}",) for i in range(50)]
+    df = spark.createDataFrame(rows, "val string")
+    got = {r.val: (r.cms_est, r.exact_cnt)
+           for r in cms_heavy_hitters(df, "val", phi=(1, 10)).collect()}
+    # 'hot' is 50% of a 100-element stream — must be reported (no false
+    # negatives by the conservative property)
+    assert "hot" in got
+    assert got["hot"][1] == 50 and got["hot"][0] >= 50
