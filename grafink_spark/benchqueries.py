@@ -8409,14 +8409,16 @@ ORACLES.update({"bpe_apply": SQL_BPE_APPLY})
 
 def q_apss_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT weighted-cosine set-similarity self-join (AllPairs/APSS,
-    Bayardo et al. WWW'07) at cosine ≥ 9/10 over term-count vectors —
-    prefix filtering under the rarity-first global order, all
-    threshold comparisons in exact integer/decimal arithmetic. The
-    oracle replays the FULL all-pairs term join, so the green row
+    Bayardo et al. WWW'07) at cosine ≥ 9/10 over 3-shingle COUNT
+    vectors — prefix filtering under the rarity-first global order,
+    all threshold comparisons in exact integer/decimal arithmetic.
+    Shingle features keep the prefix selective on template-heavy
+    corpora (unigram vocabularies are too small to discriminate). The
+    oracle replays the FULL all-pairs feature join, so the green row
     certifies losslessness, not just candidate agreement
     (llm/dedup.py weighted_cosine_join)."""
     docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
-    out = dd.weighted_cosine_join(docs, threshold=(9, 10))
+    out = dd.weighted_cosine_join(docs, threshold=(9, 10), k=3)
     return out.select(
         "id_a",
         "id_b",
@@ -8428,9 +8430,10 @@ def q_apss_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_APSS_COSINE = f"""
-WITH tc AS (
+WITH sh AS ({_SHINGLES_SQL}),
+tc AS (
   SELECT doc_id, term, count(*) AS c FROM (
-    SELECT doc_id, unnest({TOKENS_SQL}) AS term FROM documents
+    SELECT doc_id, unnest(s) AS term FROM sh
   ) GROUP BY 1, 2
 ),
 tot AS (SELECT doc_id, sum(c * c) AS tt FROM tc GROUP BY 1),

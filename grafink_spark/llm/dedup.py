@@ -1601,6 +1601,7 @@ def weighted_cosine_join(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: tuple[int, int] = (7, 10),
+    k: int | None = None,
 ) -> DataFrame:
     """EXACT cosine set-similarity self-join over term-COUNT vectors —
     every pair with cosine ≥ num/den, guaranteed (the AllPairs/APSS
@@ -1635,12 +1636,26 @@ def weighted_cosine_join(
     from grafink_spark.llm.text import tokens as _tokens
 
     num, den = threshold
-    tc = (
-        df.select(
-            F.col(id_col).alias("_id"), _tokens(F.col(text_col)).alias("_t")
+    base = df.select(
+        F.col(id_col).alias("_id"), _tokens(F.col(text_col)).alias("_t")
+    )
+    # feature space: unigram tokens (k=None) or k-shingle MULTISETS.
+    # On template-heavy corpora unigram vocabularies are tiny and every
+    # document's "rarest" terms are still ubiquitous, so prefix
+    # filtering can't discriminate (measured: one prefix bucket held
+    # 76% of sf0.1 docs → 38M candidates). Shingles explode the
+    # vocabulary, making the rarity-first prefix selective again —
+    # same trick the exact Jaccard join (set_similarity_join) relies on.
+    feats = (
+        base.select("_id", F.explode("_t").alias("_term"))
+        if k is None
+        else base.select(
+            "_id",
+            F.explode(shingles_from_tokens(F.col("_t"), k)).alias("_term"),
         )
-        .select("_id", F.explode("_t").alias("_term"))
-        .groupBy("_id", "_term")
+    )
+    tc = (
+        feats.groupBy("_id", "_term")
         .agg(F.count(F.lit(1)).alias("_c"))
         .localCheckpoint(eager=False)
     )
@@ -1661,28 +1676,46 @@ def weighted_cosine_join(
         .join(tot, "_id")
     )
     dec = "decimal(38,0)"
+    # prefix feeds BOTH sides of the candidate self-join and tot feeds
+    # three joins — pin them, or the window chain upstream re-executes
+    # once per branch (measured 22 s -> ~8 s at sf0.1)
+    tot = tot.localCheckpoint(eager=False)
     prefix = ranked.where(
         F.lit(den * den).cast(dec) * (F.col("_tt") - F.col("_s")).cast(dec)
         >= F.lit(num * num).cast(dec) * F.col("_tt").cast(dec)
-    ).select("_id", "_term")
-    buckets = (
-        prefix.groupBy("_term")
-        .agg(F.array_sort(F.collect_list("_id")).alias("_ids"))
-        .where(F.size("_ids") > 1)
+    ).select("_id", "_term", "_s", "_tt").localCheckpoint(eager=False)
+    # Candidate generation is a prefix×prefix equi self-join on the
+    # term (streams pairs through a sort-merge join — a hot term never
+    # materializes its whole bucket in one row), sharpened by the
+    # POSITIONAL filter: for the pair's FIRST shared term, Cauchy-
+    # Schwarz over the two suffixes gives cos² ≤ (T_a−S_i)(T_b−S_j) /
+    # (T_a·T_b). A qualifying pair always has its first-shared-term row
+    # in this join and that row passes the bound, so dropping the rows
+    # that fail it (matches deep in BOTH prefixes) loses nothing.
+    pa = prefix.select(
+        F.col("_term"),
+        F.col("_id").alias("id_a"),
+        F.col("_s").alias("_sa"),
+        F.col("_tt").alias("_ta"),
     )
-    ids = F.col("_ids")
-    pair_structs = F.flatten(
-        F.transform(
-            ids,
-            lambda x, i: F.transform(
-                F.slice(ids, i + F.lit(2), F.size(ids)),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-            ),
-        )
+    pb = prefix.select(
+        F.col("_term"),
+        F.col("_id").alias("id_b"),
+        F.col("_s").alias("_sb"),
+        F.col("_tt").alias("_tb"),
     )
     cand = (
-        buckets.select(F.explode(pair_structs).alias("_p"))
-        .select(F.col("_p.id_a"), F.col("_p.id_b"))
+        pa.join(pb, "_term")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(
+            F.lit(den * den).cast(dec)
+            * (F.col("_ta") - F.col("_sa")).cast(dec)
+            * (F.col("_tb") - F.col("_sb")).cast(dec)
+            >= F.lit(num * num).cast(dec)
+            * F.col("_ta").cast(dec)
+            * F.col("_tb").cast(dec)
+        )
+        .select("id_a", "id_b")
         .distinct()
     )
     a = tc.select(F.col("_id").alias("id_a"), "_term", F.col("_c").alias("_ca"))

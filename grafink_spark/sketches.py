@@ -235,16 +235,25 @@ def cms_registers(
     depth×width integer registers regardless of stream size; registers
     merge by SUM, so per-partition/per-batch sketches combine into
     exactly the full-stream sketch (the mergeable-state property HLL
-    registers have for distinct counts, here for frequencies). One
+    registers have for distinct counts, here for frequencies). ONE scan
+    of the stream (each element emits its depth cells from an inline
+    array — not a depth-way union re-reading the source) and one
     map-side-combined shuffle of ≤ depth·width rows."""
-    rows = None
-    for r in range(depth):
-        part = df.select(
-            F.lit(r).alias("_row"),
-            cms_hash(F.col(value), r, width).alias("_col"),
-        )
-        rows = part if rows is None else rows.unionByName(part)
-    return rows.groupBy("_row", "_col").agg(F.count(F.lit(1)).alias("_cnt"))
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("_row"),
+                cms_hash(F.col(value), r, width).alias("_col"),
+            )
+            for r in range(depth)
+        ]
+    )
+    return (
+        df.select(F.explode(cells).alias("_cell"))
+        .select("_cell._row", "_cell._col")
+        .groupBy("_row", "_col")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+    )
 
 
 def cms_merge(*register_tables: DataFrame) -> DataFrame:
@@ -266,21 +275,27 @@ def cms_point_estimates(
     """Point-query every row of ``items``: estimate = min over the
     depth rows of the addressed registers. Never underestimates
     (conservative by construction); overshoot is bounded by collisions
-    (≤ e·N/width with prob 1−e^−depth). Broadcast-joins the ≤
-    depth·width register table against the probes — no wide shuffle."""
-    est = None
-    for r in range(depth):
-        probe = items.select(
-            F.col(value),
-            F.lit(r).alias("_row"),
-            cms_hash(F.col(value), r, width).alias("_col"),
-        )
-        got = (
-            probe.join(F.broadcast(regs), ["_row", "_col"], "left")
-            .select(value, F.coalesce("_cnt", F.lit(0)).alias("_est"))
-        )
-        est = got if est is None else est.unionByName(got)
-    return est.groupBy(value).agg(F.min("_est").alias("cms_est"))
+    (≤ e·N/width with prob 1−e^−depth). One scan of the probes (inline
+    cell array, as in cms_registers) broadcast-joined against the ≤
+    depth·width register table — no wide shuffle."""
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("_row"),
+                cms_hash(F.col(value), r, width).alias("_col"),
+            )
+            for r in range(depth)
+        ]
+    )
+    probe = items.select(F.col(value), F.explode(cells).alias("_cell")).select(
+        value, "_cell._row", "_cell._col"
+    )
+    return (
+        probe.join(F.broadcast(regs), ["_row", "_col"], "left")
+        .select(value, F.coalesce("_cnt", F.lit(0)).alias("_est"))
+        .groupBy(value)
+        .agg(F.min("_est").alias("cms_est"))
+    )
 
 
 def cms_heavy_hitters(
@@ -294,11 +309,15 @@ def cms_heavy_hitters(
     ≥ (num/den)·N, with the exact count alongside (the conservative
     guarantee est ≥ exact means NO true heavy hitter is missed — the
     sketch can only add false positives near the threshold). The
-    threshold compare is exact integer arithmetic: den·est ≥ num·N."""
+    threshold compare is exact integer arithmetic: den·est ≥ num·N.
+    The stream is read twice (registers + exact counts); N comes from
+    the vocabulary-sized count table, not a third stream pass."""
     num, den = phi
     regs = cms_registers(df, value, depth, width)
-    n = df.count()
-    distinct = df.groupBy(value).agg(F.count(F.lit(1)).alias("exact_cnt"))
+    distinct = df.groupBy(value).agg(
+        F.count(F.lit(1)).alias("exact_cnt")
+    ).localCheckpoint(eager=False)
+    n = distinct.agg(F.sum("exact_cnt")).collect()[0][0] or 0
     est = cms_point_estimates(
         regs, distinct.select(value), value, depth, width
     )
