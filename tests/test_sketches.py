@@ -220,3 +220,57 @@ def test_cms_heavy_hitters_finds_all_true_hitters(spark):
     # negatives by the conservative property)
     assert "hot" in got
     assert got["hot"][1] == 50 and got["hot"][0] >= 50
+
+
+def test_cms_streaming_incremental_merge(spark, tmp_path):
+    """Streaming CMS maintenance: per-microbatch register tables
+    appended by foreachBatch, merged on read, equal the full-stream
+    registers cell-for-cell — frequencies (unlike distinct counts)
+    merge by SUM, so the recipe is identical to the HLL one."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from grafink_spark.sketches import cms_merge, cms_registers
+
+    src = str(tmp_path / "tok_src")
+    os.makedirs(src, exist_ok=True)
+    full = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select(F.explode(F.split("text", r"\s+")).alias("token"))
+    )
+    full.where(F.length("token") % 2 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    full.where(F.length("token") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    reg_dir = str(tmp_path / "registers")
+    ckpt = str(tmp_path / "ckpt")
+
+    def process(batch, batch_id):
+        cms_registers(batch, "token", depth=4, width=64).write.mode(
+            "append"
+        ).parquet(reg_dir)
+
+    q = (
+        spark.readStream.schema("token string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    merged = {
+        (r._row, r._col): r._cnt
+        for r in cms_merge(spark.read.parquet(reg_dir)).collect()
+    }
+    want = {
+        (r._row, r._col): r._cnt
+        for r in cms_registers(full, "token", depth=4, width=64).collect()
+    }
+    assert merged == want
