@@ -124,6 +124,8 @@ HEADLINE = [
     "apss_cosine",
     "cms_heavy_hitters",
     "group_kfold",
+    "hard_triplets",
+    "length_batching",
     "zipf_fit",
     "rolling_median",
     "linear_attribution",

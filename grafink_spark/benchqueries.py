@@ -8534,3 +8534,120 @@ FROM documents GROUP BY 1, 2
 
 QUERIES.update({"group_kfold": q_group_kfold})
 ORACLES.update({"group_kfold": SQL_GROUP_KFOLD})
+
+
+def q_hard_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-triplet mining over the 20 lowest-id anchors: hardest
+    same-label positive (lowest cosine) and hardest other-label
+    negative (highest cosine) per anchor, with the triplet margin —
+    the contrastive-training data miner
+    (llm/simsearch.py hard_triplet_mining)."""
+    emb = ensure_min_partitions(load_table(spark, sf_dir, "embeddings"))
+    anchors = emb.orderBy("vec_id").limit(20)
+    out = ss.hard_triplet_mining(emb, anchors)
+    return out.select(
+        "anchor_id",
+        "pos_id",
+        F.round("pos_cos", 6).alias("pos_cos"),
+        "neg_id",
+        F.round("neg_cos", 6).alias("neg_cos"),
+        F.round("margin", 6).alias("margin"),
+    )
+
+
+SQL_HARD_TRIPLETS = f"""
+WITH a AS (
+  SELECT vec_id AS anchor_id, label AS al, embedding AS av
+  FROM embeddings ORDER BY vec_id LIMIT 20
+),
+scored AS (
+  SELECT a.anchor_id, a.al, e.vec_id AS other_id, e.label AS cl,
+         {COSINE_SQL.format(a="a.av", b="e.embedding")} AS cos
+  FROM a, embeddings e WHERE e.vec_id <> a.anchor_id
+),
+pos AS (
+  SELECT anchor_id, other_id AS pos_id, cos AS pos_cos FROM (
+    SELECT anchor_id, other_id, cos,
+           row_number() OVER (PARTITION BY anchor_id
+                              ORDER BY cos ASC, other_id ASC) AS r
+    FROM scored WHERE cl = al
+  ) WHERE r = 1
+),
+neg AS (
+  SELECT anchor_id, other_id AS neg_id, cos AS neg_cos FROM (
+    SELECT anchor_id, other_id, cos,
+           row_number() OVER (PARTITION BY anchor_id
+                              ORDER BY cos DESC, other_id ASC) AS r
+    FROM scored WHERE cl <> al
+  ) WHERE r = 1
+)
+SELECT p.anchor_id, p.pos_id, round(p.pos_cos, 6) AS pos_cos,
+       n.neg_id, round(n.neg_cos, 6) AS neg_cos,
+       round(p.pos_cos - n.neg_cos, 6) AS margin
+FROM pos p JOIN neg n USING (anchor_id)
+"""
+
+QUERIES.update({"hard_triplets": q_hard_triplets})
+ORACLES.update({"hard_triplets": SQL_HARD_TRIPLETS})
+
+
+def q_length_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed inference batching: documents sorted by token
+    count (desc, doc_id tie-break) stream into fixed 32-doc batches;
+    per batch, the padded length is the batch max, and the padding
+    waste fraction is 1 − Σtokens/(n·padded). Sorting first is the
+    point — similar lengths batch together, so waste stays near zero
+    instead of the ~50% a random order pays. Global positions come
+    from the distributed ordered zip_with_index (range partition +
+    per-partition offsets) — no single-partition window."""
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id",
+        F.size(tx.tokens("text")).alias("n_tokens"),
+        (-F.size(tx.tokens("text"))).alias("_neg_tokens"),
+    )
+    idx = zip_with_index(toks, id_col="_pos", order_by=["_neg_tokens", "doc_id"])
+    b = 32
+    batched = idx.withColumn("batch_id", F.expr(f"(_pos - 1) div {b}"))
+    return (
+        batched.groupBy("batch_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max("n_tokens").alias("padded_len"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .select(
+            "batch_id",
+            "n_docs",
+            "padded_len",
+            "total_tokens",
+            F.round(
+                F.lit(1.0)
+                - F.col("total_tokens")
+                / (F.col("n_docs") * F.col("padded_len")),
+                6,
+            ).alias("waste_frac"),
+        )
+    )
+
+
+SQL_LENGTH_BATCHING = f"""
+WITH toks AS (
+  SELECT doc_id, len({TOKENS_SQL}) AS n_tokens FROM documents
+),
+idx AS (
+  SELECT doc_id, n_tokens,
+         row_number() OVER (ORDER BY n_tokens DESC, doc_id ASC) AS pos
+  FROM toks
+)
+SELECT (pos - 1) // 32 AS batch_id,
+       count(*) AS n_docs,
+       max(n_tokens) AS padded_len,
+       sum(n_tokens) AS total_tokens,
+       round(1.0 - sum(n_tokens)::DOUBLE
+                   / (count(*) * max(n_tokens)), 6) AS waste_frac
+FROM idx GROUP BY 1
+"""
+
+QUERIES.update({"length_batching": q_length_batching})
+ORACLES.update({"length_batching": SQL_LENGTH_BATCHING})

@@ -798,3 +798,91 @@ def bitext_mine(
             "margin",
         )
     )
+
+
+def hard_triplet_mining(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-triplet mining for contrastive/metric learning: for each
+    anchor, the hardest POSITIVE (same label, LOWEST cosine — the
+    same-class example the model most confuses) and the hardest
+    NEGATIVE (different label, HIGHEST cosine — the impostor), plus the
+    margin (pos_cos − neg_cos; negative margin = the triplet is
+    currently violated). Ties break on the other id, so the mined
+    triplets are deterministic.
+
+    Plan: anchors broadcast against the corpus (one narrow streaming
+    pass, the point-lookup shape of brute_force_topk), then two
+    WindowGroupLimit rank-1 picks per anchor. Linear in |corpus| ×
+    |anchors|; for corpus-sized anchor sets swap the candidate source
+    for the IVF/LSH blocked pair generators, same downstream picks."""
+    from pyspark.sql import Window
+
+    norm = lambda v: F.sqrt(  # noqa: E731
+        F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    a = anchors.select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(label_col).alias("_al"),
+        F.col(vec_col).cast("array<double>").alias("_av"),
+    ).withColumn("_an", norm(F.col("_av")))
+    c = corpus.select(
+        F.col(id_col).alias("other_id"),
+        F.col(label_col).alias("_cl"),
+        F.col(vec_col).cast("array<double>").alias("_cv"),
+    ).withColumn("_cn", norm(F.col("_cv")))
+    dot = F.aggregate(
+        F.zip_with(F.col("_av"), F.col("_cv"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        c.crossJoin(F.broadcast(a))
+        .where(F.col("anchor_id") != F.col("other_id"))
+        .select(
+            "anchor_id",
+            "_al",
+            "other_id",
+            "_cl",
+            (dot / (F.col("_an") * F.col("_cn"))).alias("cos"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    w_pos = Window.partitionBy("anchor_id").orderBy(
+        F.col("cos").asc(), F.col("other_id").asc()
+    )
+    pos = (
+        scored.where(F.col("_cl") == F.col("_al"))
+        .withColumn("_r", F.row_number().over(w_pos))
+        .where(F.col("_r") == 1)
+        .select(
+            "anchor_id",
+            F.col("other_id").alias("pos_id"),
+            F.col("cos").alias("pos_cos"),
+        )
+    )
+    w_neg = Window.partitionBy("anchor_id").orderBy(
+        F.col("cos").desc(), F.col("other_id").asc()
+    )
+    neg = (
+        scored.where(F.col("_cl") != F.col("_al"))
+        .withColumn("_r", F.row_number().over(w_neg))
+        .where(F.col("_r") == 1)
+        .select(
+            "anchor_id",
+            F.col("other_id").alias("neg_id"),
+            F.col("cos").alias("neg_cos"),
+        )
+    )
+    return pos.join(neg, "anchor_id").select(
+        "anchor_id",
+        "pos_id",
+        "pos_cos",
+        "neg_id",
+        "neg_cos",
+        (F.col("pos_cos") - F.col("neg_cos")).alias("margin"),
+    )

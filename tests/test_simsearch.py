@@ -346,3 +346,27 @@ def test_bitext_mine_margin_suppresses_hubs(spark):
     # threshold filters weak-margin rows
     strict = bitext_mine(a, b, k=2, threshold=2.0).collect()
     assert len(strict) <= 1
+
+
+def test_hard_triplet_mining_golden(spark):
+    """Hand-checkable 2-D vectors: hardest positive is the most-distant
+    same-label vector, hardest negative the closest other-label one;
+    margin sign flags violated triplets."""
+    from grafink_spark.llm.simsearch import hard_triplet_mining
+
+    rows = [
+        (1, [1.0, 0.0], 0),
+        (2, [0.9, 0.1], 0),   # close positive of 1
+        (3, [0.0, 1.0], 0),   # far positive of 1 (hardest)
+        (4, [1.0, 0.05], 1),  # near-duplicate impostor (hardest negative)
+        (5, [-1.0, 0.0], 1),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    anchors = emb.where(emb.vec_id == 1)
+    got = hard_triplet_mining(emb, anchors).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.anchor_id, r.pos_id, r.neg_id) == (1, 3, 4)
+    assert r.margin < 0  # impostor closer than the far positive
