@@ -126,6 +126,9 @@ HEADLINE = [
     "group_kfold",
     "hard_triplets",
     "length_batching",
+    "winsorize",
+    "hist_quantile_sketch",
+    "psi_drift",
     "zipf_fit",
     "rolling_median",
     "linear_attribution",

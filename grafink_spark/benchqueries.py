@@ -8651,3 +8651,141 @@ FROM idx GROUP BY 1
 
 QUERIES.update({"length_batching": q_length_batching})
 ORACLES.update({"length_batching": SQL_LENGTH_BATCHING})
+
+
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type winsorization of event values at the exact [p05, p95]
+    percentile band — robust preprocessing for heavy-tailed features
+    without dropping rows (ops.winsorize: group-sized bounds broadcast
+    back onto the facts)."""
+    from grafink_spark.ops import winsorize
+
+    ev = ensure_min_partitions(load_table(spark, sf_dir, "events"))
+    out = winsorize(ev, "event_type", "value", 0.05, 0.95)
+    return out.select(
+        "event_id", "event_type", F.round("value_w", 6).alias("value_w")
+    )
+
+
+SQL_WINSORIZE = """
+WITH b AS (
+  SELECT event_type,
+         quantile_cont(value, 0.05) AS lo,
+         quantile_cont(value, 0.95) AS hi
+  FROM events GROUP BY 1
+)
+SELECT e.event_id, e.event_type,
+       round(least(greatest(e.value, b.lo), b.hi), 6) AS value_w
+FROM events e JOIN b USING (event_type)
+"""
+
+QUERIES.update({"winsorize": q_winsorize})
+ORACLES.update({"winsorize": SQL_WINSORIZE})
+
+
+def q_hist_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p95/p99 of event values from the mergeable 256-bin histogram
+    sketch (sketches.hist_registers/hist_quantiles) — the quantile
+    member of the auditable sketch family (HLL distinct, KMV join size,
+    CMS frequency). The oracle replays bins, cumulative counts, and the
+    in-bin interpolation — the ESTIMATES themselves are value-checked,
+    error bounded by one bin width."""
+    from grafink_spark.sketches import hist_quantiles, hist_registers
+
+    ev = ensure_min_partitions(load_table(spark, sf_dir, "events"))
+    row = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi")).collect()[0]
+    lo, hi = float(row.lo), float(row.hi)
+    regs = hist_registers(ev, "value", bins=256, lo=lo, hi=hi)
+    out = hist_quantiles(regs, [0.5, 0.95, 0.99], bins=256, lo=lo, hi=hi)
+    return out.select("q", F.round("est", 6).alias("est"))
+
+
+SQL_HIST_QUANTILE_SKETCH = """
+WITH s AS (SELECT min(value) AS lo, max(value) AS hi FROM events),
+regs AS (
+  SELECT least(greatest(floor((value - s.lo) / ((s.hi - s.lo) / 256)), 0),
+               255)::BIGINT AS bin,
+         count(*) AS cnt
+  FROM events, s GROUP BY 1
+),
+cum AS (
+  SELECT bin, cnt,
+         sum(cnt) OVER (ORDER BY bin) AS cum,
+         sum(cnt) OVER (ORDER BY bin) - cnt AS bef
+  FROM regs
+),
+n AS (SELECT sum(cnt) AS n FROM regs),
+qs AS (SELECT unnest([0.5::DOUBLE, 0.95::DOUBLE, 0.99::DOUBLE]) AS q),
+picked AS (
+  SELECT q, bin, cnt, bef,
+         row_number() OVER (PARTITION BY q ORDER BY bin) AS r
+  FROM qs, n, cum WHERE cum >= q * n.n AND bef < q * n.n
+)
+SELECT q, round(s.lo + ((s.hi - s.lo) / 256)
+                * (bin + (q * n.n - bef) / cnt), 6) AS est
+FROM picked, s, n WHERE r = 1
+"""
+
+QUERIES.update({"hist_quantile_sketch": q_hist_quantile_sketch})
+ORACLES.update({"hist_quantile_sketch": SQL_HIST_QUANTILE_SKETCH})
+
+
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per event type between the first and
+    second half of the month — the standard feature-drift monitor
+    (profile.psi_drift): equi-width bins over the REFERENCE slice's
+    exact range, Laplace-smoothed proportions, bin-ordered fold."""
+    from grafink_spark.profile import psi_drift
+
+    ev = ensure_min_partitions(load_table(spark, sf_dir, "events"))
+    ref = ev.where(F.dayofmonth("ts") <= 15)
+    cur = ev.where(F.dayofmonth("ts") > 15)
+    out = psi_drift(ref, cur, "event_type", "value", bins=10)
+    return out.select("event_type", F.round("psi", 6).alias("psi"))
+
+
+SQL_PSI_DRIFT = """
+WITH ref AS (SELECT event_type, value FROM events
+             WHERE date_part('day', ts) <= 15),
+cur AS (SELECT event_type, value FROM events
+        WHERE date_part('day', ts) > 15),
+b AS (SELECT event_type, min(value) AS lo, max(value) AS hi
+      FROM ref GROUP BY 1),
+rbin AS (
+  SELECT r.event_type,
+         least(greatest(CASE WHEN b.hi = b.lo THEN 0
+               ELSE floor((r.value - b.lo) / ((b.hi - b.lo) / 10)) END,
+               0), 9)::BIGINT AS bin,
+         count(*) AS cr
+  FROM ref r JOIN b USING (event_type) GROUP BY 1, 2
+),
+cbin AS (
+  SELECT c.event_type,
+         least(greatest(CASE WHEN b.hi = b.lo THEN 0
+               ELSE floor((c.value - b.lo) / ((b.hi - b.lo) / 10)) END,
+               0), 9)::BIGINT AS bin,
+         count(*) AS cc
+  FROM cur c JOIN b USING (event_type) GROUP BY 1, 2
+),
+j AS (
+  SELECT coalesce(r.event_type, c.event_type) AS event_type,
+         coalesce(r.bin, c.bin) AS bin,
+         coalesce(r.cr, 0) AS cr, coalesce(c.cc, 0) AS cc
+  FROM rbin r FULL JOIN cbin c
+    ON r.event_type = c.event_type AND r.bin = c.bin
+),
+tot AS (
+  SELECT event_type, sum(cr) AS nr, sum(cc) AS nc FROM j GROUP BY 1
+)
+SELECT j.event_type,
+       round(list_reduce(
+         list(((j.cr + 1) / (t.nr + 10) - (j.cc + 1) / (t.nc + 10))
+              * ln(((j.cr + 1) / (t.nr + 10))
+                   / ((j.cc + 1) / (t.nc + 10))) ORDER BY j.bin),
+         (x, y) -> x + y), 6) AS psi
+FROM j JOIN tot t USING (event_type)
+GROUP BY 1, round(0, 0)
+"""
+
+QUERIES.update({"psi_drift": q_psi_drift})
+ORACLES.update({"psi_drift": SQL_PSI_DRIFT})

@@ -724,3 +724,33 @@ def pareto_frontier(
         cand.join(dominated, dcols, "leftanti")
         .drop(*dcols)
     )
+
+
+def winsorize(
+    df: DataFrame,
+    group: str,
+    value: str,
+    lo: float = 0.05,
+    hi: float = 0.95,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Per-group winsorization: values clipped to the group's exact
+    [lo, hi] percentile band (linear-interpolation percentiles, the
+    same exact order statistics as group_percentiles) — the robust
+    preprocessing step that tames heavy-tailed features without
+    dropping rows. One group-sized aggregate broadcast back onto the
+    fact rows; at 100 TB swap the exact percentile for
+    percentile_approx, same shape."""
+    out_col = out_col or f"{value}_w"
+    bounds = df.groupBy(group).agg(
+        F.expr(f"percentile({value}, {lo})").alias("_lo"),
+        F.expr(f"percentile({value}, {hi})").alias("_hi"),
+    )
+    return (
+        df.join(F.broadcast(bounds), group)
+        .withColumn(
+            out_col,
+            F.least(F.greatest(F.col(value), F.col("_lo")), F.col("_hi")),
+        )
+        .drop("_lo", "_hi")
+    )

@@ -107,3 +107,87 @@ def column_profile(
     return row.select(
         F.explode(F.array(*[entry(c) for c in cols])).alias("p")
     ).select("p.*")
+
+
+def psi_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    group: str,
+    value: str,
+    bins: int = 10,
+) -> DataFrame:
+    """Population Stability Index per group between a reference slice
+    and a current slice — the standard feature-drift monitor:
+
+        PSI = Σ_bins (p_i − q_i) · ln(p_i / q_i)
+
+    Bins are equi-width over the REFERENCE group's exact [min, max]
+    (current values clamp into the edge bins, so novel out-of-range
+    mass lands in — and inflates — the extremes, which is the behavior
+    a drift monitor wants). Proportions are Laplace-smoothed
+    ((c + 1)/(n + bins)) so empty bins stay finite. The per-group sum
+    folds in bin order over a sorted array — deterministic double
+    accumulation, engine-identical given identical counts.
+
+    Rule of thumb: PSI < 0.1 stable, 0.1–0.25 drifting, > 0.25 major
+    shift. Two group-keyed count shuffles + one ≤ bins·groups fold —
+    no pairwise work, linear at any scale."""
+    bounds = ref.groupBy(group).agg(
+        F.min(value).alias("_lo"), F.max(value).alias("_hi")
+    )
+
+    def binned(df: DataFrame, cnt_name: str) -> DataFrame:
+        width = (F.col("_hi") - F.col("_lo")) / bins
+        b = F.when(F.col("_hi") == F.col("_lo"), F.lit(0)).otherwise(
+            F.floor((F.col(value) - F.col("_lo")) / width).cast("long")
+        )
+        return (
+            df.join(F.broadcast(bounds), group)
+            .select(
+                group,
+                F.least(F.greatest(b, F.lit(0)), F.lit(bins - 1)).alias(
+                    "_bin"
+                ),
+            )
+            .groupBy(group, "_bin")
+            .agg(F.count(F.lit(1)).alias(cnt_name))
+        )
+
+    rc = binned(ref, "_cr")
+    cc = binned(cur, "_cc")
+    nr = rc.groupBy(group).agg(F.sum("_cr").alias("_nr"))
+    nc = cc.groupBy(group).agg(F.sum("_cc").alias("_nc"))
+    joined = (
+        rc.join(cc, [group, "_bin"], "full")
+        .select(
+            group,
+            "_bin",
+            F.coalesce("_cr", F.lit(0)).alias("_cr"),
+            F.coalesce("_cc", F.lit(0)).alias("_cc"),
+        )
+        .join(nr, group)
+        .join(nc, group)
+    )
+    ordered = F.array_sort(
+        F.collect_list(F.struct("_bin", "_cr", "_cc", "_nr", "_nc"))
+    )
+    return (
+        joined.groupBy(group)
+        .agg(ordered.alias("_arr"))
+        .select(
+            group,
+            F.aggregate(
+                F.col("_arr"),
+                F.lit(0.0),
+                lambda acc, s: acc
+                + (
+                    (s["_cr"] + 1) / (s["_nr"] + bins)
+                    - (s["_cc"] + 1) / (s["_nc"] + bins)
+                )
+                * F.log(
+                    ((s["_cr"] + 1) / (s["_nr"] + bins))
+                    / ((s["_cc"] + 1) / (s["_nc"] + bins))
+                ),
+            ).alias("psi"),
+        )
+    )

@@ -326,3 +326,97 @@ def cms_heavy_hitters(
         .where(F.lit(den) * F.col("cms_est") >= F.lit(num) * F.lit(n))
         .select(value, "cms_est", "exact_cnt")
     )
+
+
+# ------------------------------------------- histogram quantile sketch
+
+HIST_BINS = 256
+
+
+def hist_registers(
+    df: DataFrame,
+    value: str,
+    bins: int = HIST_BINS,
+    lo: float | None = None,
+    hi: float | None = None,
+) -> DataFrame:
+    """Equi-width histogram register table (_bin, _cnt) over a numeric
+    column — the mergeable quantile-sketch state completing the sketch
+    family (HLL: distinct, KMV: join size, CMS: frequency, this:
+    quantiles). ``lo``/``hi`` fix the bin domain; when omitted they are
+    taken from an exact min/max pass (pass them explicitly for
+    incremental use, so every batch bins identically). Registers merge
+    by SUM; quantile error is bounded by one bin width. Values are
+    clamped into the edge bins, so out-of-domain batch values never
+    drop."""
+    if lo is None or hi is None:
+        row = df.agg(
+            F.min(value).alias("_lo"), F.max(value).alias("_hi")
+        ).collect()[0]
+        lo = float(row._lo) if lo is None else lo
+        hi = float(row._hi) if hi is None else hi
+    width = (hi - lo) / bins
+    b = F.floor((F.col(value) - F.lit(lo)) / F.lit(width)).cast("long")
+    return (
+        df.select(
+            F.least(F.greatest(b, F.lit(0)), F.lit(bins - 1)).alias("_bin")
+        )
+        .groupBy("_bin")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+    )
+
+
+def hist_merge(*register_tables: DataFrame) -> DataFrame:
+    """Merge histogram register tables (union + sum per bin) — exact,
+    order-insensitive."""
+    merged = register_tables[0]
+    for t in register_tables[1:]:
+        merged = merged.unionByName(t)
+    return merged.groupBy("_bin").agg(F.sum("_cnt").alias("_cnt"))
+
+
+def hist_quantiles(
+    regs: DataFrame,
+    qs: list[float],
+    bins: int = HIST_BINS,
+    lo: float = 0.0,
+    hi: float = 1.0,
+) -> DataFrame:
+    """(q, est) quantile estimates from a register table: locate the
+    bin where the cumulative count crosses q·N, interpolate linearly
+    inside it. The ≤ bins-row register table computes cumulative sums
+    with one trivial window — never touches the data again. Every
+    arithmetic step is a fixed IEEE expression over exact integer
+    counts, so estimates are engine-identical."""
+    width = (hi - lo) / bins
+    cum = regs.withColumn(
+        "_cum",
+        F.sum("_cnt").over(
+            Window.orderBy("_bin").rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        ),
+    ).withColumn("_before", F.col("_cum") - F.col("_cnt"))
+    n = regs.agg(F.sum("_cnt").alias("_n"))
+    qdf = regs.sparkSession.createDataFrame(
+        [(float(q),) for q in qs], "q double"
+    )
+    t = F.col("q") * F.col("_n")
+    picked = (
+        qdf.crossJoin(F.broadcast(n))
+        .join(
+            F.broadcast(cum),
+            (F.col("_cum") >= t) & (F.col("_before") < t),
+        )
+        .withColumn(
+            "_r",
+            F.row_number().over(
+                Window.partitionBy("q").orderBy(F.col("_bin").asc())
+            ),
+        )
+        .where(F.col("_r") == 1)
+    )
+    est = F.lit(lo) + F.lit(width) * (
+        F.col("_bin") + (t - F.col("_before")) / F.col("_cnt")
+    )
+    return picked.select("q", est.alias("est"))

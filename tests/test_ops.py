@@ -556,3 +556,16 @@ def test_pareto_frontier_plans(spark):
     assert "CartesianProduct" not in plang
     # global verify runs against broadcast candidates only
     assert "BroadcastNestedLoopJoin" in plang or "BroadcastHashJoin" in plang
+
+
+def test_winsorize_clips_to_group_band(spark):
+    from grafink_spark.ops import winsorize
+
+    rows = [(i, "a", float(i)) for i in range(1, 101)] + [(200, "b", 1000.0)]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    out = {r.event_id: r.value_w for r in winsorize(df, "event_type", "value").collect()}
+    # group a: p05 = 5.95, p95 = 95.05 (linear interpolation over 1..100)
+    assert abs(out[1] - 5.95) < 1e-9       # clipped up
+    assert abs(out[100] - 95.05) < 1e-9    # clipped down
+    assert out[50] == 50.0                 # interior untouched
+    assert out[200] == 1000.0              # singleton group: lo == hi == v

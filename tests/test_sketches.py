@@ -274,3 +274,50 @@ def test_cms_streaming_incremental_merge(spark, tmp_path):
         for r in cms_registers(full, "token", depth=4, width=64).collect()
     }
     assert merged == want
+
+
+def test_hist_sketch_merge_and_error_bound(spark):
+    """Batch registers merged == full registers; quantile estimate
+    within one bin width of the exact quantile."""
+    from grafink_spark.sketches import (
+        hist_merge,
+        hist_quantiles,
+        hist_registers,
+    )
+
+    vals = [float(i) for i in range(1, 1001)]
+    df = spark.createDataFrame([(v,) for v in vals], "value double")
+    lo, hi, bins = 1.0, 1000.0, 64
+    full = {(r._bin): r._cnt for r in hist_registers(df, "value", bins, lo, hi).collect()}
+    b1 = df.where(df.value <= 500.0)
+    b2 = df.where(df.value > 500.0)
+    merged = {
+        r._bin: r._cnt
+        for r in hist_merge(
+            hist_registers(b1, "value", bins, lo, hi),
+            hist_registers(b2, "value", bins, lo, hi),
+        ).collect()
+    }
+    assert merged == full
+
+    regs = hist_registers(df, "value", bins, lo, hi)
+    got = {r.q: r.est for r in hist_quantiles(regs, [0.5, 0.99], bins, lo, hi).collect()}
+    width = (hi - lo) / bins
+    assert abs(got[0.5] - 500.5) <= width
+    assert abs(got[0.99] - 990.0) <= width
+
+
+def test_psi_drift_detects_shift(spark):
+    from grafink_spark.profile import psi_drift
+
+    ref = spark.createDataFrame(
+        [("a", float(i % 100)) for i in range(1000)], "g string, v double"
+    )
+    same = ref
+    shifted = spark.createDataFrame(
+        [("a", float(i % 100) + 80.0) for i in range(1000)], "g string, v double"
+    )
+    stable = psi_drift(ref, same, "g", "v").collect()[0].psi
+    moved = psi_drift(ref, shifted, "g", "v").collect()[0].psi
+    assert stable < 0.01
+    assert moved > 0.25
