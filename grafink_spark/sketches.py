@@ -389,6 +389,9 @@ def hist_quantiles(
     arithmetic step is a fixed IEEE expression over exact integer
     counts, so estimates are engine-identical."""
     width = (hi - lo) / bins
+    # regs feeds both the cumulative window and the N aggregate — pin
+    # it so the upstream stream scan runs once
+    regs = regs.localCheckpoint(eager=False)
     cum = regs.withColumn(
         "_cum",
         F.sum("_cnt").over(
