@@ -129,6 +129,7 @@ HEADLINE = [
     "winsorize",
     "hist_quantile_sketch",
     "psi_drift",
+    "snapshot_diff",
     "zipf_fit",
     "rolling_median",
     "linear_attribution",

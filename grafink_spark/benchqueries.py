@@ -8789,3 +8789,66 @@ GROUP BY 1, round(0, 0)
 
 QUERIES.update({"psi_drift": q_psi_drift})
 ORACLES.update({"psi_drift": SQL_PSI_DRIFT})
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation audit (cdc.snapshot_diff): orders vs a
+    synthetically mutated copy (every 97th key dropped, every 13th
+    price changed, every 101st re-added under an offset key) —
+    per-status counts + key sums, the post-migration data-diff. One
+    full-outer key join over per-side row hashes."""
+    from grafink_spark.cdc import snapshot_diff
+
+    old = ensure_min_partitions(load_table(spark, sf_dir, "orders"))
+    new = (
+        old.where(F.col("o_orderkey") % 97 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 13 == 0,
+                F.col("o_totalprice") + 1,
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .unionByName(
+            old.where(F.col("o_orderkey") % 101 == 0).withColumn(
+                "o_orderkey", F.col("o_orderkey") + 100000000
+            )
+        )
+    )
+    out = snapshot_diff(old, new, ["o_orderkey"])
+    return (
+        out.groupBy("row_status")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_orderkey").alias("key_sum"),
+        )
+    )
+
+
+SQL_SNAPSHOT_DIFF = """
+WITH old AS (SELECT * FROM orders),
+new AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 1
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders WHERE o_orderkey % 97 <> 0
+  UNION ALL
+  SELECT o_orderkey + 100000000 AS o_orderkey, o_totalprice
+  FROM orders WHERE o_orderkey % 101 = 0
+),
+ho AS (SELECT o_orderkey, md5(o_totalprice::VARCHAR) AS h FROM old),
+hn AS (SELECT o_orderkey, md5(o_totalprice::VARCHAR) AS h FROM new),
+j AS (
+  SELECT coalesce(o.o_orderkey, n.o_orderkey) AS k, o.h AS ho, n.h AS hn
+  FROM ho o FULL JOIN hn n ON o.o_orderkey = n.o_orderkey
+)
+SELECT CASE WHEN ho IS NULL THEN 'added'
+            WHEN hn IS NULL THEN 'removed'
+            WHEN ho = hn THEN 'unchanged'
+            ELSE 'changed' END AS row_status,
+       count(*) AS n, sum(k) AS key_sum
+FROM j GROUP BY 1
+"""
+
+QUERIES.update({"snapshot_diff": q_snapshot_diff})
+ORACLES.update({"snapshot_diff": SQL_SNAPSHOT_DIFF})

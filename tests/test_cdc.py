@@ -177,3 +177,28 @@ def test_incremental_agg_retraction_removes_group(spark):
     )
     got = {r.g: (r.cnt, r.sum_value) for r in merged.collect()}
     assert got == {"a": (2, 30.0)}
+
+
+def test_snapshot_diff_classifies_all_statuses(spark):
+    from grafink_spark.cdc import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)],
+        "k long, name string, v long",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 99), (4, "d", 40)],
+        "k long, name string, v long",
+    )
+    got = {r.k: r.row_status for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+
+def test_snapshot_diff_null_vs_empty_string_differ(spark):
+    """The null sentinel keeps NULL and '' distinct in the row hash."""
+    from grafink_spark.cdc import snapshot_diff
+
+    old = spark.createDataFrame([(1, None)], "k long, v string")
+    new = spark.createDataFrame([(1, "")], "k long, v string")
+    got = snapshot_diff(old, new, ["k"]).collect()[0]
+    assert got.row_status == "changed"
