@@ -130,6 +130,7 @@ HEADLINE = [
     "hist_quantile_sketch",
     "psi_drift",
     "snapshot_diff",
+    "graph_modularity",
     "zipf_fit",
     "rolling_median",
     "linear_attribution",

@@ -8852,3 +8852,80 @@ FROM j GROUP BY 1
 
 QUERIES.update({"snapshot_diff": q_snapshot_diff})
 ORACLES.update({"snapshot_diff": SQL_SNAPSHOT_DIFF})
+
+
+def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity Q of the label-propagation partition over the
+    similarity graph — THE standard partition-quality score
+    (complements per-community conductance). Over directed edge
+    instances E: Q = (Σ_c intra_c·E − Σ_c vol_c²) / E², computed as an
+    exact integer numerator in DECIMAL(38,0) with ONE final division —
+    engine-identical to the oracle bit-for-bit before rounding."""
+    from grafink_spark.graph.algorithms import label_propagation
+
+    pairs = _similarity_pairs(spark, sf_dir)
+    e = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    labels = label_propagation(pairs, iters=2)
+    tagged = e.join(
+        labels.select(F.col("id").alias("src"), F.col("label").alias("_ls")),
+        "src",
+    ).join(
+        labels.select(F.col("id").alias("dst"), F.col("label").alias("_ld")),
+        "dst",
+    )
+    per = tagged.groupBy("_ls").agg(
+        F.count(F.lit(1)).alias("vol"),
+        F.sum((F.col("_ls") == F.col("_ld")).cast("long")).alias("intra"),
+    )
+    dec = "decimal(38,0)"
+    agg = per.agg(
+        F.sum("vol").alias("_e"),
+        F.sum(F.col("intra").cast(dec)).alias("_si"),
+        F.sum(F.col("vol").cast(dec) * F.col("vol").cast(dec)).alias("_sv2"),
+        F.count(F.lit(1)).alias("n_communities"),
+    )
+    q = (
+        (F.col("_si") * F.col("_e").cast(dec) - F.col("_sv2")).cast("double")
+        / (F.col("_e").cast("double") * F.col("_e").cast("double"))
+    )
+    return agg.select(
+        F.col("_e").cast("long").alias("directed_edges"),
+        "n_communities",
+        F.round(q, 6).alias("modularity"),
+    )
+
+
+SQL_GRAPH_MODULARITY = f"""
+WITH l AS ({{SQL_LABEL_PROPAGATION}}),
+p2 AS ({{SQL_SIMILARITY_EDGES}}),
+e AS (
+  SELECT src, dst FROM p2
+  UNION ALL
+  SELECT dst AS src, src AS dst FROM p2
+),
+tagged AS (
+  SELECT ls.label AS c, ld.label AS d
+  FROM e JOIN l ls ON ls.id = e.src JOIN l ld ON ld.id = e.dst
+),
+per AS (
+  SELECT c, count(*) AS vol,
+         sum(CASE WHEN c = d THEN 1 ELSE 0 END) AS intra
+  FROM tagged GROUP BY 1
+)
+SELECT sum(vol)::BIGINT AS directed_edges,
+       count(*) AS n_communities,
+       round((sum(intra::HUGEINT) * sum(vol)::HUGEINT
+              - sum(vol::HUGEINT * vol::HUGEINT))::DOUBLE
+             / (sum(vol)::DOUBLE * sum(vol)::DOUBLE), 6) AS modularity
+FROM per
+"""
+
+SQL_GRAPH_MODULARITY = SQL_GRAPH_MODULARITY.format(
+    SQL_LABEL_PROPAGATION=SQL_LABEL_PROPAGATION,
+    SQL_SIMILARITY_EDGES=SQL_SIMILARITY_EDGES,
+)
+
+QUERIES.update({"graph_modularity": q_graph_modularity})
+ORACLES.update({"graph_modularity": SQL_GRAPH_MODULARITY})

@@ -321,3 +321,53 @@ def test_psi_drift_detects_shift(spark):
     moved = psi_drift(ref, shifted, "g", "v").collect()[0].psi
     assert stable < 0.01
     assert moved > 0.25
+
+
+def test_streaming_psi_from_hist_registers(spark, tmp_path):
+    """Streaming drift monitoring: per-microbatch histogram registers
+    merged across batches give the SAME PSI as a one-shot pass over the
+    full current slice — registers are the only state the monitor
+    keeps."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from grafink_spark.profile import psi_from_hist
+    from grafink_spark.sketches import hist_merge, hist_registers
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    ref = ev.where(F.dayofmonth("ts") <= 15).select("value")
+    cur = ev.where(F.dayofmonth("ts") > 15).select("value")
+    lo, hi, bins = 0.0, 300.0, 32
+    ref_regs = hist_registers(ref, "value", bins, lo, hi).localCheckpoint()
+
+    src = str(tmp_path / "cur_src")
+    os.makedirs(src, exist_ok=True)
+    cur.where(F.col("value") < 50).coalesce(1).write.mode("append").parquet(src)
+    cur.where(F.col("value") >= 50).coalesce(1).write.mode("append").parquet(src)
+    reg_dir = str(tmp_path / "regs")
+    ckpt = str(tmp_path / "ckpt")
+
+    def process(batch, batch_id):
+        hist_registers(batch, "value", bins, lo, hi).write.mode(
+            "append"
+        ).parquet(reg_dir)
+
+    q = (
+        spark.readStream.schema("value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    streamed = psi_from_hist(
+        ref_regs, hist_merge(spark.read.parquet(reg_dir)), bins
+    ).collect()[0].psi
+    oneshot = psi_from_hist(
+        ref_regs, hist_registers(cur, "value", bins, lo, hi), bins
+    ).collect()[0].psi
+    assert abs(streamed - oneshot) < 1e-12
