@@ -132,9 +132,12 @@ def psi_drift(
     Rule of thumb: PSI < 0.1 stable, 0.1–0.25 drifting, > 0.25 major
     shift. Two group-keyed count shuffles + one ≤ bins·groups fold —
     no pairwise work, linear at any scale."""
+    # bounds feeds both binning passes, and each bin-count table feeds
+    # its total AND the full join — pin all three (each is ≤
+    # groups·bins rows) so ref/cur are scanned once apiece
     bounds = ref.groupBy(group).agg(
         F.min(value).alias("_lo"), F.max(value).alias("_hi")
-    )
+    ).localCheckpoint(eager=False)
 
     def binned(df: DataFrame, cnt_name: str) -> DataFrame:
         width = (F.col("_hi") - F.col("_lo")) / bins
@@ -153,8 +156,8 @@ def psi_drift(
             .agg(F.count(F.lit(1)).alias(cnt_name))
         )
 
-    rc = binned(ref, "_cr")
-    cc = binned(cur, "_cc")
+    rc = binned(ref, "_cr").localCheckpoint(eager=False)
+    cc = binned(cur, "_cc").localCheckpoint(eager=False)
     nr = rc.groupBy(group).agg(F.sum("_cr").alias("_nr"))
     nc = cc.groupBy(group).agg(F.sum("_cc").alias("_nc"))
     joined = (
