@@ -131,6 +131,7 @@ HEADLINE = [
     "psi_drift",
     "snapshot_diff",
     "graph_modularity",
+    "semantic_contamination_ivf",
     "zipf_fit",
     "rolling_median",
     "linear_attribution",

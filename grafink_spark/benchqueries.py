@@ -1707,7 +1707,7 @@ def q_embedding_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_asgn_ctes(nlist: int | str, dim: int) -> str:
+def _ivf_asgn_ctes(nlist: int | str, dim: int, src: str = "embeddings") -> str:
     """Shared CTE prefix replaying ivf_train(iters=1) + ivf_assign:
     seeds → initial assignment → one Lloyd mean step → final assignment
     (``asgn``: vec_id, embedding, list_id). Tie rule mirrors the Spark
@@ -1719,14 +1719,14 @@ def _ivf_asgn_ctes(nlist: int | str, dim: int) -> str:
     return f"""seeds AS (
   SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
          list_transform(embedding, x -> x::DOUBLE) AS cv
-  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {nlist})
+  FROM (SELECT vec_id, embedding FROM {src} ORDER BY vec_id LIMIT {nlist})
 ),
 a0 AS (
   SELECT vec_id, embedding, cid FROM (
     SELECT e.vec_id, e.embedding, s.cid,
            row_number() OVER (PARTITION BY e.vec_id
                               ORDER BY {cos_sc} DESC, s.cid ASC) AS rn
-    FROM embeddings e CROSS JOIN seeds s
+    FROM {src} e CROSS JOIN seeds s
   ) WHERE rn = 1
 ),
 cent AS (
@@ -1747,7 +1747,7 @@ asgn AS (
     SELECT e.vec_id, e.embedding, c.cid,
            row_number() OVER (PARTITION BY e.vec_id
                               ORDER BY {cos_cc} DESC, c.cid ASC) AS rn
-    FROM embeddings e CROSS JOIN cent c
+    FROM {src} e CROSS JOIN cent c
   ) WHERE rn = 1
 )"""
 
@@ -8929,3 +8929,55 @@ SQL_GRAPH_MODULARITY = SQL_GRAPH_MODULARITY.format(
 
 QUERIES.update({"graph_modularity": q_graph_modularity})
 ORACLES.update({"graph_modularity": SQL_GRAPH_MODULARITY})
+
+
+def q_semantic_contamination_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-blocked semantic decontamination — the documented scale path
+    of semantic_contamination implemented and value-checked: centroids
+    train on the corpus, test vectors probe their 4 nearest of 8 lists,
+    cosines run inside matched lists only (pair work Σ|list|·probes,
+    never corpus×test). The oracle replays training, assignment, probe
+    selection, and the blocked pairs (llm/dedup.py
+    semantic_contamination_ivf)."""
+    emb = ensure_min_partitions(load_table(spark, sf_dir, "embeddings"))
+    test = emb.where(F.col("vec_id") % 20 == 7)
+    corpus = emb.where(F.col("vec_id") % 20 != 7)
+    out = dd.semantic_contamination_ivf(
+        corpus, test, nlist=8, nprobe=4, threshold=0.3
+    )
+    return out.select(
+        "vec_id", "n_hits", F.round("max_sim", 6).alias("max_sim")
+    )
+
+
+def _ivf_contam_sql(
+    nlist: int = 8, dim: int = 64, nprobe: int = 4, threshold: float = 0.3
+) -> str:
+    cos_tc = COSINE_SQL.format(a="t.embedding", b="c.cv")
+    cos_pa = COSINE_SQL.format(a="p.qv", b="a.embedding")
+    return f"""
+WITH test AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 20 = 7),
+corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 20 <> 7),
+{_ivf_asgn_ctes(nlist, dim, src="corpus")},
+probes AS (
+  SELECT query_id, qv, cid AS list_id FROM (
+    SELECT t.vec_id AS query_id, t.embedding AS qv, c.cid,
+           row_number() OVER (PARTITION BY t.vec_id
+                              ORDER BY {cos_tc} DESC, c.cid DESC) AS rn
+    FROM test t CROSS JOIN cent c
+  ) WHERE rn <= {nprobe}
+),
+pairs AS (
+  SELECT a.vec_id, {cos_pa} AS cs
+  FROM probes p JOIN asgn a ON a.list_id = p.list_id
+  WHERE {cos_pa} >= {threshold}
+)
+SELECT vec_id, count(*) AS n_hits, round(max(cs), 6) AS max_sim
+FROM pairs GROUP BY 1
+"""
+
+
+SQL_SEMANTIC_CONTAMINATION_IVF = _ivf_contam_sql()
+
+QUERIES.update({"semantic_contamination_ivf": q_semantic_contamination_ivf})
+ORACLES.update({"semantic_contamination_ivf": SQL_SEMANTIC_CONTAMINATION_IVF})

@@ -1755,3 +1755,58 @@ def weighted_cosine_join(
             / F.sqrt((F.col("t_a") * F.col("t_b")).cast("double"))
         ).alias("cosine_sim"),
     )
+
+
+def semantic_contamination_ivf(
+    corpus: DataFrame,
+    test: DataFrame,
+    nlist: int = 8,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """IVF-blocked :func:`semantic_contamination` — the scale path the
+    exact version documents for test sets too large to broadcast-cross:
+    centroids train on the CORPUS (deterministic ivf_train), corpus
+    vectors assign to one list each, every TEST vector probes its
+    ``nprobe`` nearest lists, and cosines run only inside matched
+    lists — pair work is Σ|list|·(probes landing there) instead of
+    |corpus|·|test|. Recall is bounded by the probes (raise nprobe →
+    exact at nprobe=nlist); the hit counts/sims for found pairs are
+    identical to the exact pass."""
+    from grafink_spark.llm.simsearch import (
+        _ivf_query_probes,
+        ivf_assign,
+        ivf_train,
+    )
+
+    centroids = ivf_train(corpus, nlist=nlist, iters=1, vec_col=vec_col, id_col=id_col)
+    v = F.col(vec_col).cast("array<double>")
+    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+    c = ivf_assign(corpus, centroids, vec_col).select(
+        id_col, "list_id", v.alias("_vc"), norm.alias("_ncn")
+    )
+    t = _ivf_query_probes(test, centroids, nprobe, vec_col, id_col).select(
+        "list_id",
+        F.col("_qv").alias("_vt"),
+        F.sqrt(
+            F.aggregate(F.col("_qv"), F.lit(0.0), lambda acc, x: acc + x * x)
+        ).alias("_ntn"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("_vc"), F.col("_vt"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cs = dot / (F.col("_ncn") * F.col("_ntn"))
+    return (
+        c.join(t, "list_id")
+        .select(id_col, cs.alias("_cs"))
+        .where(F.col("_cs") >= threshold)
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            F.max("_cs").alias("max_sim"),
+        )
+    )

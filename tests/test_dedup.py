@@ -669,3 +669,40 @@ def test_weighted_cosine_join_plan_has_no_cartesian(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_semantic_contamination_ivf_subset_of_exact(spark):
+    """IVF blocking never invents hits: every flagged corpus vector is
+    flagged by the exact pass with n_hits <= exact and the same max_sim
+    whenever the maximizing pair was probed; nprobe=nlist recovers the
+    exact result."""
+    from pyspark.sql import functions as F
+
+    from grafink_spark.llm.dedup import (
+        semantic_contamination,
+        semantic_contamination_ivf,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    test = emb.where(F.col("vec_id") % 20 == 7)
+    corpus = emb.where(F.col("vec_id") % 20 != 7)
+    exact = {
+        r.vec_id: (r.n_hits, round(r.max_sim, 9))
+        for r in semantic_contamination(corpus, test, threshold=0.3).collect()
+    }
+    blocked = {
+        r.vec_id: (r.n_hits, round(r.max_sim, 9))
+        for r in semantic_contamination_ivf(
+            corpus, test, nlist=4, nprobe=2, threshold=0.3
+        ).collect()
+    }
+    assert set(blocked) <= set(exact)
+    for vid, (n, _) in blocked.items():
+        assert n <= exact[vid][0]
+    full = {
+        r.vec_id: (r.n_hits, round(r.max_sim, 9))
+        for r in semantic_contamination_ivf(
+            corpus, test, nlist=4, nprobe=4, threshold=0.3
+        ).collect()
+    }
+    assert full == exact
