@@ -132,6 +132,7 @@ HEADLINE = [
     "snapshot_diff",
     "graph_modularity",
     "semantic_contamination_ivf",
+    "gopher_filter",
     "zipf_fit",
     "rolling_median",
     "linear_attribution",

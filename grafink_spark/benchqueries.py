@@ -8981,3 +8981,70 @@ SQL_SEMANTIC_CONTAMINATION_IVF = _ivf_contam_sql()
 
 QUERIES.update({"semantic_contamination_ivf": q_semantic_contamination_ivf})
 ORACLES.update({"semantic_contamination_ivf": SQL_SEMANTIC_CONTAMINATION_IVF})
+
+
+def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rules document filter (Rae et al. 2021): token-count band
+    (min relaxed to 10 for the short synthetic docs), mean-word-length
+    band, alphabetic-word fraction, stopword presence, and the
+    duplicate/bullet/ellipsis line caps — survivors with the deciding
+    metrics (llm/signals.py gopher_filter; one row-local pass)."""
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    out = sg.gopher_filter(docs, min_tokens=10)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.round("mean_word_len", 6).alias("mean_word_len"),
+        "n_stopwords",
+    )
+
+
+_STOPLIST_SQL = "[" + ", ".join(f"'{w}'" for w in tx.DEFAULT_STOPWORDS) + "]"
+
+SQL_GOPHER_FILTER = f"""
+WITH t AS (
+  SELECT doc_id, {TOKENS_SQL} AS toks, str_split(text, chr(10)) AS lines
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         len(toks) AS n_tokens,
+         CASE WHEN len(toks) > 0
+              THEN list_reduce(list_transform(toks, x -> len(x)),
+                               (a, b) -> a + b) / len(toks)
+              ELSE 0.0 END AS mean_word_len,
+         CASE WHEN len(toks) > 0
+              THEN len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+                   / len(toks)
+              ELSE 0.0 END AS alpha_frac,
+         len(list_filter(list_distinct(toks),
+                         x -> list_contains({_STOPLIST_SQL}, x)))
+           AS n_stopwords,
+         CASE WHEN len(lines) > 0
+              THEN (len(lines) - len(list_distinct(lines))) / len(lines)
+              ELSE 0.0 END AS dup_line_fraction,
+         CASE WHEN len(lines) > 0
+              THEN len(list_filter(lines, l -> starts_with(l, '- ')
+                   OR starts_with(l, '* ') OR starts_with(l, '• ')))
+                   / len(lines)
+              ELSE 0.0 END AS bullet_line_fraction,
+         CASE WHEN len(lines) > 0
+              THEN len(list_filter(lines, l -> ends_with(l, '...')))
+                   / len(lines)
+              ELSE 0.0 END AS ellipsis_line_fraction
+  FROM t
+)
+SELECT doc_id, n_tokens::BIGINT AS n_tokens,
+       round(mean_word_len, 6) AS mean_word_len,
+       n_stopwords::BIGINT AS n_stopwords
+FROM m
+WHERE n_tokens >= 10 AND n_tokens <= 100000
+  AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+  AND alpha_frac >= 0.8 AND n_stopwords >= 2
+  AND dup_line_fraction <= 0.3
+  AND bullet_line_fraction <= 0.9
+  AND ellipsis_line_fraction <= 0.3
+"""
+
+QUERIES.update({"gopher_filter": q_gopher_filter})
+ORACLES.update({"gopher_filter": SQL_GOPHER_FILTER})

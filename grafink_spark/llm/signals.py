@@ -188,3 +188,69 @@ def document_signals(
     return repetition_signals(
         line_signals(df, text_col), id_col, text_col, ns
     )
+
+
+def gopher_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 50,
+    max_tokens: int = 100000,
+    min_word_len: float = 3.0,
+    max_word_len: float = 10.0,
+    min_alpha_frac: float = 0.8,
+    min_stopwords: int = 2,
+    max_dup_line: float = 0.3,
+    max_bullet_line: float = 0.9,
+    max_ellipsis_line: float = 0.3,
+) -> DataFrame:
+    """Gopher-rules document filter (Rae et al. 2021, Table A1 defaults):
+    token-count band, mean word length band, ≥ fraction of words with an
+    alphabetic character, ≥ 2 distinct stopwords, and the line-shape
+    caps (duplicate / bullet / ellipsis lines). Survivors only, with the
+    deciding metrics attached. One row-local projection pass composed
+    with :func:`line_signals` — every fraction is an exact int/int
+    division, so the threshold decisions are engine-identical."""
+    from .text import DEFAULT_STOPWORDS
+
+    staged = line_signals(df, text_col).select(
+        "*", tokens(text_col).alias("__t")
+    )
+    t = F.col("__t")
+    n = F.size(t)
+    mean_len = F.when(
+        n > 0,
+        F.aggregate(
+            t, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+        )
+        / n,
+    ).otherwise(F.lit(0.0))
+    alpha_frac = _safe_frac(
+        F.size(F.filter(t, lambda x: x.rlike("[a-z]"))), n
+    )
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(t),
+            F.array(*[F.lit(w) for w in DEFAULT_STOPWORDS]),
+        )
+    )
+    keep = (
+        (n >= min_tokens)
+        & (n <= max_tokens)
+        & (mean_len >= min_word_len)
+        & (mean_len <= max_word_len)
+        & (alpha_frac >= min_alpha_frac)
+        & (n_stop >= min_stopwords)
+        & (F.col("dup_line_fraction") <= max_dup_line)
+        & (F.col("bullet_line_fraction") <= max_bullet_line)
+        & (F.col("ellipsis_line_fraction") <= max_ellipsis_line)
+    )
+    return (
+        staged.where(keep)
+        .select(
+            id_col,
+            n.cast("long").alias("n_tokens"),
+            mean_len.alias("mean_word_len"),
+            n_stop.cast("long").alias("n_stopwords"),
+        )
+    )

@@ -95,3 +95,46 @@ def test_dnf_equivalent_to_ast(ast, data):
     ]
     assert (len(fired) > 0) == original
     assert len(fired) <= 1
+
+
+def test_weighted_cosine_join_lossless_property(spark):
+    """Property: for random small corpora over a tiny vocabulary (the
+    adversarial case for prefix filtering), the APSS join returns
+    EXACTLY the brute-force pair set — losslessness does not depend on
+    the corpus shape."""
+    import itertools
+    from collections import Counter
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from grafink_spark.llm.dedup import weighted_cosine_join
+
+    vocab = ["a", "b", "c", "d"]
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        st.lists(
+            st.lists(st.sampled_from(vocab), min_size=1, max_size=8),
+            min_size=2,
+            max_size=10,
+        )
+    )
+    def check(corpus):
+        rows = [(i, " ".join(ws)) for i, ws in enumerate(corpus)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            (r.id_a, r.id_b)
+            for r in weighted_cosine_join(df, threshold=(4, 5)).collect()
+        }
+        cnt = {i: Counter(t.split()) for i, t in rows}
+        want = set()
+        for a, b in itertools.combinations(sorted(cnt), 2):
+            dot = sum(cnt[a][w] * cnt[b][w] for w in cnt[a])
+            ta = sum(v * v for v in cnt[a].values())
+            tb = sum(v * v for v in cnt[b].values())
+            if 25 * dot * dot >= 16 * ta * tb:
+                want.add((a, b))
+        assert got == want
+
+    check()

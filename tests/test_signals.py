@@ -114,3 +114,20 @@ def test_redact_is_idempotent(spark):
     once = pi.redact_pii(df)
     twice = pi.redact_pii(once)
     assert once.collect() == twice.collect()
+
+
+def test_gopher_filter_rules(spark):
+    """Each rule independently rejects its violation class."""
+    from grafink_spark.llm.signals import gopher_filter
+
+    good = "the quick brown fox jumps over the lazy dog while it was warm that day"
+    rows = [
+        (1, good),                                       # passes
+        (2, "the cat"),                                  # too few tokens
+        (3, "supercalifragilistic " * 20 + "the a of"),  # mean word len > 10
+        (4, "zz qq ww ee rr tt yy uu ii oo pp aa"),      # no stopwords
+        (5, "\n".join(["the same line the a of it"] * 10)),  # dup lines
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = {r.doc_id for r in gopher_filter(docs, min_tokens=5).collect()}
+    assert kept == {1}
