@@ -133,6 +133,7 @@ HEADLINE = [
     "graph_modularity",
     "semantic_contamination_ivf",
     "gopher_filter",
+    "corpus_diversity",
     "zipf_fit",
     "rolling_median",
     "linear_attribution",

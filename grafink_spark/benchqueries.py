@@ -9048,3 +9048,98 @@ WHERE n_tokens >= 10 AND n_tokens <= 100000
 
 QUERIES.update({"gopher_filter": q_gopher_filter})
 ORACLES.update({"gopher_filter": SQL_GOPHER_FILTER})
+
+
+def q_corpus_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus diversity: mean ROUGE-2 F1 over consecutive
+    same-source document pairs (deterministic doc_id pairing — the
+    self-BLEU-style redundancy probe: high mean overlap = templated/
+    repetitive source). Composes rouge_overlap; the mean folds in
+    pair order (sorted array aggregate), so the double accumulation is
+    engine-identical."""
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    w = Window.partitionBy("source").orderBy("doc_id")
+    pairs = (
+        docs.select("doc_id", "source", F.lead("doc_id").over(w).alias("_nxt"))
+        .where(F.col("_nxt").isNotNull())
+        .select(
+            F.col("doc_id").alias("id_a"),
+            F.col("_nxt").alias("id_b"),
+            "source",
+        )
+    )
+    scored = tx.rouge_overlap(docs, pairs.select("id_a", "id_b"), n=2).join(
+        pairs, ["id_a", "id_b"]
+    )
+    folded = (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.array_sort(
+                F.collect_list(F.struct("id_a", "f1"))
+            ).alias("_arr"),
+        )
+        .select(
+            "source",
+            "n_pairs",
+            F.round(
+                F.aggregate(
+                    F.col("_arr"), F.lit(0.0), lambda acc, s: acc + s["f1"]
+                )
+                / F.col("n_pairs"),
+                6,
+            ).alias("mean_rouge2_f1"),
+        )
+    )
+    return folded
+
+
+SQL_CORPUS_DIVERSITY = f"""
+WITH pairs AS (
+  SELECT doc_id AS id_a,
+         lead(doc_id) OVER (PARTITION BY source ORDER BY doc_id) AS id_b,
+         source
+  FROM documents
+  QUALIFY id_b IS NOT NULL
+),
+bg AS (
+  SELECT doc_id AS _doc, g, count(*) AS c FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(t)),
+                                 i -> array_to_string(t[i:i+1], ' '))) AS g
+    FROM (SELECT doc_id, {TOKENS_SQL} AS t FROM documents)
+  ) GROUP BY 1, 2
+),
+tot AS (SELECT _doc, sum(c) AS ntot FROM bg GROUP BY 1),
+ov AS (
+  SELECT p.id_a, p.id_b, sum(least(a.c, b.c)) AS clip
+  FROM pairs p
+  JOIN bg a ON a._doc = p.id_a
+  JOIN bg b ON b._doc = p.id_b AND b.g = a.g
+  GROUP BY 1, 2
+),
+m AS (
+  SELECT p.id_a, p.id_b, p.source,
+         CASE WHEN coalesce(tb.ntot, 0) > 0
+              THEN coalesce(o.clip, 0)::DOUBLE / tb.ntot ELSE 0.0 END AS pr,
+         CASE WHEN coalesce(ta.ntot, 0) > 0
+              THEN coalesce(o.clip, 0)::DOUBLE / ta.ntot ELSE 0.0 END AS rc
+  FROM pairs p
+  LEFT JOIN ov o ON o.id_a = p.id_a AND o.id_b = p.id_b
+  LEFT JOIN tot ta ON ta._doc = p.id_a
+  LEFT JOIN tot tb ON tb._doc = p.id_b
+),
+f AS (
+  SELECT id_a, source,
+         CASE WHEN pr + rc > 0 THEN 2.0 * pr * rc / (pr + rc)
+              ELSE 0.0 END AS f1
+  FROM m
+)
+SELECT source, count(*) AS n_pairs,
+       round(list_reduce(list(f1 ORDER BY id_a), (x, y) -> x + y)
+             / count(*), 6) AS mean_rouge2_f1
+FROM f GROUP BY 1
+"""
+
+QUERIES.update({"corpus_diversity": q_corpus_diversity})
+ORACLES.update({"corpus_diversity": SQL_CORPUS_DIVERSITY})
