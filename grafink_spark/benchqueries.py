@@ -8602,10 +8602,8 @@ def q_length_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-partition offsets) — no single-partition window."""
     docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
     toks = docs.select(
-        "doc_id",
-        F.size(tx.tokens("text")).alias("n_tokens"),
-        (-F.size(tx.tokens("text"))).alias("_neg_tokens"),
-    )
+        "doc_id", F.size(tx.tokens("text")).alias("n_tokens")
+    ).select("doc_id", "n_tokens", (-F.col("n_tokens")).alias("_neg_tokens"))
     idx = zip_with_index(toks, id_col="_pos", order_by=["_neg_tokens", "doc_id"])
     b = 32
     batched = idx.withColumn("batch_id", F.expr(f"(_pos - 1) div {b}"))

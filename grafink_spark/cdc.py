@@ -171,14 +171,19 @@ def snapshot_diff(
     compare_cols = compare_cols or [
         c for c in old.columns if c not in keys
     ]
-    sentinel = "\x00null\x00"
 
     def hashed(df: DataFrame, tag: str) -> DataFrame:
+        # hash each column FIRST: md5 digests are fixed-length hex, so
+        # concatenating them is unambiguous — no separator collision
+        # ('a\x01', 'b') vs ('a', '\x01b'), and NULL ('null' marker)
+        # can't be forged by any real value's digest
         h = F.md5(
             F.concat_ws(
-                "\x01",
+                "",
                 *[
-                    F.coalesce(F.col(c).cast("string"), F.lit(sentinel))
+                    F.coalesce(
+                        F.md5(F.col(c).cast("string")), F.lit("null")
+                    )
                     for c in compare_cols
                 ],
             )

@@ -357,13 +357,9 @@ def group_kfold_assign(
     key, so every row of a group lands in the same fold — the
     leakage-safe split when near-identical rows cluster within a group
     (same crawl domain, same source, same user). sklearn's GroupKFold,
-    as a zero-shuffle deterministic map pass: fold = first 4 md5 hex
-    digits of the group key mod k."""
-    bucket = F.conv(
-        F.substring(F.md5(F.col(group_col).cast("string")), 1, 4), 16, 10
-    ).cast("int")
-    return df.withColumn(out_col, bucket % k)
-
+    as a zero-shuffle deterministic map pass — the same hash rule as
+    :func:`kfold_assign`, keyed on the group instead of the row id."""
+    return kfold_assign(df, k=k, id_col=group_col, out_col=out_col)
 
 
 def dsir_scores(

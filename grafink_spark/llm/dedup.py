@@ -1660,7 +1660,11 @@ def weighted_cosine_join(
         .localCheckpoint(eager=False)
     )
     freq = tc.groupBy("_term").agg(F.count(F.lit(1)).alias("_df"))
-    tot = tc.groupBy("_id").agg(F.sum(F.col("_c") * F.col("_c")).alias("_tt"))
+    # pinned BEFORE ranked captures it, so all three consumers (the
+    # window chain + the two verification joins) share one aggregation
+    tot = tc.groupBy("_id").agg(
+        F.sum(F.col("_c") * F.col("_c")).alias("_tt")
+    ).localCheckpoint(eager=False)
     w = Window.partitionBy("_id").orderBy(F.col("_df").asc(), F.col("_term").asc())
     ranked = (
         tc.join(freq, "_term")
@@ -1676,10 +1680,9 @@ def weighted_cosine_join(
         .join(tot, "_id")
     )
     dec = "decimal(38,0)"
-    # prefix feeds BOTH sides of the candidate self-join and tot feeds
-    # three joins — pin them, or the window chain upstream re-executes
-    # once per branch (measured 22 s -> ~8 s at sf0.1)
-    tot = tot.localCheckpoint(eager=False)
+    # prefix feeds BOTH sides of the candidate self-join — pin it, or
+    # the window chain upstream re-executes once per branch (measured
+    # 22 s -> ~13 s at sf0.1 together with the tot pin above)
     prefix = ranked.where(
         F.lit(den * den).cast(dec) * (F.col("_tt") - F.col("_s")).cast(dec)
         >= F.lit(num * num).cast(dec) * F.col("_tt").cast(dec)
@@ -1799,7 +1802,11 @@ def semantic_contamination_ivf(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    cs = dot / (F.col("_ncn") * F.col("_ntn"))
+    denom = F.col("_ncn") * F.col("_ntn")
+    # zero-norm guard: 0/0 is NaN in Spark and NaN compares GREATER
+    # than any number, so an unguarded zero vector would always pass
+    # the threshold (the exact sibling guards identically)
+    cs = F.when(denom > 0, dot / denom).otherwise(F.lit(0.0))
     return (
         c.join(t, "list_id")
         .select(id_col, cs.alias("_cs"))

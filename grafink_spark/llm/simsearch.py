@@ -840,6 +840,10 @@ def hard_triplet_mining(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+    # zero-norm guard: 0/0 = NaN, and NaN sorts ABOVE every number in
+    # Spark's DESC order — an unguarded zero vector would hijack the
+    # hardest-negative pick for every anchor
+    denom = F.col("_an") * F.col("_cn")
     scored = (
         c.crossJoin(F.broadcast(a))
         .where(F.col("anchor_id") != F.col("other_id"))
@@ -848,7 +852,7 @@ def hard_triplet_mining(
             "_al",
             "other_id",
             "_cl",
-            (dot / (F.col("_an") * F.col("_cn"))).alias("cos"),
+            F.when(denom > 0, dot / denom).otherwise(F.lit(0.0)).alias("cos"),
         )
         .localCheckpoint(eager=False)
     )

@@ -158,9 +158,11 @@ def psi_drift(
 
     rc = binned(ref, "_cr").localCheckpoint(eager=False)
     cc = binned(cur, "_cc").localCheckpoint(eager=False)
-    nr = rc.groupBy(group).agg(F.sum("_cr").alias("_nr"))
-    nc = cc.groupBy(group).agg(F.sum("_cc").alias("_nc"))
-    joined = (
+    # totals come from the FULL-joined table (not per-side inner joins):
+    # a group with reference rows but ZERO current rows — the
+    # most-drifted case a monitor exists to catch — must still report,
+    # with nc = 0 and all current mass smoothed
+    j = (
         rc.join(cc, [group, "_bin"], "full")
         .select(
             group,
@@ -168,9 +170,12 @@ def psi_drift(
             F.coalesce("_cr", F.lit(0)).alias("_cr"),
             F.coalesce("_cc", F.lit(0)).alias("_cc"),
         )
-        .join(nr, group)
-        .join(nc, group)
+        .localCheckpoint(eager=False)
     )
+    tot = j.groupBy(group).agg(
+        F.sum("_cr").alias("_nr"), F.sum("_cc").alias("_nc")
+    )
+    joined = j.join(tot, group)
     ordered = F.array_sort(
         F.collect_list(F.struct("_bin", "_cr", "_cc", "_nr", "_nc"))
     )

@@ -356,7 +356,14 @@ def hist_registers(
         lo = float(row._lo) if lo is None else lo
         hi = float(row._hi) if hi is None else hi
     width = (hi - lo) / bins
-    b = F.floor((F.col(value) - F.lit(lo)) / F.lit(width)).cast("long")
+    # constant column: width = 0 would make the division NULL and lose
+    # every row — a degenerate domain puts all mass in bin 0 (and
+    # hist_quantiles then reports est = lo for every q, exactly right)
+    b = (
+        F.lit(0).cast("long")
+        if width == 0
+        else F.floor((F.col(value) - F.lit(lo)) / F.lit(width)).cast("long")
+    )
     return (
         df.select(
             F.least(F.greatest(b, F.lit(0)), F.lit(bins - 1)).alias("_bin")

@@ -706,3 +706,20 @@ def test_semantic_contamination_ivf_subset_of_exact(spark):
         ).collect()
     }
     assert full == exact
+
+
+def test_semantic_contamination_ivf_zero_norm_guard(spark):
+    """Zero vectors score 0.0 (not NaN) and are never reported."""
+    from grafink_spark.llm.dedup import semantic_contamination_ivf
+
+    emb = spark.createDataFrame(
+        [(i, [1.0, float(i % 3)]) for i in range(1, 20)]
+        + [(99, [0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    test = emb.where(emb.vec_id % 7 == 0)
+    corpus = emb.where(emb.vec_id % 7 != 0)
+    got = semantic_contamination_ivf(
+        corpus, test, nlist=2, nprobe=2, threshold=0.5
+    ).collect()
+    assert all(r.max_sim == r.max_sim for r in got)  # no NaN

@@ -370,3 +370,22 @@ def test_hard_triplet_mining_golden(spark):
     r = got[0]
     assert (r.anchor_id, r.pos_id, r.neg_id) == (1, 3, 4)
     assert r.margin < 0  # impostor closer than the far positive
+
+
+def test_hard_triplet_mining_zero_norm_guard(spark):
+    """A zero vector scores 0.0 (not NaN) and cannot hijack the
+    hardest-negative pick."""
+    from grafink_spark.llm.simsearch import hard_triplet_mining
+
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], 0),
+            (2, [0.8, 0.2], 0),
+            (3, [0.9, 0.1], 1),
+            (4, [0.0, 0.0], 1),  # zero-norm impostor candidate
+        ],
+        "vec_id long, embedding array<double>, label int",
+    )
+    r = hard_triplet_mining(emb, emb.where(emb.vec_id == 1)).collect()[0]
+    assert r.neg_id == 3  # the real nearest impostor, not the zero vector
+    assert r.neg_cos == r.neg_cos  # not NaN

@@ -371,3 +371,39 @@ def test_streaming_psi_from_hist_registers(spark, tmp_path):
         ref_regs, hist_registers(cur, "value", bins, lo, hi), bins
     ).collect()[0].psi
     assert abs(streamed - oneshot) < 1e-12
+
+
+def test_psi_drift_reports_vanished_group(spark):
+    """A group with reference rows but ZERO current rows — the
+    most-drifted case — must still report (large PSI), not silently
+    drop."""
+    from grafink_spark.profile import psi_drift
+
+    # 'gone' concentrates in one bin: its smoothed zero-count current
+    # distribution (uniform) is then maximally unlike the reference.
+    # (A UNIFORM reference would smooth to PSI ~ 0 — shape-identical.)
+    ref = spark.createDataFrame(
+        [("a", float(i % 50)) for i in range(200)]
+        + [("gone", 5.0 + (i % 3) * 40.0) for i in range(200)],
+        "g string, v double",
+    )
+    cur = spark.createDataFrame(
+        [("a", float(i % 50)) for i in range(200)], "g string, v double"
+    )
+    got = {r.g: r.psi for r in psi_drift(ref, cur, "g", "v").collect()}
+    assert "gone" in got
+    assert got["gone"] > 0.25
+    assert got["a"] < 0.01
+
+
+def test_hist_registers_constant_column(spark):
+    """lo == hi puts all mass in bin 0 and quantiles report the
+    constant, instead of NULL-binning every row."""
+    from grafink_spark.sketches import hist_quantiles, hist_registers
+
+    df = spark.createDataFrame([(42.0,)] * 100, "value double")
+    regs = hist_registers(df, "value", bins=16, lo=42.0, hi=42.0)
+    got = {(r._bin): r._cnt for r in regs.collect()}
+    assert got == {0: 100}
+    q = hist_quantiles(regs, [0.5], bins=16, lo=42.0, hi=42.0).collect()
+    assert q[0].est == 42.0
