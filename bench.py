@@ -134,6 +134,7 @@ HEADLINE = [
     "semantic_contamination_ivf",
     "gopher_filter",
     "corpus_diversity",
+    "forecast_revenue",
     "zipf_fit",
     "rolling_median",
     "linear_attribution",

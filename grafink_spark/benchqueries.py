@@ -9141,3 +9141,42 @@ FROM f GROUP BY 1
 
 QUERIES.update({"corpus_diversity": q_corpus_diversity})
 ORACLES.update({"corpus_diversity": SQL_CORPUS_DIVERSITY})
+
+
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: revenue delta from a hypothetical discount change
+    — the pure scan query: every predicate (date band, discount band,
+    quantity cap) pushes to the parquet scan, one decimal sum, zero
+    joins/shuffles beyond the final 1-row agg. The plan IS the
+    predicate-pushdown showcase."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    rev = (F.col("l_extendedprice") * F.col("l_discount")).cast(
+        "decimal(21,6)"
+    )
+    # round(…, 2) not a DECIMAL(21,2) cast: decimal-cast rounding is
+    # HALF_UP in Spark but banker's in DuckDB — one-cent mismatches at
+    # exact half-cents (the same rule every money query here follows)
+    return li.agg(
+        F.round(F.sum(rev), 2).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+SQL_FORECAST_REVENUE = """
+SELECT round(sum((l_extendedprice * l_discount)::DECIMAL(21,6)),
+             2)::DOUBLE AS revenue,
+       count(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+QUERIES.update({"forecast_revenue": q_forecast_revenue})
+ORACLES.update({"forecast_revenue": SQL_FORECAST_REVENUE})
