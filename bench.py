@@ -135,6 +135,7 @@ HEADLINE = [
     "gopher_filter",
     "corpus_diversity",
     "forecast_revenue",
+    "katz_centrality",
     "zipf_fit",
     "rolling_median",
     "linear_attribution",

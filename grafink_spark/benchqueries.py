@@ -9180,3 +9180,49 @@ WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
 
 QUERIES.update({"forecast_revenue": q_forecast_revenue})
 ORACLES.update({"forecast_revenue": SQL_FORECAST_REVENUE})
+
+
+def q_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Katz centrality (3 rounds, alpha=0.05, beta=1) over the
+    undirected similarity graph — attenuated path counts; completes the
+    centrality family (degree, closeness, betweenness, PageRank/PPR,
+    HITS). Unrolled-round oracle replay, decimal contribution sums
+    (graph/algorithms.py katz_centrality)."""
+    from grafink_spark.graph.algorithms import katz_centrality
+
+    edges = _similarity_edges_undirected(spark, sf_dir)
+    out = katz_centrality(edges, iters=3, alpha=0.05, beta=1.0)
+    return out.select("id", F.round("katz", 6).alias("katz"))
+
+
+def _katz_sql(iters: int = 3, alpha: float = 0.05, beta: float = 1.0) -> str:
+    a_lit = repr(float(alpha))
+    b_lit = repr(float(beta))
+    blocks = []
+    for i in range(1, iters + 1):
+        blocks.append(f"""k{i} AS (
+  SELECT v.id, {b_lit} + {a_lit} * coalesce(s.x, 0.0) AS katz
+  FROM verts v
+  LEFT JOIN (SELECT e.dst, sum(p.katz::DECIMAL(38,18))::DOUBLE AS x
+             FROM e JOIN k{i - 1} p ON p.id = e.src GROUP BY 1) s
+    ON s.dst = v.id
+)""")
+    chain = ",\n".join(blocks)
+    return f"""
+WITH pairs AS ({SQL_SIMILARITY_EDGES}),
+e AS (
+  SELECT src, dst FROM pairs
+  UNION ALL
+  SELECT dst AS src, src AS dst FROM pairs
+),
+verts AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+k0 AS (SELECT id, {b_lit}::DOUBLE AS katz FROM verts),
+{chain}
+SELECT id, round(katz, 6) AS katz FROM k{iters}
+"""
+
+
+SQL_KATZ_CENTRALITY = _katz_sql()
+
+QUERIES.update({"katz_centrality": q_katz_centrality})
+ORACLES.update({"katz_centrality": SQL_KATZ_CENTRALITY})

@@ -414,3 +414,38 @@ def test_inexact_paths_agree_with_exact_to_ulp(spark):
         for vid in ex:
             for c in cols:
                 assert abs(ex[vid][c] - fast[vid][c]) < 1e-9, (fn, vid, c)
+
+
+def test_katz_star_graph_golden(spark):
+    """Star graph (all leaves -> hub): after 2 rounds the hub scores
+    beta + alpha*k*(beta + alpha*... ) — hand-computed; leaves getting
+    nothing stay at beta + alpha*hub-feedback only if edges exist both
+    ways. Directed here: only the hub accumulates."""
+    from grafink_spark.graph.algorithms import katz_centrality
+
+    k = 4
+    edges = spark.createDataFrame(
+        [(i, 0) for i in range(1, k + 1)], "src long, dst long"
+    )
+    out = {r.id: r.katz for r in katz_centrality(edges, iters=2, alpha=0.1, beta=1.0).collect()}
+    # round 1: hub = 1 + 0.1*4*1 = 1.4; leaves = 1.0 (no in-edges)
+    # round 2: hub = 1 + 0.1*4*1.0 = 1.4 (leaves unchanged feed it)
+    assert abs(out[0] - 1.4) < 1e-12
+    for i in range(1, k + 1):
+        assert abs(out[i] - 1.0) < 1e-12
+
+
+def test_katz_hub_neighbor_beats_pagerank_split(spark):
+    """The vertex pointed at by a high-out-degree hub keeps the full
+    attenuated credit (no out-degree division) — the semantic
+    difference from PageRank."""
+    from grafink_spark.graph.algorithms import katz_centrality
+
+    # hub 0 points at 1..5; vertex 9 is pointed at by leaf 6 only
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)] + [(6, 9)], "src long, dst long"
+    )
+    out = {r.id: r.katz for r in katz_centrality(edges, iters=1, alpha=0.1).collect()}
+    # both receive one in-edge from a beta=1 source: equal katz —
+    # PageRank would give 9 five times the credit of each of 1..5
+    assert abs(out[1] - out[9]) < 1e-12
