@@ -136,6 +136,7 @@ HEADLINE = [
     "corpus_diversity",
     "forecast_revenue",
     "katz_centrality",
+    "woe_encoding",
     "zipf_fit",
     "rolling_median",
     "linear_attribution",

@@ -9226,3 +9226,63 @@ SQL_KATZ_CENTRALITY = _katz_sql()
 
 QUERIES.update({"katz_centrality": q_katz_centrality})
 ORACLES.update({"katz_centrality": SQL_KATZ_CENTRALITY})
+
+
+def q_woe_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence categorical encoding + per-category
+    information-value terms — the credit-scoring-standard supervised
+    encoder (complements leave-one-out target encoding). Label =
+    high-value event (value > 100); WoE_c = ln(P(c|pos)/P(c|neg)) with
+    +0.5 Laplace smoothing. Two vocabulary-sized aggregates, no
+    pairwise work; ln() outputs rounded to 6 (cross-engine libm ulp
+    convention)."""
+    ev = ensure_min_partitions(load_table(spark, sf_dir, "events"))
+    lab = ev.select(
+        "event_type", (F.col("value") > 100).cast("long").alias("_pos")
+    )
+    per = lab.groupBy("event_type").agg(
+        F.sum("_pos").alias("n_pos"),
+        F.sum(1 - F.col("_pos")).alias("n_neg"),
+    )
+    tot = per.agg(
+        F.sum("n_pos").alias("_tp"), F.sum("n_neg").alias("_tn")
+    )
+    pg = (F.col("n_pos") + 0.5) / (F.col("_tp") + 0.5)
+    pb = (F.col("n_neg") + 0.5) / (F.col("_tn") + 0.5)
+    woe = F.log(pg / pb)
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            "n_pos",
+            "n_neg",
+            F.round(woe, 6).alias("woe"),
+            F.round((pg - pb) * woe, 6).alias("iv_term"),
+        )
+    )
+
+
+SQL_WOE_ENCODING = """
+WITH lab AS (
+  SELECT event_type, CASE WHEN value > 100 THEN 1 ELSE 0 END AS pos
+  FROM events
+),
+per AS (
+  SELECT event_type, sum(pos) AS n_pos, sum(1 - pos) AS n_neg
+  FROM lab GROUP BY 1
+),
+tot AS (SELECT sum(n_pos) AS tp, sum(n_neg) AS tn FROM per),
+r AS (
+  SELECT event_type, n_pos, n_neg,
+         (n_pos + 0.5::DOUBLE) / (tp + 0.5::DOUBLE) AS pg,
+         (n_neg + 0.5::DOUBLE) / (tn + 0.5::DOUBLE) AS pb
+  FROM per CROSS JOIN tot
+)
+SELECT event_type, n_pos, n_neg,
+       round(ln(pg / pb), 6) AS woe,
+       round((pg - pb) * ln(pg / pb), 6) AS iv_term
+FROM r
+"""
+
+QUERIES.update({"woe_encoding": q_woe_encoding})
+ORACLES.update({"woe_encoding": SQL_WOE_ENCODING})
