@@ -137,6 +137,7 @@ HEADLINE = [
     "forecast_revenue",
     "katz_centrality",
     "woe_encoding",
+    "large_orders",
     "zipf_fit",
     "rolling_median",
     "linear_attribution",

@@ -9286,3 +9286,58 @@ FROM r
 
 QUERIES.update({"woe_encoding": q_woe_encoding})
 ORACLES.update({"woe_encoding": SQL_WOE_ENCODING})
+
+
+def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume orders): orders whose total line
+    quantity exceeds 250, with customer and order detail — the
+    HAVING-subquery → left-semi join pattern: the qualifying-key set is
+    computed by one lineitem aggregate, semi-joins orders (map-side
+    prunable at scale via a bloom/DPP filter on o_orderkey), then the
+    detail re-aggregates only surviving orders' lines. Quantity sums in
+    decimal (order-independent exact)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name"
+    )
+    qty = F.col("l_quantity").cast("decimal(21,6)")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(qty).alias("_q"))
+        .where(F.col("_q") > 250)
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey, "left_semi")
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_totalprice",
+        )
+        .agg(
+            F.round(F.sum(qty), 2).cast("double").alias("total_qty")
+        )
+    )
+
+
+SQL_LARGE_ORDERS = """
+SELECT c.c_name, o.o_orderkey,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o.o_totalprice,
+       round(sum(l.l_quantity::DECIMAL(21,6)), 2)::DOUBLE AS total_qty
+FROM orders o
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+WHERE o.o_orderkey IN (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY 1 HAVING sum(l_quantity::DECIMAL(21,6)) > 250
+)
+GROUP BY 1, 2, 3, 4
+"""
+
+QUERIES.update({"large_orders": q_large_orders})
+ORACLES.update({"large_orders": SQL_LARGE_ORDERS})
