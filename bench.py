@@ -138,6 +138,8 @@ HEADLINE = [
     "katz_centrality",
     "woe_encoding",
     "large_orders",
+    "order_count_distribution",
+    "top_supplier",
     "zipf_fit",
     "rolling_median",
     "linear_attribution",

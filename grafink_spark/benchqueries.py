@@ -9341,3 +9341,82 @@ GROUP BY 1, 2, 3, 4
 
 QUERIES.update({"large_orders": q_large_orders})
 ORACLES.update({"large_orders": SQL_LARGE_ORDERS})
+
+
+def q_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer distribution): how many customers
+    placed exactly k orders — INCLUDING the zero-order customers the
+    inner-join formulation silently loses. Left outer join + two
+    aggregations; the second groupBy is over the tiny per-customer
+    count table."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey"
+    )
+    per = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+SQL_ORDER_COUNT_DISTRIBUTION = """
+SELECT c_count, count(*) AS custdist FROM (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY 1
+) GROUP BY 1
+"""
+
+QUERIES.update({"order_count_distribution": q_order_count_distribution})
+ORACLES.update({"order_count_distribution": SQL_ORDER_COUNT_DISTRIBUTION})
+
+
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier): suppliers whose 1996-H1 revenue
+    EQUALS the maximum — the argmax-by-scalar-subquery pattern (returns
+    every tie, unlike a LIMIT 1). Revenue sums in decimal, so the
+    equality compare against the broadcast 1-row max is exact — no
+    float-equality hazard."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1996-07-01")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name"
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(21,6)"
+    )
+    per = li.groupBy("l_suppkey").agg(F.sum(rev).alias("total_rev"))
+    mx = per.agg(F.max("total_rev").alias("_mx"))
+    return (
+        per.crossJoin(F.broadcast(mx))
+        .where(F.col("total_rev") == F.col("_mx"))
+        .join(F.broadcast(supp), per.l_suppkey == supp.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round("total_rev", 2).cast("double").alias("total_rev"),
+        )
+    )
+
+
+SQL_TOP_SUPPLIER = """
+WITH per AS (
+  SELECT l_suppkey,
+         sum((l_extendedprice * (1 - l_discount))::DECIMAL(21,6)) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-07-01'
+  GROUP BY 1
+)
+SELECT s.s_suppkey, s.s_name, round(p.total_rev, 2)::DOUBLE AS total_rev
+FROM per p JOIN supplier s ON s.s_suppkey = p.l_suppkey
+WHERE p.total_rev = (SELECT max(total_rev) FROM per)
+"""
+
+QUERIES.update({"top_supplier": q_top_supplier})
+ORACLES.update({"top_supplier": SQL_TOP_SUPPLIER})
