@@ -47,7 +47,7 @@ from grafink_spark.sources.fixed_vertices import FixedVertex, FixedVertexPropert
 from grafink_spark.sources.tables import load_table
 from grafink_spark.streaming.pipeline import windowed_event_counts
 from grafink_spark.streaming.sessionize import sessionize_batch
-from grafink_spark.util import ensure_min_partitions
+from grafink_spark.util import ensure_min_partitions, maybe_broadcast
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -531,7 +531,7 @@ def q_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     return (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(maybe_broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
@@ -562,7 +562,7 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > "1995-03-15")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(maybe_broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             F.round(
@@ -2023,7 +2023,9 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup survivors: IVF-cluster blocking, within-cluster cosine
     ≥ 0.3, keep the lowest-id representative per ε-ball."""
     emb = load_table(spark, sf_dir, "embeddings")
-    out = dd.semantic_dedup(emb, nlist=8, iters=1, threshold=0.3)
+    out = dd.semantic_dedup(
+        emb, nlist=8, iters=1, threshold=0.3, pair_backend="expr"
+    )
     return out.select(
         "vec_id", F.col("list_id").cast("long").alias("list_id")
     )
@@ -2061,7 +2063,9 @@ def q_semantic_dedup_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     count-derived rule via a scalar-subquery LIMIT, so the row stays
     green at any sf."""
     emb = load_table(spark, sf_dir, "embeddings")
-    out = dd.semantic_dedup(emb, iters=1, threshold=0.3, target_per_list=32)
+    out = dd.semantic_dedup(
+        emb, iters=1, threshold=0.3, target_per_list=32, pair_backend="expr"
+    )
     return out.select(
         "vec_id", F.col("list_id").cast("long").alias("list_id")
     )
@@ -3776,10 +3780,10 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
         .join(
-            F.broadcast(customer), orders.o_custkey == customer.c_custkey
+            maybe_broadcast(customer), orders.o_custkey == customer.c_custkey
         )
         .join(
-            F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey
+            maybe_broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey
         )
         # local-supplier constraint: supplier and customer share a nation
         .where(F.col("c_nationkey") == F.col("s_nationkey"))
@@ -4227,7 +4231,7 @@ def q_best_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load_table(spark, sf_dir, "supplier")
     pairs = (
         cust.join(
-            F.broadcast(supp),
+            maybe_broadcast(supp),
             cust.c_nationkey == supp.s_nationkey,
         )
         .select(
@@ -5131,7 +5135,7 @@ def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     zero = F.lit(0).cast("decimal(21,6)")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(maybe_broadcast(p), li.l_partkey == p.p_partkey)
         .agg(
             F.round(
                 100.0
@@ -5188,7 +5192,7 @@ def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(maybe_broadcast(p), li.l_partkey == p.p_partkey)
         .where(cond)
         .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
     )
@@ -5226,7 +5230,7 @@ def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(maybe_broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("c_custkey", "c_name", "c_nationkey")
         .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
@@ -7101,7 +7105,7 @@ def q_quantile_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
     )
-    j = orders.join(F.broadcast(cust), "o_custkey")
+    j = orders.join(maybe_broadcast(cust), "o_custkey")
     w = Window.partitionBy("c_mktsegment").orderBy(
         F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
     )
@@ -7252,7 +7256,7 @@ def q_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
     )
-    j = orders.join(F.broadcast(cust), "o_custkey")
+    j = orders.join(maybe_broadcast(cust), "o_custkey")
     seg = j.groupBy("c_mktsegment").agg(
         F.sum(F.col("o_totalprice").cast("decimal(27,6)")).alias("_sum"),
         F.count(F.lit(1)).alias("_n"),
@@ -9311,7 +9315,7 @@ def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         orders.join(big, orders.o_orderkey == big.l_orderkey, "left_semi")
         .join(li, orders.o_orderkey == li.l_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(maybe_broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy(
             "c_name",
             "o_orderkey",
@@ -9396,7 +9400,7 @@ def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         per.crossJoin(F.broadcast(mx))
         .where(F.col("total_rev") == F.col("_mx"))
-        .join(F.broadcast(supp), per.l_suppkey == supp.s_suppkey)
+        .join(maybe_broadcast(supp), per.l_suppkey == supp.s_suppkey)
         .select(
             "s_suppkey",
             "s_name",
@@ -9420,3 +9424,254 @@ WHERE p.total_rev = (SELECT max(total_rev) FROM per)
 
 QUERIES.update({"top_supplier": q_top_supplier})
 ORACLES.update({"top_supplier": SQL_TOP_SUPPLIER})
+
+
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): average yearly
+    revenue lost if orders below 20% of a part's average quantity were
+    not taken — the CORRELATED SCALAR SUBQUERY pattern, decorrelated as
+    a per-part aggregate joined back to the fact. The per-part averages
+    are computed only for the brand's parts (semi-join pushdown), and
+    the 20%-of-average compare runs in exact rational arithmetic
+    (5·qty·cnt < Σqty in DECIMAL) so no float boundary can flip a row
+    between engines. At scale: one lineitem aggregate + one equi join,
+    both keyed on l_partkey; the brand part list broadcasts."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    parts = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_brand") == "Brand#1")
+        .select("p_partkey")
+    )
+    qty = F.col("l_quantity").cast("decimal(21,6)")
+    li_b = li.join(
+        maybe_broadcast(parts), li.l_partkey == parts.p_partkey, "left_semi"
+    )
+    per_part = li_b.groupBy("l_partkey").agg(
+        F.sum(qty).alias("_sq"), F.count(F.lit(1)).alias("_c")
+    )
+    return (
+        li_b.alias("l")
+        .join(per_part.alias("pa"), "l_partkey")
+        .where(qty * 5 * F.col("_c") < F.col("_sq"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(21,6)"))
+                .cast("double")
+                / 7.0,
+                2,
+            ).alias("avg_yearly")
+        )
+    )
+
+
+SQL_SMALL_QUANTITY_REVENUE = """
+WITH pa AS (
+  SELECT l_partkey, sum(l_quantity::DECIMAL(21,6)) AS _sq, count(*) AS _c
+  FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_brand = 'Brand#1')
+  GROUP BY 1
+)
+SELECT round(sum(l.l_extendedprice::DECIMAL(21,6))::DOUBLE / 7.0, 2)
+       AS avg_yearly
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#1'
+JOIN pa ON pa.l_partkey = l.l_partkey
+WHERE 5 * l.l_quantity::DECIMAL(21,6) * pa._c < pa._sq
+"""
+
+QUERIES.update({"small_quantity_revenue": q_small_quantity_revenue})
+ORACLES.update({"small_quantity_revenue": SQL_SMALL_QUANTITY_REVENUE})
+
+
+def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting), adapted to
+    this schema (no l_commitdate/l_receiptdate; 'late' = returned line,
+    l_returnflag='R'): for finalized orders ('F'), count per supplier
+    the multi-supplier orders where THIS supplier is the only one with
+    a returned line — the EXISTS + NOT EXISTS ON THE SAME TABLE
+    pattern, decorrelated as a left-semi join (some other supplier
+    shipped a line) plus a left-anti join (no other supplier had a
+    return). Both joins are equi on l_orderkey with a suppkey
+    inequality residual — sort-merge-able, no cartesian; the supplier
+    dim joins size-gated."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    ford = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    pairs = li.select("l_orderkey", "l_suppkey").distinct()
+    r_pairs = (
+        li.where(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    l1 = r_pairs.join(ford, r_pairs.l_orderkey == ford.o_orderkey, "left_semi")
+    l2 = pairs.select(
+        F.col("l_orderkey").alias("_ok2"), F.col("l_suppkey").alias("_sk2")
+    )
+    l3 = r_pairs.select(
+        F.col("l_orderkey").alias("_ok3"), F.col("l_suppkey").alias("_sk3")
+    )
+    return (
+        l1.join(
+            l2,
+            (l1.l_orderkey == l2._ok2) & (l1.l_suppkey != l2._sk2),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (l1.l_orderkey == l3._ok3) & (l1.l_suppkey != l3._sk3),
+            "left_anti",
+        )
+        .join(maybe_broadcast(supp), l1.l_suppkey == supp.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+SQL_WAITING_SUPPLIERS = """
+SELECT s.s_suppkey, s.s_name, count(*) AS numwait
+FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+      WHERE l_returnflag = 'R') l1
+JOIN orders o ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+WHERE EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY 1, 2
+"""
+
+QUERIES.update({"waiting_suppliers": q_waiting_suppliers})
+ORACLES.update({"waiting_suppliers": SQL_WAITING_SUPPLIERS})
+
+
+_Q22_NATIONS = (1, 3, 5, 7, 9, 11, 13)
+
+
+def q_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity), adapted to this
+    schema (no c_phone → the 'country code' IN-list filters
+    c_nationkey; every customer has at least one order in the
+    synthetic data → 'dormant' = NO ORDER SINCE 2000-01-01): customers
+    in the listed nations with an account balance above the positive
+    average who have gone dormant, counted per nation. Exercises the
+    NOT-EXISTS → left-anti join (date filter pushed into the anti
+    side's scan) plus the scalar-average filter as an exact rational
+    compare (bal·cnt > Σbal in DECIMAL) against a broadcast 1-row
+    aggregate."""
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_nationkey").isin(*_Q22_NATIONS))
+        .select("c_custkey", "c_nationkey", "c_acctbal")
+    )
+    recent = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= "2000-01-01")
+        .select("o_custkey")
+    )
+    bal = F.col("c_acctbal").cast("decimal(21,6)")
+    pos = cust.where(F.col("c_acctbal") > 0).agg(
+        F.sum(bal).alias("_sb"), F.count(F.lit(1)).alias("_cb")
+    )
+    return (
+        cust.crossJoin(F.broadcast(pos))
+        .where(bal * F.col("_cb") > F.col("_sb"))
+        .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum(bal), 2).cast("double").alias("totacctbal"),
+        )
+    )
+
+
+SQL_DORMANT_CUSTOMERS = """
+WITH pos AS (
+  SELECT sum(c_acctbal::DECIMAL(21,6)) AS _sb, count(*) AS _cb
+  FROM customer
+  WHERE c_acctbal > 0 AND c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+)
+SELECT c_nationkey, count(*) AS numcust,
+       round(sum(c_acctbal::DECIMAL(21,6)), 2)::DOUBLE AS totacctbal
+FROM customer, pos
+WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+  AND c_acctbal::DECIMAL(21,6) * _cb > _sb
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= '2000-01-01')
+GROUP BY 1
+"""
+
+QUERIES.update({"dormant_customers": q_dormant_customers})
+ORACLES.update({"dormant_customers": SQL_DORMANT_CUSTOMERS})
+
+
+def q_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (potential part promotion), adapted to this
+    schema (no partsupp → the quantity HAVING runs per supplier over
+    the brand's 1995 shipments; no nation names in the spec → region
+    filter): suppliers in region 2 who shipped more than 75 units of
+    Brand#2 parts during 1995 — the NESTED IN-CHAIN pattern
+    (supplier ← HAVING-aggregate ← part list), decorrelated as two
+    left-semi joins: the part IN-list semi-joins lineitem before the
+    aggregate (broadcast at bench scale, size-gated), and the
+    qualifying supplier-key set semi-joins the supplier dim."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1995-01-01")
+        & (F.col("l_shipdate") < "1996-01-01")
+    )
+    parts = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_brand") == "Brand#2")
+        .select("p_partkey")
+    )
+    nations = (
+        load_table(spark, sf_dir, "nation")
+        .where(F.col("n_regionkey") == 2)
+        .select("n_nationkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    qty = F.col("l_quantity").cast("decimal(21,6)")
+    heavy = (
+        li.join(maybe_broadcast(parts), li.l_partkey == parts.p_partkey, "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.sum(qty).alias("_q"))
+        .where(F.col("_q") > 75)
+        .select("l_suppkey")
+    )
+    return (
+        supp.join(heavy, supp.s_suppkey == heavy.l_suppkey, "left_semi")
+        .join(
+            F.broadcast(nations),
+            supp.s_nationkey == nations.n_nationkey,
+            "left_semi",
+        )
+        .select("s_suppkey", "s_name")
+    )
+
+
+SQL_EXCESS_SUPPLIERS = """
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_brand = 'Brand#2')
+    AND l_shipdate >= '1995-01-01' AND l_shipdate < '1996-01-01'
+  GROUP BY 1
+  HAVING sum(l_quantity::DECIMAL(21,6)) > 75
+)
+AND s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 2)
+"""
+
+QUERIES.update({"excess_suppliers": q_excess_suppliers})
+ORACLES.update({"excess_suppliers": SQL_EXCESS_SUPPLIERS})

@@ -905,7 +905,7 @@ def semantic_dedup(
     iters: int = 1,
     threshold: float = 0.8,
     target_per_list: int = 1024,
-    pair_backend: str = "expr",
+    pair_backend: str = "arrow",
 ) -> DataFrame:
     """SemDeDup-style embedding dedup (Abbas et al. 2023): k-means the
     corpus into ``nlist`` clusters (deterministic seeded IVF training),
@@ -931,13 +931,14 @@ def semantic_dedup(
     but grows quadratically per cluster with corpus size — don't pin it
     at real scale.
 
-    ``pair_backend``: ``"expr"`` (default) runs the within-cluster
-    cosines as Catalyst higher-order-function folds — oracle-exact and
-    shuffle-salted; ``"arrow"`` runs one numpy/BLAS gram matrix per
-    cluster via applyInPandas — ~10× faster per pair on CPU (measured
-    at sf1) and bit-equal on every non-boundary threshold (dot-product
-    summation ORDER differs, so a cosine landing exactly on the
-    threshold could flip; use expr for oracle replays)."""
+    ``pair_backend``: ``"arrow"`` (default — the production fast path)
+    runs one numpy/BLAS gram matrix per cluster via applyInPandas —
+    ~10× faster per pair on CPU (measured at sf1) and bit-equal to
+    ``"expr"`` on every non-boundary threshold; ``"expr"`` runs the
+    within-cluster cosines as Catalyst higher-order-function folds —
+    oracle-exact and shuffle-salted (dot-product summation ORDER
+    differs between the two, so a cosine landing exactly on the
+    threshold could flip; pin expr for oracle replays)."""
     from grafink_spark.util import ensure_min_partitions
 
     from .simsearch import ivf_assign, ivf_train  # local: avoids cycle

@@ -5,6 +5,63 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+# Default ceiling for a size-gated broadcast hint.  Well above Spark's
+# 10 MB autoBroadcastJoinThreshold (dimension tables are worth forcing
+# past that) but far below executor/driver memory, so a scale-grown
+# dimension degrades to a shuffle join instead of OOMing the cluster.
+BROADCAST_MAX_BYTES = 256 * 1024 * 1024
+
+_BROADCAST_CONF_KEY = "spark.grafink.broadcastMaxBytes"
+
+
+def plan_size_bytes(df: DataFrame) -> int | None:
+    """Catalyst's size estimate for a DataFrame, in bytes, without
+    running a job.
+
+    Uses the optimized logical plan's statistics: for file scans this is
+    the on-disk file size scaled by column pruning — exact enough to
+    gate a broadcast decision, and O(metadata) to compute.  Returns
+    ``None`` when no estimate is available (e.g. plan types that report
+    the 8 EiB "unknown" sentinel).
+    """
+    try:
+        stats = df._jdf.queryExecution().optimizedPlan().stats()
+        size = int(str(stats.sizeInBytes()))
+    except Exception:
+        return None
+    # Catalyst reports Long.MaxValue-ish sentinels for "unknown".
+    if size < 0 or size >= (1 << 62):
+        return None
+    return size
+
+
+def maybe_broadcast(df: DataFrame, max_bytes: int | None = None) -> DataFrame:
+    """Broadcast hint gated on Catalyst's size estimate.
+
+    An unconditional ``F.broadcast`` on a dimension table that grows
+    with the data (TPC-H customer/supplier/part are each ~SF-linear) is
+    correct at bench scale but overrides Spark's size check, so at the
+    100 TB design point the job dies collecting a multi-TB build side
+    instead of degrading to a shuffle join.  This helper applies the
+    hint only when the estimated size is under ``max_bytes`` (default
+    :data:`BROADCAST_MAX_BYTES`, overridable per-session via the
+    ``spark.grafink.broadcastMaxBytes`` conf); above the threshold — or
+    when no estimate exists — it returns the frame unhinted and lets
+    AQE pick the join strategy from runtime sizes.
+    """
+    from pyspark.sql import functions as F
+
+    if max_bytes is None:
+        try:
+            max_bytes = int(df.sparkSession.conf.get(_BROADCAST_CONF_KEY))
+        except Exception:
+            max_bytes = BROADCAST_MAX_BYTES
+    size = plan_size_bytes(df)
+    if size is not None and size <= max_bytes:
+        return F.broadcast(df)
+    return df
+
+
 def ensure_min_partitions(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Round-robin repartition iff the plan currently has fewer
     partitions than requested (default: cluster parallelism).

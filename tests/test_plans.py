@@ -157,7 +157,11 @@ def test_contamination_broadcasts_benchmark(spark):
 def test_semantic_dedup_salted_equi_join(spark):
     rows = [(i, [float(i % 4 == j) for j in range(4)]) for i in range(40)]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
-    plan = physical_plan(dd.semantic_dedup(df, nlist=2, iters=1, threshold=0.9))
+    plan = physical_plan(
+        dd.semantic_dedup(
+            df, nlist=2, iters=1, threshold=0.9, pair_backend="expr"
+        )
+    )
     # within-cluster compare is a salted equi join: list_id+salt keys
     assert "_salt" in plan
     assert "CartesianProduct" not in plan
@@ -361,8 +365,9 @@ def test_ngram_span_coverage_reuses_window_aggregate(spark):
 
 
 def test_six_way_join_broadcasts_all_dims(spark, tmp_path):
-    """Q5-shape plan: every dimension joins as broadcast; only the
-    orders⋈lineitem fact join may shuffle."""
+    """Q5-shape plan at bench scale: every dimension (now size-gated via
+    maybe_broadcast) still joins as broadcast; only the orders⋈lineitem
+    fact join may shuffle."""
     import grafink_spark.benchqueries as bq
 
     df = bq.q_local_supplier_volume(spark, "/root/testdata/sf0.001")
@@ -377,6 +382,47 @@ def test_six_way_join_broadcasts_all_dims(spark, tmp_path):
         if "Exchange hashpartitioning" in l
     ]
     assert len(exchanges) <= 3, exchanges
+
+
+def test_six_way_join_dims_not_forced_above_threshold(spark):
+    """The other side of the size gate: when the SF-growing dims
+    (customer/supplier) exceed spark.grafink.broadcastMaxBytes, the
+    hint is withheld — the plan degrades to shuffle joins instead of a
+    forced (OOM-at-scale) broadcast.  nation/region are genuinely fixed
+    size (25/5 rows at every SF) and may keep their unconditional hint."""
+    import grafink_spark.benchqueries as bq
+
+    spark.conf.set("spark.grafink.broadcastMaxBytes", "1")
+    prev_auto = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = bq.q_local_supplier_volume(spark, "/root/testdata/sf0.001")
+        logical = df._jdf.queryExecution().analyzed().toString()
+        # exactly the two fixed-size dims carry a hint; customer and
+        # supplier do not
+        assert logical.count("ResolvedHint") == 2, logical
+        plan = physical_plan(df)
+        # customer and supplier joins fall back to shuffle joins
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+    finally:
+        spark.conf.unset("spark.grafink.broadcastMaxBytes")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_auto)
+
+
+def test_maybe_broadcast_gate():
+    """maybe_broadcast applies the hint below the byte threshold and
+    returns the frame unhinted above it (letting AQE decide)."""
+    from grafink_spark.session import get_spark
+    from grafink_spark.util import maybe_broadcast, plan_size_bytes
+
+    spark = get_spark("plans-test")
+    df = spark.range(1000).selectExpr("id", "id * 2 AS v")
+    sized = plan_size_bytes(df)
+    assert sized is not None and sized > 0
+    hinted = maybe_broadcast(df, max_bytes=1 << 40)
+    assert "ResolvedHint" in hinted._jdf.queryExecution().analyzed().toString()
+    unhinted = maybe_broadcast(df, max_bytes=1)
+    assert "Hint" not in unhinted._jdf.queryExecution().analyzed().toString()
 
 
 def test_nearest_join_single_shuffle_no_join(spark):
