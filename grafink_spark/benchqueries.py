@@ -7801,7 +7801,8 @@ def q_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_PARETO_PARTS = """
 SELECT p.p_partkey, p.p_size, round(p.p_retailprice, 2) AS p_retailprice
 FROM part p
-WHERE NOT EXISTS (
+WHERE p.p_retailprice IS NOT NULL AND p.p_size IS NOT NULL
+AND NOT EXISTS (
   SELECT 1 FROM part q
   WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
     AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
@@ -7857,7 +7858,9 @@ WITH dims AS (
 SELECT s_suppkey, round(avg_price, 6) AS avg_price,
        round(total_qty, 2) AS total_qty, round(s_acctbal, 2) AS s_acctbal
 FROM dims p
-WHERE NOT EXISTS (
+WHERE p.avg_price IS NOT NULL AND p.total_qty IS NOT NULL
+  AND p.s_acctbal IS NOT NULL
+AND NOT EXISTS (
   SELECT 1 FROM dims q
   WHERE q.avg_price <= p.avg_price AND q.total_qty >= p.total_qty
     AND q.s_acctbal >= p.s_acctbal
@@ -7905,7 +7908,7 @@ WITH seq AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
 )
 SELECT e1 || '>' || e2 || '>' || e3 AS gram, count(*) AS n
-FROM seq WHERE e3 IS NOT NULL
+FROM seq WHERE e1 IS NOT NULL AND e2 IS NOT NULL AND e3 IS NOT NULL
 GROUP BY 1
 ORDER BY n DESC, gram ASC
 LIMIT 20
@@ -8721,7 +8724,7 @@ qs AS (SELECT unnest([0.5::DOUBLE, 0.95::DOUBLE, 0.99::DOUBLE]) AS q),
 picked AS (
   SELECT q, bin, cnt, bef,
          row_number() OVER (PARTITION BY q ORDER BY bin) AS r
-  FROM qs, n, cum WHERE cum >= q * n.n AND bef < q * n.n
+  FROM qs, n, cum WHERE cum >= q * n.n AND bef <= q * n.n
 )
 SELECT q, round(s.lo + ((s.hi - s.lo) / 256)
                 * (bin + (q * n.n - bef) / cnt), 6) AS est
@@ -9016,10 +9019,12 @@ m AS (
                                (a, b) -> a + b) / len(toks)
               ELSE 0.0 END AS mean_word_len,
          CASE WHEN len(toks) > 0
-              THEN len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+              THEN len(list_filter(toks,
+                       x -> regexp_matches(lower(x), '[a-z]')))
                    / len(toks)
               ELSE 0.0 END AS alpha_frac,
-         len(list_filter(list_distinct(toks),
+         len(list_filter(list_distinct(list_transform(toks,
+                         x -> lower(x))),
                          x -> list_contains({_STOPLIST_SQL}, x)))
            AS n_stopwords,
          CASE WHEN len(lines) > 0

@@ -225,12 +225,16 @@ def gopher_filter(
         )
         / n,
     ).otherwise(F.lit(0.0))
+    # Case-fold once: Gopher's Table A1 rules are case-insensitive —
+    # all-caps words still count as alphabetic, and sentence-initial
+    # capitalized stopwords ('The') must hit the (lowercase) stoplist.
+    tl = F.transform(t, F.lower)
     alpha_frac = _safe_frac(
-        F.size(F.filter(t, lambda x: x.rlike("[a-z]"))), n
+        F.size(F.filter(tl, lambda x: x.rlike("[a-z]"))), n
     )
     n_stop = F.size(
         F.array_intersect(
-            F.array_distinct(t),
+            F.array_distinct(tl),
             F.array(*[F.lit(w) for w in DEFAULT_STOPWORDS]),
         )
     )

@@ -678,8 +678,12 @@ def pareto_frontier(
     dims = [(c, 1.0) for c in minimize] + [(c, -1.0) for c in maximize]
     if len(dims) < 2:
         raise ValueError("need at least two dimensions")
+    # Null contract: a NULL in any skyline dimension is incomparable —
+    # NaN in the Arrow local pass and NULL in the Catalyst verify make
+    # every comparison false, so such a row could never be dominated
+    # and would always pollute the frontier. Drop them at entry.
+    work = df.na.drop(subset=[c for c, _ in dims])
     dcols = [f"_d{i}" for i in range(len(dims))]
-    work = df
     for (c, sign), d in zip(dims, dcols):
         work = work.withColumn(d, F.col(c).cast("double") * F.lit(sign))
 

@@ -412,11 +412,17 @@ def hist_quantiles(
         [(float(q),) for q in qs], "q double"
     )
     t = F.col("q") * F.col("_n")
+    # lower bound is INCLUSIVE (_before <= t): with q = 0, t = 0 and
+    # _before is never negative, so an exclusive bound silently dropped
+    # the quantile from the output; <= admits the first occupied bin
+    # (est = its lower edge). Boundary-landing t now matches two bins,
+    # which the row_number tie-break below already resolves to the
+    # lower one — same estimate as before for every q > 0.
     picked = (
         qdf.crossJoin(F.broadcast(n))
         .join(
             F.broadcast(cum),
-            (F.col("_cum") >= t) & (F.col("_before") < t),
+            (F.col("_cum") >= t) & (F.col("_before") <= t),
         )
         .withColumn(
             "_r",

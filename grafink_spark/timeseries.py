@@ -713,9 +713,16 @@ def frequent_sequences(
     steps = [F.col(event)] + [
         F.lead(event, i).over(w) for i in range(1, k)
     ]
+    # EVERY step must be non-null: concat_ws silently skips NULLs, so a
+    # NULL event mid-window would otherwise count a truncated gram as a
+    # full k-gram (and diverge from SQL's NULL-propagating ||). Gram
+    # text uses '>' as separator — event names must not contain it.
+    full = steps[0].isNotNull()
+    for s in steps[1:]:
+        full = full & s.isNotNull()
     grams = df.select(
         F.concat_ws(">", *steps).alias("gram"),
-        steps[-1].isNotNull().alias("_full"),
+        full.alias("_full"),
     ).where(F.col("_full"))
     return (
         grams.groupBy("gram")

@@ -569,3 +569,17 @@ def test_winsorize_clips_to_group_band(spark):
     assert abs(out[100] - 95.05) < 1e-9    # clipped down
     assert out[50] == 50.0                 # interior untouched
     assert out[200] == 1000.0              # singleton group: lo == hi == v
+
+
+def test_pareto_frontier_drops_null_dimension_rows(spark):
+    """Rows with NULL in any skyline dimension are incomparable (every
+    comparison false → never dominated) and are dropped at entry
+    instead of silently polluting the frontier."""
+    from grafink_spark.ops import pareto_frontier
+
+    df = spark.createDataFrame(
+        [(1, 1.0, 1.0), (2, 5.0, None), (3, None, 5.0), (4, 2.0, 2.0)],
+        "id long, price double, weight double",
+    )
+    out = {r.id for r in pareto_frontier(df, minimize=["price", "weight"]).collect()}
+    assert out == {1}

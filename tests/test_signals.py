@@ -131,3 +131,21 @@ def test_gopher_filter_rules(spark):
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     kept = {r.doc_id for r in gopher_filter(docs, min_tokens=5).collect()}
     assert kept == {1}
+
+
+def test_gopher_filter_case_insensitive(spark):
+    """Gopher Table A1 rules are case-insensitive: ALL-CAPS words still
+    count as alphabetic, and sentence-initial capitalized stopwords
+    ('The', 'It') hit the stoplist."""
+    from grafink_spark.llm.signals import gopher_filter
+
+    # all-caps text whose lowercased form passes every rule; the only
+    # stopword occurrences are capitalized
+    caps = "The QUICK BROWN FOX JUMPS OVER It WAS WARM That DAY HERE NOW"
+    docs = spark.createDataFrame(
+        [(1, caps)], "doc_id long, text string"
+    )
+    out = gopher_filter(docs, min_tokens=5).collect()
+    assert [r.doc_id for r in out] == [1]
+    # 'The'/'It'/'That' fold to 3 distinct stopwords
+    assert out[0].n_stopwords >= 2

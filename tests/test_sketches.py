@@ -407,3 +407,18 @@ def test_hist_registers_constant_column(spark):
     assert got == {0: 100}
     q = hist_quantiles(regs, [0.5], bins=16, lo=42.0, hi=42.0).collect()
     assert q[0].est == 42.0
+
+
+def test_hist_quantiles_q_zero_and_one(spark):
+    """q=0 must emit a row (lower edge of the first occupied bin) —
+    the exclusive lower bound used to drop it silently; q=1 returns
+    the top edge as before."""
+    from grafink_spark.sketches import hist_quantiles, hist_registers
+
+    df = spark.createDataFrame([(float(i),) for i in range(1, 101)], "value double")
+    lo, hi, bins = 1.0, 100.0, 10
+    regs = hist_registers(df, "value", bins, lo, hi)
+    got = {r.q: r.est for r in hist_quantiles(regs, [0.0, 0.5, 1.0], bins, lo, hi).collect()}
+    assert 0.0 in got and got[0.0] == lo
+    assert 1.0 in got and abs(got[1.0] - hi) <= (hi - lo) / bins
+    assert abs(got[0.5] - 50.5) <= (hi - lo) / bins

@@ -393,3 +393,24 @@ def test_frequent_sequences_counts_and_ordering(spark):
     # deterministic tie-break: equal counts ordered by gram text
     ties = [g for g, n in got if n == 1]
     assert ties == sorted(ties)
+
+
+def test_frequent_sequences_null_mid_window_excluded(spark):
+    """A NULL event anywhere in a window drops the window entirely —
+    concat_ws would otherwise count a truncated gram as a full k-gram
+    (and diverge from SQL's NULL-propagating || concatenation)."""
+    from grafink_spark.timeseries import frequent_sequences
+
+    rows = [
+        (0, 1, datetime(2024, 3, 1, 0, 0), "a"),
+        (1, 1, datetime(2024, 3, 1, 0, 1), None),   # mid-timeline NULL
+        (2, 1, datetime(2024, 3, 1, 0, 2), "c"),
+        (3, 1, datetime(2024, 3, 1, 0, 3), "d"),
+        (4, 1, datetime(2024, 3, 1, 0, 4), "e"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    got = {r.gram for r in frequent_sequences(df, k=3, top=10).collect()}
+    # only the window clear of the NULL survives; no 'a>c' truncations
+    assert got == {"c>d>e"}
