@@ -8,13 +8,15 @@ stays a narrow map (no shuffle).
 
 The decode kernel is pluggable. ``fake_*`` kernels parse a
 deterministic fake header (what the DuckDB oracles replay);
-``real_decode_kernel`` / ``real_audio_kernel`` are pure-stdlib PNG
-(zlib inflate + scanline unfilter) and PCM-WAV (struct) decoders —
-actually exercised on real bytes in tests. Formats beyond those
-(JPEG, mp3, mp4) still need external codec libraries (PIL/ffmpeg,
-not in this container) and raise NotImplementedError at the same
-swap-in points. The Spark-side contract — schemas, batching,
-partitioning — is identical for every kernel.
+``real_decode_kernel`` / ``real_audio_kernel`` are pure-stdlib
+decoders — PNG (zlib inflate + scanline unfilter), baseline JFIF
+JPEG (Huffman entropy decode + dequantize + 8×8 IDCT, luma-only),
+and PCM-WAV (struct) — actually exercised on real bytes in tests.
+Formats beyond those (progressive JPEG, mp3, mp4) still need
+external codec libraries (PIL/ffmpeg, not in this container) and
+raise NotImplementedError at the same swap-in points. The
+Spark-side contract — schemas, batching, partitioning — is
+identical for every kernel.
 
 The reference carries media the same way: ZTF cutout stamps are binary
 struct fields (cutoutScience.stampData — SURVEY §1.2) that grafink
@@ -132,6 +134,270 @@ def _png_unfilter(raw: bytes, width: int, height: int, bpp: int) -> bytearray:
     return out
 
 
+_JPEG_SIG = b"\xff\xd8"
+
+# zig-zag scan order: index in the 64-coefficient stream → (row, col)
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# separable 8-point IDCT basis: _IDCT_B[u][x] = C(u)/2 · cos((2x+1)uπ/16)
+_IDCT_B = [
+    [
+        (math.sqrt(0.5) if u == 0 else 1.0)
+        / 2.0
+        * math.cos((2 * x + 1) * u * math.pi / 16.0)
+        for x in range(8)
+    ]
+    for u in range(8)
+]
+
+
+def _jpeg_huff_lut(counts: bytes, symbols: bytes) -> dict:
+    """Canonical JPEG Huffman table: (code_length, code) → symbol."""
+    lut = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            lut[(length, code)] = symbols[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return lut
+
+
+class _JpegBits:
+    """MSB-first bit reader over the entropy-coded segment, undoing
+    0xFF00 byte stuffing and stopping at any other marker."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.bitbuf = 0
+        self.nbits = 0
+
+    def _fill(self):
+        b = self.data[self.pos]
+        if b == 0xFF:
+            nxt = self.data[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            elif 0xD0 <= nxt <= 0xD7:  # RST marker: skip, reset elsewhere
+                raise _JpegRestart()
+            else:
+                raise ValueError("unexpected marker inside entropy data")
+        else:
+            self.pos += 1
+        self.bitbuf = (self.bitbuf << 8) | b
+        self.nbits += 8
+
+    def read(self, n: int) -> int:
+        while self.nbits < n:
+            self._fill()
+        self.nbits -= n
+        v = (self.bitbuf >> self.nbits) & ((1 << n) - 1)
+        return v
+
+    def huff(self, lut: dict) -> int:
+        length = 0
+        code = 0
+        while length < 16:
+            code = (code << 1) | self.read(1)
+            length += 1
+            sym = lut.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code")
+
+    def align(self):
+        self.nbits = 0
+        self.bitbuf = 0
+
+
+class _JpegRestart(Exception):
+    pass
+
+
+def _jpeg_extend(v: int, s: int) -> int:
+    """JPEG F.12 EXTEND: map an s-bit magnitude to its signed value."""
+    if s == 0:
+        return 0
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def _jpeg_decode(payload: bytes) -> dict:
+    """Baseline JFIF decoder (SOF0, Huffman): width/height/mean_luma.
+    Pure stdlib — Huffman entropy decode, dequantize, de-zigzag, 8×8
+    IDCT on the LUMA component only (chroma blocks are entropy-decoded
+    to advance the bitstream but their IDCT is skipped: the feature set
+    needs Y alone). Progressive (SOF2) and arithmetic-coded streams
+    raise NotImplementedError."""
+    pos = 2  # past SOI
+    qt: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict] = {}  # (class, id) → lut
+    width = height = None
+    comps: list[dict] = []  # id, h, v, tq per component
+    restart_interval = 0
+    data = payload
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("bad JPEG marker stream")
+        marker = data[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        seg = data[pos + 4 : pos + 2 + seglen]
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0x0F
+                p += 1
+                if pq == 0:
+                    qt[tq] = list(seg[p : p + 64])
+                    p += 64
+                else:
+                    qt[tq] = list(
+                        struct.unpack(f">{64}H", seg[p : p + 128])
+                    )
+                    p += 128
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0x0F
+                counts = seg[p + 1 : p + 17]
+                n = sum(counts)
+                symbols = seg[p + 17 : p + 17 + n]
+                huff[(tc, th)] = _jpeg_huff_lut(counts, symbols)
+                p += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            height, width = struct.unpack(">HH", seg[1:5])
+            ncomp = seg[5]
+            for i in range(ncomp):
+                cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]
+                comps.append(
+                    {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq}
+                )
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"JPEG SOF marker 0x{marker:02x} unsupported "
+                "(baseline SOF0 Huffman only)"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:  # SOS — entropy data follows the header
+            nscan = seg[0]
+            scan = {}
+            for i in range(nscan):
+                cid, tables = seg[1 + 2 * i], seg[2 + 2 * i]
+                scan[cid] = (tables >> 4, tables & 0x0F)
+            pos = pos + 2 + seglen
+            return _jpeg_scan(
+                data, pos, width, height, comps, scan, qt, huff,
+                restart_interval,
+            )
+        pos += 2 + seglen
+    raise ValueError("JPEG missing SOS scan")
+
+
+def _jpeg_scan(
+    data, pos, width, height, comps, scan, qt, huff, restart_interval
+) -> dict:
+    if width is None or not comps:
+        raise ValueError("JPEG SOS before SOF0")
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-width // (8 * hmax))
+    mcuy = -(-height // (8 * vmax))
+    luma_id = comps[0]["id"]  # first component is Y in JFIF
+    # luma plane at full MCU resolution; cropped for the mean
+    lw, lh = mcux * 8 * comps[0]["h"], mcuy * 8 * comps[0]["v"]
+    plane = [0.0] * (lw * lh)
+    bits = _JpegBits(data, pos)
+    pred = {c["id"]: 0 for c in comps}
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and (
+                mcu_count % restart_interval == 0
+            ):
+                # byte-align, consume the RST marker, reset predictors
+                bits.align()
+                while data[bits.pos] != 0xFF or not (
+                    0xD0 <= data[bits.pos + 1] <= 0xD7
+                ):
+                    bits.pos += 1
+                bits.pos += 2
+                pred = {c["id"]: 0 for c in comps}
+            mcu_count += 1
+            for c in comps:
+                dc_lut = huff[(0, scan[c["id"]][0])]
+                ac_lut = huff[(1, scan[c["id"]][1])]
+                q = qt[c["tq"]]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        coeff = [0] * 64
+                        s = bits.huff(dc_lut)
+                        diff = _jpeg_extend(bits.read(s), s) if s else 0
+                        pred[c["id"]] += diff
+                        coeff[0] = pred[c["id"]] * q[0]
+                        k = 1
+                        while k < 64:
+                            rs = bits.huff(ac_lut)
+                            r, s = rs >> 4, rs & 0x0F
+                            if s == 0:
+                                if r == 15:  # ZRL: 16 zeros
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("AC index overflow")
+                            coeff[_ZIGZAG[k]] = (
+                                _jpeg_extend(bits.read(s), s) * q[k]
+                            )
+                            k += 1
+                        if c["id"] != luma_id:
+                            continue  # chroma advanced the stream; no IDCT
+                        # separable IDCT: rows then columns
+                        tmp = [0.0] * 64
+                        for y in range(8):
+                            row = coeff[y * 8 : y * 8 + 8]
+                            for x in range(8):
+                                tmp[y * 8 + x] = sum(
+                                    row[u] * _IDCT_B[u][x] for u in range(8)
+                                )
+                        ox = (mx * c["h"] + bx) * 8
+                        oy = (my * c["v"] + by) * 8
+                        for x in range(8):
+                            col = [tmp[y * 8 + x] for y in range(8)]
+                            for y in range(8):
+                                v = (
+                                    sum(
+                                        col[u] * _IDCT_B[u][y]
+                                        for u in range(8)
+                                    )
+                                    + 128.0
+                                )
+                                plane[(oy + y) * lw + (ox + x)] = min(
+                                    255.0, max(0.0, v)
+                                )
+    total = 0.0
+    for y in range(height):
+        base = y * lw
+        total += sum(plane[base : base + width])
+    n = width * height
+    return {
+        "width": width,
+        "height": height,
+        "mean_luma": (total / n) if n else None,
+    }
+
+
 def real_decode_kernel(doc_id: int, payload: bytes) -> dict:
     """Real image decode — pure-stdlib PNG (zlib inflate + scanline
     unfilter), no third-party codec needed. Supports the common
@@ -143,10 +409,13 @@ def real_decode_kernel(doc_id: int, payload: bytes) -> dict:
 
     if payload is None or len(payload) < len(_PNG_SIG):
         return {"width": None, "height": None, "mean_luma": None}
+    if payload.startswith(_JPEG_SIG):
+        return _jpeg_decode(payload)
     if not payload.startswith(_PNG_SIG):
         raise NotImplementedError(
-            "real_decode_kernel handles PNG; other formats need an "
-            "external codec (PIL) — or use fake_decode_kernel"
+            "real_decode_kernel handles PNG and baseline JPEG; other "
+            "formats need an external codec (PIL) — or use "
+            "fake_decode_kernel"
         )
     pos = len(_PNG_SIG)
     width = height = None

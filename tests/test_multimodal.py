@@ -234,3 +234,141 @@ def test_real_kernels_through_spark(spark):
     auds = spark.createDataFrame([(1, wav)], "doc_id long, payload binary")
     a = mm.extract_audio_features(auds, kernel=mm.real_audio_kernel).first()
     assert a.duration_ms == 1000 and abs(a.rms - 0.5) < 1e-12
+
+
+# ---- baseline JPEG golden tests (hand-crafted minimal JFIF streams) ----
+
+class _BitWriter:
+    def __init__(self):
+        self.bits = []
+
+    def put(self, value, n):
+        for i in range(n - 1, -1, -1):
+            self.bits.append((value >> i) & 1)
+
+    def bytes(self):
+        # pad with 1s to a byte boundary (JPEG convention)
+        bits = self.bits + [1] * (-len(self.bits) % 8)
+        out = bytearray()
+        for i in range(0, len(bits), 8):
+            b = 0
+            for bit in bits[i : i + 8]:
+                b = (b << 1) | bit
+            out.append(b)
+            if b == 0xFF:  # byte stuffing
+                out.append(0x00)
+        return bytes(out)
+
+
+def _seg(marker, payload):
+    import struct
+    return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+
+def _dc_codes(n_cats):
+    """Canonical codes for DC categories 0..n_cats-1, all length 3
+    (requires n_cats <= 8): counts[3]=n_cats."""
+    counts = bytearray(16)
+    counts[2] = n_cats
+    return bytes(counts), bytes(range(n_cats)), {s: (s, 3) for s in range(n_cats)}
+
+
+def _make_jpeg(width, height, comps, blocks_bits, q=16):
+    """Assemble a baseline JFIF stream: comps = [(cid, hv)], shared
+    quant table (all q), DC cats 0..7 at len 3, AC EOB='0'."""
+    import struct
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xDB, bytes([0x00]) + bytes([q] * 64))
+    sof = bytearray([8]) + struct.pack(">HH", height, width) + bytes([len(comps)])
+    for cid, hv in comps:
+        sof += bytes([cid, hv, 0])
+    out += _seg(0xC0, bytes(sof))
+    counts, symbols, _ = _dc_codes(8)
+    out += _seg(0xC4, bytes([0x00]) + counts + symbols)          # DC table 0
+    ac_counts = bytearray(16)
+    ac_counts[0] = 1
+    out += _seg(0xC4, bytes([0x10]) + bytes(ac_counts) + bytes([0x00]))  # AC: EOB
+    sos = bytearray([len(comps)])
+    for cid, _ in comps:
+        sos += bytes([cid, 0x00])
+    sos += bytes([0, 63, 0])
+    out += _seg(0xDA, bytes(sos))
+    out += blocks_bits.bytes()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _put_dc_block(w, dc_diff):
+    """Encode one block: DC category+bits (codes from _dc_codes), EOB."""
+    if dc_diff == 0:
+        cat = 0
+    else:
+        cat = dc_diff.bit_length() if dc_diff > 0 else (-dc_diff).bit_length()
+    w.put(cat, 3)  # canonical code for category c IS c (len 3)
+    if cat:
+        v = dc_diff if dc_diff > 0 else dc_diff + (1 << cat) - 1
+        w.put(v, cat)
+    w.put(0, 1)  # EOB (code '0')
+
+
+def test_real_decode_kernel_jpeg_gray_solid():
+    """8×8 grayscale baseline JPEG, solid luma 160: DC = (160-128)*8/16
+    = 16, all ACs zero — decoder must recover mean_luma exactly."""
+    w = _BitWriter()
+    _put_dc_block(w, 16)
+    d = mm.real_decode_kernel(1, _make_jpeg(8, 8, [(1, 0x11)], w))
+    assert (d["width"], d["height"]) == (8, 8)
+    assert abs(d["mean_luma"] - 160.0) < 1e-9
+
+
+def test_real_decode_kernel_jpeg_dc_prediction():
+    """16×8 grayscale, two blocks 160 then 96 — the second block's DC
+    arrives as a NEGATIVE diff against the predictor."""
+    w = _BitWriter()
+    _put_dc_block(w, 16)    # block 1: DC 16 (value 160)
+    _put_dc_block(w, -32)   # block 2: DC -16 (value 96)
+    d = mm.real_decode_kernel(1, _make_jpeg(16, 8, [(1, 0x11)], w))
+    assert (d["width"], d["height"]) == (16, 8)
+    assert abs(d["mean_luma"] - 128.0) < 1e-9
+
+
+def test_real_decode_kernel_jpeg_color_420():
+    """16×16 YCbCr 4:2:0 (4 Y blocks + Cb + Cr per MCU), solid Y=200,
+    neutral chroma: chroma blocks must advance the bitstream without
+    contributing to the luma mean."""
+    w = _BitWriter()
+    _put_dc_block(w, 36)    # Y block 1: (200-128)*8/16 = 36
+    for _ in range(3):
+        _put_dc_block(w, 0)  # Y blocks 2-4: same value → diff 0
+    _put_dc_block(w, 0)     # Cb: 128 → 0
+    _put_dc_block(w, 0)     # Cr
+    d = mm.real_decode_kernel(
+        1, _make_jpeg(16, 16, [(1, 0x22), (2, 0x11), (3, 0x11)], w)
+    )
+    assert (d["width"], d["height"]) == (16, 16)
+    assert abs(d["mean_luma"] - 200.0) < 1e-9
+
+
+def test_real_decode_kernel_jpeg_crop():
+    """12×8 image: the right 4 columns of the second block are padding
+    and must be EXCLUDED from the mean (crop path). Second block's DC
+    differs so including padding would shift the mean."""
+    w = _BitWriter()
+    _put_dc_block(w, 16)    # block 1: 160
+    _put_dc_block(w, -32)   # block 2: 96
+    d = mm.real_decode_kernel(1, _make_jpeg(12, 8, [(1, 0x11)], w))
+    assert (d["width"], d["height"]) == (12, 8)
+    # mean over 12 real columns: (8*160 + 4*96) / 12
+    assert abs(d["mean_luma"] - (8 * 160 + 4 * 96) / 12.0) < 1e-9
+
+
+def test_real_decode_kernel_jpeg_progressive_rejected():
+    """SOF2 (progressive) must raise NotImplementedError, not
+    mis-decode."""
+    w = _BitWriter()
+    _put_dc_block(w, 16)
+    payload = bytearray(_make_jpeg(8, 8, [(1, 0x11)], w))
+    idx = payload.find(b"\xff\xc0")
+    payload[idx + 1] = 0xC2
+    with pytest.raises(NotImplementedError):
+        mm.real_decode_kernel(1, bytes(payload))
