@@ -191,9 +191,17 @@ class GraphStore:
         delete job (VertexProcessor.scala:124-156, Job.scala:117-134) done
         set-wise: anti-join + full-table rewrite instead of per-row
         ``g.V(id).remove()`` commits."""
-        ids = ids.select(F.col(ids.columns[0]).alias("_del_id"))
+        from grafink_spark.util import maybe_broadcast
+
+        # a delete set is usually one date window (small), but it is
+        # caller-provided and can be arbitrarily large — size-gate the
+        # hint so a bulk purge degrades to a shuffle anti-join instead
+        # of materializing the whole set on every executor
+        ids = maybe_broadcast(
+            ids.select(F.col(ids.columns[0]).alias("_del_id"))
+        )
         v = self.vertices().join(
-            F.broadcast(ids), F.col("id") == F.col("_del_id"), "left_anti"
+            ids, F.col("id") == F.col("_del_id"), "left_anti"
         )
         tmp_v = self.vertex_path + "__tmp"
         v.write.mode("overwrite").parquet(tmp_v)
@@ -202,8 +210,8 @@ class GraphStore:
         if not e.take(1):
             return
         e = e.join(
-            F.broadcast(ids), F.col(SRC) == F.col("_del_id"), "left_anti"
-        ).join(F.broadcast(ids), F.col(DST) == F.col("_del_id"), "left_anti")
+            ids, F.col(SRC) == F.col("_del_id"), "left_anti"
+        ).join(ids, F.col(DST) == F.col("_del_id"), "left_anti")
         tmp_e = self.edge_path + "__tmp"
         e.write.mode("overwrite").partitionBy("label").parquet(tmp_e)
         self._swap(tmp_e, self.edge_path)
