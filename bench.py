@@ -170,6 +170,13 @@ HEADLINE = [
     "normalized_adjacency",
 ]
 
+# Every registered query not in the curated HEADLINE ordering above is
+# benched too (round-3 ask: no registered query without a recorded
+# timing) — appended in sorted order so BENCH_r{N} covers the FULL
+# registry. Computed at import so newly registered queries can't be
+# silently dropped from the bench.
+EXTENDED = sorted(set(QUERIES) - set(HEADLINE))
+
 # Queries whose full row set is large: drain with a `noop`-format write
 # instead of .collect() — executes the complete plan (no column pruning
 # of the result, unlike count()) without materializing on the driver.
@@ -263,18 +270,34 @@ def main() -> int:
     # queries, not session startup.
     QUERIES["max_id"](spark, sf_dir).collect()
 
+    # Pre-touch every input table (full scan into the OS page cache):
+    # the first query to read a cold multi-MB table otherwise pays its
+    # IO, so per-query numbers would depend on bench ORDER — the
+    # apss_cosine driver-vs-builder gap in round 3 was exactly this
+    # first-touch effect inside the driver's single-session sweep.
+    from grafink_spark.sources.tables import TABLES, load_table  # noqa: E402
+
+    for t in TABLES:
+        try:
+            load_table(spark, sf_dir, t).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        except Exception:
+            pass  # missing optional table at this sf: first query pays IO
+
     iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "2"))
     # Smoke-run subset: SPARK_GRAFT_BENCH_ONLY=q1,q2 limits the headline
     # set (local iteration / CI smoke); unset = full headline set.
+    all_names = HEADLINE + EXTENDED
     only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
     if only:
         wanted = {n.strip() for n in only.split(",") if n.strip()}
-        headline = [q for q in HEADLINE if q in wanted]
-        unknown = wanted - set(HEADLINE)
+        headline = [q for q in all_names if q in wanted]
+        unknown = wanted - set(all_names)
         if unknown:
-            print(f"# BENCH_ONLY: not in HEADLINE: {sorted(unknown)}", file=sys.stderr)
+            print(f"# BENCH_ONLY: not registered: {sorted(unknown)}", file=sys.stderr)
     else:
-        headline = HEADLINE
+        headline = all_names
     timings: dict[str, float] = {}
     for name in headline:
         fn = QUERIES[name]
@@ -282,7 +305,10 @@ def main() -> int:
         for _ in range(iters):
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
-            if name in NOOP_DRAIN:
+            # EXTENDED entries drain via noop too: executes the full
+            # plan with zero driver-side materialization regardless of
+            # result size.
+            if name in NOOP_DRAIN or name in EXTENDED:
                 df.write.format("noop").mode("overwrite").save()
             else:
                 df.collect()
@@ -353,6 +379,10 @@ def main() -> int:
             "semantic_dedup",
             "semantic_dedup_auto",  # timed by the dedicated block below
             "label_noise",
+            # label-blocked ALL-PAIRS cosine: blocks grow linearly with
+            # sf, so within-block pair work is quadratic-by-semantics —
+            # the scale path is the LSH/IVF ANN family, timed above
+            "embedding_near_pairs",
         }
         for name in [q for q in headline if q not in sf1_skip]:
             fn = QUERIES[name]

@@ -31,3 +31,14 @@ def test_readme_counts_match_registry():
     text = (ROOT / "README.md").read_text()
     for n in re.findall(r"(\d+)\s+(?:declared|registered)\s+queries", text):
         assert int(n) == len(QUERIES), f"README.md says {n}, registry has {len(QUERIES)}"
+
+
+def test_bench_covers_full_registry():
+    """Every registered query gets a recorded timing: HEADLINE (curated
+    ordering) + EXTENDED (everything else, sorted) must partition the
+    registry exactly."""
+    import bench
+
+    assert set(bench.HEADLINE) | set(bench.EXTENDED) == set(QUERIES)
+    assert not set(bench.HEADLINE) & set(bench.EXTENDED)
+    assert len(bench.HEADLINE) + len(bench.EXTENDED) == len(QUERIES)
