@@ -9680,3 +9680,448 @@ AND s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 2)
 
 QUERIES.update({"excess_suppliers": q_excess_suppliers})
 ORACLES.update({"excess_suppliers": SQL_EXCESS_SUPPLIERS})
+
+
+# --- round-4 batch: TPC-H family completion (Q2/Q7/Q8/Q9/Q11/Q12/Q16) ---
+#
+# With these seven, every TPC-H query shape (Q1-Q22) has an engine
+# query + DuckDB oracle twin. The testdata schema has no partsupp
+# table, so the part-supplier relation is derived from lineitem
+# (distinct (l_partkey, l_suppkey), unit costs from shipped lines) —
+# same decorrelation patterns, adapted columns.
+
+
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier), adapted: the supply
+    relation is derived from lineitem (cost(part, supp) = min shipped
+    l_extendedprice — IEEE min, bit-identical across engines), parts
+    restricted to one size/type, suppliers to one region. The
+    CORRELATED MIN SUBQUERY decorrelates as: per-(part, supp) agg →
+    per-part min → equi join back on (partkey, cost). At scale: two
+    hash aggs and one join, all keyed on l_partkey (no re-shuffle
+    between them); part/supplier dims size-gated."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    parts = (
+        load_table(spark, sf_dir, "part")
+        .where((F.col("p_size") == 25) & (F.col("p_type") == "STANDARD"))
+        .select("p_partkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nations = (
+        load_table(spark, sf_dir, "nation")
+        .where(F.col("n_regionkey") == 0)
+        .select("n_nationkey", "n_name")
+    )
+    supp_r = supp.join(
+        F.broadcast(nations), supp.s_nationkey == nations.n_nationkey
+    ).select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    costs = (
+        li.join(maybe_broadcast(parts), li.l_partkey == parts.p_partkey, "left_semi")
+        .join(
+            maybe_broadcast(supp_r.select("s_suppkey")),
+            li.l_suppkey == supp_r.s_suppkey,
+            "left_semi",
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("l_extendedprice").alias("cost"))
+        # referenced twice below (join left side + per-part min) — pin so
+        # the semi-reduced fact scan and agg run once, not per branch
+        .localCheckpoint()
+    )
+    best = costs.groupBy("l_partkey").agg(F.min("cost").alias("best_cost"))
+    best = best.select(F.col("l_partkey").alias("_bpk"), "best_cost")
+    return (
+        costs.join(
+            best,
+            (costs.l_partkey == best._bpk) & (costs.cost == best.best_cost),
+        )
+        .join(supp_r, costs.l_suppkey == supp_r.s_suppkey)
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            costs.l_partkey.alias("p_partkey"),
+            F.round("cost", 2).alias("supply_cost"),
+        )
+    )
+
+
+SQL_MIN_COST_SUPPLIER = """
+WITH supp_r AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_regionkey = 0
+), costs AS (
+  SELECT l_partkey, l_suppkey, min(l_extendedprice) AS cost
+  FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part
+                      WHERE p_size = 25 AND p_type = 'STANDARD')
+    AND l_suppkey IN (SELECT s_suppkey FROM supp_r)
+  GROUP BY 1, 2
+)
+SELECT s_acctbal, s_name, n_name, c.l_partkey AS p_partkey,
+       round(c.cost, 2) AS supply_cost
+FROM costs c
+JOIN (SELECT l_partkey, min(cost) AS best_cost FROM costs GROUP BY 1) b
+  ON c.l_partkey = b.l_partkey AND c.cost = b.best_cost
+JOIN supp_r s ON c.l_suppkey = s.s_suppkey
+"""
+
+
+def q_nation_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping between two nations): revenue
+    flowing NATION_1↔NATION_2 by ship year. The fact×fact
+    lineitem×orders join shuffles on orderkey; customer/supplier dims
+    are size-gated broadcasts, the 25-row nation table broadcasts
+    unconditionally (joined twice under different aliases). The
+    nation-pair filter applies after the dim joins — at scale the two
+    broadcast nation joins reduce each side to 1/25 before the pair
+    predicate, so no extra shuffle."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("_snk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("_cnk"), F.col("n_name").alias("cust_nation")
+    )
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(21,6)"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(maybe_broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(maybe_broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("_snk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("_cnk"))
+        .where(
+            (
+                (F.col("supp_nation") == "NATION_1")
+                & (F.col("cust_nation") == "NATION_2")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_2")
+                & (F.col("cust_nation") == "NATION_1")
+            )
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(F.round(F.sum(vol), 2).cast("double").alias("revenue"))
+    )
+
+
+SQL_NATION_VOLUME_SHIPPING = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       year(l_shipdate)::INT AS l_year,
+       round(sum((l_extendedprice * (1 - l_discount))::DECIMAL(21,6)),
+             2)::DOUBLE AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+GROUP BY 1, 2, 3
+"""
+
+
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): NATION_3's share of
+    region-1 customers' ECONOMY-part order volume by order year. The
+    share divides two decimal sums (conditional / total) — division
+    deferred to after the aggregate, double-cast then round(6), so the
+    only float op is one deterministic divide per output row. Part
+    list semi-joins the fact before the orders join (smallest side
+    first); all dims size-gated or fixed-size broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1995-01-01")
+        & (F.col("o_orderdate") < "1999-01-01")
+    )
+    parts = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_type") == "ECONOMY")
+        .select("p_partkey")
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation")
+    cn = nation.where(F.col("n_regionkey") == 1).select(
+        F.col("n_nationkey").alias("_cnk")
+    )
+    sn = nation.select(
+        F.col("n_nationkey").alias("_snk"), F.col("n_name").alias("supp_nation")
+    )
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(21,6)"
+    )
+    j = (
+        li.join(maybe_broadcast(parts), li.l_partkey == parts.p_partkey, "left_semi")
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(maybe_broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(cn), cust.c_nationkey == F.col("_cnk"), "left_semi")
+        .join(maybe_broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(sn), supp.s_nationkey == F.col("_snk"))
+    )
+    return (
+        j.groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(
+                    F.lit(0).cast("decimal(21,6)")
+                )
+            ).alias("_nv"),
+            F.sum(vol).alias("_tv"),
+        )
+        .select(
+            "o_year",
+            F.round(
+                F.col("_nv").cast("double") / F.col("_tv").cast("double"), 6
+            ).alias("mkt_share"),
+        )
+    )
+
+
+SQL_MARKET_SHARE = """
+WITH j AS (
+  SELECT year(o_orderdate)::INT AS o_year,
+         (l_extendedprice * (1 - l_discount))::DECIMAL(21,6) AS vol,
+         n2.n_name AS supp_nation
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'ECONOMY')
+    AND c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 1)
+    AND o_orderdate >= TIMESTAMP '1995-01-01'
+    AND o_orderdate <  TIMESTAMP '1999-01-01'
+)
+SELECT o_year,
+       round((sum(CASE WHEN supp_nation = 'NATION_3' THEN vol
+                       ELSE 0::DECIMAL(21,6) END))::DOUBLE
+             / (sum(vol))::DOUBLE, 6) AS mkt_share
+FROM j GROUP BY 1
+"""
+
+
+def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit), adapted: no
+    ps_supplycost, so cost-per-unit = 60% of p_retailprice. Profit by
+    supplier nation and order year for parts whose name contains
+    'gear'. amount = (extprice·(1−disc) − 0.6·retail·qty) — both terms
+    double-multiplied (IEEE-deterministic) then decimal-cast before
+    the subtraction and sum, so accumulation order can't shift the
+    result. One fact×fact shuffle (lineitem×orders on orderkey); the
+    part filter semi-reduces lineitem before it."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    parts = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_name").contains("gear"))
+        .select("p_partkey", "p_retailprice")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("_snk"), F.col("n_name").alias("nation")
+    )
+    amount = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(21,6)"
+    ) - (F.col("p_retailprice") * F.lit(0.6) * F.col("l_quantity")).cast(
+        "decimal(21,6)"
+    )
+    return (
+        li.join(maybe_broadcast(parts), li.l_partkey == parts.p_partkey)
+        .join(maybe_broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == F.col("_snk"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("nation", F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(F.round(F.sum(amount), 2).cast("double").alias("sum_profit"))
+    )
+
+
+SQL_PRODUCT_PROFIT = """
+SELECT n_name AS nation, year(o_orderdate)::INT AS o_year,
+       round(sum((l_extendedprice * (1 - l_discount))::DECIMAL(21,6)
+                 - (p_retailprice * 0.6::DOUBLE * l_quantity)::DECIMAL(21,6)),
+             2)::DOUBLE AS sum_profit
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN orders   ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%gear%'
+GROUP BY 1, 2
+"""
+
+
+def q_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock), adapted: per-part "stock
+    value" = Σ l_extendedprice over lines shipped by region-2
+    suppliers; keep parts whose value exceeds 0.1% of the region's
+    total — the SCALAR-SUBQUERY-AS-THRESHOLD pattern. The threshold
+    compare runs in exact decimal (value·1000 > total) against a
+    broadcast 1-row total, so no float boundary can flip a part. At
+    scale: one agg keyed l_partkey + a re-agg of its output (tiny) —
+    the fact is scanned once."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nations = (
+        load_table(spark, sf_dir, "nation")
+        .where(F.col("n_regionkey") == 2)
+        .select("n_nationkey")
+    )
+    supp_r = supp.join(
+        F.broadcast(nations), supp.s_nationkey == nations.n_nationkey, "left_semi"
+    ).select("s_suppkey")
+    per_part = (
+        li.join(maybe_broadcast(supp_r), li.l_suppkey == supp_r.s_suppkey, "left_semi")
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(21,6)")).alias("_v"))
+    )
+    total = per_part.agg(F.sum("_v").alias("_t"))
+    return (
+        per_part.join(F.broadcast(total))
+        .where(F.col("_v") * 1000 > F.col("_t"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.round("_v", 2).cast("double").alias("stock_value"),
+        )
+    )
+
+
+SQL_IMPORTANT_STOCK = """
+WITH per_part AS (
+  SELECT l_partkey, sum(l_extendedprice::DECIMAL(21,6)) AS _v
+  FROM lineitem
+  WHERE l_suppkey IN (
+    SELECT s_suppkey FROM supplier
+    WHERE s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 2))
+  GROUP BY 1
+)
+SELECT l_partkey AS p_partkey, round(_v, 2)::DOUBLE AS stock_value
+FROM per_part
+WHERE _v * 1000 > (SELECT sum(_v) FROM per_part)
+"""
+
+
+def q_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping modes / order priority), adapted: no
+    l_shipmode or commit/receipt dates, so lines bucket by ship delay
+    (late = shipped ≥ 60 days after the order date) and the classic
+    CASE-WHEN split counts urgent/high vs other priorities per bucket,
+    for 1996 shipments. One fact×fact shuffle on orderkey; both date
+    filters push to the scans; the aggregate is 2 groups — map-side
+    partials collapse everything before the final exchange."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    late = (
+        F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    ).cast("int")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("long")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(late.alias("late"))
+        .agg(
+            F.sum(high).alias("high_line_count"),
+            F.sum(1 - high).alias("low_line_count"),
+        )
+    )
+
+
+SQL_LATE_SHIPMENT_PRIORITY = """
+SELECT (l_shipdate >= o_orderdate + INTERVAL 60 DAY)::INT AS late,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+GROUP BY 1
+"""
+
+
+def q_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship count), adapted:
+    the part-supplier relation is the distinct (l_partkey, l_suppkey)
+    pairs in lineitem; exclude Brand#5, PROMO-type parts and
+    low-balance suppliers (the NOT-IN → broadcast anti-join pattern),
+    then count distinct suppliers per (brand, type, size). The
+    distinct collapses the fact to dim-scale BEFORE the part join; the
+    excluded-supplier list is size-gated."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    parts = load_table(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_type") != "PROMO")
+        & (F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
+    )
+    bad_supp = (
+        load_table(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    pairs = li.distinct()
+    return (
+        pairs.join(maybe_broadcast(bad_supp), pairs.l_suppkey == bad_supp.s_suppkey, "left_anti")
+        .join(maybe_broadcast(parts), pairs.l_partkey == parts.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+SQL_PART_SUPPLIER_COUNTS = """
+SELECT p_brand, p_type, p_size,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+"""
+
+QUERIES.update(
+    {
+        "min_cost_supplier": q_min_cost_supplier,
+        "nation_volume_shipping": q_nation_volume_shipping,
+        "market_share": q_market_share,
+        "product_profit": q_product_profit,
+        "important_stock": q_important_stock,
+        "late_shipment_priority": q_late_shipment_priority,
+        "part_supplier_counts": q_part_supplier_counts,
+    }
+)
+ORACLES.update(
+    {
+        "min_cost_supplier": SQL_MIN_COST_SUPPLIER,
+        "nation_volume_shipping": SQL_NATION_VOLUME_SHIPPING,
+        "market_share": SQL_MARKET_SHARE,
+        "product_profit": SQL_PRODUCT_PROFIT,
+        "important_stock": SQL_IMPORTANT_STOCK,
+        "late_shipment_priority": SQL_LATE_SHIPMENT_PRIORITY,
+        "part_supplier_counts": SQL_PART_SUPPLIER_COUNTS,
+    }
+)
