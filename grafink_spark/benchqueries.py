@@ -10125,3 +10125,38 @@ ORACLES.update(
         "part_supplier_counts": SQL_PART_SUPPLIER_COUNTS,
     }
 )
+
+
+def q_quantile_transform_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`quantile_transform` re-planned for the 100-TB point: the plain
+    version's Window.partitionBy(c_mktsegment) hashes ALL orders into
+    5 reducer tasks (one per segment) — fine at bench scale, a
+    single-task multi-billion-row sort at sf100k. This variant uses
+    ops.grouped_rank: range-partition on (segment, price, orderkey) so
+    one segment spans many balanced partitions, per-(partition,
+    segment) offsets from a driver-bounded stats pass, broadcast
+    joined back. Same oracle as quantile_transform — value-identical,
+    different (scale-safe) plan."""
+    from grafink_spark.ops import grouped_rank
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    j = orders.join(maybe_broadcast(cust), "o_custkey").select(
+        "o_orderkey", "c_mktsegment", "o_totalprice"
+    )
+    r = grouped_rank(j, ["c_mktsegment"], ["o_totalprice", "o_orderkey"])
+    return r.select(
+        "o_orderkey",
+        "c_mktsegment",
+        F.col("o_totalprice").cast("double").alias("price"),
+        F.round(
+            (F.col("rank") - 1).cast("double") / (F.col("n") - 1).cast("double"),
+            6,
+        ).alias("pct"),
+    )
+
+
+QUERIES.update({"quantile_transform_scalable": q_quantile_transform_scalable})
+ORACLES.update({"quantile_transform_scalable": SQL_QUANTILE_TRANSFORM})

@@ -758,3 +758,109 @@ def winsorize(
         )
         .drop("_lo", "_hi")
     )
+
+
+def grouped_rank(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    rank_col: str = "rank",
+    n_col: str | None = "n",
+) -> DataFrame:
+    """Per-group consecutive rank (``row_number`` semantics: 1..n_g in
+    ``order_cols`` order within each ``group_cols`` group) plus the
+    group size — WITHOUT ``Window.partitionBy(group)``.
+
+    Why not a window: ``partitionBy`` on a low-cardinality group
+    (market segment, language, event type) hashes the ENTIRE table
+    into |groups| reducer tasks — at the 100-TB design point one task
+    sorts billions of rows. Here the table is range-partitioned on
+    (group, order) instead, so a huge group spans MANY partitions and
+    the sort stays local and balanced; per-group offsets come from a
+    driver-bounded stats pass.
+
+    Plan (same two-pass layout-pinning discipline as
+    ``id_manager.zip_with_index``):
+
+    1. ``repartitionByRange(group ∪ order)`` + local sort +
+       ``localCheckpoint`` (pins the layout between the two passes —
+       AQE/task retry must not re-balance).
+    2. ``monotonically_increasing_id`` exposes (partition id, local row
+       number). A tiny aggregate — one row per (partition, group),
+       ≤ numPartitions + |groups| rows because a group's rows are
+       contiguous under the range partitioner — is collected and turned
+       into per-(partition, group) cumulative offsets + group totals.
+    3. Offsets broadcast-join back on (partition, group) — a table the
+       driver just materialized, so the broadcast is size-known, never
+       estimate-gated. rank = offset + (local_rn − group_first_rn) + 1.
+
+    Null-safe on group values (NULL forms its own group, like
+    ``groupBy``). For HIGH-cardinality groups the plain window is the
+    right tool — groups hash-spread evenly and no single reducer gets
+    more than ~|table|/|groups| rows."""
+    cols = [*group_cols, *order_cols]
+    d = (
+        df.repartitionByRange(*[F.col(c) for c in cols])
+        .sortWithinPartitions(*cols)
+        .localCheckpoint()
+    )
+    mid = F.monotonically_increasing_id()
+    tagged = d.withColumn("_gr_pid", F.shiftright(mid, 33).cast("int")).withColumn(
+        "_gr_rn", mid.bitwiseAND(F.lit((1 << 33) - 1))
+    )
+    stats = (
+        tagged.groupBy("_gr_pid", *group_cols)
+        .agg(F.count(F.lit(1)).alias("_gr_c"), F.min("_gr_rn").alias("_gr_first"))
+        .collect()
+    )
+    totals: dict[tuple, int] = {}
+    for r in stats:
+        key = tuple(r[c] for c in group_cols)
+        totals[key] = totals.get(key, 0) + r["_gr_c"]
+    running: dict[tuple, int] = {}
+    rows = []
+    for r in sorted(stats, key=lambda r: r["_gr_pid"]):
+        key = tuple(r[c] for c in group_cols)
+        rows.append(
+            (
+                r["_gr_pid"],
+                *key,
+                r["_gr_first"],
+                running.get(key, 0),
+                totals[key],
+            )
+        )
+        running[key] = running.get(key, 0) + r["_gr_c"]
+    spark = df.sparkSession
+    from pyspark.sql import types as T
+
+    off_schema = T.StructType(
+        [T.StructField("_gr_pid", T.IntegerType())]
+        + [tagged.schema[c] for c in group_cols]
+        + [
+            T.StructField("_gr_first", T.LongType()),
+            T.StructField("_gr_off", T.LongType()),
+            T.StructField("_gr_n", T.LongType()),
+        ]
+    )
+    off_df = spark.createDataFrame(rows, off_schema)
+    aliased = off_df.select(
+        "_gr_pid",
+        *[F.col(c).alias(f"_gr_g_{c}") for c in group_cols],
+        "_gr_first",
+        "_gr_off",
+        "_gr_n",
+    )
+    cond = tagged["_gr_pid"] == aliased["_gr_pid"]
+    for c in group_cols:
+        cond = cond & tagged[c].eqNullSafe(aliased[f"_gr_g_{c}"])
+    out = tagged.join(F.broadcast(aliased), cond).withColumn(
+        rank_col,
+        (F.col("_gr_off") + (F.col("_gr_rn") - F.col("_gr_first")) + 1).cast(
+            "long"
+        ),
+    )
+    keep = df.columns + [rank_col] + ([n_col] if n_col else [])
+    if n_col:
+        out = out.withColumn(n_col, F.col("_gr_n"))
+    return out.select(*keep)

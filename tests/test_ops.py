@@ -583,3 +583,49 @@ def test_pareto_frontier_drops_null_dimension_rows(spark):
     )
     out = {r.id for r in pareto_frontier(df, minimize=["price", "weight"]).collect()}
     assert out == {1}
+
+
+def test_grouped_rank_matches_window_row_number(spark):
+    """grouped_rank (range-partition + offset table — no low-cardinality
+    window partition) must be row-identical to
+    row_number().over(partitionBy(group).orderBy(order)) + count(*),
+    including a NULL group and a singleton group."""
+    import random
+
+    from pyspark.sql import Window
+
+    from grafink_spark.ops import grouped_rank
+
+    random.seed(7)
+    rows = [
+        (random.choice(["a", "b", "c", None]), random.randint(0, 50), i)
+        for i in range(2000)
+    ] + [("solo", 1, 99999)]
+    df = spark.createDataFrame(rows, "g string, v int, id long").repartition(16)
+    got = grouped_rank(df, ["g"], ["v", "id"])
+    w = Window.partitionBy("g").orderBy("v", "id")
+    want = df.withColumn("rank", F.row_number().over(w).cast("long")).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("g"))
+    )
+
+    def key(r):
+        return (str(r[0]), r[1], r[2])
+
+    a = sorted([tuple(r) for r in got.collect()], key=key)
+    b = sorted([tuple(r) for r in want.collect()], key=key)
+    assert a == b
+
+
+def test_grouped_rank_plan_has_no_group_window(spark):
+    """The executed plan must contain NO Window operator partitioned on
+    the group — the whole point is that a 5-value group never becomes
+    5 reducer tasks. Offsets must arrive via a broadcast join."""
+    from grafink_spark.ops import grouped_rank
+
+    df = spark.range(1000).withColumn(
+        "g", (F.col("id") % 3).cast("string")
+    )
+    out = grouped_rank(df, ["g"], ["id"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
