@@ -864,3 +864,44 @@ def grouped_rank(
     if n_col:
         out = out.withColumn(n_col, F.col("_gr_n"))
     return out.select(*keep)
+
+
+def grouped_lead(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    lead_cols: list[str] | None = None,
+    suffix: str = "_next",
+) -> DataFrame:
+    """``lead(col).over(partitionBy(group).orderBy(order))`` for
+    LOW-cardinality groups — the consecutive-pairing step (next event,
+    next document, next version) without hashing the whole table into
+    |groups| reducer tasks.
+
+    Built on ``grouped_rank``: rows get their per-group consecutive
+    rank from the balanced range-partitioned pass, then each row
+    equi-joins its successor on (group, rank+1). The join keys include
+    the rank, so their cardinality is the row count — hash
+    partitioning stays balanced no matter how few groups exist. Last
+    row per group keeps nulls (left-outer), matching ``lead``.
+
+    Cost vs the window form: the window is one (skewed) shuffle; this
+    is one balanced range shuffle + one balanced hash join — the same
+    trade as ``grouped_rank``, paid only when the group cardinality is
+    low enough that the window's per-group task would not fit."""
+    lead_cols = lead_cols or [c for c in df.columns if c not in group_cols]
+    r = grouped_rank(df, group_cols, order_cols, rank_col="_gl_rank", n_col=None)
+    nxt = r.select(
+        *[F.col(c).alias(f"_gl_g_{c}") for c in group_cols],
+        (F.col("_gl_rank") - 1).alias("_gl_nrank"),
+        *[F.col(c).alias(f"{c}{suffix}") for c in lead_cols],
+    )
+    # eqNullSafe on the group keys: NULL forms its own group under the
+    # window form, so its rows must pair too
+    cond = r["_gl_rank"] == nxt["_gl_nrank"]
+    for c in group_cols:
+        cond = cond & r[c].eqNullSafe(nxt[f"_gl_g_{c}"])
+    joined = r.join(nxt, cond, "left")
+    return joined.select(
+        *df.columns, *[f"{c}{suffix}" for c in lead_cols]
+    )

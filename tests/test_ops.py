@@ -629,3 +629,30 @@ def test_grouped_rank_plan_has_no_group_window(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_grouped_lead_matches_window_lead(spark):
+    """grouped_lead must match lead().over(partitionBy(group)
+    .orderBy(order)) row-for-row, nulls on each group's last row."""
+    import random
+
+    from pyspark.sql import Window
+
+    from grafink_spark.ops import grouped_lead
+
+    random.seed(11)
+    rows = [
+        (random.choice(["x", "y", None]), random.randint(0, 99), i)
+        for i in range(1500)
+    ]
+    df = spark.createDataFrame(rows, "g string, v int, id long").repartition(8)
+    got = grouped_lead(df, ["g"], ["v", "id"], lead_cols=["id"])
+    w = Window.partitionBy("g").orderBy("v", "id")
+    want = df.withColumn("id_next", F.lead("id").over(w))
+
+    def key(r):
+        return (str(r[0]), r[1], r[2])
+
+    a = sorted([tuple(r) for r in got.collect()], key=key)
+    b = sorted([tuple(r) for r in want.collect()], key=key)
+    assert a == b
