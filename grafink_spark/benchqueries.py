@@ -10160,3 +10160,86 @@ def q_quantile_transform_scalable(spark: SparkSession, sf_dir: str) -> DataFrame
 
 QUERIES.update({"quantile_transform_scalable": q_quantile_transform_scalable})
 ORACLES.update({"quantile_transform_scalable": SQL_QUANTILE_TRANSFORM})
+
+
+def q_corpus_diversity_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`corpus_diversity` re-planned for the 100-TB point: the plain
+    version pairs consecutive docs with lead() over
+    Window.partitionBy(source) — |sources| reducer tasks, each sorting
+    its whole source. This variant builds the same consecutive pairs
+    with ops.grouped_lead (balanced range partition + rank join; see
+    grouped_rank), then runs the identical ROUGE-2 scoring. Same
+    oracle as corpus_diversity — value-identical, skew-free plan."""
+    from grafink_spark.ops import grouped_lead
+
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    pairs = (
+        grouped_lead(
+            docs.select("doc_id", "source"),
+            ["source"],
+            ["doc_id"],
+            lead_cols=["doc_id"],
+        )
+        .where(F.col("doc_id_next").isNotNull())
+        .select(
+            F.col("doc_id").alias("id_a"),
+            F.col("doc_id_next").alias("id_b"),
+            "source",
+        )
+    )
+    scored = tx.rouge_overlap(docs, pairs.select("id_a", "id_b"), n=2).join(
+        pairs, ["id_a", "id_b"]
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.array_sort(
+                F.collect_list(F.struct("id_a", "f1"))
+            ).alias("_arr"),
+        )
+        .select(
+            "source",
+            "n_pairs",
+            F.round(
+                F.aggregate(
+                    F.col("_arr"), F.lit(0.0), lambda acc, s: acc + s["f1"]
+                )
+                / F.col("n_pairs"),
+                6,
+            ).alias("mean_rouge2_f1"),
+        )
+    )
+
+
+QUERIES.update({"corpus_diversity_scalable": q_corpus_diversity_scalable})
+ORACLES.update({"corpus_diversity_scalable": SQL_CORPUS_DIVERSITY})
+
+
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnostics over the events table's event_type — the
+    pre-join planning probe: heaviest keys, their table share, and the
+    ratio to the mean key load (≈ the salt factor a skewed join would
+    need). All statistics fold over the aggregate-sized counts table."""
+    from grafink_spark.ops import skew_report
+
+    ev = load_table(spark, sf_dir, "events")
+    return skew_report(ev, ["event_type"], top=10)
+
+
+SQL_SKEW_REPORT = """
+WITH counts AS (
+  SELECT event_type, count(*) AS n FROM events GROUP BY 1
+)
+SELECT event_type, n,
+       round(n::DOUBLE / (SELECT sum(n) FROM counts)::DOUBLE, 6) AS share,
+       round(n::DOUBLE / ((SELECT sum(n) FROM counts)::DOUBLE
+                          / (SELECT count(*) FROM counts)::DOUBLE),
+             6) AS ratio_to_mean
+FROM counts
+ORDER BY n DESC, event_type
+LIMIT 10
+"""
+
+QUERIES.update({"skew_report": q_skew_report})
+ORACLES.update({"skew_report": SQL_SKEW_REPORT})

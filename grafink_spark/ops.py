@@ -905,3 +905,40 @@ def grouped_lead(
     return joined.select(
         *df.columns, *[f"{c}{suffix}" for c in lead_cols]
     )
+
+
+def skew_report(
+    df: DataFrame,
+    key_cols: list[str],
+    top: int = 10,
+) -> DataFrame:
+    """Join/agg skew diagnostics: the ``top`` heaviest keys with their
+    row count, share of the table, and ratio to the mean key load —
+    the numbers that decide whether a join needs salting (ratio >> 1
+    on the probe side) or AQE skew handling, and what salt factor to
+    pick (≈ the ratio).
+
+    Plan/scale: one hash aggregate on the keys (the same shuffle the
+    diagnosed join would pay), then all statistics fold over the
+    AGGREGATE-sized counts table — the whole-table total and key count
+    come from a window over that table (rows = key cardinality), and
+    the global top-k is a LIMIT, so the single-partition funnels only
+    ever see aggregate-sized input."""
+    counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy()
+    enriched = counts.select(
+        *key_cols,
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(w).cast("double"), 6
+        ).alias("share"),
+        F.round(
+            F.col("n").cast("double")
+            / (
+                F.sum("n").over(w).cast("double")
+                / F.count(F.lit(1)).over(w).cast("double")
+            ),
+            6,
+        ).alias("ratio_to_mean"),
+    )
+    return enriched.orderBy(F.col("n").desc(), *key_cols).limit(top)
