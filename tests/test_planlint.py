@@ -8,6 +8,12 @@ land silently. Gated behind ``SPARK_GRAFT_PLANLINT=1`` (builds 200+
 plans, executes the driver-bounded prep jobs some of them pin):
 
     SPARK_GRAFT_PLANLINT=1 python -m pytest tests/test_planlint.py -q
+
+Every allowlist entry was verified against the actual physical plan
+(round 4): the BNLJ/cartesian build sides below are aggregate-sized,
+k-bounded, or 1-row — never an SF-growing table — and every
+single-partition exchange feeds from aggregate-sized input (global
+folds, top-k limits, sketch registers).
 """
 
 from __future__ import annotations
@@ -21,17 +27,69 @@ from grafink_spark.planlint import lint_plan, lint_registry
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_ORACLE", "/root/testdata/sf0.01")
 
-# query -> (codes, reason). Every entry documents WHY the pattern is
-# legitimate at scale; the lint fails on any code not listed here.
+# Reason categories (see module docstring for verification provenance):
+_SCALAR = "1-row/driver-bounded aggregate broadcast (scalar subquery pattern)"
+_TOPK = "global fold/top-k over aggregate-sized input"
+_QUERYK = "query side is k rows (point/probe lookup), SF-independent"
+_CENTROID = "IVF centroid matrix broadcast — rows = nlist, not corpus size"
+_CLIQUE = (
+    "similarity-rule DNF branch without equality: condition-clique "
+    "semantics from the reference — both sides pre-filtered to the "
+    "qualifying subset, output salted"
+)
+_QUAD = "documented quadratic-by-semantics (sf1-skipped in bench)"
+_KBOUND = "pair space bounded by top-k intersection (<= C(k,2) pairs)"
+
 ALLOW: dict[str, tuple[set[str], str]] = {
-    # -- single-part: global top-k LIMIT collapses to one partition on
-    #    purpose; the input to the limit is already aggregate-sized.
-    "top_docs": ({"single-part"}, "global ORDER BY + LIMIT over doc-level scores"),
-    "shipping_priority": ({"single-part"}, "TPC-H Q3 top-10 (agg output -> limit)"),
-    # -- bnlj: a genuinely 1-row (or constant-bound) broadcast side --
-    "important_stock": ({"bnlj"}, "1-row total joined as threshold (Q11 scalar subquery)"),
-    "quantile_filter": ({"bnlj"}, "1-row exact-quantile bound broadcast"),
-    "dormant_customers": ({"bnlj"}, "1-row average-balance bound (Q22 scalar filter)"),
+    "ann_recall": ({"bnlj", "single-part"}, _CENTROID + "; truth side k rows"),
+    "benford_audit": ({"single-part"}, _TOPK + " (9 digit rows)"),
+    "bigram_pmi": ({"bnlj", "single-part"}, _SCALAR + " (corpus totals)"),
+    "bm25_search": ({"bnlj", "single-part"}, _SCALAR + " (N, avgdl)"),
+    "column_profile": ({"single-part"}, _TOPK + " (profile fold)"),
+    "community_conductance": ({"bnlj", "single-part"}, _SCALAR + " (total volume)"),
+    "degree_assortativity": ({"single-part"}, _TOPK + " (1-row correlation)"),
+    "degree_distribution": ({"bnlj"}, _CLIQUE),
+    "disjunctive_revenue": ({"single-part"}, _TOPK + " (1-row revenue)"),
+    "doc_keywords": ({"bnlj", "single-part"}, _SCALAR + " (corpus df totals)"),
+    "dormant_customers": ({"bnlj", "single-part"}, _SCALAR + " (Q22 avg balance)"),
+    "dsir_select": ({"bnlj", "single-part"}, _SCALAR + " (target distribution)"),
+    "embedding_ivf_indexed": ({"bnlj"}, _CENTROID),
+    "embedding_ivf_topk": ({"bnlj"}, _CENTROID + "; " + _QUERYK),
+    "embedding_pca": ({"bnlj", "single-part"}, _SCALAR + " (d×d covariance fold)"),
+    "embedding_topk": ({"bnlj", "single-part"}, _QUERYK),
+    "forecast_revenue": ({"single-part"}, _TOPK + " (1-row Q6 revenue)"),
+    "funnel": ({"single-part"}, _TOPK + " (stage fold)"),
+    "graph_modularity": ({"single-part"}, _TOPK + " (1-row modularity)"),
+    "hist_quantile_sketch": ({"bnlj", "single-part"}, _SCALAR + " (bounds + registers)"),
+    "hybrid_rrf": ({"bnlj", "single-part"}, _SCALAR + " (BM25 stats) + top-k"),
+    "important_stock": ({"bnlj", "single-part"}, _SCALAR + " (Q11 total threshold)"),
+    "incremental_pca": ({"bnlj", "single-part"}, _SCALAR + " (d×d covariance fold)"),
+    "join_size_estimate": ({"bnlj", "single-part"}, _SCALAR + " (KMV sketches)"),
+    "label_noise": ({"bnlj"}, _QUAD + " (label-blocked all-pairs kNN)"),
+    "mad_outliers": ({"bnlj", "single-part"}, _SCALAR + " (median/MAD bounds)"),
+    "max_id": ({"single-part"}, _TOPK + " (global max fold)"),
+    "mixture_sample": ({"single-part"}, _TOPK + " (per-source rate table)"),
+    "nb_classify": ({"bnlj"}, _SCALAR + " (vocabulary-bounded class stats)"),
+    "pareto_parts": ({"single-part"}, _TOPK + " (frontier fold)"),
+    "pareto_suppliers": ({"bnlj"}, _SCALAR + " (frontier verify join)"),
+    "pca_components": ({"bnlj", "single-part"}, _SCALAR + " (d×d covariance fold)"),
+    "promo_revenue": ({"single-part"}, _TOPK + " (1-row Q14 share)"),
+    "quality_deciles": ({"bnlj", "single-part"}, _SCALAR + " (decile edges)"),
+    "quantile_filter": ({"bnlj", "single-part"}, _SCALAR + " (1-row quantile bound)"),
+    "quantized_topk": ({"bnlj", "single-part"}, _QUERYK),
+    "ranking_agreement": ({"cartesian", "single-part"}, _KBOUND),
+    "seasonal_anomalies": ({"bnlj", "single-part"}, _SCALAR + " (per-series σ params)"),
+    "seasonal_decompose": ({"bnlj", "single-part"}, _SCALAR + " (seasonal means)"),
+    "semantic_contamination": ({"bnlj"}, _QUERYK + " (benchmark side broadcast)"),
+    "semantic_contamination_ivf": ({"bnlj"}, _CENTROID + "; benchmark side broadcast"),
+    "semi_anti_sets": ({"bnlj", "single-part"}, _SCALAR + " (set-op count compare)"),
+    "similarity_edges": ({"bnlj"}, _CLIQUE),
+    "similarity_histogram": ({"bnlj"}, _CLIQUE),
+    "similarity_multi": ({"bnlj"}, _CLIQUE + "; " + _QUAD),
+    "skew_report": ({"single-part"}, _TOPK + " (key-counts fold)"),
+    "small_quantity_revenue": ({"single-part"}, _TOPK + " (1-row Q17 revenue)"),
+    "top_supplier": ({"single-part"}, _TOPK + " (1-row max-revenue bound)"),
+    "woe_encoding": ({"bnlj", "single-part"}, _SCALAR + " (global good/bad totals)"),
 }
 
 
@@ -73,3 +131,12 @@ def test_registry_plans_carry_no_undocumented_scale_hazards(spark):
     allow = {k: v[0] for k, v in ALLOW.items()}
     bad = lint_registry(spark, SF_DIR, allow=allow)
     assert bad == {}, f"undocumented scale-hazard codes: {bad}"
+
+
+def test_allowlist_names_are_registered():
+    """Allowlist entries must reference real queries — a renamed query
+    must carry its reason along."""
+    from grafink_spark.benchqueries import QUERIES
+
+    unknown = set(ALLOW) - set(QUERIES)
+    assert not unknown, unknown
