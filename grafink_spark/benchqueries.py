@@ -10243,3 +10243,213 @@ LIMIT 10
 
 QUERIES.update({"skew_report": q_skew_report})
 ORACLES.update({"skew_report": SQL_SKEW_REPORT})
+
+
+# --- round-4 batch: sketch-family completion + grouped NTILE ---
+
+
+def _userday_sides(spark: SparkSession, sf_dir: str):
+    """Two behavioral key SETS over events: user-days with a click vs
+    user-days with a view (key = 'user-day' string)."""
+    ev = load_table(spark, sf_dir, "events")
+    key = F.concat_ws("-", F.col("user_id"), F.dayofmonth("ts")).alias("k")
+    a = ev.where(F.col("event_type") == "click").select(key)
+    b = ev.where(F.col("event_type") == "view").select(key)
+    return a, b
+
+
+_USERDAY_SQL = """
+  a AS (SELECT user_id::VARCHAR || '-' || date_part('day', ts)::VARCHAR AS k
+        FROM events WHERE event_type = 'click'),
+  b AS (SELECT user_id::VARCHAR || '-' || date_part('day', ts)::VARCHAR AS k
+        FROM events WHERE event_type = 'view')
+"""
+
+
+def q_behavior_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV bottom-k Jaccard between two behavioral key sets (click
+    user-days vs view user-days) — segment-similarity WITHOUT
+    materializing either set: each side contributes its k=256 smallest
+    distinct key hashes; the union sample's shared fraction is the
+    estimate (exact when the union fits in k). Deterministic md5 →
+    the full estimator replays in SQL."""
+    from grafink_spark.sketches import kmv_jaccard
+
+    a, b = _userday_sides(spark, sf_dir)
+    return kmv_jaccard(a, b, "k", "k", k=256)
+
+
+def _behavior_jaccard_sql(k: int = 256) -> str:
+    from grafink_spark import sketches as sk
+
+    num = repr(float(k - 1) * float(1 << sk.HASH_BITS))
+    return f"""
+WITH {_USERDAY_SQL},
+ha AS (SELECT DISTINCT k, ('0x' || substr(md5(k), 1, 15))::BIGINT AS h FROM a
+       ORDER BY h LIMIT {k}),
+hb AS (SELECT DISTINCT k, ('0x' || substr(md5(k), 1, 15))::BIGINT AS h FROM b
+       ORDER BY h LIMIT {k}),
+s AS (SELECT DISTINCT k, h FROM (SELECT * FROM ha UNION ALL SELECT * FROM hb)
+      ORDER BY h LIMIT {k}),
+st AS (SELECT max(h) AS tau, count(*) AS nu FROM s),
+shared AS (
+  SELECT count(*) AS nboth FROM s
+  WHERE k IN (SELECT k FROM ha) AND k IN (SELECT k FROM hb)
+)
+SELECT round(nboth::DOUBLE / nu::DOUBLE, 6) AS jaccard,
+       round(nboth::DOUBLE / nu::DOUBLE *
+             CASE WHEN nu < {k} THEN nu::DOUBLE
+                  ELSE {num} / tau::DOUBLE END, 2) AS inter_est,
+       nu AS n_union_sampled
+FROM shared, st
+"""
+
+
+SQL_BEHAVIOR_JACCARD = _behavior_jaccard_sql()
+
+
+def q_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL inclusion–exclusion |A∩B| over the same two behavioral sets
+    — E(A)+E(B)−E(A∪B) with the union's registers the exact bucket-max
+    merge (no third data pass). The exact intersection count rides
+    along so the estimate is self-validating row-side."""
+    from grafink_spark.sketches import hll_intersect_estimate
+
+    a, b = _userday_sides(spark, sf_dir)
+    est = hll_intersect_estimate(a, b, "k", "k")
+    exact = (
+        a.distinct()
+        .join(b.distinct(), "k", "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+    )
+    return est.crossJoin(F.broadcast(exact))
+
+
+def _user_overlap_sql() -> str:
+    from grafink_spark import sketches as sk
+
+    raw_num = repr(sk._alpha(sk.M) * sk.M * sk.M * float(1 << sk.RHO_MAX))
+    scale = 1 << sk.RHO_MAX
+    m, rho_max = sk.M, sk.RHO_MAX
+    return f"""
+WITH {_USERDAY_SQL},
+keys AS (
+  SELECT 'a' AS s, k FROM a
+  UNION ALL SELECT 'b' AS s, k FROM b
+  UNION ALL SELECT 'u' AS s, k FROM a
+  UNION ALL SELECT 'u' AS s, k FROM b
+),
+h AS (SELECT s, ('0x' || substr(md5(k), 1, 15))::BIGINT AS h FROM keys),
+r AS (
+  SELECT s, h % {m} AS bucket,
+         CASE WHEN h // {m} > 0 THEN {rho_max} - length(bin(h // {m}))
+              ELSE {rho_max} END AS rho
+  FROM h
+),
+regs AS (SELECT s, bucket, max(rho) AS max_rho FROM r GROUP BY 1, 2),
+z AS (
+  SELECT s,
+         sum(1::BIGINT << ({rho_max} - max_rho)) AS zp,
+         count(*) AS nb
+  FROM regs GROUP BY 1
+),
+est AS (
+  SELECT s,
+         round(CASE WHEN {raw_num} / (zp + ({m} - nb) * {scale}::BIGINT)::DOUBLE
+                         <= 2.5 * {m} AND nb < {m}
+               THEN {m}::DOUBLE * ln({m}::DOUBLE / ({m} - nb)::DOUBLE)
+               ELSE {raw_num} / (zp + ({m} - nb) * {scale}::BIGINT)::DOUBLE
+               END, 2) AS e
+  FROM z
+),
+wide AS (
+  SELECT max(CASE WHEN s = 'a' THEN e END) AS est_a,
+         max(CASE WHEN s = 'b' THEN e END) AS est_b,
+         max(CASE WHEN s = 'u' THEN e END) AS est_union
+  FROM est
+),
+ex AS (
+  SELECT count(*) AS n_exact FROM (
+    SELECT DISTINCT k FROM a INTERSECT SELECT DISTINCT k FROM b)
+)
+SELECT est_a, est_b, est_union,
+       round(est_a + est_b - est_union, 2) AS inter_est, n_exact
+FROM wide, ex
+"""
+
+
+SQL_USER_OVERLAP = _user_overlap_sql()
+
+
+def q_segment_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment order-value deciles with exact NTILE semantics —
+    the grouped sibling of quality_deciles, built on grouped_rank so a
+    5-value segment column never becomes 5 reducer tasks: bucket =
+    exact NTILE remainder rule from (per-group rank, per-group n).
+    Oracle uses DuckDB's native ntile over the group window."""
+    from grafink_spark.ops import grouped_rank
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    j = orders.join(maybe_broadcast(cust), "o_custkey").select(
+        "o_orderkey", "c_mktsegment", "o_totalprice"
+    )
+    r = grouped_rank(j, ["c_mktsegment"], ["o_totalprice", "o_orderkey"])
+    k = 10
+    i0 = F.col("rank") - 1
+    base = F.floor(F.col("n") / k)
+    rem = F.col("n") % k
+    cut = rem * (base + 1)
+    decile = (
+        F.when(i0 < cut, F.floor(i0 / (base + 1)))
+        .otherwise(rem + F.floor((i0 - cut) / base))
+        + 1
+    )
+    return (
+        r.select("c_mktsegment", "o_totalprice", decile.alias("decile"))
+        .groupBy("c_mktsegment", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(21,6)"))
+                .cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("avg_price"),
+        )
+    )
+
+
+SQL_SEGMENT_DECILES = """
+WITH j AS (
+  SELECT o.o_orderkey, c.c_mktsegment, o.o_totalprice
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+),
+t AS (
+  SELECT c_mktsegment, o_totalprice,
+         ntile(10) OVER (PARTITION BY c_mktsegment
+                         ORDER BY o_totalprice, o_orderkey) AS decile
+  FROM j
+)
+SELECT c_mktsegment, decile, count(*) AS n,
+       round(sum(o_totalprice::DECIMAL(21,6))::DOUBLE / count(*)::DOUBLE,
+             6) AS avg_price
+FROM t GROUP BY 1, 2
+"""
+
+QUERIES.update(
+    {
+        "behavior_jaccard": q_behavior_jaccard,
+        "user_overlap": q_user_overlap,
+        "segment_deciles": q_segment_deciles,
+    }
+)
+ORACLES.update(
+    {
+        "behavior_jaccard": SQL_BEHAVIOR_JACCARD,
+        "user_overlap": SQL_USER_OVERLAP,
+        "segment_deciles": SQL_SEGMENT_DECILES,
+    }
+)

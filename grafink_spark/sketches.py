@@ -436,3 +436,107 @@ def hist_quantiles(
         F.col("_bin") + (t - F.col("_before")) / F.col("_cnt")
     )
     return picked.select("q", est.alias("est"))
+
+
+def kmv_jaccard(
+    a: DataFrame,
+    b: DataFrame,
+    key_a: str,
+    key_b: str,
+    k: int = 256,
+) -> DataFrame:
+    """1-row Jaccard estimate |A∩B| / |A∪B| between two key SETS from
+    bottom-k (KMV) signatures — the similarity-of-segments probe
+    (shared users, shared vocabulary, shared entities) that never
+    materializes either set.
+
+    Method: each side keeps its k smallest distinct 60-bit md5 key
+    hashes (one distinct-shuffle each — the only corpus-scale work).
+    The k smallest hashes of the sketch UNION are a uniform sample S of
+    A∪B; J ≈ |S ∩ A ∩ B| / |S|. Exact when |A∪B| ≤ k (the sample is
+    the whole union). Also returns the implied intersection size
+    J·D(A∪B) with D the KMV distinct estimate. Deterministic md5
+    end-to-end → the whole estimate replays in SQL.
+
+    Output: (jaccard, inter_est, n_union_sampled)."""
+    sa = (
+        a.select(F.col(key_a).alias("_key"))
+        .distinct()
+        .select("_key", hash60(F.col("_key")).alias("_h"))
+        .orderBy("_h")
+        .limit(k)
+    )
+    sb = (
+        b.select(F.col(key_b).alias("_key"))
+        .distinct()
+        .select("_key", hash60(F.col("_key")).alias("_h"))
+        .orderBy("_h")
+        .limit(k)
+    )
+    union_sample = (
+        sa.unionByName(sb)
+        .distinct()
+        .orderBy("_h")
+        .limit(k)
+        # sample S is ≤ k rows — pin it so the three aggregates below
+        # don't re-derive both bottom-k sorts per reference
+        .localCheckpoint()
+    )
+    stats = union_sample.agg(
+        F.max("_h").alias("_tau"), F.count(F.lit(1)).alias("_nu")
+    )
+    both = (
+        union_sample.join(sa.select("_key"), "_key", "left_semi")
+        .join(sb.select("_key"), "_key", "left_semi")
+        .agg(F.count(F.lit(1)).alias("_nboth"))
+    )
+    d_union = F.when(
+        F.col("_nu") < k, F.col("_nu").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1) * float(1 << HASH_BITS)) / F.col("_tau").cast("double")
+    )
+    j = F.col("_nboth").cast("double") / F.col("_nu").cast("double")
+    return (
+        both.crossJoin(F.broadcast(stats))
+        .select(
+            F.round(j, 6).alias("jaccard"),
+            F.round(j * d_union, 2).alias("inter_est"),
+            F.col("_nu").alias("n_union_sampled"),
+        )
+    )
+
+
+def hll_intersect_estimate(
+    a: DataFrame,
+    b: DataFrame,
+    key_a: str,
+    key_b: str,
+    out: str = "inter_est",
+) -> DataFrame:
+    """1-row |A∩B| estimate by inclusion–exclusion over HLL register
+    tables: E(A) + E(B) − E(A∪B), where the union's registers are the
+    exact bucket-max merge of the two sides' registers — no third pass
+    over the data. Register tables are m=1024 rows each; everything
+    after the two register shuffles is constant-size work. Relative
+    error grows as |A∩B| shrinks vs the union (inclusion–exclusion
+    subtracts two noisy numbers) — for tiny intersections over huge
+    sets prefer ``kmv_jaccard``."""
+    tag_a = a.select(F.lit("a").alias("_s"), F.col(key_a).alias("_key"))
+    tag_b = b.select(F.lit("b").alias("_s"), F.col(key_b).alias("_key"))
+    regs_a = hll_registers(tag_a, "_s", "_key")
+    regs_b = hll_registers(tag_b, "_s", "_key")
+    regs_u = hll_merge(
+        "_s",
+        regs_a.withColumn("_s", F.lit("u")),
+        regs_b.withColumn("_s", F.lit("u")),
+    )
+    ests = hll_estimate(
+        regs_a.unionByName(regs_b).unionByName(regs_u), "_s", out="_e"
+    )
+    wide = ests.groupBy().pivot("_s", ["a", "b", "u"]).agg(F.first("_e"))
+    return wide.select(
+        F.col("a").alias("est_a"),
+        F.col("b").alias("est_b"),
+        F.col("u").alias("est_union"),
+        F.round(F.col("a") + F.col("b") - F.col("u"), 2).alias(out),
+    )
