@@ -422,3 +422,50 @@ def test_hist_quantiles_q_zero_and_one(spark):
     assert 0.0 in got and got[0.0] == lo
     assert 1.0 in got and abs(got[1.0] - hi) <= (hi - lo) / bins
     assert abs(got[0.5] - 50.5) <= (hi - lo) / bins
+
+
+def test_kmv_jaccard_exact_when_union_fits(spark):
+    """With |A∪B| <= k the union sample is the whole union, so the
+    estimate must be EXACTLY |A∩B| / |A∪B| (and inter_est the exact
+    intersection size)."""
+    import random
+
+    from grafink_spark.sketches import kmv_jaccard
+
+    random.seed(3)
+    universe = [f"key{i}" for i in range(120)]
+    a_keys = set(random.sample(universe, 70))
+    b_keys = set(random.sample(universe, 60))
+    a = spark.createDataFrame([(x,) for x in a_keys] * 2, "k string")
+    b = spark.createDataFrame([(x,) for x in b_keys] * 3, "k string")
+    row = kmv_jaccard(a, b, "k", "k", k=256).collect()[0]
+    inter, union = len(a_keys & b_keys), len(a_keys | b_keys)
+    assert row.n_union_sampled == union
+    assert row.jaccard == round(inter / union, 6)
+    assert row.inter_est == float(inter)
+
+
+def test_kmv_jaccard_estimates_beyond_k(spark):
+    """With |A∪B| >> k the sampled estimate must land near the true
+    Jaccard (the union sample is uniform in hash order)."""
+    from grafink_spark.sketches import kmv_jaccard
+
+    a = spark.range(0, 3000).select(F.col("id").cast("string").alias("k"))
+    b = spark.range(1500, 4500).select(F.col("id").cast("string").alias("k"))
+    row = kmv_jaccard(a, b, "k", "k", k=256).collect()[0]
+    true_j = 1500 / 4500
+    assert abs(row.jaccard - true_j) < 0.12
+    assert row.n_union_sampled == 256
+
+
+def test_hll_intersect_tracks_exact(spark):
+    """Inclusion–exclusion over HLL registers lands within the sketch's
+    error envelope of the exact intersection."""
+    from grafink_spark.sketches import hll_intersect_estimate
+
+    a = spark.range(0, 4000).select(F.col("id").cast("string").alias("k"))
+    b = spark.range(2000, 6000).select(F.col("id").cast("string").alias("k"))
+    row = hll_intersect_estimate(a, b, "k", "k").collect()[0]
+    # three ±3.25% estimates subtract: allow a generous combined band
+    assert abs(row.inter_est - 2000) < 2000 * 0.35
+    assert abs(row.est_union - 6000) < 6000 * 0.10
