@@ -50,7 +50,14 @@ def ingest_vectors_stream(
     def _purge(batch_id: int) -> None:
         """Rewrite the vector store without a crashed attempt's tagged
         rows (filter-and-swap; runs only on replay)."""
-        df = spark.read.option("basePath", vectors_path).parquet(vectors_path)
+        # mergeSchema: the store mixes the initial ivf_write_index files
+        # (no batch column) with appended tagged files — default footer
+        # sampling could miss BATCH_COL and silently skip the purge
+        df = (
+            spark.read.option("basePath", vectors_path)
+            .option("mergeSchema", "true")
+            .parquet(vectors_path)
+        )
         if BATCH_COL not in df.columns:
             return
         if df.where(F.col(BATCH_COL) == batch_id).limit(1).count() == 0:

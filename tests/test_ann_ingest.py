@@ -42,8 +42,10 @@ def test_streaming_ivf_ingest_matches_batch_and_serves_fresh(spark, tmp_path):
         stream, path, str(tmp_path / "ckpt"), available_now=True
     )
 
-    stored = spark.read.option("basePath", f"{path}/vectors").parquet(
-        f"{path}/vectors"
+    stored = (
+        spark.read.option("basePath", f"{path}/vectors")
+        .option("mergeSchema", "true")
+        .parquet(f"{path}/vectors")
     )
     assert stored.count() == emb.count()
     # every stream-appended row is batch-tagged and landed in a list dir
