@@ -270,21 +270,6 @@ def main() -> int:
     # queries, not session startup.
     QUERIES["max_id"](spark, sf_dir).collect()
 
-    # Pre-touch every input table (full scan into the OS page cache):
-    # the first query to read a cold multi-MB table otherwise pays its
-    # IO, so per-query numbers would depend on bench ORDER — the
-    # apss_cosine driver-vs-builder gap in round 3 was exactly this
-    # first-touch effect inside the driver's single-session sweep.
-    from grafink_spark.sources.tables import TABLES, load_table  # noqa: E402
-
-    for t in TABLES:
-        try:
-            load_table(spark, sf_dir, t).write.format("noop").mode(
-                "overwrite"
-            ).save()
-        except Exception:
-            pass  # missing optional table at this sf: first query pays IO
-
     iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "2"))
     # Smoke-run subset: SPARK_GRAFT_BENCH_ONLY=q1,q2 limits the headline
     # set (local iteration / CI smoke); unset = full headline set.
@@ -298,6 +283,24 @@ def main() -> int:
             print(f"# BENCH_ONLY: not registered: {sorted(unknown)}", file=sys.stderr)
     else:
         headline = all_names
+    if not only:
+        # Pre-touch every input table (full scan into the OS page
+        # cache): the first query to read a cold multi-MB table
+        # otherwise pays its IO, so per-query numbers would depend on
+        # bench ORDER — the apss_cosine driver-vs-builder gap in round
+        # 3 was exactly this first-touch effect inside the driver's
+        # single-session sweep. Skipped for BENCH_ONLY smoke subsets
+        # (10 full scans would dominate a 1-query run; best-of-iters
+        # absorbs the first-touch there).
+        from grafink_spark.sources.tables import TABLES, load_table  # noqa: E402
+
+        for t in TABLES:
+            try:
+                load_table(spark, sf_dir, t).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            except Exception:
+                pass  # missing table at this sf: first query pays IO
     timings: dict[str, float] = {}
     for name in headline:
         fn = QUERIES[name]
@@ -388,7 +391,10 @@ def main() -> int:
             fn = QUERIES[name]
             t0 = time.perf_counter()
             df = fn(spark, sf1_dir)
-            if name in NOOP_DRAIN:
+            # EXTENDED drains via noop here too — mirrors the sf0.1
+            # loop, so the two sections time the same work and a
+            # wide-result EXTENDED query can't OOM the driver at sf1
+            if name in NOOP_DRAIN or name in EXTENDED:
                 df.write.format("noop").mode("overwrite").save()
             else:
                 df.collect()

@@ -10040,7 +10040,14 @@ def q_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     late = (
         F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
     ).cast("int")
-    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("long")
+    # null-safe: a NULL priority counts as low (the oracle's CASE ...
+    # ELSE 1 does too); bare isin().cast() would be NULL and sum()
+    # would silently drop the row from BOTH buckets
+    high = (
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+        .otherwise(0)
+        .cast("long")
+    )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy(late.alias("late"))

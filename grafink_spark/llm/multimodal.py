@@ -186,8 +186,14 @@ class _JpegBits:
             nxt = self.data[self.pos + 1]
             if nxt == 0x00:
                 self.pos += 2
-            elif 0xD0 <= nxt <= 0xD7:  # RST marker: skip, reset elsewhere
-                raise _JpegRestart()
+            elif 0xD0 <= nxt <= 0xD7:
+                # the MCU loop consumes RST markers at restart-interval
+                # boundaries; hitting one mid-block means the entropy
+                # decoder desynchronized (corrupt stream or a restart
+                # interval the header lied about)
+                raise ValueError(
+                    "restart marker inside an entropy-coded block"
+                )
             else:
                 raise ValueError("unexpected marker inside entropy data")
         else:
@@ -216,10 +222,6 @@ class _JpegBits:
     def align(self):
         self.nbits = 0
         self.bitbuf = 0
-
-
-class _JpegRestart(Exception):
-    pass
 
 
 def _jpeg_extend(v: int, s: int) -> int:

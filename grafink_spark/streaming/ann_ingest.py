@@ -28,8 +28,7 @@ from pyspark.sql import functions as F
 
 from grafink_spark import fsutil
 from grafink_spark.llm.simsearch import ivf_index_append
-
-BATCH_COL = "_ingest_batch_id"
+from grafink_spark.streaming.exactly_once import BATCH_COL, purge_batch_rows
 
 
 def ingest_vectors_stream(
@@ -47,37 +46,15 @@ def ingest_vectors_stream(
     spark = vec_stream.sparkSession
     vectors_path = f"{index_path}/vectors"
 
-    def _purge(batch_id: int) -> None:
-        """Rewrite the vector store without a crashed attempt's tagged
-        rows (filter-and-swap; runs only on replay)."""
-        # mergeSchema: the store mixes the initial ivf_write_index files
-        # (no batch column) with appended tagged files — default footer
-        # sampling could miss BATCH_COL and silently skip the purge
-        df = (
-            spark.read.option("basePath", vectors_path)
-            .option("mergeSchema", "true")
-            .parquet(vectors_path)
-        )
-        if BATCH_COL not in df.columns:
-            return
-        if df.where(F.col(BATCH_COL) == batch_id).limit(1).count() == 0:
-            return
-        tmp = vectors_path.rstrip("/") + "__purge_tmp"
-        df.where(F.col(BATCH_COL) != batch_id).write.partitionBy(
-            "list_id"
-        ).mode("overwrite").parquet(tmp)
-        fsutil.swap(spark, tmp, vectors_path)
-
     def process(batch: DataFrame, batch_id: int) -> None:
-        fsutil.complete_interrupted_swap(
-            spark, vectors_path.rstrip("/") + "__purge_tmp", vectors_path
-        )
         marker = os.path.join(
             index_path.rstrip("/") + "_commits", str(batch_id)
         )
         if fsutil.exists(spark, marker):
             return
-        _purge(batch_id)
+        # null-safe shared purge: the initial ivf_write_index rows carry
+        # no batch tag and must survive a crashed batch's cleanup
+        purge_batch_rows(spark, vectors_path, batch_id, part_cols=["list_id"])
         ivf_index_append(
             spark,
             index_path,

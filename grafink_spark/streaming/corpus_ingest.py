@@ -28,8 +28,7 @@ from grafink_spark.llm.dedup import (
     drop_exact_duplicates,
     drop_incremental_near_duplicates,
 )
-
-BATCH_COL = "_ingest_batch_id"
+from grafink_spark.streaming.exactly_once import BATCH_COL, purge_batch_rows
 
 
 def ingest_corpus_stream(
@@ -46,33 +45,7 @@ def ingest_corpus_stream(
     ``available_now``)."""
     spark = docs_stream.sparkSession
 
-    def _purge(batch_id: int) -> None:
-        """Rewrite the corpus without a crashed attempt's tagged rows
-        (filter-and-swap, remote-URI safe) — runs only on replay."""
-        try:
-            df = spark.read.parquet(corpus_path)
-        except Exception as e:
-            from grafink_spark.id_manager import _is_path_empty_error
-
-            if _is_path_empty_error(e):
-                return  # nothing written yet — nothing to purge
-            raise  # corrupt corpus: skipping the purge would double-append
-        if BATCH_COL not in df.columns:
-            return
-        if df.where(F.col(BATCH_COL) == batch_id).limit(1).count() == 0:
-            return
-        tmp = corpus_path.rstrip("/") + "__purge_tmp"
-        df.where(F.col(BATCH_COL) != batch_id).write.mode(
-            "overwrite"
-        ).parquet(tmp)
-        fsutil.swap(spark, tmp, corpus_path)
-
     def process(batch: DataFrame, batch_id: int) -> None:
-        # finish a previous purge's interrupted swap before anything
-        # reads (or concludes the absence of) the corpus
-        fsutil.complete_interrupted_swap(
-            spark, corpus_path.rstrip("/") + "__purge_tmp", corpus_path
-        )
         # markers live BESIDE the parquet dir — the purge's swap
         # replaces corpus_path wholesale and must not eat them
         marker = os.path.join(
@@ -80,7 +53,11 @@ def ingest_corpus_stream(
         )
         if fsutil.exists(spark, marker):
             return
-        _purge(batch_id)
+        # shared null-safe purge (streaming/exactly_once.py): also
+        # finishes a previous purge's interrupted swap before anything
+        # reads (or concludes the absence of) the corpus; an externally
+        # seeded corpus (untagged rows) survives a crashed batch
+        purge_batch_rows(spark, corpus_path, batch_id)
         new = drop_exact_duplicates(batch, text_col, id_col)
         try:
             corpus = spark.read.parquet(corpus_path)

@@ -92,3 +92,40 @@ def test_streaming_ivf_ingest_replay_is_noop(spark, tmp_path):
         f"{path}/vectors"
     ).count()
     assert n1 == n2 == emb.count()
+
+
+def test_streaming_ivf_ingest_crash_purge_preserves_base(spark, tmp_path):
+    """The crashed-attempt purge must remove ONLY the crashed batch's
+    tagged rows: the initial ivf_write_index vectors carry no batch tag
+    (NULL under mergeSchema) and must survive — a non-null-safe filter
+    (`BATCH_COL != id`) would silently delete the whole resident
+    index."""
+    from grafink_spark import fsutil
+
+    emb = spark.read.parquet(EMB)
+    base = emb.where(F.col("vec_id") % 2 == 0)
+    b1 = emb.where(F.col("vec_id") % 2 == 1)
+
+    path = str(tmp_path / "ivf_idx")
+    ss.ivf_write_index(base, path, nlist=4, iters=1)
+
+    # simulate a batch-0 attempt that crashed after a partial append
+    # (tagged rows present, commit marker never touched)
+    junk = b1.limit(3).withColumn(BATCH_COL, F.lit(0))
+    ss.ivf_index_append(spark, path, junk)
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _write_vectors(spark, src, b1, "b1")
+    stream = spark.readStream.schema(emb.schema).parquet(os.path.join(src, "*"))
+    ingest_vectors_stream(stream, path, str(tmp_path / "ckpt"), available_now=True)
+
+    stored = (
+        spark.read.option("basePath", f"{path}/vectors")
+        .option("mergeSchema", "true")
+        .parquet(f"{path}/vectors")
+    )
+    # base rows intact, junk purged, batch re-appended exactly once
+    assert stored.where(F.col(BATCH_COL).isNull()).count() == base.count()
+    assert stored.count() == emb.count()
+    assert fsutil.exists(spark, os.path.join(path + "_commits", "0"))
