@@ -644,3 +644,42 @@ def test_betweenness_layered_joins_no_pairwise(spark):
     plan = physical_plan(betweenness_sampled(edges, [0], max_hops=3))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_late_shipment_priority_pushes_date_filter_to_scan(spark):
+    """Q12 shape: the lineitem ship-date band must reach the parquet
+    scan as PushedFilters (not a post-scan Filter only), and the plan
+    stays a single fact-fact join with no nested loop."""
+    import grafink_spark.benchqueries as bq
+
+    plan = physical_plan(
+        bq.q_late_shipment_priority(spark, "/root/testdata/sf0.001")
+    )
+    assert "PushedFilters: [" in plan
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_min_cost_supplier_has_no_window_and_no_nested_loop(spark):
+    """Q2 shape: the correlated-min decorrelation must stay two hash
+    aggregates + equi joins — no Window over parts, no nested loop."""
+    import grafink_spark.benchqueries as bq
+
+    plan = physical_plan(bq.q_min_cost_supplier(spark, "/root/testdata/sf0.001"))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_grouped_rank_twin_shares_oracle_values(spark):
+    """quantile_transform and its grouped_rank twin must return
+    identical rows — the scalable plan is a pure re-plan."""
+    import grafink_spark.benchqueries as bq
+
+    sf = "/root/testdata/sf0.001"
+    a = sorted(map(tuple, bq.q_quantile_transform(spark, sf).collect()))
+    b = sorted(
+        map(tuple, bq.q_quantile_transform_scalable(spark, sf).collect())
+    )
+    assert a == b
