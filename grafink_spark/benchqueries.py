@@ -10460,3 +10460,172 @@ ORACLES.update(
         "segment_deciles": SQL_SEGMENT_DECILES,
     }
 )
+
+
+def q_best_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact single changepoint over the daily revenue series — the
+    core step of binary-segmentation/PELT changepoint detection: the
+    split day maximizing the SSE reduction (equivalently the
+    between-segment variance) of a two-mean fit. All candidate scores
+    come from EXACT decimal prefix sums (count / Σy / Σy²) over the
+    day-ordered daily aggregate — one fact aggregate keyed by day, then
+    window prefix sums over the days-sized table (rows = #days, never
+    fact rows), so the scan is the only corpus-scale work. The gain is
+    evaluated in double from identical decimal inputs in both engines
+    (same expression shape → bit-identical), rounded, and the argmax is
+    tie-broken on the day."""
+    orders = load_table(spark, sf_dir, "orders")
+    y = F.col("o_totalprice").cast("decimal(21,6)")
+    daily = orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(y).alias("_s"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    pre = daily.select(
+        "day",
+        F.sum("_n").over(w).alias("_cn"),
+        F.sum("_s").over(w).alias("_cs"),
+    )
+    tot = pre.agg(
+        F.max("_cn").alias("_N"), F.max("_cs").alias("_S")
+    )
+    j = pre.crossJoin(F.broadcast(tot)).where(
+        (F.col("_cn") > 0) & (F.col("_cn") < F.col("_N"))
+    )
+    s1 = F.col("_cs").cast("double")
+    n1 = F.col("_cn").cast("double")
+    s = F.col("_S").cast("double")
+    n = F.col("_N").cast("double")
+    gain = (
+        s1 * s1 / n1 + (s - s1) * (s - s1) / (n - n1) - s * s / n
+    )
+    scored = j.select(
+        "day",
+        F.round(gain, 6).alias("gain"),
+        F.round(s1 / n1, 6).alias("left_mean"),
+        F.round((s - s1) / (n - n1), 6).alias("right_mean"),
+    )
+    return scored.orderBy(F.col("gain").desc(), F.col("day")).limit(1)
+
+
+SQL_BEST_CHANGEPOINT = """
+WITH daily AS (
+  SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+         count(*) AS _n,
+         sum(o_totalprice::DECIMAL(21,6)) AS _s
+  FROM orders GROUP BY 1
+),
+pre AS (
+  SELECT day,
+         sum(_n) OVER (ORDER BY day) AS _cn,
+         sum(_s) OVER (ORDER BY day) AS _cs
+  FROM daily
+),
+tot AS (SELECT max(_cn) AS _N, max(_cs) AS _S FROM pre),
+scored AS (
+  SELECT day,
+         round(_cs::DOUBLE * _cs::DOUBLE / _cn::DOUBLE
+               + (_S::DOUBLE - _cs::DOUBLE) * (_S::DOUBLE - _cs::DOUBLE)
+                 / (_N::DOUBLE - _cn::DOUBLE)
+               - _S::DOUBLE * _S::DOUBLE / _N::DOUBLE, 6) AS gain,
+         round(_cs::DOUBLE / _cn::DOUBLE, 6) AS left_mean,
+         round((_S::DOUBLE - _cs::DOUBLE) / (_N::DOUBLE - _cn::DOUBLE),
+               6) AS right_mean
+  FROM pre, tot
+  WHERE _cn > 0 AND _cn < _N
+)
+SELECT day, gain, left_mean, right_mean
+FROM scored ORDER BY gain DESC, day LIMIT 1
+"""
+
+QUERIES.update({"best_changepoint": q_best_changepoint})
+ORACLES.update({"best_changepoint": SQL_BEST_CHANGEPOINT})
+
+
+def q_er_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution cluster summary — the composition a dedup/ER
+    pipeline ships: verified near-dup pairs → connected components →
+    per-cluster canonical record (min id), member count, and mean
+    intra-cluster pair similarity (decimal sum → engine-exact mean over
+    pairs whose BOTH endpoints fall in the cluster). Multi-doc clusters
+    only (singletons are the non-duplicated corpus). All joins are
+    equi on ids; the pair and membership tables are candidate-sized,
+    never corpus²."""
+    docs = load_table(spark, sf_dir, "documents")
+    cand = dd.minhash_lsh_candidates(docs, num_hashes=16, k=3, bands=4)
+    verified = dd.ngram_jaccard_pairs(
+        docs, k=3, threshold=0.5, candidates=cand
+    ).localCheckpoint()  # reused by the membership join below
+    comp = dd.connected_components(verified)
+    sizes = comp.groupBy("component_id").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    # attach each pair to its cluster via either endpoint (components
+    # guarantee both endpoints share the cluster)
+    pair_stats = (
+        verified.join(
+            comp.select(
+                F.col("doc_id").alias("id_a"),
+                F.col("component_id"),
+            ),
+            "id_a",
+        )
+        .groupBy("component_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(
+                F.sum(F.col("jaccard_sim").cast("decimal(27,9)"))
+                .cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("mean_sim"),
+        )
+    )
+    return (
+        sizes.where(F.col("n_members") > 1)
+        .join(pair_stats, "component_id")
+        .select(
+            F.col("component_id").alias("canonical_id"),
+            "n_members",
+            "n_pairs",
+            "mean_sim",
+        )
+    )
+
+
+SQL_ER_CLUSTERS = f"""
+WITH RECURSIVE
+vpairs AS ({_jaccard_pairs_sql()}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM vpairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM vpairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+comp AS (
+  SELECT a AS doc_id, LEAST(a, MIN(b)) AS component_id
+  FROM reach GROUP BY a
+),
+sizes AS (
+  SELECT component_id, count(*) AS n_members FROM comp GROUP BY 1
+),
+ps AS (
+  SELECT c.component_id, count(*) AS n_pairs,
+         round(sum(v.jaccard_sim::DECIMAL(27,9))::DOUBLE
+               / count(*)::DOUBLE, 6) AS mean_sim
+  FROM vpairs v JOIN comp c ON c.doc_id = v.id_a
+  GROUP BY 1
+)
+SELECT s.component_id AS canonical_id, s.n_members, ps.n_pairs, ps.mean_sim
+FROM sizes s JOIN ps ON ps.component_id = s.component_id
+WHERE s.n_members > 1
+"""
+
+QUERIES.update({"er_clusters": q_er_clusters})
+ORACLES.update({"er_clusters": SQL_ER_CLUSTERS})
