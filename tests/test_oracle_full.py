@@ -5,7 +5,7 @@ at sf0.01 (the driver's correctness scale) and fails on ANY mismatch,
 so the queries the driver doesn't sample still get exercised each round.
 
 Gated behind ``SPARK_GRAFT_FULL_ORACLE=1`` because the sweep runs the
-whole 169-query registry (~10 min): the default pytest gate stays fast,
+whole registry (200+ queries, ~20 min): the default pytest gate stays fast,
 and the round workflow runs this once per round via
 
     SPARK_GRAFT_FULL_ORACLE=1 python -m pytest tests/test_oracle_full.py -q
