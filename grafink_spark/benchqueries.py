@@ -10488,8 +10488,10 @@ def q_best_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("_n").over(w).alias("_cn"),
         F.sum("_s").over(w).alias("_cs"),
     )
-    tot = pre.agg(
-        F.max("_cn").alias("_N"), F.max("_cs").alias("_S")
+    # totals from the daily table itself, NOT max(cumulative): the two
+    # agree only while every y is positive
+    tot = daily.agg(
+        F.sum("_n").alias("_N"), F.sum("_s").alias("_S")
     )
     j = pre.crossJoin(F.broadcast(tot)).where(
         (F.col("_cn") > 0) & (F.col("_cn") < F.col("_N"))
@@ -10523,7 +10525,7 @@ pre AS (
          sum(_s) OVER (ORDER BY day) AS _cs
   FROM daily
 ),
-tot AS (SELECT max(_cn) AS _N, max(_cs) AS _S FROM pre),
+tot AS (SELECT sum(_n) AS _N, sum(_s) AS _S FROM daily),
 scored AS (
   SELECT day,
          round(_cs::DOUBLE * _cs::DOUBLE / _cn::DOUBLE

@@ -683,3 +683,19 @@ def test_grouped_rank_twin_shares_oracle_values(spark):
         map(tuple, bq.q_quantile_transform_scalable(spark, sf).collect())
     )
     assert a == b
+
+
+def test_nation_volume_shipping_single_fact_exchange(spark):
+    """Q7 shape: the only hash exchange is the final group-by — dims
+    ride broadcasts, the filtered fact join broadcasts at bench scale
+    (size-gated), and nothing shuffles twice."""
+    import grafink_spark.benchqueries as bq
+
+    plan = physical_plan(
+        bq.q_nation_volume_shipping(spark, "/root/testdata/sf0.001")
+    )
+    exchanges = [
+        l for l in plan.split("\n") if "Exchange hashpartitioning" in l
+    ]
+    assert len(exchanges) <= 2, exchanges
+    assert "CartesianProduct" not in plan
