@@ -10474,13 +10474,22 @@ def q_best_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     evaluated in double from identical decimal inputs in both engines
     (same expression shape → bit-identical), rounded, and the argmax is
     tie-broken on the day."""
-    orders = load_table(spark, sf_dir, "orders")
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate").isNotNull()  # engines disagree on NULL
+        # ordering in window frames (Spark NULLS FIRST, DuckDB LAST)
+    )
     y = F.col("o_totalprice").cast("decimal(21,6)")
-    daily = orders.groupBy(
-        F.date_format("o_orderdate", "yyyy-MM-dd").alias("day")
-    ).agg(
-        F.count(F.lit(1)).alias("_n"),
-        F.sum(y).alias("_s"),
+    daily = (
+        orders.groupBy(
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("day")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(y).alias("_s"),
+        )
+        # referenced by pre (window) AND tot (agg): pin so the fact scan
+        # + group-by run once, not per branch
+        .localCheckpoint()
     )
     w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
     pre = daily.select(
@@ -10517,7 +10526,7 @@ WITH daily AS (
   SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
          count(*) AS _n,
          sum(o_totalprice::DECIMAL(21,6)) AS _s
-  FROM orders GROUP BY 1
+  FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
 ),
 pre AS (
   SELECT day,
@@ -10578,7 +10587,9 @@ def q_er_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_pairs"),
             F.round(
-                F.sum(F.col("jaccard_sim").cast("decimal(27,9)"))
+                # the oracle's vpairs CTE emits round(sim, 6) — sum the
+                # SAME rounded values or a 1e-6 boundary can flip the mean
+                F.sum(F.round("jaccard_sim", 6).cast("decimal(27,9)"))
                 .cast("double")
                 / F.count(F.lit(1)).cast("double"),
                 6,

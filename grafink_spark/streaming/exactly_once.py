@@ -24,17 +24,17 @@ def purge_batch_rows(
     spark,
     path: str,
     batch_id: int,
-    part_cols: list[str] | None = None,
-    require_readable: bool = True,
+    part_cols=None,
 ) -> None:
     """Rewrite the parquet dir at ``path`` without ``batch_id``'s tagged
     rows (filter-and-swap, remote-URI safe). NULL-SAFE on the batch
     column: rows from before the stream existed (no tag) always
     survive. Completes a previous purge's interrupted swap first; a
-    missing/empty dir is a no-op. ``require_readable=False`` downgrades
-    an unreadable dir to a no-op (callers whose store legitimately may
-    not exist yet); the default re-raises — silently skipping a purge
-    on a CORRUPT store would double-append."""
+    missing/empty dir is a no-op; an unreadable (corrupt) dir raises —
+    silently skipping a purge would double-append. ``part_cols`` is a
+    column list or a callable ``(df) -> list`` for layouts whose
+    partition columns must be probed from the data (graph stores keep
+    whatever of year/month/day the alerts carried)."""
     tmp = path.rstrip("/") + "__purge_tmp"
     fsutil.complete_interrupted_swap(spark, tmp, path)
     try:
@@ -49,7 +49,7 @@ def purge_batch_rows(
     except Exception as e:
         from grafink_spark.id_manager import _is_path_empty_error
 
-        if _is_path_empty_error(e) or not require_readable:
+        if _is_path_empty_error(e):
             return
         raise
     if BATCH_COL not in df.columns:
@@ -59,6 +59,8 @@ def purge_batch_rows(
     remaining = df.where(
         F.col(BATCH_COL).isNull() | (F.col(BATCH_COL) != batch_id)
     )
+    if callable(part_cols):
+        part_cols = part_cols(df)
     writer = remaining.write.mode("overwrite")
     if part_cols:
         writer = writer.partitionBy(*part_cols)

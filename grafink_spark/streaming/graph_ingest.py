@@ -44,58 +44,36 @@ from grafink_spark.graph.catalog import GraphCatalog
 from grafink_spark.graph.storage import GraphStore
 from grafink_spark.id_manager import IDManager
 from grafink_spark.rules.base import ClassifierRule
-
-BATCH_COL = "_ingest_batch_id"
+from grafink_spark.streaming.exactly_once import BATCH_COL, purge_batch_rows
 
 
 def _commit_marker(store: GraphStore, batch_id: int) -> str:
     return os.path.join(store.root, "_ingest_commits", str(batch_id))
 
 
+def _date_parts(df) -> list:
+    """Preserve whatever of the hive date partitioning the alerts
+    carried (year/month/day columns are optional in the id store and
+    vertex store layouts)."""
+    return [c for c in ("year", "month", "day") if c in df.columns]
+
+
 def _purge_batch(
     id_manager: IDManager, store: GraphStore, batch_id: int
 ) -> None:
-    """Remove every row a crashed attempt of ``batch_id`` appended.
-    Each store is rewritten without the tagged rows and swapped in via
-    the Hadoop FS API (remote-URI safe)."""
+    """Remove every row a crashed attempt of ``batch_id`` appended —
+    the shared null-safe purge (streaming/exactly_once.py) applied to
+    each graph-side store; the same filter-and-swap, interrupted-swap
+    recovery, and missing/empty handling as the corpus and ANN
+    ingests."""
     spark = store.spark
     targets = [
-        (id_manager.config.dataPath, "dates"),
-        (store.vertex_path, "dates"),
+        (id_manager.config.dataPath, _date_parts),
+        (store.vertex_path, _date_parts),
         (store.edge_path, ["label"]),
     ]
     for path, part_cols in targets:
-        # a crash inside a previous purge's swap leaves the table
-        # missing and the rewritten tmp behind — finish that rename
-        # first (fsutil.swap docstring)
-        fsutil.complete_interrupted_swap(
-            spark, path.rstrip("/") + "__purge_tmp", path
-        )
-        if not fsutil.exists(spark, path):
-            continue
-        try:
-            df = spark.read.parquet(path)
-        except Exception as e:
-            from grafink_spark.id_manager import _is_path_empty_error
-
-            if _is_path_empty_error(e):
-                continue  # dir exists but holds no parquet yet
-            raise  # corrupt store: skipping would re-assign its ids
-        if part_cols == "dates":  # preserve any date partitioning
-            part_cols = [c for c in ("year", "month", "day") if c in df.columns]
-        if BATCH_COL not in df.columns:
-            continue
-        if df.where(F.col(BATCH_COL) == batch_id).limit(1).count() == 0:
-            continue
-        remaining = df.where(
-            F.col(BATCH_COL).isNull() | (F.col(BATCH_COL) != batch_id)
-        )
-        tmp = path.rstrip("/") + "__purge_tmp"
-        writer = remaining.write.mode("overwrite")
-        if part_cols:
-            writer = writer.partitionBy(*part_cols)
-        writer.parquet(tmp)
-        fsutil.swap(spark, tmp, path)
+        purge_batch_rows(spark, path, batch_id, part_cols=part_cols)
 
 
 def ingest_batch(

@@ -24,7 +24,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_ORACLE", "/root/testdata/sf0.01")
 
 @pytest.mark.skipif(
     os.environ.get("SPARK_GRAFT_FULL_ORACLE") != "1",
-    reason="full registry oracle sweep (~10 min); set SPARK_GRAFT_FULL_ORACLE=1",
+    reason="full registry oracle sweep (~20 min); set SPARK_GRAFT_FULL_ORACLE=1",
 )
 def test_all_registered_oracles_match():
     # Subprocess so the sweep gets its own full-core Spark session instead
