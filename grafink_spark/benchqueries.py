@@ -10642,3 +10642,75 @@ WHERE s.n_members > 1
 
 QUERIES.update({"er_clusters": q_er_clusters})
 ORACLES.update({"er_clusters": SQL_ER_CLUSTERS})
+
+
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov drift: D = max |F1(v)−F2(v)|
+    between early (<1998) and late order-value distributions — the
+    numeric-column drift test that complements PSI (no binning, exact
+    over every distinct value). The per-value counts are one aggregate;
+    the CDFs come from ops.distributed_cumsum over the DISTINCT-value
+    table in value order — sum(x) OVER (ORDER BY v) without the
+    single-partition window, so the statistic stays exact at any value
+    cardinality. D is a double from exact integer cumulative counts
+    (identical in both engines), argmax tie-broken on the value."""
+    from grafink_spark.ops import distributed_cumsum
+
+    orders = load_table(spark, sf_dir, "orders")
+    early = (F.col("o_orderdate") < "1998-01-01").cast("long")
+    per_val = (
+        orders.groupBy(F.col("o_totalprice").alias("v"))
+        .agg(
+            F.sum(early).alias("_n1"),
+            F.sum(1 - early).alias("_n2"),
+        )
+        # referenced by the cumsum AND the totals — pin so the orders
+        # scan + aggregate run once, and the two branches' attributes
+        # don't collide in the cross join
+        .localCheckpoint()
+    )
+    cum = distributed_cumsum(per_val, ["v"], ["_n1", "_n2"])
+    tot = per_val.agg(
+        F.sum("_n1").alias("_N1"), F.sum("_n2").alias("_N2")
+    )
+    scored = cum.crossJoin(F.broadcast(tot)).select(
+        cum["v"].alias("at_value"),
+        F.round(
+            F.abs(
+                cum["cum__n1"].cast("double") / tot["_N1"].cast("double")
+                - cum["cum__n2"].cast("double") / tot["_N2"].cast("double")
+            ),
+            6,
+        ).alias("ks_d"),
+        tot["_N1"].alias("n_early"),
+        tot["_N2"].alias("n_late"),
+    )
+    return scored.orderBy(F.col("ks_d").desc(), F.col("at_value")).limit(1)
+
+
+SQL_KS_DRIFT = """
+WITH per_val AS (
+  SELECT o_totalprice AS v,
+         sum(CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+                  THEN 1 ELSE 0 END) AS _n1,
+         sum(CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+                  THEN 0 ELSE 1 END) AS _n2
+  FROM orders GROUP BY 1
+),
+cum AS (
+  SELECT v,
+         sum(_n1) OVER (ORDER BY v) AS c1,
+         sum(_n2) OVER (ORDER BY v) AS c2
+  FROM per_val
+),
+tot AS (SELECT sum(_n1) AS _N1, sum(_n2) AS _N2 FROM per_val)
+SELECT v AS at_value,
+       round(abs(c1::DOUBLE / _N1::DOUBLE - c2::DOUBLE / _N2::DOUBLE),
+             6) AS ks_d,
+       _N1 AS n_early, _N2 AS n_late
+FROM cum, tot
+ORDER BY ks_d DESC, at_value LIMIT 1
+"""
+
+QUERIES.update({"ks_drift": q_ks_drift})
+ORACLES.update({"ks_drift": SQL_KS_DRIFT})

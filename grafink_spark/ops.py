@@ -942,3 +942,84 @@ def skew_report(
         ).alias("ratio_to_mean"),
     )
     return enriched.orderBy(F.col("n").desc(), *key_cols).limit(top)
+
+
+def distributed_cumsum(
+    df: DataFrame,
+    order_cols: list[str],
+    value_cols: list[str],
+    prefix: str = "cum_",
+) -> DataFrame:
+    """Exact running totals in global ``order_cols`` order WITHOUT a
+    single-partition window — ``sum(x) OVER (ORDER BY ...)`` funnels
+    the whole table through ONE task; this keeps the same semantics
+    with balanced tasks (the cumulative-SUM generalization of
+    ``zip_with_index``'s cumulative COUNT).
+
+    Plan (two-pass layout pinning, as zip_with_index/grouped_rank):
+    range-partition + local sort + localCheckpoint; per-partition value
+    totals collect to the driver (numPartitions rows) and become
+    broadcast offsets; the within-partition running total is a window
+    PARTITIONED BY the physical partition id — its key cardinality is
+    the partition count and each key's rows are one range partition, so
+    the reducer load is balanced by construction. cum_<col> =
+    local running total + the partition's offset.
+
+    Pass decimal-typed value columns for engine-exact totals (double
+    accumulation is order-dependent). Rows tie-break in the order the
+    local sort leaves them — include a unique id in ``order_cols`` for
+    fully deterministic per-row outputs."""
+    cols = list(order_cols)
+    d = (
+        df.repartitionByRange(*[F.col(c) for c in cols])
+        .sortWithinPartitions(*cols)
+        .localCheckpoint()
+    )
+    mid = F.monotonically_increasing_id()
+    tagged = d.withColumn("_cs_pid", F.shiftright(mid, 33).cast("int"))
+    totals = (
+        tagged.groupBy("_cs_pid")
+        .agg(*[F.sum(c).alias(c) for c in value_cols])
+        .collect()
+    )
+    running = {c: None for c in value_cols}
+    rows = []
+    for r in sorted(totals, key=lambda r: r["_cs_pid"]):
+        rows.append((r["_cs_pid"], *[running[c] for c in value_cols]))
+        for c in value_cols:
+            v = r[c]
+            if v is not None:
+                running[c] = v if running[c] is None else running[c] + v
+    spark = df.sparkSession
+    from pyspark.sql import types as T
+
+    agg_schema = tagged.groupBy("_cs_pid").agg(
+        *[F.sum(c).alias(c) for c in value_cols]
+    ).schema
+    off_schema = T.StructType(
+        [T.StructField("_cs_pid", T.IntegerType())]
+        + [
+            T.StructField(f"_cs_off_{c}", agg_schema[c].dataType)
+            for c in value_cols
+        ]
+    )
+    off_df = spark.createDataFrame(rows, off_schema)
+    w = (
+        Window.partitionBy("_cs_pid")
+        .orderBy(*cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = tagged.join(F.broadcast(off_df), "_cs_pid")
+    for c in value_cols:
+        local = F.sum(c).over(w)
+        off = F.col(f"_cs_off_{c}")
+        # window-sum semantics: NULL only while NO non-null value has
+        # been seen yet GLOBALLY — a null local prefix after a non-null
+        # earlier partition must yield the offset, not NULL
+        out = out.withColumn(
+            f"{prefix}{c}",
+            F.when(local.isNull() & off.isNull(), F.lit(None)).otherwise(
+                F.coalesce(local, F.lit(0)) + F.coalesce(off, F.lit(0))
+            ),
+        )
+    return out.select(*df.columns, *[f"{prefix}{c}" for c in value_cols])

@@ -656,3 +656,43 @@ def test_grouped_lead_matches_window_lead(spark):
     a = sorted([tuple(r) for r in got.collect()], key=key)
     b = sorted([tuple(r) for r in want.collect()], key=key)
     assert a == b
+
+
+def test_distributed_cumsum_matches_global_window(spark):
+    """distributed_cumsum must equal sum(x) OVER (ORDER BY ...) for the
+    whole table — including NULL runs at partition boundaries and a
+    leading all-NULL prefix (the window's NULL-until-first-value
+    semantics)."""
+    import random
+
+    from pyspark.sql import Window
+
+    from grafink_spark.ops import distributed_cumsum
+
+    random.seed(5)
+    w = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, 0)
+    cases = [
+        [(i, random.randint(-50, 50)) for i in range(3000)],
+        [(i, 100 if i < 3 else None) for i in range(1000)],
+        [(i, None if i < 400 else i) for i in range(1000)],
+    ]
+    for rows in cases:
+        df = spark.createDataFrame(rows, "id long, v long").repartition(16)
+        got = sorted(map(tuple, distributed_cumsum(df, ["id"], ["v"]).collect()))
+        want = sorted(
+            map(tuple, df.withColumn("cum_v", F.sum("v").over(w)).collect())
+        )
+        assert got == want
+
+
+def test_distributed_cumsum_plan_has_no_single_partition_window(spark):
+    """The point of the operator: no Window without PARTITION BY (the
+    single-task funnel) anywhere in the plan — the only window is
+    keyed by the physical partition id."""
+    from grafink_spark.ops import distributed_cumsum
+
+    df = spark.range(1000).withColumn("v", F.col("id") * 2)
+    out = distributed_cumsum(df, ["id"], ["v"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan
+    assert "windowspecdefinition(_cs_pid" in plan

@@ -44,6 +44,7 @@ ALLOW: dict[str, tuple[set[str], str]] = {
     "ann_recall": ({"bnlj", "single-part"}, _CENTROID + "; truth side k rows"),
     "benford_audit": ({"single-part"}, _TOPK + " (9 digit rows)"),
     "best_changepoint": ({"bnlj", "single-part"}, _SCALAR + " (1-row totals; day-sized prefix table + top-1)"),
+    "ks_drift": ({"bnlj", "single-part"}, _SCALAR + " (1-row totals broadcast; global top-1 over distinct values)"),
     "behavior_jaccard": ({"bnlj", "single-part"}, _SCALAR + " (k-row KMV sketches)"),
     "user_overlap": ({"bnlj", "single-part"}, _SCALAR + " (m-row HLL registers + 1-row exact)"),
     "bigram_pmi": ({"bnlj", "single-part"}, _SCALAR + " (corpus totals)"),
