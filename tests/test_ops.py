@@ -696,3 +696,23 @@ def test_distributed_cumsum_plan_has_no_single_partition_window(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange SinglePartition" not in plan
     assert "windowspecdefinition(_cs_pid" in plan
+
+
+def test_distributed_cumsum_decimal_exact(spark):
+    """Decimal value columns: the offsets and local window sums must
+    stay decimal end-to-end (the whole point is order-independent exact
+    accumulation), matching the global-window decimal result."""
+    from decimal import Decimal
+
+    from pyspark.sql import Window
+
+    from grafink_spark.ops import distributed_cumsum
+
+    rows = [(i, Decimal(str((i * 7919) % 1000)) / 100) for i in range(2000)]
+    df = spark.createDataFrame(rows, "id long, v decimal(21,6)").repartition(16)
+    got = sorted(map(tuple, distributed_cumsum(df, ["id"], ["v"]).collect()))
+    w = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, 0)
+    want = sorted(
+        map(tuple, df.withColumn("cum_v", F.sum("v").over(w)).collect())
+    )
+    assert got == want
