@@ -4395,10 +4395,14 @@ def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+    # The unigram table is the VOCABULARY — it grows with the corpus
+    # (10^8+ distinct tokens web-scale), so the broadcast must be
+    # size-gated: under the ceiling it broadcasts as before, above it
+    # these are plain equi joins on _w1/_w2 and AQE picks the strategy.
     return (
         bi.where(F.col("c_ab") >= 5)
-        .join(F.broadcast(uni.withColumnRenamed("w", "_w1").withColumnRenamed("cw", "cw1")), "_w1")
-        .join(F.broadcast(uni.withColumnRenamed("w", "_w2").withColumnRenamed("cw", "cw2")), "_w2")
+        .join(maybe_broadcast(uni.withColumnRenamed("w", "_w1").withColumnRenamed("cw", "cw1")), "_w1")
+        .join(maybe_broadcast(uni.withColumnRenamed("w", "_w2").withColumnRenamed("cw", "cw2")), "_w2")
         .crossJoin(F.broadcast(totals))
         .select("gram", "c_ab", F.round(pmi, 6).alias("pmi"))
         .orderBy(F.col("pmi").desc(), F.col("gram"))

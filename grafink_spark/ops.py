@@ -919,24 +919,31 @@ def skew_report(
     pick (≈ the ratio).
 
     Plan/scale: one hash aggregate on the keys (the same shuffle the
-    diagnosed join would pay), then all statistics fold over the
-    AGGREGATE-sized counts table — the whole-table total and key count
-    come from a window over that table (rows = key cardinality), and
-    the global top-k is a LIMIT, so the single-partition funnels only
-    ever see aggregate-sized input."""
-    counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n"))
-    w = Window.partitionBy()
-    enriched = counts.select(
+    diagnosed join would pay).  The counts table is KEY-CARDINALITY
+    sized — and the operator exists precisely for high-cardinality keys
+    (user_id, doc_id: billions of distinct values at 100 TB) — so the
+    whole-table total and key count are computed as a 1-ROW aggregate
+    and crossJoin-broadcast back, never via ``Window.partitionBy()``
+    (which would funnel every key's row through ONE task).  The only
+    single-partition step left is the final top-``top`` TakeOrdered,
+    whose input is bounded by ``top`` rows per map task."""
+    counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n")).localCheckpoint(
+        eager=False
+    )
+    globals_ = counts.agg(
+        F.sum("n").alias("_sk_total"), F.count(F.lit(1)).alias("_sk_keys")
+    )
+    enriched = counts.crossJoin(F.broadcast(globals_)).select(
         *key_cols,
         "n",
         F.round(
-            F.col("n").cast("double") / F.sum("n").over(w).cast("double"), 6
+            F.col("n").cast("double") / F.col("_sk_total").cast("double"), 6
         ).alias("share"),
         F.round(
             F.col("n").cast("double")
             / (
-                F.sum("n").over(w).cast("double")
-                / F.count(F.lit(1)).over(w).cast("double")
+                F.col("_sk_total").cast("double")
+                / F.col("_sk_keys").cast("double")
             ),
             6,
         ).alias("ratio_to_mean"),
