@@ -38,7 +38,10 @@ from grafink_spark.llm.multimodal import (
     extract_image_features,
     make_fake_audio,
     make_fake_image,
+    make_mjpeg_avi,
+    make_solid_jpeg,
     sample_frames,
+    sample_video_frames,
 )
 from grafink_spark.rules.samevalue import SameValueClassifier
 from grafink_spark.rules.similarity import SimilarityClassifier
@@ -47,7 +50,7 @@ from grafink_spark.sources.fixed_vertices import FixedVertex, FixedVertexPropert
 from grafink_spark.sources.tables import load_table
 from grafink_spark.streaming.pipeline import windowed_event_counts
 from grafink_spark.streaming.sessionize import sessionize_batch
-from grafink_spark.util import ensure_min_partitions, maybe_broadcast
+from grafink_spark.util import ensure_min_partitions, maybe_broadcast, pin
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -245,7 +248,7 @@ def _similarity_edges_undirected(
     classifier lineage once when the caller fans out over the edges."""
     pairs = _similarity_pairs(spark, sf_dir)
     if checkpoint:
-        pairs = pairs.localCheckpoint()
+        pairs = pairs.transform(pin)
     return pairs.unionByName(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
@@ -3665,7 +3668,7 @@ def q_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "src", "dst", (F.lit(101.0) - (F.col("_qa") + F.col("_qb"))).alias("weight")
         )
-        .localCheckpoint()
+        .transform(pin)
     )
     edges = und.unionByName(
         und.select(
@@ -4307,7 +4310,7 @@ def q_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     degrees from the existing operators, one broadcast-able join."""
     from grafink_spark.graph.algorithms import triangle_counts
 
-    pairs = q_similarity_edges(spark, sf_dir).select("src", "dst").localCheckpoint()
+    pairs = q_similarity_edges(spark, sf_dir).select("src", "dst").transform(pin)
     und = pairs.select(
         F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
     ).distinct()
@@ -4369,7 +4372,7 @@ def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         ngram_counts(docs, ns=(1, 2))
         .groupBy("n", "gram")
         .agg(F.sum("cnt").alias("c"))
-        .localCheckpoint()
+        .transform(pin)
     )
     uni = counts.where(F.col("n") == 1).select(
         F.col("gram").alias("w"), F.col("c").alias("cw")
@@ -4627,7 +4630,7 @@ def q_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
     tf = ngram_counts(docs, ns=(1,)).select(
         "doc_id", F.col("gram").alias("term"), F.col("cnt").alias("tf")
-    ).localCheckpoint()
+    ).transform(pin)
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.agg(F.count(F.lit(1)).alias("_n"))
     scored = (
@@ -6428,7 +6431,7 @@ def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     correlation of endpoint degrees over all directed edge instances —
     positive = hubs link hubs (social-like), negative = hub-leaf
     (star-like). Decimal moment sums → engine-exact coefficient."""
-    e = _similarity_edges_undirected(spark, sf_dir).localCheckpoint()
+    e = _similarity_edges_undirected(spark, sf_dir).transform(pin)
     from grafink_spark.ops import decimal_moments
 
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
@@ -6500,7 +6503,7 @@ def q_community_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = _similarity_pairs(spark, sf_dir)
     e = pairs.unionByName(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint()
+    ).transform(pin)
     labels = label_propagation(pairs, iters=2)
     tagged = e.join(
         labels.select(F.col("id").alias("src"), F.col("label").alias("_ls")),
@@ -6884,7 +6887,7 @@ def q_ranking_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     sem = brute_force_topk(
         emb, emb.where(F.col("vec_id") == 0), k=20
     ).select(F.col("neighbor_id").alias("doc_id"), F.col("rank").alias("_rb"))
-    shared = lex.join(sem, "doc_id").localCheckpoint()
+    shared = lex.join(sem, "doc_id").transform(pin)
     a = shared.select(
         F.col("doc_id").alias("_i"), F.col("_ra").alias("_rai"),
         F.col("_rb").alias("_rbi"),
@@ -7152,7 +7155,7 @@ def q_vertex_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # nbrs feeds FOUR consumers (degree agg, both wedge sides, nothing
     # else reads e) — checkpoint the distinct set once, not the raw
     # union (plan audit: 11 exchanges -> 6, no triple distinct)
-    nbrs = e.select("src", "dst").distinct().localCheckpoint()
+    nbrs = e.select("src", "dst").distinct().transform(pin)
     deg = nbrs.groupBy("src").agg(F.count(F.lit(1)).alias("_deg"))
     # wedges: u -x- v with u < v; count per (u,v) = |common neighbors|
     a = nbrs.select(F.col("dst").alias("u"), F.col("src").alias("x"))
@@ -7365,7 +7368,7 @@ def q_neighbor_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipelines precompute. Decimal sums over path counts → exact."""
     ev, current = _alertish_events(spark, sf_dir)
     feats = ev.select(F.col("id").alias("_fid"), F.col("rfscore").alias("_f"))
-    e = _similarity_edges_undirected(spark, sf_dir).localCheckpoint()
+    e = _similarity_edges_undirected(spark, sf_dir).transform(pin)
     d27 = "decimal(27,9)"
     hop1 = (
         e.join(feats, e["dst"] == feats["_fid"])
@@ -7438,9 +7441,9 @@ def q_negative_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ranked vertex list, minus self-pairs and true edges — the
     labeled-negatives generator every link-prediction trainer needs,
     reproducible across runs and engines (no RNG, just hashes)."""
-    e = _similarity_edges_undirected(spark, sf_dir).localCheckpoint()
+    e = _similarity_edges_undirected(spark, sf_dir).transform(pin)
     verts = (
-        e.select(F.col("src").alias("id")).distinct().localCheckpoint()
+        e.select(F.col("src").alias("id")).distinct().transform(pin)
     )
     n = verts.count()
     # zip_with_index(order_by=id): globally consecutive ranks via range
@@ -7450,7 +7453,7 @@ def q_negative_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ranked = zip_with_index(
         verts, id_col="rn", order_by=["id"]
-    ).select("id", F.col("rn").cast("int").alias("rn")).localCheckpoint()
+    ).select("id", F.col("rn").cast("int").alias("rn")).transform(pin)
     cand = ranked.select(
         F.col("id").alias("src"),
         F.explode(
@@ -7523,7 +7526,7 @@ def q_normalized_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
     adjacency: weight(u,v) = 1/sqrt(deg(u)·deg(v)) — the D^(-1/2) A
     D^(-1/2) edge weighting graph-convolution pipelines precompute.
     Integer degrees → the sqrt/division doubles are engine-exact."""
-    e = _similarity_edges_undirected(spark, sf_dir).localCheckpoint()
+    e = _similarity_edges_undirected(spark, sf_dir).transform(pin)
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("_d"))
     out = (
         e.join(deg.withColumnRenamed("_d", "_du"), "src")
@@ -8875,7 +8878,7 @@ def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = _similarity_pairs(spark, sf_dir)
     e = pairs.unionByName(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint()
+    ).transform(pin)
     labels = label_propagation(pairs, iters=2)
     tagged = e.join(
         labels.select(F.col("id").alias("src"), F.col("label").alias("_ls")),
@@ -9067,15 +9070,28 @@ def q_corpus_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-BLEU-style redundancy probe: high mean overlap = templated/
     repetitive source). Composes rouge_overlap; the mean folds in
     pair order (sorted array aggregate), so the double accumulation is
-    engine-identical."""
+    engine-identical.
+
+    Pairing goes through ops.adaptive_lead: a cardinality probe picks
+    the plain window when sources are plentiful and grouped_lead when
+    they are few — here |sources| is tiny, so the fact rows never
+    funnel into |sources| window tasks (the r4 verdict's last
+    low-cardinality-window site). corpus_diversity_scalable pins the
+    grouped_lead plan unconditionally."""
+    from grafink_spark.ops import adaptive_lead
+
     docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
-    w = Window.partitionBy("source").orderBy("doc_id")
     pairs = (
-        docs.select("doc_id", "source", F.lead("doc_id").over(w).alias("_nxt"))
-        .where(F.col("_nxt").isNotNull())
+        adaptive_lead(
+            docs.select("doc_id", "source"),
+            ["source"],
+            ["doc_id"],
+            lead_cols=["doc_id"],
+        )
+        .where(F.col("doc_id_next").isNotNull())
         .select(
             F.col("doc_id").alias("id_a"),
-            F.col("_nxt").alias("id_b"),
+            F.col("doc_id_next").alias("id_b"),
             "source",
         )
     )
@@ -9732,7 +9748,7 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("l_extendedprice").alias("cost"))
         # referenced twice below (join left side + per-part min) — pin so
         # the semi-reduced fact scan and agg run once, not per branch
-        .localCheckpoint()
+        .transform(pin)
     )
     best = costs.groupBy("l_partkey").agg(F.min("cost").alias("best_cost"))
     best = best.select(F.col("l_partkey").alias("_bpk"), "best_cost")
@@ -10374,9 +10390,9 @@ est AS (
   FROM z
 ),
 wide AS (
-  SELECT max(CASE WHEN s = 'a' THEN e END) AS est_a,
-         max(CASE WHEN s = 'b' THEN e END) AS est_b,
-         max(CASE WHEN s = 'u' THEN e END) AS est_union
+  SELECT coalesce(max(CASE WHEN s = 'a' THEN e END), 0.0) AS est_a,
+         coalesce(max(CASE WHEN s = 'b' THEN e END), 0.0) AS est_b,
+         coalesce(max(CASE WHEN s = 'u' THEN e END), 0.0) AS est_union
   FROM est
 ),
 ex AS (
@@ -10384,7 +10400,7 @@ ex AS (
     SELECT DISTINCT k FROM a INTERSECT SELECT DISTINCT k FROM b)
 )
 SELECT est_a, est_b, est_union,
-       round(est_a + est_b - est_union, 2) AS inter_est, n_exact
+       greatest(0.0, round(est_a + est_b - est_union, 2)) AS inter_est, n_exact
 FROM wide, ex
 """
 
@@ -10493,7 +10509,7 @@ def q_best_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # referenced by pre (window) AND tot (agg): pin so the fact scan
         # + group-by run once, not per branch
-        .localCheckpoint()
+        .transform(pin)
     )
     w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
     pre = daily.select(
@@ -10572,7 +10588,7 @@ def q_er_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = dd.minhash_lsh_candidates(docs, num_hashes=16, k=3, bands=4)
     verified = dd.ngram_jaccard_pairs(
         docs, k=3, threshold=0.5, candidates=cand
-    ).localCheckpoint()  # reused by the membership join below
+    ).transform(pin)  # reused by the membership join below
     comp = dd.connected_components(verified)
     sizes = comp.groupBy("component_id").agg(
         F.count(F.lit(1)).alias("n_members")
@@ -10671,7 +10687,7 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         # referenced by the cumsum AND the totals — pin so the orders
         # scan + aggregate run once, and the two branches' attributes
         # don't collide in the cross join
-        .localCheckpoint()
+        .transform(pin)
     )
     cum = distributed_cumsum(per_val, ["v"], ["_n1", "_n2"])
     tot = per_val.agg(
@@ -10718,3 +10734,55 @@ ORDER BY ks_d DESC, at_value LIMIT 1
 
 QUERIES.update({"ks_drift": q_ks_drift})
 ORACLES.update({"ks_drift": SQL_KS_DRIFT})
+
+
+def q_video_mjpeg_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video path: MJPEG-in-AVI containers demuxed (stdlib RIFF
+    walk) and every frame decoded through the baseline-JPEG decoder —
+    one row per frame with its decoded dimensions and mean luma. The
+    payloads are deterministic solid-luma MJPEG AVIs built from doc_id
+    (n_frames = 2 + doc_id % 3; frame i luma = 100 + ((doc_id*7 +
+    i*13) % 64) * 2 — even lumas quantize exactly through the flat
+    q=16 table, so the decoded mean replays as a closed form in SQL).
+
+    Plan/scale: payload bytes stream through one Arrow mapInPandas
+    (narrow map, no shuffle) — the same 1→N contract an ffmpeg-backed
+    sampler would use; only the tiny per-frame stats rows leave the
+    executor."""
+    docs = load_table(spark, sf_dir, "documents").orderBy("doc_id").limit(50)
+    rows = docs.select("doc_id").collect()
+    payloads = []
+    for r in rows:
+        did = int(r.doc_id)
+        frames = [
+            make_solid_jpeg(16, 16, 100 + ((did * 7 + i * 13) % 64) * 2)
+            for i in range(2 + did % 3)
+        ]
+        payloads.append((did, make_mjpeg_avi(frames, 16, 16, fps=10)))
+    media = spark.createDataFrame(payloads, "doc_id long, payload binary")
+    out = sample_video_frames(media, every_k=1)
+    return out.select(
+        "doc_id",
+        "frame_idx",
+        "width",
+        "height",
+        F.round("mean_luma", 6).alias("mean_luma"),
+    )
+
+
+SQL_VIDEO_MJPEG_FRAMES = """
+WITH ids AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 50),
+f AS (
+  SELECT doc_id, g.i AS frame_idx
+  FROM ids, generate_series(0, 3) g(i)
+  WHERE g.i < 2 + doc_id % 3
+)
+SELECT doc_id, frame_idx::INT AS frame_idx,
+       16 AS width, 16 AS height,
+       round((100 + ((doc_id * 7 + frame_idx * 13) % 64) * 2)::DOUBLE,
+             6) AS mean_luma
+FROM f
+"""
+
+QUERIES.update({"video_mjpeg_frames": q_video_mjpeg_frames})
+ORACLES.update({"video_mjpeg_frames": SQL_VIDEO_MJPEG_FRAMES})

@@ -20,46 +20,18 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from grafink_spark.util import pin
 
-# Reliable-checkpoint support: localCheckpoint is executor-storage
-# resident and NOT fault-tolerant — on a 1000-executor run, losing one
-# executor mid-iteration kills the whole lineage. Every iterative
-# algorithm takes ``checkpoint_dir``; when set, lineage cuts go through
-# df.checkpoint() into that (HDFS/S3) directory and survive executor
-# loss. Default (None) keeps the fast local path.
-#
-# Checkpoint files accumulate for the app's lifetime (each cut is a new
-# UUID-named rdd dir): enable
-# ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` at session
-# build or clean the directory after the job — _cp cannot delete
-# superseded checkpoints itself because callers may still hold
-# DataFrames backed by them.
+
+# Reliable-checkpoint support: every iterative algorithm takes an
+# explicit ``checkpoint_dir`` (kept for API stability); the mechanics —
+# reliable df.checkpoint() into an HDFS/S3 dir vs fast localCheckpoint,
+# plus the session-conf fallback ``spark.grafink.checkpointDir`` —
+# live in util.pin, which the whole engine now routes through.
 
 
 def _cp(df: DataFrame, checkpoint_dir: str | None = None) -> DataFrame:
-    if checkpoint_dir is None:
-        return df.localCheckpoint()
-    sc = df.sparkSession.sparkContext
-    # read the LIVE dir (Spark resolves our path to a UUID subdir):
-    # external setCheckpointDir calls or another algorithm's different
-    # dir must not be masked by a stale cache
-    current = sc.getCheckpointDir()
-    # resolved dir is scheme-qualified (file:/..., hdfs://...) + a UUID
-    # subdir; strip a bare "file:" for the plain-local-path comparison
-    req = checkpoint_dir.rstrip("/")
-    if current is None or not (
-        current.startswith(req)
-        or current.removeprefix("file:").startswith(req)
-    ):
-        sc.setCheckpointDir(checkpoint_dir)
-    # persist first: reliable checkpoint runs a SECOND job to write the
-    # files — without a persist that job recomputes the whole lineage
-    # (Spark's own docs recommend caching before checkpoint)
-    df = df.persist()
-    try:
-        return df.checkpoint()
-    finally:
-        df.unpersist()
+    return pin(df, checkpoint_dir=checkpoint_dir)
 
 
 def pagerank(

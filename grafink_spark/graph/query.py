@@ -24,6 +24,8 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from grafink_spark.util import pin
+
 from grafink_spark.graph.storage import GraphStore
 from grafink_spark.rules.base import DST, SRC
 
@@ -118,8 +120,8 @@ class GraphQuery:
                 seen = seen.unionByName(frontier)
                 # checkpoint boundary: pin both frontiers, check exit
                 if h % checkpoint_interval == 0 and h < hops:
-                    frontier = frontier.localCheckpoint(eager=True)
-                    seen = seen.localCheckpoint(eager=True)
+                    frontier = frontier.transform(pin)
+                    seen = seen.transform(pin)
                     if frontier.isEmpty():
                         break
             else:

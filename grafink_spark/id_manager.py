@@ -40,6 +40,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from grafink_spark.util import pin
+
 from grafink_spark.config import IDManagerConfig
 from grafink_spark.sources.partitions import PARTITION_COLUMNS, PartitionManager
 
@@ -143,10 +145,10 @@ def zip_with_index(
         df = (
             df.repartitionByRange(*cols)
             .sortWithinPartitions(*cols)
-            .localCheckpoint()
+            .transform(pin)
         )
     elif _plan_has_exchange(df) or _plan_is_nondeterministic(df):
-        df = df.localCheckpoint()
+        df = df.transform(pin)
 
     # monotonically_increasing_id = pid * 2^33 + local row index
     mid = F.monotonically_increasing_id()

@@ -30,6 +30,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from grafink_spark.util import pin
+
 from grafink_spark.llm.text import tokens
 
 
@@ -58,7 +60,7 @@ def nb_classify(
     twc = (
         tok_tr.groupBy("_c", "_w")
         .agg(F.count(F.lit(1)).alias("_cwc"))
-        .localCheckpoint()
+        .transform(pin)
     )
     tot = twc.groupBy("_c").agg(F.sum("_cwc").alias("_totc"))
     v = twc.select("_w").distinct().count()

@@ -20,6 +20,8 @@ from grafink_spark.llm.dedup import drop_exact_duplicates, drop_near_duplicates
 from grafink_spark.llm.text import lang_id, quality_score
 from pyspark.sql import types as T
 
+from grafink_spark.util import pin
+
 
 def prepare_corpus(
     df: DataFrame,
@@ -91,7 +93,7 @@ def assign_offsets(
     d = (
         df.repartitionByRange(F.col(order_col))
         .sortWithinPartitions(order_col)
-        .localCheckpoint()
+        .transform(pin)
     )
     tagged = d.withColumn("_pid", F.spark_partition_id())
     sums = {

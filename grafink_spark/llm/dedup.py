@@ -29,7 +29,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from grafink_spark.llm.text import tokens
-from grafink_spark.util import ensure_min_partitions
+from grafink_spark.util import ensure_min_partitions, pin, pin_lazy
 
 
 # ------------------------------------------------------------- shingles
@@ -736,7 +736,7 @@ def drop_near_duplicates_keep_best(
             F.col(id_col).alias("doc_id"), F.col(score_col).alias("_score")
         ),
         "doc_id",
-    ).localCheckpoint()
+    ).transform(pin)
     # two-phase argmax (the mutual_best_match pattern): per-component
     # max score, then min id among rows achieving it. Both phases are
     # primitive-typed hash aggregations — max(struct)/max_by(struct)
@@ -938,7 +938,16 @@ def semantic_dedup(
     within-cluster cosines as Catalyst higher-order-function folds —
     oracle-exact and shuffle-salted (dot-product summation ORDER
     differs between the two, so a cosine landing exactly on the
-    threshold could flip; pin expr for oracle replays)."""
+    threshold could flip; pin expr for oracle replays).
+
+    .. versionchanged:: round 4
+       The DEFAULT ``pair_backend`` flipped from ``"expr"`` to
+       ``"arrow"``.  Callers that validated against a SQL replay or
+       need run-to-run replayability at exact-threshold boundaries
+       must now pass ``pair_backend="expr"`` explicitly (the in-repo
+       oracle queries already do); all other callers get the ~10×
+       faster backend with identical survivors away from the
+       boundary."""
     from grafink_spark.util import ensure_min_partitions
 
     from .simsearch import ivf_assign, ivf_train  # local: avoids cycle
@@ -958,7 +967,7 @@ def semantic_dedup(
     # the assignment — localCheckpoint materializes it once and, unlike
     # .cache(), its blocks are released when the DataFrame is GC'd
     # (a cache here leaked one pinned corpus copy per call)
-    assigned = ivf_assign(df, centroids, vec_col).localCheckpoint()
+    assigned = ivf_assign(df, centroids, vec_col).transform(pin)
     if pair_backend == "arrow":
         dropped = _arrow_within_cluster_dropped(
             assigned, vec_col, id_col, threshold
@@ -1205,7 +1214,7 @@ def edit_distance_pairs(
     # stored value instead of inlining the DP expression 4×
     scored = paired.select(
         "id_a", "id_b", dist.alias("edit_distance"), denom.alias("_denom")
-    ).localCheckpoint()
+    ).transform(pin)
     return (
         scored.select(
             "id_a",
@@ -1518,7 +1527,7 @@ def set_similarity_join(
             ),
         )
     )
-    base = base.localCheckpoint(eager=False)
+    base = base.transform(pin_lazy)
     tok = base.select(
         "_id",
         F.explode("_s").alias("_g"),
@@ -1658,14 +1667,14 @@ def weighted_cosine_join(
     tc = (
         feats.groupBy("_id", "_term")
         .agg(F.count(F.lit(1)).alias("_c"))
-        .localCheckpoint(eager=False)
+        .transform(pin_lazy)
     )
     freq = tc.groupBy("_term").agg(F.count(F.lit(1)).alias("_df"))
     # pinned BEFORE ranked captures it, so all three consumers (the
     # window chain + the two verification joins) share one aggregation
     tot = tc.groupBy("_id").agg(
         F.sum(F.col("_c") * F.col("_c")).alias("_tt")
-    ).localCheckpoint(eager=False)
+    ).transform(pin_lazy)
     w = Window.partitionBy("_id").orderBy(F.col("_df").asc(), F.col("_term").asc())
     ranked = (
         tc.join(freq, "_term")
@@ -1687,7 +1696,7 @@ def weighted_cosine_join(
     prefix = ranked.where(
         F.lit(den * den).cast(dec) * (F.col("_tt") - F.col("_s")).cast(dec)
         >= F.lit(num * num).cast(dec) * F.col("_tt").cast(dec)
-    ).select("_id", "_term", "_s", "_tt").localCheckpoint(eager=False)
+    ).select("_id", "_term", "_s", "_tt").transform(pin_lazy)
     # Candidate generation is a prefix×prefix equi self-join on the
     # term (streams pairs through a sort-merge join — a hot term never
     # materializes its whole bucket in one row), sharpened by the

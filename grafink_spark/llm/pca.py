@@ -32,6 +32,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from grafink_spark.util import pin
+
 DEC = "decimal(30,15)"
 
 
@@ -68,7 +70,7 @@ def _power(c: DataFrame, dim: int, iters: int):
             c.join(v, "j")
             .groupBy("i")
             .agg(_ordered_dot("j", F.col("c") * F.col("v")).alias("w"))
-            .localCheckpoint()
+            .transform(pin)
         )
         norm = w.select(
             F.sqrt(_ordered_dot("i", F.col("w") * F.col("w"))).alias("n")
@@ -76,7 +78,7 @@ def _power(c: DataFrame, dim: int, iters: int):
         v = w.crossJoin(F.broadcast(norm)).select(
             F.col("i").alias("j"), (F.col("w") / F.col("n")).alias("v")
         )
-    v = v.localCheckpoint()
+    v = v.transform(pin)
     cv = (
         c.join(v, "j")
         .groupBy("i")
@@ -97,7 +99,7 @@ def power_iteration(
     the uniform unit vector, plus the Rayleigh-quotient eigenvalue and
     its share of total variance. Every dot product folds in sorted
     index order; d-sized data throughout."""
-    c = cov.localCheckpoint()  # pin: upstream is the corpus-sized agg
+    c = cov.transform(pin)  # pin: upstream is the corpus-sized agg
     v, lam = _power(c, dim, iters)
     tr = c.where(F.col("i") == F.col("j")).select(
         _ordered_dot("i", F.col("c")).alias("tr")
@@ -126,7 +128,7 @@ def pca_components(
     fold, so the whole decomposition replays bit-for-bit in SQL.
     Output: (component, i, loading, eigenvalue, var_ratio)."""
     dim = len(emb.select(vec_col).first()[0])
-    c = covariance_matrix(emb, vec_col).localCheckpoint()
+    c = covariance_matrix(emb, vec_col).transform(pin)
     tr = c.where(F.col("i") == F.col("j")).select(
         _ordered_dot("i", F.col("c")).alias("tr")
     )
@@ -160,7 +162,7 @@ def pca_components(
                         - F.col("lam") * F.col("_vi") * F.col("_vj")
                     ).alias("c"),
                 )
-                .localCheckpoint()
+                .transform(pin)
             )
     out = outs[0]
     for o in outs[1:]:

@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from grafink_spark.util import pin
+
 from grafink_spark.llm.text import tokens
 
 
@@ -59,7 +61,7 @@ def phrase_merge(
     most frequent adjacent token pair (joined with ``sep``)."""
     cur = docs.select(
         F.col(id_col).alias("_id"), tokens(text_col).alias("_t")
-    ).localCheckpoint()
+    ).transform(pin)
     for _ in range(rounds):
         # docs with < 2 tokens contribute no pairs (sequence(1, 0)
         # would generate DESCENDING indices — filter, don't clamp)
@@ -87,7 +89,7 @@ def phrase_merge(
         w1, w2 = top["w1"], top["w2"]
         cur = cur.select(
             "_id", _merge_pair(F.col("_t"), w1, w2, f"{w1}{sep}{w2}").alias("_t")
-        ).localCheckpoint()
+        ).transform(pin)
     return cur.select(F.col("_id").alias(id_col), F.col("_t").alias("toks"))
 
 
@@ -107,7 +109,7 @@ def learn_merges(
     join against the training corpus."""
     cur = docs.select(
         F.col(id_col).alias("_id"), tokens(text_col).alias("_t")
-    ).localCheckpoint()
+    ).transform(pin)
     merges: list[tuple[str, str, str]] = []
     for _ in range(rounds):
         pairs = (
@@ -135,7 +137,7 @@ def learn_merges(
         merges.append((w1, w2, f"{w1}{sep}{w2}"))
         cur = cur.select(
             "_id", _merge_pair(F.col("_t"), w1, w2, f"{w1}{sep}{w2}").alias("_t")
-        ).localCheckpoint()
+        ).transform(pin)
     return merges
 
 

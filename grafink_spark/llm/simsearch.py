@@ -22,6 +22,8 @@ import math
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from grafink_spark.util import pin, pin_lazy
+
 from grafink_spark.llm.dedup import cosine_similarity
 
 
@@ -640,7 +642,7 @@ def mmr_topk(
     cand = (
         cand.join(emb, "neighbor_id")
         .select("query_id", "neighbor_id", "cosine_sim", "_e", "_n")
-        .localCheckpoint()
+        .transform(pin)
     )
 
     def argmax(df: DataFrame, score) -> DataFrame:
@@ -697,7 +699,7 @@ def mmr_topk(
             - F.lit(1.0 - lam) * F.col("_pen")
         )
         winner = argmax(scored, mmr).withColumn("rank", F.lit(t))
-        selected = selected.unionByName(winner).localCheckpoint()
+        selected = selected.unionByName(winner).transform(pin)
         remaining = remaining.join(
             winner.select("query_id", "neighbor_id"),
             ["query_id", "neighbor_id"],
@@ -756,7 +758,7 @@ def bitext_mine(
             "b_id",
             F.when(denom > 0, dot / denom).otherwise(F.lit(0.0)).alias("_cs"),
         )
-        .localCheckpoint(eager=False)
+        .transform(pin_lazy)
     )
 
     def knn_mean(part_col: str) -> DataFrame:
@@ -854,7 +856,7 @@ def hard_triplet_mining(
             "_cl",
             F.when(denom > 0, dot / denom).otherwise(F.lit(0.0)).alias("cos"),
         )
-        .localCheckpoint(eager=False)
+        .transform(pin_lazy)
     )
     w_pos = Window.partitionBy("anchor_id").orderBy(
         F.col("cos").asc(), F.col("other_id").asc()

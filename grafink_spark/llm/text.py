@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from grafink_spark.util import pin
+
 # tiny per-language stopword lists for the n-gram/stopword language
 # heuristic; dict order is cosmetic — ties break to the
 # lexicographically greatest lang code (see lang_id)
@@ -329,7 +331,7 @@ def rouge_overlap(
     reference — measured 14 parquet scans / 53 exchanges at sf0.01.
     Both are localCheckpointed, so the candidate generator and the
     gram aggregation run exactly once."""
-    pairs = pairs.localCheckpoint()
+    pairs = pairs.transform(pin)
     ids = (
         pairs.select(F.col(ref_col).alias("_d"))
         .union(pairs.select(F.col(cand_col).alias("_d")))
@@ -343,7 +345,7 @@ def rouge_overlap(
         )
         .groupBy("_doc", "g")
         .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint()
+        .transform(pin)
     )
     tot = g.groupBy("_doc").agg(F.sum("c").alias("ntot"))
     ov = (

@@ -18,6 +18,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
+from grafink_spark.util import pin, pin_lazy
+
 
 def asof_join(
     left: DataFrame,
@@ -527,11 +529,15 @@ def decimal_moments(xy: DataFrame, dec: str = "decimal(27,6)") -> DataFrame:
     )
 
 
-def exact_median(df: DataFrame, col: str, bins: int = 2048) -> float:
-    """EXACT median of a numeric column in two scans and zero global
-    sorts — the scalable alternative to sort-the-world or approximate
-    percentiles when the answer must be exact (SLA thresholds, billing
-    cutoffs).
+def exact_median(
+    df: DataFrame,
+    col: str,
+    bins: int = 2048,
+    max_pass2: int = 1_000_000,
+) -> float:
+    """EXACT median of a numeric column with zero global sorts — the
+    scalable alternative to sort-the-world or approximate percentiles
+    when the answer must be exact (SLA thresholds, billing cutoffs).
 
     Pass 1: (min, max, count) + a ``bins``-bucket histogram (one agg
     each, map-side combined). The driver walks the 2048-row histogram
@@ -542,11 +548,15 @@ def exact_median(df: DataFrame, col: str, bins: int = 2048) -> float:
     two middle values — the same interpolation DuckDB's median() uses,
     so the result is oracle-exact.
 
-    Degenerate case (all values in one bucket, e.g. constant columns)
-    short-circuits to that value. Pathologically concentrated
-    distributions make pass 2 large; raise ``bins`` (cost is one
-    histogram row per bin) — a production version would recurse
-    instead."""
+    Degenerate distributions (99% of rows one value, heavy point
+    masses): a bucket holding > ``max_pass2`` rows is NOT TakeOrdered —
+    that would heap ~n/2 rows per map task and on the driver merge.
+    Instead the search RECURSES into that bucket with a fresh
+    histogram over its narrowed [lo, hi], each level shrinking the
+    range ×``bins``; pass 2 only runs once the candidate set is under
+    the bound (or the range collapses to a single value / float
+    precision exhausts, whichever first). Cost: one extra histogram
+    aggregate per level, ~log_bins(n/max_pass2) levels."""
     row = df.agg(
         F.min(col).alias("lo"),
         F.max(col).alias("hi"),
@@ -559,61 +569,87 @@ def exact_median(df: DataFrame, col: str, bins: int = 2048) -> float:
     lo, hi, n = float(row["lo"]), float(row["hi"]), int(row["n"])
     if lo == hi:
         return lo
-    width = (hi - lo) / bins
     c = F.col(col)
+    k1, k2 = (n + 1) // 2, (n + 2) // 2  # 1-based middle order stats
+    sub = df.where(c.isNotNull())
+    vals = _order_stats(sub, c, sorted({k1, k2}), lo, hi, bins, max_pass2)
+    return (vals[k1] + vals[k2]) / 2.0
+
+
+def _order_stats(
+    sub: DataFrame,
+    c,
+    ks: list[int],
+    lo: float,
+    hi: float,
+    bins: int,
+    max_pass2: int,
+    depth: int = 0,
+) -> dict[int, float]:
+    """Exact order statistics ``ks`` (1-based, sorted) of the rows in
+    ``sub`` whose values span [lo, hi] — histogram bisection with
+    recursion into over-``max_pass2`` buckets (see exact_median)."""
+    if lo == hi:
+        return {k: lo for k in ks}
+    width = (hi - lo) / bins
     bucket = F.least(
         F.lit(bins - 1), F.floor((c - F.lit(lo)) / F.lit(width))
     ).cast("int")
     hist = {
         r["_b"]: r["_c"]
-        for r in df.where(c.isNotNull())
-        .groupBy(bucket.alias("_b"))
+        for r in sub.groupBy(bucket.alias("_b"))
         .agg(F.count(F.lit(1)).alias("_c"))
         .collect()
     }
-    k1, k2 = (n + 1) // 2, (n + 2) // 2  # 1-based middle order stats
-
-    def locate(k: int) -> tuple[int, int]:
-        cum = 0
-        for b in range(bins):
-            cnt = hist.get(b, 0)
-            if cum + cnt >= k:
-                return b, cum
-            cum += cnt
+    # group the needed ranks by the bucket that holds them
+    per_bucket: dict[int, tuple[int, list[int]]] = {}
+    cum = 0
+    ki = 0
+    for b in range(bins):
+        cnt = hist.get(b, 0)
+        while ki < len(ks) and cum + cnt >= ks[ki]:
+            per_bucket.setdefault(b, (cum, []))[1].append(ks[ki])
+            ki += 1
+        cum += cnt
+        if ki == len(ks):
+            break
+    if ki < len(ks):
         raise AssertionError("order statistic beyond histogram total")
-
-    b1, cum1 = locate(k1)
-    b2, cum2 = locate(k2)
-    # one pass-2 job when both middle stats share a bucket (always true
-    # for odd n, where k1 == k2): TakeOrdered to local rank k2, then
-    # the top (k2 - k1 + 1) of those are the needed value(s)
-    if (b1, cum1) == (b2, cum2):
+    out: dict[int, float] = {}
+    for b, (cum_b, bks) in per_bucket.items():
+        cnt = hist[b]
+        bsub = sub.where(bucket == F.lit(b))
+        # after ~3 levels width underflows double precision — the
+        # remaining bucket is (near-)constant, TakeOrdered it regardless
+        if cnt > max_pass2 and depth < 4:
+            brow = bsub.agg(F.min(c).alias("lo"), F.max(c).alias("hi")).first()
+            inner = _order_stats(
+                bsub,
+                c,
+                [k - cum_b for k in bks],
+                float(brow["lo"]),
+                float(brow["hi"]),
+                bins,
+                max_pass2,
+                depth + 1,
+            )
+            out.update({k: inner[k - cum_b] for k in bks})
+            continue
+        # TakeOrdered to the deepest needed local rank, then the top
+        # (rmax - rmin + 1) of those are the needed value(s) — at most
+        # 2 rows reach the driver from the second limit
+        rmin, rmax = bks[0] - cum_b, bks[-1] - cum_b
         top = (
-            df.where(c.isNotNull())
-            .where(bucket == b1)
-            .select(c.alias("_v"))
+            bsub.select(c.alias("_v"))
             .orderBy("_v")
-            .limit(k2 - cum1)
+            .limit(rmax)
             .orderBy(F.col("_v").desc())
-            .limit(k2 - k1 + 1)
+            .limit(rmax - rmin + 1)
             .collect()
         )
-        vals = [float(top[-1]["_v"]), float(top[0]["_v"])]
-    else:
-        vals = []
-        for k, (b, cum) in ((k1, (b1, cum1)), (k2, (b2, cum2))):
-            local = (
-                df.where(c.isNotNull())
-                .where(bucket == b)
-                .select(c.alias("_v"))
-                .orderBy("_v")
-                .limit(k - cum)
-                .orderBy(F.col("_v").desc())
-                .limit(1)
-                .first()
-            )
-            vals.append(float(local["_v"]))
-    return (vals[0] + vals[1]) / 2.0
+        for k in bks:
+            out[k] = float(top[rmax - (k - cum_b)]["_v"])
+    return out
 
 
 def pareto_frontier_2d(
@@ -711,7 +747,7 @@ def pareto_frontier(
             yield pdf.iloc[sorted(keep)]
 
     cand = work.mapInPandas(_local, schema=schema)
-    cand = cand.localCheckpoint(eager=False)
+    cand = cand.transform(pin_lazy)
 
     a = cand.alias("a")
     b = F.broadcast(cand.select(*dcols).alias("b"))
@@ -802,7 +838,7 @@ def grouped_rank(
     d = (
         df.repartitionByRange(*[F.col(c) for c in cols])
         .sortWithinPartitions(*cols)
-        .localCheckpoint()
+        .transform(pin)
     )
     mid = F.monotonically_increasing_id()
     tagged = d.withColumn("_gr_pid", F.shiftright(mid, 33).cast("int")).withColumn(
@@ -907,6 +943,54 @@ def grouped_lead(
     )
 
 
+def adaptive_lead(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    lead_cols: list[str] | None = None,
+    suffix: str = "_next",
+    groups_per_task: float = 4.0,
+) -> DataFrame:
+    """``lead()`` that picks its plan from the MEASURED group
+    cardinality — the probe-and-choose pattern for operators whose
+    right plan depends on a data property the static planner can't see.
+
+    A window ``partitionBy(group)`` hashes the whole table into
+    |groups| reducer tasks: perfect when groups are plentiful (each
+    task gets ~|table|/|groups| rows), catastrophic when they are few
+    (five sources → five tasks sorting billions of rows each).
+    ``grouped_lead`` is skew-free at any cardinality but pays an extra
+    balanced shuffle + join. This helper runs one cheap
+    ``approx_count_distinct`` probe over the group columns (a
+    map-side-partial aggregate, one scan) and routes:
+
+    - ``n_groups >= shuffle_partitions * groups_per_task`` → the plain
+      window (groups spread evenly; no premium).
+    - fewer → :func:`grouped_lead` (range-partitioned, no |groups|-task
+      funnel).
+
+    Same output columns and semantics either way: per-group next-row
+    values in ``order_cols`` order, nulls on each group's last row."""
+    lead_cols = lead_cols or [c for c in df.columns if c not in group_cols]
+    spark = df.sparkSession
+    try:
+        shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        shuffle_parts = 200
+    n_groups = int(
+        df.agg(
+            F.approx_count_distinct(F.struct(*group_cols)).alias("n")
+        ).first()["n"]
+    )
+    if n_groups >= shuffle_parts * groups_per_task:
+        w = Window.partitionBy(*group_cols).orderBy(*order_cols)
+        out = df
+        for c in lead_cols:
+            out = out.withColumn(f"{c}{suffix}", F.lead(c).over(w))
+        return out
+    return grouped_lead(df, group_cols, order_cols, lead_cols, suffix)
+
+
 def skew_report(
     df: DataFrame,
     key_cols: list[str],
@@ -927,8 +1011,10 @@ def skew_report(
     (which would funnel every key's row through ONE task).  The only
     single-partition step left is the final top-``top`` TakeOrdered,
     whose input is bounded by ``top`` rows per map task."""
-    counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n")).localCheckpoint(
-        eager=False
+    counts = (
+        df.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .transform(pin_lazy)
     )
     globals_ = counts.agg(
         F.sum("n").alias("_sk_total"), F.count(F.lit(1)).alias("_sk_keys")
@@ -973,14 +1059,22 @@ def distributed_cumsum(
     local running total + the partition's offset.
 
     Pass decimal-typed value columns for engine-exact totals (double
-    accumulation is order-dependent). Rows tie-break in the order the
-    local sort leaves them — include a unique id in ``order_cols`` for
-    fully deterministic per-row outputs."""
+    accumulation is order-dependent).
+
+    FRAME SEMANTICS — this is a ROWS frame, NOT SQL's default RANGE
+    frame: plain ``sum(x) OVER (ORDER BY ...)`` gives every row tied
+    on the order key the TIE-GROUP total (RANGE ... CURRENT ROW spans
+    all peers), whereas this operator gives each tied row its own
+    running total in local-sort order. With duplicate ``order_cols``
+    values the per-row outputs therefore differ from the plain-SQL
+    window (and are nondeterministic across runs, since ties land in
+    shuffle order). Include a unique id in ``order_cols`` to make the
+    two semantics coincide row-for-row — every in-repo caller does."""
     cols = list(order_cols)
     d = (
         df.repartitionByRange(*[F.col(c) for c in cols])
         .sortWithinPartitions(*cols)
-        .localCheckpoint()
+        .transform(pin)
     )
     mid = F.monotonically_increasing_id()
     tagged = d.withColumn("_cs_pid", F.shiftright(mid, 33).cast("int"))

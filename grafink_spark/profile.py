@@ -28,6 +28,8 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
+from grafink_spark.util import pin_lazy
+
 
 def column_profile(
     df: DataFrame,
@@ -137,7 +139,7 @@ def psi_drift(
     # groups·bins rows) so ref/cur are scanned once apiece
     bounds = ref.groupBy(group).agg(
         F.min(value).alias("_lo"), F.max(value).alias("_hi")
-    ).localCheckpoint(eager=False)
+    ).transform(pin_lazy)
 
     def binned(df: DataFrame, cnt_name: str) -> DataFrame:
         width = (F.col("_hi") - F.col("_lo")) / bins
@@ -156,8 +158,8 @@ def psi_drift(
             .agg(F.count(F.lit(1)).alias(cnt_name))
         )
 
-    rc = binned(ref, "_cr").localCheckpoint(eager=False)
-    cc = binned(cur, "_cc").localCheckpoint(eager=False)
+    rc = binned(ref, "_cr").transform(pin_lazy)
+    cc = binned(cur, "_cc").transform(pin_lazy)
     # totals come from the FULL-joined table (not per-side inner joins):
     # a group with reference rows but ZERO current rows — the
     # most-drifted case a monitor exists to catch — must still report,
@@ -170,7 +172,7 @@ def psi_drift(
             F.coalesce("_cr", F.lit(0)).alias("_cr"),
             F.coalesce("_cc", F.lit(0)).alias("_cc"),
         )
-        .localCheckpoint(eager=False)
+        .transform(pin_lazy)
     )
     tot = j.groupBy(group).agg(
         F.sum("_cr").alias("_nr"), F.sum("_cc").alias("_nc")

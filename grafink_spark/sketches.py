@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from grafink_spark.util import pin, pin_lazy
+
 # 60-bit hash: 15 md5 hex chars — fits a signed 64-bit long in every
 # engine (the full 64-bit prefix would overflow DuckDB's ::BIGINT).
 HASH_BITS = 60
@@ -316,7 +318,7 @@ def cms_heavy_hitters(
     regs = cms_registers(df, value, depth, width)
     distinct = df.groupBy(value).agg(
         F.count(F.lit(1)).alias("exact_cnt")
-    ).localCheckpoint(eager=False)
+    ).transform(pin_lazy)
     n = distinct.agg(F.sum("exact_cnt")).collect()[0][0] or 0
     est = cms_point_estimates(
         regs, distinct.select(value), value, depth, width
@@ -398,7 +400,7 @@ def hist_quantiles(
     width = (hi - lo) / bins
     # regs feeds both the cumulative window and the N aggregate — pin
     # it so the upstream stream scan runs once
-    regs = regs.localCheckpoint(eager=False)
+    regs = regs.transform(pin_lazy)
     cum = regs.withColumn(
         "_cum",
         F.sum("_cnt").over(
@@ -459,12 +461,18 @@ def kmv_jaccard(
     end-to-end → the whole estimate replays in SQL.
 
     Output: (jaccard, inter_est, n_union_sampled)."""
+    # each sketch is ≤ k rows AFTER the limit but costs a corpus-scale
+    # distinct+sort to build — pin BOTH (they are referenced twice
+    # each: by the union sample and by a semi-join membership probe
+    # below; without the pin each reference re-derives the full
+    # bottom-k pass)
     sa = (
         a.select(F.col(key_a).alias("_key"))
         .distinct()
         .select("_key", hash60(F.col("_key")).alias("_h"))
         .orderBy("_h")
         .limit(k)
+        .transform(pin)
     )
     sb = (
         b.select(F.col(key_b).alias("_key"))
@@ -472,15 +480,16 @@ def kmv_jaccard(
         .select("_key", hash60(F.col("_key")).alias("_h"))
         .orderBy("_h")
         .limit(k)
+        .transform(pin)
     )
     union_sample = (
         sa.unionByName(sb)
         .distinct()
         .orderBy("_h")
         .limit(k)
-        # sample S is ≤ k rows — pin it so the three aggregates below
-        # don't re-derive both bottom-k sorts per reference
-        .localCheckpoint()
+        # sample S is ≤ k rows — pin it so the aggregates below don't
+        # re-derive the union sort per reference
+        .transform(pin)
     )
     stats = union_sample.agg(
         F.max("_h").alias("_tau"), F.count(F.lit(1)).alias("_nu")
@@ -534,9 +543,17 @@ def hll_intersect_estimate(
         regs_a.unionByName(regs_b).unionByName(regs_u), "_s", out="_e"
     )
     wide = ests.groupBy().pivot("_s", ["a", "b", "u"]).agg(F.first("_e"))
+    # degenerate-input contract: an EMPTY side has no registers, so its
+    # pivot cell is NULL — coalesce to 0 rather than propagate NULL into
+    # the estimate; and inclusion–exclusion subtracts two noisy
+    # estimates, so tiny intersections can come out slightly NEGATIVE —
+    # clamp at 0 (a set intersection cannot have negative size)
+    ea = F.coalesce(F.col("a"), F.lit(0.0))
+    eb = F.coalesce(F.col("b"), F.lit(0.0))
+    eu = F.coalesce(F.col("u"), F.lit(0.0))
     return wide.select(
-        F.col("a").alias("est_a"),
-        F.col("b").alias("est_b"),
-        F.col("u").alias("est_union"),
-        F.round(F.col("a") + F.col("b") - F.col("u"), 2).alias(out),
+        ea.alias("est_a"),
+        eb.alias("est_b"),
+        eu.alias("est_union"),
+        F.greatest(F.lit(0.0), F.round(ea + eb - eu, 2)).alias(out),
     )

@@ -62,6 +62,77 @@ def maybe_broadcast(df: DataFrame, max_bytes: int | None = None) -> DataFrame:
     return df
 
 
+CHECKPOINT_DIR_CONF = "spark.grafink.checkpointDir"
+
+
+def pin(
+    df: DataFrame,
+    eager: bool = True,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Lineage cut / layout pin, fault-tolerant when configured.
+
+    The engine pins DataFrames for two reasons: to freeze a partition
+    LAYOUT between the two passes of zip_with_index / grouped_rank /
+    distributed_cumsum (AQE or a task retry must not re-balance), and
+    to stop a subtree shared by several downstream branches from
+    re-deriving per branch (Spark does no cross-branch CSE).
+    ``localCheckpoint`` does both fast — but its blocks live on
+    executor LOCAL storage with no lineage to replay: on a real
+    cluster one lost executor kills a multi-hour job. Graph algorithms
+    solved this with a reliable-checkpoint option; this helper makes
+    the same choice engine-wide:
+
+    - ``checkpoint_dir`` argument set, or the session conf
+      ``spark.grafink.checkpointDir`` set → a RELIABLE
+      ``df.checkpoint()`` into that (HDFS/S3) directory, which
+      survives executor loss.
+    - neither set (the default, right for local/short jobs) →
+      ``localCheckpoint``.
+
+    Call as ``df.transform(pin)`` (or ``pin_lazy`` for ``eager=False``
+    subtree pins) so pinning composes with method chains.  Checkpoint
+    files accumulate for the app's lifetime; enable
+    ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` or clean
+    the directory after the job."""
+    if checkpoint_dir is None:
+        try:
+            checkpoint_dir = df.sparkSession.conf.get(CHECKPOINT_DIR_CONF, None)
+        except Exception:
+            checkpoint_dir = None
+    if not checkpoint_dir:
+        return df.localCheckpoint(eager=eager)
+    sc = df.sparkSession.sparkContext
+    # read the LIVE dir (Spark resolves our path to a UUID subdir):
+    # external setCheckpointDir calls or another caller's different
+    # dir must not be masked by a stale cache.  The resolved dir is
+    # scheme-qualified (file:/..., hdfs://...) + a UUID subdir; strip a
+    # bare "file:" for the plain-local-path comparison.
+    current = sc.getCheckpointDir()
+    req = checkpoint_dir.rstrip("/")
+    if current is None or not (
+        current.startswith(req)
+        or current.removeprefix("file:").startswith(req)
+    ):
+        sc.setCheckpointDir(checkpoint_dir)
+    if not eager:
+        return df.checkpoint(eager=False)
+    # persist first: an eager reliable checkpoint runs a SECOND job to
+    # write the files — without a persist that job recomputes the
+    # whole lineage (Spark's own docs recommend caching first)
+    df = df.persist()
+    try:
+        return df.checkpoint()
+    finally:
+        df.unpersist()
+
+
+def pin_lazy(df: DataFrame) -> DataFrame:
+    """``pin(df, eager=False)`` in ``.transform()``-friendly form —
+    the subtree-CSE pin that materializes on first use."""
+    return pin(df, eager=False)
+
+
 def ensure_min_partitions(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Round-robin repartition iff the plan currently has fewer
     partitions than requested (default: cluster parallelism).
