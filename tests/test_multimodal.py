@@ -372,3 +372,63 @@ def test_real_decode_kernel_jpeg_progressive_rejected():
     payload[idx + 1] = 0xC2
     with pytest.raises(NotImplementedError):
         mm.real_decode_kernel(1, bytes(payload))
+
+
+def test_mjpeg_avi_roundtrip_and_kernel():
+    """Mux N solid-luma JPEG frames into an AVI, demux, decode: frame
+    payloads byte-identical, header fields populated, kernel stats
+    exact (even lumas quantize exactly through the flat q=16 table)."""
+    frames = [mm.make_solid_jpeg(16, 16, 100 + 2 * i) for i in range(5)]
+    avi = mm.make_mjpeg_avi(frames, 16, 16, fps=10)
+    info, raw = mm.demux_avi_frames(avi)
+    assert raw == frames
+    assert info["us_per_frame"] == 100_000
+    assert info["n_frames_declared"] == 5
+    k = mm.real_video_kernel(1, avi)
+    assert k["n_frames"] == 5
+    assert (k["width"], k["height"]) == (16, 16)
+    assert abs(k["mean_luma"] - 104.0) < 1e-9
+    assert k["duration_ms"] == 500
+
+
+def test_avi_demux_error_paths():
+    """Non-AVI containers raise NotImplementedError (honest swap-in
+    point), corrupt/truncated RIFF raises catchable ValueError."""
+    with pytest.raises(NotImplementedError):
+        mm.demux_avi_frames(b"\x00\x00\x00\x00ftyp" + b"\x00" * 16)
+    with pytest.raises(ValueError):
+        mm.demux_avi_frames(b"garbage")
+    avi = mm.make_mjpeg_avi([mm.make_solid_jpeg(8, 8, 100)], 8, 8)
+    with pytest.raises(ValueError):
+        mm.demux_avi_frames(avi[:40])
+    with pytest.raises(NotImplementedError):
+        mm.demux_avi_frames(b"RIFF\x08\x00\x00\x00WAVE" + b"\x00" * 8)
+
+
+def test_sample_video_frames_spark_path(spark):
+    """The 1->N mapInPandas contract on real containers: every k-th
+    frame decoded, frame_idx preserved as the container index."""
+    payloads = []
+    for did in (1, 2):
+        frames = [
+            mm.make_solid_jpeg(16, 16, 100 + 2 * i) for i in range(4)
+        ]
+        payloads.append((did, mm.make_mjpeg_avi(frames, 16, 16)))
+    df = spark.createDataFrame(payloads, "doc_id long, payload binary")
+    out = mm.sample_video_frames(df, every_k=2).collect()
+    got = sorted((r.doc_id, r.frame_idx, round(r.mean_luma, 6)) for r in out)
+    assert got == [(1, 0, 100.0), (1, 2, 104.0), (2, 0, 100.0), (2, 2, 104.0)]
+
+
+def test_real_decode_kernel_jpeg_truncated_raises_value_error():
+    """A payload cut off mid-entropy-data must raise a catchable
+    ValueError ('truncated JPEG stream'), not an opaque IndexError that
+    fails the whole Spark task — callers quarantine bad documents by
+    catching ValueError, same as every other malformed-input path."""
+    w = _BitWriter()
+    _put_dc_block(w, 16)
+    full = _make_jpeg(16, 8, [(1, 0x11)], w)
+    # cut inside the scan: drop the EOI and the last entropy bytes
+    truncated = full[: len(full) - 4]
+    with pytest.raises(ValueError):
+        mm.real_decode_kernel(1, truncated)
