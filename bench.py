@@ -432,6 +432,44 @@ def main() -> int:
             "queries": sf1_timings,
         }
 
+    # Complete machine-readable per-query artifact (round-4 verdict ask:
+    # the driver's BENCH tail caps at 2000 chars, so only the last ~70
+    # of 226 per-query timings survived — round-over-round regression
+    # diffs need ALL of them). Written to the repo root as
+    # bench_results_r{n}.json; n = 1 + the highest existing BENCH_r
+    # artifact (the driver writes those per round), overridable via
+    # SPARK_GRAFT_ROUND. Smoke subsets (BENCH_ONLY) never clobber it.
+    if not only:
+        root = os.path.dirname(os.path.abspath(__file__))
+        rnd = os.environ.get("SPARK_GRAFT_ROUND")
+        if rnd is None:
+            seen = [
+                int(m.group(1))
+                for f in os.listdir(root)
+                if (m := re.match(r"BENCH_r(\d+)\.json$", f))
+            ]
+            rnd = str(max(seen, default=0) + 1)
+        artifact = {
+            "round": int(rnd),
+            "sf": sf,
+            "queries": timings,
+            "notes": {
+                "semantic_dedup_auto": (
+                    "oracle-pinned expr pair backend; the PRODUCTION "
+                    "default (arrow) is timed as semantic_dedup_arrow / "
+                    "semantic_dedup_auto_arrow"
+                ),
+            },
+        }
+        if "scale_stress" in out:
+            artifact["scale_stress"] = out["scale_stress"]
+        if "sf1" in out:
+            artifact["sf1"] = out["sf1"]["queries"]
+        path = os.path.join(root, f"bench_results_r{int(rnd):02d}.json")
+        with open(path, "w") as f:
+            json.dump(artifact, f, indent=1, sort_keys=True)
+        print(f"# wrote {path}", file=sys.stderr)
+
     print(json.dumps(out))
     # Compact summary LAST: the full JSON line (100+ queries) can exceed
     # the driver's captured stdout tail, front-truncating the one line it

@@ -42,3 +42,23 @@ def test_bench_covers_full_registry():
     assert set(bench.HEADLINE) | set(bench.EXTENDED) == set(QUERIES)
     assert not set(bench.HEADLINE) & set(bench.EXTENDED)
     assert len(bench.HEADLINE) + len(bench.EXTENDED) == len(QUERIES)
+
+
+def test_bench_artifact_partitions_registry():
+    """The complete per-query bench artifact (bench_results_r{n}.json,
+    written by a full bench.py run) must cover the registry exactly —
+    so round-over-round regression diffs are mechanical instead of
+    reconstructed from a truncated stdout tail. When a query is
+    registered after the artifact was written, this fails until bench
+    re-runs: the artifact may never silently under-cover the registry."""
+    import json
+
+    artifacts = sorted(ROOT.glob("bench_results_r*.json"))
+    assert artifacts, "no bench_results artifact; run `python bench.py`"
+    data = json.loads(artifacts[-1].read_text())
+    benched = set(data["queries"])
+    assert benched == set(QUERIES), (
+        f"artifact {artifacts[-1].name} out of date: "
+        f"missing={sorted(set(QUERIES) - benched)} "
+        f"stale={sorted(benched - set(QUERIES))}"
+    )

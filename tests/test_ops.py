@@ -380,6 +380,81 @@ def test_exact_median_matches_sorted_definition(spark):
         assert exact_median(df, "x", bins=8) == want, vals
 
 
+def test_exact_median_degenerate_bucket_recurses(spark):
+    """A distribution where one histogram bucket holds ~99% of the rows
+    must not TakeOrdered half the table: with max_pass2 forced tiny the
+    search recurses into the dominating bucket (fresh histogram over
+    its narrowed range) and still returns the exact sorted-definition
+    median."""
+    import statistics
+
+    from grafink_spark.ops import exact_median
+
+    # 990 rows jammed into [1000.0, 1000.001) + 10 spread over [0, 900]:
+    # at bins=8 the hot bucket dwarfs max_pass2=50, forcing recursion;
+    # inside, values differ so the recursion actually re-histograms
+    vals = [1000.0 + (i % 97) * 1e-5 for i in range(990)] + [
+        float(i * 100) for i in range(10)
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "x double").repartition(7)
+    want = statistics.median(vals)
+    got = exact_median(df, "x", bins=8, max_pass2=50)
+    assert got == want
+    # point-mass variant: the dominating bucket is a single repeated
+    # value, so recursion short-circuits on lo == hi
+    vals2 = [5.0] * 9900 + [float(i) / 100.0 for i in range(100)]
+    df2 = spark.createDataFrame([(v,) for v in vals2], "x double").repartition(7)
+    assert exact_median(df2, "x", bins=8, max_pass2=100) == 5.0
+    # even count whose two middle ranks straddle bucket boundaries
+    vals3 = [1.0, 2.0, 3.0, 4.0]
+    df3 = spark.createDataFrame([(v,) for v in vals3], "x double")
+    assert exact_median(df3, "x", bins=2, max_pass2=1) == 2.5
+
+
+def test_adaptive_lead_routes_by_group_cardinality(spark):
+    """The probe must pick grouped_lead for few groups (no
+    Window.partitionBy funnel in the plan) and the plain window for
+    many groups — with identical values either way."""
+    from grafink_spark.ops import adaptive_lead, grouped_lead
+
+    # 3 groups, 300 rows: low cardinality -> grouped_lead (no Window)
+    low = spark.range(300).select(
+        (F.col("id") % 3).alias("g"), F.col("id").alias("t")
+    )
+    out_low = adaptive_lead(low, ["g"], ["t"], lead_cols=["t"])
+    assert "Window" not in out_low._jdf.queryExecution().executedPlan().toString()
+    # 300 distinct groups >= 8 shuffle partitions * 4 -> window path
+    high = spark.range(300).select(
+        F.col("id").alias("g"), F.col("id").alias("t")
+    )
+    out_high = adaptive_lead(high, ["g"], ["t"], lead_cols=["t"])
+    assert "Window" in out_high._jdf.queryExecution().executedPlan().toString()
+    # value parity on the low-card path vs the window definition
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("g").orderBy("t")
+    want = sorted(
+        map(
+            tuple,
+            low.withColumn("t_next", F.lead("t").over(w)).collect(),
+        )
+    )
+    assert sorted(map(tuple, out_low.collect())) == want
+
+
+def test_corpus_diversity_has_no_low_cardinality_window(spark):
+    """The registered corpus_diversity query must not funnel fact rows
+    through a |sources|-task window — its pairing goes through
+    adaptive_lead, which picks grouped_lead for the 5-source table."""
+    import os
+
+    from grafink_spark.benchqueries import QUERIES
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR_ORACLE", "/root/testdata/sf0.01")
+    df = QUERIES["corpus_diversity"](spark, sf_dir)
+    assert "Window" not in df._jdf.queryExecution().executedPlan().toString()
+
+
 def test_benford_first_significant_digit_extraction(spark):
     """Sub-1 values must surface their first SIGNIFICANT digit (zeros
     skipped), and chi-square terms follow the log10 expectation."""

@@ -469,3 +469,23 @@ def test_hll_intersect_tracks_exact(spark):
     # three ±3.25% estimates subtract: allow a generous combined band
     assert abs(row.inter_est - 2000) < 2000 * 0.35
     assert abs(row.est_union - 6000) < 6000 * 0.10
+
+
+def test_hll_intersect_degenerate_inputs_clamp_to_zero(spark):
+    """An empty side must yield 0 estimates (not NULL propagating from
+    a missing pivot cell), and disjoint sets — where inclusion–
+    exclusion subtracts two noisy estimates — must clamp a negative
+    result to 0: a set intersection cannot have negative size."""
+    from grafink_spark.sketches import hll_intersect_estimate
+
+    a = spark.range(0, 1000).select(F.col("id").cast("string").alias("k"))
+    empty = a.where(F.lit(False))
+    row = hll_intersect_estimate(a, empty, "k", "k").collect()[0]
+    assert row.est_b == 0.0 and row.inter_est is not None
+    assert row.inter_est >= 0.0
+    # disjoint large sets: estimate noise could make A+B-U negative
+    b = spark.range(1_000_000, 1_004_000).select(
+        F.col("id").cast("string").alias("k")
+    )
+    row2 = hll_intersect_estimate(a, b, "k", "k").collect()[0]
+    assert row2.inter_est >= 0.0
