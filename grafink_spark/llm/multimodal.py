@@ -8,11 +8,13 @@ stays a narrow map (no shuffle).
 
 The decode kernel is pluggable. ``fake_*`` kernels parse a
 deterministic fake header (what the DuckDB oracles replay);
-``real_decode_kernel`` / ``real_audio_kernel`` are pure-stdlib
-decoders — PNG (zlib inflate + scanline unfilter), baseline JFIF
-JPEG (Huffman entropy decode + dequantize + 8×8 IDCT, luma-only),
-and PCM-WAV (struct) — actually exercised on real bytes in tests.
-Formats beyond those (progressive JPEG, mp3, mp4) still need
+``real_decode_kernel`` / ``real_audio_kernel`` / ``real_video_kernel``
+are pure-stdlib decoders — PNG (zlib inflate + scanline unfilter),
+baseline AND progressive JFIF JPEG (Huffman entropy decode across
+multi-scan spectral bands with successive approximation, dequantize,
+8×8 IDCT, luma-only), PCM-WAV (struct), and MJPEG-in-AVI (RIFF demux
++ per-frame JPEG decode) — each exercised on real bytes in tests.
+Formats beyond those (arithmetic-coded JPEG, mp3, mp4/H.264) need
 external codec libraries (PIL/ffmpeg, not in this container) and
 raise NotImplementedError at the same swap-in points. The
 Spark-side contract — schemas, batching, partitioning — is
@@ -244,8 +246,9 @@ def _jpeg_decode(payload: bytes) -> dict:
     Pure stdlib — Huffman entropy decode, dequantize, de-zigzag, 8×8
     IDCT on the LUMA component only (chroma blocks are entropy-decoded
     to advance the bitstream but their IDCT is skipped: the feature set
-    needs Y alone). Progressive (SOF2) and arithmetic-coded streams
-    raise NotImplementedError."""
+    needs Y alone). Progressive (SOF2) streams dispatch to the
+    multi-scan decoder; arithmetic-coded streams raise
+    NotImplementedError."""
     pos = 2  # past SOI
     qt: dict[int, list[int]] = {}
     huff: dict[tuple[int, int], dict] = {}  # (class, id) → lut
@@ -291,11 +294,13 @@ def _jpeg_decode(payload: bytes) -> dict:
                 comps.append(
                     {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq}
                 )
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+        elif marker == 0xC2:  # SOF2 progressive: multi-scan path
+            return _jpeg_decode_progressive(data)
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"JPEG SOF marker 0x{marker:02x} unsupported "
-                "(baseline SOF0 Huffman only)"
+                "(baseline SOF0 / progressive SOF2 Huffman only)"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
@@ -412,6 +417,294 @@ def _jpeg_scan(
         "height": height,
         "mean_luma": (total / n) if n else None,
     }
+
+
+def _jpeg_decode_progressive(data: bytes) -> dict:
+    """Progressive JFIF decoder (SOF2, Huffman) — ITU T.81 §G.2.
+
+    Progressive streams split each block's 64 coefficients across
+    MULTIPLE scans: DC first/refinement scans (successive-approximation
+    bit planes) and per-component AC scans over spectral bands
+    [Ss, Se], each shifted by Al with later scans refining one bit at a
+    time (the EOBRUN run-length coding of G.2.2).  This decoder keeps a
+    persistent per-component coefficient buffer (zigzag order), applies
+    every scan in file order — DHT/DRI may be redefined between scans —
+    and runs dequant + IDCT on the accumulated LUMA coefficients after
+    EOI, same output contract as the baseline path."""
+    pos = 2
+    qt: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    width = height = None
+    comps: list[dict] = []
+    restart_interval = 0
+    coeffs: dict[int, list[list[int]]] = {}  # cid -> blocks (zigzag order)
+    geom: dict[int, tuple[int, int, int, int]] = {}  # cid -> bw, bh, bw_pad, bh_pad
+    mcux = mcuy = 0
+    while pos + 2 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("bad JPEG marker stream")
+        marker = data[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        if pos + 4 > len(data):
+            raise ValueError("truncated JPEG stream")
+        (seglen,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        seg = data[pos + 4 : pos + 2 + seglen]
+        if marker == 0xDB:
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0x0F
+                p += 1
+                if pq == 0:
+                    qt[tq] = list(seg[p : p + 64])
+                    p += 64
+                else:
+                    qt[tq] = list(struct.unpack(f">{64}H", seg[p : p + 128]))
+                    p += 128
+        elif marker == 0xC4:
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0x0F
+                counts = seg[p + 1 : p + 17]
+                n = sum(counts)
+                symbols = seg[p + 17 : p + 17 + n]
+                huff[(tc, th)] = _jpeg_huff_lut(counts, symbols)
+                p += 17 + n
+        elif marker == 0xC2:
+            height, width = struct.unpack(">HH", seg[1:5])
+            ncomp = seg[5]
+            for i in range(ncomp):
+                cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcux = -(-width // (8 * hmax))
+            mcuy = -(-height // (8 * vmax))
+            for c in comps:
+                cw = -(-width * c["h"] // hmax)
+                ch = -(-height * c["v"] // vmax)
+                bw, bh = -(-cw // 8), -(-ch // 8)
+                bw_pad, bh_pad = mcux * c["h"], mcuy * c["v"]
+                geom[c["id"]] = (bw, bh, bw_pad, bh_pad)
+                coeffs[c["id"]] = [[0] * 64 for _ in range(bw_pad * bh_pad)]
+        elif marker == 0xDD:
+            (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:
+            if width is None:
+                raise ValueError("JPEG SOS before SOF2")
+            nscan = seg[0]
+            scan_comps = []
+            for i in range(nscan):
+                cid, tables = seg[1 + 2 * i], seg[2 + 2 * i]
+                scan_comps.append((cid, tables >> 4, tables & 0x0F))
+            ss, se, ahal = seg[1 + 2 * nscan : 4 + 2 * nscan]
+            ah, al = ahal >> 4, ahal & 0x0F
+            pos = _jpeg_progressive_scan(
+                data, pos + 2 + seglen, comps, scan_comps, ss, se, ah, al,
+                huff, coeffs, geom, mcux, mcuy, restart_interval,
+            )
+            continue
+        pos += 2 + seglen
+    if width is None or not comps:
+        raise ValueError("JPEG missing SOF2 frame header")
+    # dequant + IDCT the luma component only (same contract as baseline)
+    c0 = comps[0]
+    q = qt[c0["tq"]]
+    bw, bh, bw_pad, _ = geom[c0["id"]]
+    blocks = coeffs[c0["id"]]
+    lw, lh = bw * 8, bh * 8
+    plane = [0.0] * (lw * lh)
+    for byi in range(bh):
+        for bxi in range(bw):
+            zz = blocks[byi * bw_pad + bxi]
+            nat = [0] * 64
+            for k in range(64):
+                nat[_ZIGZAG[k]] = zz[k] * q[k]
+            tmp = [0.0] * 64
+            for y in range(8):
+                row = nat[y * 8 : y * 8 + 8]
+                for x in range(8):
+                    tmp[y * 8 + x] = sum(row[u] * _IDCT_B[u][x] for u in range(8))
+            ox, oy = bxi * 8, byi * 8
+            for x in range(8):
+                col = [tmp[y * 8 + x] for y in range(8)]
+                for y in range(8):
+                    v = sum(col[u] * _IDCT_B[u][y] for u in range(8)) + 128.0
+                    plane[(oy + y) * lw + (ox + x)] = min(255.0, max(0.0, v))
+    total = 0.0
+    for y in range(height):
+        base = y * lw
+        total += sum(plane[base : base + width])
+    n = width * height
+    return {
+        "width": width,
+        "height": height,
+        "mean_luma": (total / n) if n else None,
+    }
+
+
+def _jpeg_progressive_scan(
+    data, pos, comps, scan_comps, ss, se, ah, al,
+    huff, coeffs, geom, mcux, mcuy, restart_interval,
+) -> int:
+    """Apply ONE progressive scan to the coefficient buffers and return
+    the stream position of the next marker.  Implements the four scan
+    kinds of T.81 §G.2: DC first (Ah=0, diffs shifted left Al), DC
+    refinement (one bit per block), AC first (EOBRUN band coding), AC
+    refinement (correction bits over zero-history runs)."""
+    if ss == 0 and se != 0:
+        # a full-band "scan" is a baseline stream mislabeled SOF2 or a
+        # corrupt header — progressive DC scans must have Se == 0
+        raise ValueError("progressive DC scan with Se != 0")
+    bits = _JpegBits(data, pos)
+    by_id = {c["id"]: c for c in comps}
+    eobrun = 0
+    pred = {cid: 0 for cid, _, _ in scan_comps}
+    p1, m1 = 1 << al, -1 << al
+
+    def dc_first(blk, cid, dc_lut):
+        s = bits.huff(dc_lut)
+        diff = _jpeg_extend(bits.read(s), s) if s else 0
+        pred[cid] += diff
+        blk[0] = pred[cid] << al
+
+    def dc_refine(blk):
+        if bits.read(1):
+            blk[0] |= p1
+
+    def ac_first(blk, ac_lut):
+        nonlocal eobrun
+        if eobrun > 0:
+            eobrun -= 1
+            return
+        k = ss
+        while k <= se:
+            rs = bits.huff(ac_lut)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r == 15:
+                    k += 16
+                    continue
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += bits.read(r)
+                break
+            k += r
+            if k > se:
+                raise ValueError("AC index overflow in progressive scan")
+            blk[k] = _jpeg_extend(bits.read(s), s) << al
+            k += 1
+
+    def refine_nonzero(blk, k):
+        # correction bit for a coefficient that is already nonzero
+        if bits.read(1) and (blk[k] & p1) == 0:
+            blk[k] += p1 if blk[k] > 0 else m1
+
+    def ac_refine(blk, ac_lut):
+        nonlocal eobrun
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = bits.huff(ac_lut)
+                r, s = rs >> 4, rs & 0x0F
+                newval = 0
+                if s == 0:
+                    if r != 15:
+                        eobrun = 1 << r
+                        if r:
+                            eobrun += bits.read(r)
+                        break
+                    # r == 15: pass over 16 zero-history coefficients
+                else:
+                    # s is always 1 in a refinement scan (one new bit)
+                    newval = p1 if bits.read(1) else m1
+                while k <= se:
+                    if blk[k] != 0:
+                        refine_nonzero(blk, k)
+                    else:
+                        if r == 0:
+                            if newval:
+                                blk[k] = newval
+                            k += 1
+                            break
+                        r -= 1
+                    k += 1
+        if eobrun > 0:
+            # EOB run covers this block: still refine every nonzero
+            # coefficient left in the band
+            while k <= se:
+                if blk[k] != 0:
+                    refine_nonzero(blk, k)
+                k += 1
+            eobrun -= 1
+
+    def handle_restart(unit_count):
+        nonlocal eobrun
+        if restart_interval and unit_count and unit_count % restart_interval == 0:
+            bits.align()
+            while bits.pos + 1 < len(data) and (
+                data[bits.pos] != 0xFF
+                or not (0xD0 <= data[bits.pos + 1] <= 0xD7)
+            ):
+                bits.pos += 1
+            if bits.pos + 1 >= len(data):
+                raise ValueError("truncated JPEG stream")
+            bits.pos += 2
+            for cid in pred:
+                pred[cid] = 0
+            eobrun = 0
+
+    if len(scan_comps) == 1:
+        # NON-INTERLEAVED scan (DC or AC): data units iterate the one
+        # component's OWN block raster (true dims, not MCU padding) —
+        # T.81 A.2.2; restart counts data units
+        (cid, dc_t, ac_t) = scan_comps[0]
+        bw, bh, bw_pad, _ = geom[cid]
+        unit = 0
+        for byi in range(bh):
+            for bxi in range(bw):
+                handle_restart(unit)
+                unit += 1
+                blk = coeffs[cid][byi * bw_pad + bxi]
+                if ss == 0:
+                    if ah == 0:
+                        dc_first(blk, cid, huff[(0, dc_t)])
+                    else:
+                        dc_refine(blk)
+                elif ah == 0:
+                    ac_first(blk, huff[(1, ac_t)])
+                else:
+                    ac_refine(blk, huff[(1, ac_t)])
+    else:
+        # INTERLEAVED scan: only DC scans may interleave (ss == 0);
+        # MCU order, restart counts MCUs
+        if ss != 0:
+            raise ValueError("progressive AC scan must be single-component")
+        unit = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                handle_restart(unit)
+                unit += 1
+                for cid, dc_t, _ in scan_comps:
+                    c = by_id[cid]
+                    _, _, bw_pad, _ = geom[cid]
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            idx = (my * c["v"] + by) * bw_pad + (mx * c["h"] + bx)
+                            blk = coeffs[cid][idx]
+                            if ah == 0:
+                                dc_first(blk, cid, huff[(0, dc_t)])
+                            else:
+                                dc_refine(blk)
+    # resync: advance to the next marker after the entropy data
+    p = bits.pos
+    while p + 1 < len(data) and (
+        data[p] != 0xFF or data[p + 1] == 0x00 or 0xD0 <= data[p + 1] <= 0xD7
+    ):
+        p += 1
+    if p + 1 >= len(data):
+        raise ValueError("truncated JPEG stream")
+    return p
 
 
 def real_decode_kernel(doc_id: int, payload: bytes) -> dict:

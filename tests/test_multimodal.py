@@ -362,16 +362,174 @@ def test_real_decode_kernel_jpeg_crop():
     assert abs(d["mean_luma"] - (8 * 160 + 4 * 96) / 12.0) < 1e-9
 
 
-def test_real_decode_kernel_jpeg_progressive_rejected():
-    """SOF2 (progressive) must raise NotImplementedError, not
-    mis-decode."""
+def test_real_decode_kernel_mislabeled_progressive_rejected():
+    """A baseline stream whose SOF marker is flipped to SOF2 carries a
+    full-band scan header (Ss=0, Se=63) that is illegal in progressive
+    mode — the decoder must reject it as corrupt, not mis-decode."""
     w = _BitWriter()
     _put_dc_block(w, 16)
     payload = bytearray(_make_jpeg(8, 8, [(1, 0x11)], w))
     idx = payload.find(b"\xff\xc0")
     payload[idx + 1] = 0xC2
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         mm.real_decode_kernel(1, bytes(payload))
+
+
+# ---- progressive JPEG (SOF2) golden tests ----
+#
+# Streams are hand-assembled per ITU T.81 §G.2 so every scan kind is
+# exercised deliberately: DC first/refine (successive approximation),
+# AC first with EOB runs, AC refinement with correction bits. The
+# color/crop expectations are cross-checked against the BASELINE
+# decoder on identical quantized coefficients.
+
+def _ac_table(symbols):
+    """All-length-4 canonical AC table: counts[3] = n, code i = symbol i."""
+    counts = bytearray(16)
+    counts[3] = len(symbols)
+    return bytes(counts), bytes(symbols)
+
+
+def _prog_headers(width, height, ac_symbols, q=16):
+    import struct as st
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xDB, bytes([0x00]) + bytes([q] * 64))
+    out += _seg(
+        0xC2,
+        bytes([8]) + st.pack(">HH", height, width) + bytes([1, 1, 0x11, 0]),
+    )
+    dc_counts, dc_syms, _ = _dc_codes(8)
+    out += _seg(0xC4, bytes([0x00]) + dc_counts + dc_syms)
+    ac_counts, ac_syms = _ac_table(ac_symbols)
+    out += _seg(0xC4, bytes([0x10]) + ac_counts + ac_syms)
+    return out
+
+
+def _prog_sos(ss, se, ah, al, bits):
+    return _seg(0xDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | al])) + bits.bytes()
+
+
+def _put_dc_only(w, diff):
+    """DC scan data unit: category code + extend bits, NO AC EOB."""
+    cat = 0 if diff == 0 else (diff if diff > 0 else -diff).bit_length()
+    w.put(cat, 3)
+    if cat:
+        w.put(diff if diff > 0 else diff + (1 << cat) - 1, cat)
+
+
+def test_progressive_jpeg_spectral_selection_only():
+    """16x16, 4 solid blocks over two scans (DC first, then the whole
+    AC band closed by one EOB2 run covering all 4 blocks): decodes to
+    the exact per-block lumas."""
+    lumas = [160, 96, 200, 120]
+    dcs = [(l - 128) // 2 for l in lumas]  # q=16: (L-128)*8/16
+    # AC symbols: EOB0 (0x00) at code 0, EOB2 (0x20) at code 1
+    out = _prog_headers(16, 16, [0x00, 0x20])
+    w = _BitWriter()
+    prev = 0
+    for dc in dcs:
+        _put_dc_only(w, dc - prev)
+        prev = dc
+    out += _prog_sos(0, 0, 0, 0, w)
+    w = _BitWriter()
+    w.put(1, 4)  # EOB2 symbol (code 1, len 4)
+    w.put(0, 2)  # 2 appended bits -> eobrun covers 2^2 = 4 blocks
+    out += _prog_sos(1, 63, 0, 0, w)
+    out += b"\xff\xd9"
+    d = mm.real_decode_kernel(1, bytes(out))
+    assert (d["width"], d["height"]) == (16, 16)
+    assert abs(d["mean_luma"] - sum(lumas) / 4.0) < 1e-9
+
+
+def test_progressive_jpeg_successive_approximation_matches_baseline():
+    """12x8 (cropped second block, so AC terms move the mean), two
+    blocks with DC and AC content, coded over FOUR scans with Al=1
+    first passes and Ah=1 refinements — must decode identically to the
+    baseline stream carrying the same quantized coefficients."""
+    # quantized coefficients (zigzag index -> value); both ACs sit at
+    # zigzag k=1 (natural (0,1) — the HORIZONTAL cosine basis), so the
+    # 12-wide crop of block 2 gives its AC a nonzero mean contribution
+    b1 = {0: 17, 1: 5}
+    b2 = {0: -16, 1: -3}
+    # --- baseline twin: DC + AC in one scan ---
+    # AC symbols needed: (0,3)=0x03, (0,2)=0x02, EOB=0x00
+    base = bytearray(b"\xff\xd8")
+    base += _seg(0xDB, bytes([0x00]) + bytes([16] * 64))
+    import struct as st
+    base += _seg(0xC0, bytes([8]) + st.pack(">HH", 8, 12) + bytes([1, 1, 0x11, 0]))
+    dc_counts, dc_syms, _ = _dc_codes(8)
+    base += _seg(0xC4, bytes([0x00]) + dc_counts + dc_syms)
+    ac_counts, ac_syms = _ac_table([0x00, 0x03, 0x02])
+    base += _seg(0xC4, bytes([0x10]) + ac_counts + ac_syms)
+    base += _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    w = _BitWriter()
+    _put_dc_only(w, 17)       # block 1 DC
+    w.put(1, 4)               # (0,3) symbol
+    w.put(5, 3)               # value 5
+    w.put(0, 4)               # EOB
+    _put_dc_only(w, -33)      # block 2 DC diff: -16 - 17
+    w.put(2, 4)               # (0,2) symbol at k=1
+    w.put(0, 2)               # -3 -> -3 + (1<<2) - 1 = 0
+    w.put(0, 4)               # EOB
+    base += w.bytes() + b"\xff\xd9"
+    d_base = mm.real_decode_kernel(1, bytes(base))
+    assert (d_base["width"], d_base["height"]) == (12, 8)
+
+    # --- progressive twin: 4 scans with successive approximation ---
+    # AC symbols: EOB0=0x00 code 0, EOB1=0x10 code 1, (0,1)=0x01 code 2,
+    # (1,1)=0x11 code 3 (refine/first scans code s=1 magnitudes)
+    out = _prog_headers(12, 8, [0x00, 0x10, 0x01, 0x11])
+    # scan 1: DC first, Al=1 — diffs of dc>>1: 8, then -8-8=-16
+    w = _BitWriter()
+    _put_dc_only(w, 8)
+    _put_dc_only(w, -16)
+    out += _prog_sos(0, 0, 0, 1, w)
+    # scan 2: AC first band 1..63, Al=1 — magnitudes truncated toward 0:
+    # b1 k=1: 5 -> 2... wait, Al=1 first scan codes value/2 trunc: 5->2
+    # needs cat 2, but our table only has s=1 — use Al=2: 5>>2=1, -3->0.
+    # Simpler: Al=1 with s=... keep s=1 coefficients only: code b1 k=1
+    # as magnitude 2? cat(2)=2. To stay within s=1 symbols, use Al=2
+    # for the AC ladder: first scan values trunc(v/4): 5->1, -3->0
+    # (b2's AC appears only in the refinement scans).
+    w = _BitWriter()
+    w.put(2, 4)   # (0,1) at k=1
+    w.put(1, 1)   # value +1
+    w.put(0, 4)   # EOB0 (ends block 1)
+    w.put(0, 4)   # EOB0 (block 2: nothing above Al=2)
+    out += _prog_sos(1, 63, 0, 2, w)
+    # scan 3: DC refinement Ah=1, Al=0 — bit 0 of each dc: 17&1=1, -16&1=0
+    w = _BitWriter()
+    w.put(1, 1)
+    w.put(0, 1)
+    out += _prog_sos(0, 0, 1, 0, w)
+    # scan 4: AC refinement band 1..63 Ah=2, Al=1 — refine 5: stored
+    # (1<<2)=4, bit (5>>1)&1 = 0 -> stays 4 at this precision; b2 k=1
+    # newly nonzero at Al=1: magnitude 3>>1 = 1 -> (0,1) negative
+    w = _BitWriter()
+    # block 1: no new coeffs; existing k=1 gets a correction bit —
+    # encoder emits EOB0 then the covered block's correction bits
+    w.put(0, 4)   # EOB0 -> eobrun=1 covers block 1
+    w.put(0, 1)   # correction bit for b1 k=1 (stays 4)
+    # block 2: (0,1): zero-run 0, new ±1 at k=1, sign -
+    w.put(2, 4)   # (0,1) symbol
+    w.put(0, 1)   # sign bit 0 -> m1 (-1 at Al=1 -> value -2 stored)
+    w.put(0, 4)   # EOB0 ends block 2
+    out += _prog_sos(1, 63, 2, 1, w)
+    # scan 5: AC refinement Ah=1, Al=0 — b1 k=1: 4 -> bit 1 -> 5;
+    # b2 k=1: stored -2, bit 1 -> -3
+    w = _BitWriter()
+    w.put(0, 4)   # EOB0 covers block 1
+    w.put(1, 1)   # correction: 4 -> 5
+    w.put(0, 4)   # EOB0 covers block 2
+    w.put(1, 1)   # correction: -2 -> -3
+    out += _prog_sos(1, 63, 1, 0, w)
+    out += b"\xff\xd9"
+    d_prog = mm.real_decode_kernel(1, bytes(out))
+    assert (d_prog["width"], d_prog["height"]) == (12, 8)
+    assert abs(d_prog["mean_luma"] - d_base["mean_luma"]) < 1e-9
+    # sanity: AC content actually moved the mean off the DC-only value
+    dc_only_mean = (8 * (17 * 2 + 128) + 4 * (-16 * 2 + 128)) / 12.0
+    assert abs(d_base["mean_luma"] - dc_only_mean) > 0.01
 
 
 def test_mjpeg_avi_roundtrip_and_kernel():
