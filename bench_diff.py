@@ -1,0 +1,84 @@
+"""Round-over-round bench regression diff.
+
+Compares two complete per-query bench artifacts (bench_results_r{n}.json,
+written by ``python bench.py``) and prints per-query deltas, worst
+regressions first — the mechanical replacement for reconstructing
+timings from truncated BENCH stdout tails.
+
+    python bench_diff.py [old.json] [new.json] [--threshold 1.5]
+
+With no arguments, diffs the two most recent artifacts in the repo root.
+Exit code 0 always (informational — regressions at bench scale are often
+output-growth or first-touch noise; the threshold just orders attention).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import sys
+
+
+def load(path: str) -> dict:
+    with open(path) as f:
+        return json.load(f)
+
+
+def diff_section(old: dict, new: dict, label: str, threshold: float) -> None:
+    shared = sorted(set(old) & set(new))
+    added = sorted(set(new) - set(old))
+    removed = sorted(set(old) - set(new))
+    rows = []
+    for q in shared:
+        o, n = float(old[q]), float(new[q])
+        ratio = (n / o) if o > 0 else float("inf")
+        rows.append((ratio, q, o, n))
+    rows.sort(reverse=True)
+    print(f"\n== {label}: {len(shared)} shared, {len(added)} added, "
+          f"{len(removed)} removed ==")
+    print(f"total: {sum(r[2] for r in rows):.1f}s -> {sum(r[3] for r in rows):.1f}s")
+    flagged = [r for r in rows if r[0] >= threshold and r[3] - r[2] > 0.5]
+    if flagged:
+        print(f"-- regressions >= {threshold}x (and > 0.5s absolute) --")
+        for ratio, q, o, n in flagged:
+            print(f"  {q}: {o:.2f}s -> {n:.2f}s ({ratio:.2f}x)")
+    improved = [r for r in rows if r[0] <= 1 / threshold and r[2] - r[3] > 0.5]
+    if improved:
+        print(f"-- improvements <= {1/threshold:.2f}x --")
+        for ratio, q, o, n in sorted(improved):
+            print(f"  {q}: {o:.2f}s -> {n:.2f}s ({ratio:.2f}x)")
+    if added:
+        print(f"-- new queries: {', '.join(added)}")
+    if removed:
+        print(f"-- removed queries: {', '.join(removed)}")
+
+
+def main() -> int:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    threshold = 1.5
+    for a in sys.argv[1:]:
+        if a.startswith("--threshold"):
+            threshold = float(a.split("=", 1)[1] if "=" in a else sys.argv[sys.argv.index(a) + 1])
+    if len(args) >= 2:
+        old_path, new_path = args[0], args[1]
+    else:
+        arts = sorted(glob.glob(os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_results_r*.json")))
+        if len(arts) < 2:
+            print("need two bench_results_r*.json artifacts (or pass paths)")
+            return 0
+        old_path, new_path = arts[-2], arts[-1]
+    old, new = load(old_path), load(new_path)
+    print(f"diff {os.path.basename(old_path)} (round {old.get('round')}) -> "
+          f"{os.path.basename(new_path)} (round {new.get('round')})")
+    diff_section(old.get("queries", {}), new.get("queries", {}),
+                 f"sf{new.get('sf')}", threshold)
+    if old.get("sf1") and new.get("sf1"):
+        diff_section(old["sf1"], new["sf1"], "sf1", threshold)
+    if old.get("scale_stress") and new.get("scale_stress"):
+        diff_section(old["scale_stress"], new["scale_stress"], "scale_stress", threshold)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
