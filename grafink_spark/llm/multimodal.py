@@ -556,6 +556,12 @@ def _jpeg_progressive_scan(
         # a full-band "scan" is a baseline stream mislabeled SOF2 or a
         # corrupt header — progressive DC scans must have Se == 0
         raise ValueError("progressive DC scan with Se != 0")
+    for cid, dc_t, ac_t in scan_comps:
+        need = (0, dc_t) if ss == 0 and ah == 0 else None
+        if ss > 0 and ah >= 0:
+            need = (1, ac_t)
+        if need is not None and need not in huff:
+            raise ValueError("progressive scan references undefined Huffman table")
     bits = _JpegBits(data, pos)
     by_id = {c["id"]: c for c in comps}
     eobrun = 0
