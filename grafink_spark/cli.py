@@ -16,7 +16,7 @@ from datetime import date, datetime, timedelta
 from grafink_spark.config import GrafinkConfig
 from grafink_spark.errors import BadArgumentsException, exit_code_for
 from grafink_spark.job import Job
-from grafink_spark.session import get_spark
+from grafink_spark.session import apply_runtime_conf, get_spark
 
 
 def parse_args(argv: list[str]) -> argparse.Namespace:
@@ -40,7 +40,8 @@ def main(argv: list[str] | None = None) -> int:
         args = parse_args(argv if argv is not None else sys.argv[1:])
         config = GrafinkConfig.load(args.config)
         start = datetime.strptime(args.startdate, "%Y-%m-%d").date()
-        spark = get_spark("grafink-spark-job")
+        spark = get_spark("grafink-spark-job", extra_conf=config.spark)
+        apply_runtime_conf(spark, config.spark)
         job = Job(spark, config)
         if args.delete:
             job.delete(start, args.duration)

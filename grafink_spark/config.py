@@ -146,6 +146,11 @@ class GrafinkConfig:
     # raw job.schema block from a reference-shaped config (vertexLabels /
     # edgeLabels / index declarations), kept verbatim for catalog setup
     schema: dict[str, Any] = field(default_factory=dict)
+    # free-form Spark conf (e.g. spark.grafink.checkpointDir for
+    # fault-tolerant lineage pins on long cluster runs): applied at
+    # session build AND re-applied at runtime so a reused session still
+    # picks up the runtime-settable keys
+    spark: dict[str, str] = field(default_factory=dict)
 
     @staticmethod
     def from_dict(d: dict[str, Any]) -> "GrafinkConfig":
@@ -204,6 +209,7 @@ class GrafinkConfig:
             fixedVertices=fv,
             graph=gc,
             schema=dict(d.get("schema", {})),
+            spark={str(k): str(v) for k, v in d.get("spark", {}).items()},
         )
 
     @staticmethod

@@ -45,6 +45,26 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    # env-level reliable-checkpoint opt-in (see util.pin): handy for
+    # bench/CI runs where no config file is in play
+    ck = os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
+    if ck:
+        builder = builder.config("spark.grafink.checkpointDir", ck)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def apply_runtime_conf(spark: SparkSession, conf: dict[str, str] | None) -> None:
+    """Re-apply config-file Spark conf to a LIVE session.
+
+    ``getOrCreate`` silently ignores builder conf when it reuses an
+    existing session, so the CLI applies the config file's ``spark``
+    block both ways: at build (fresh JVM — static conf applies) and
+    here at runtime (reused session — runtime-settable keys like
+    ``spark.grafink.*`` still take effect; static keys are skipped)."""
+    for k, v in (conf or {}).items():
+        try:
+            spark.conf.set(k, str(v))
+        except Exception:
+            pass  # static conf on a live session: applied at build or not at all
