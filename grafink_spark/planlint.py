@@ -46,11 +46,15 @@ WARNING_CODES = frozenset({"bnlj", "single-part"})
 
 
 def _iter_logical(jplan):
-    """Yield every node of a (logical) plan tree."""
-    yield jplan
-    children = jplan.children()
-    for i in range(children.size()):
-        yield from _iter_logical(children.apply(i))
+    """Yield every node of a (logical) plan tree — explicit stack, so a
+    deeply nested optimized plan can't hit Python's recursion limit."""
+    stack = [jplan]
+    while stack:
+        node = stack.pop()
+        yield node
+        children = node.children()
+        for i in range(children.size()):
+            stack.append(children.apply(i))
 
 
 def oversized_broadcasts(
