@@ -55,11 +55,24 @@ def diff_section(old: dict, new: dict, label: str, threshold: float) -> None:
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
     threshold = 1.5
-    for a in sys.argv[1:]:
+    args: list[str] = []
+    argv = sys.argv[1:]
+    i = 0
+    while i < len(argv):
+        a = argv[i]
         if a.startswith("--threshold"):
-            threshold = float(a.split("=", 1)[1] if "=" in a else sys.argv[sys.argv.index(a) + 1])
+            if "=" in a:
+                threshold = float(a.split("=", 1)[1])
+            else:
+                if i + 1 >= len(argv):
+                    print("--threshold needs a value")
+                    return 2
+                threshold = float(argv[i + 1])
+                i += 1
+        else:
+            args.append(a)
+        i += 1
     if len(args) >= 2:
         old_path, new_path = args[0], args[1]
     else:

@@ -324,6 +324,14 @@ def _jpeg_scan(
 ) -> dict:
     if width is None or not comps:
         raise ValueError("JPEG SOS before SOF0")
+    for c in comps:
+        if c["id"] not in scan:
+            raise ValueError("baseline SOS missing a frame component")
+        if c["tq"] not in qt:
+            raise ValueError("JPEG missing DQT for a scanned component")
+        dc_t, ac_t = scan[c["id"]]
+        if (0, dc_t) not in huff or (1, ac_t) not in huff:
+            raise ValueError("JPEG scan references undefined Huffman table")
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     mcux = -(-width // (8 * hmax))
@@ -509,6 +517,8 @@ def _jpeg_decode_progressive(data: bytes) -> dict:
         raise ValueError("JPEG missing SOF2 frame header")
     # dequant + IDCT the luma component only (same contract as baseline)
     c0 = comps[0]
+    if c0["tq"] not in qt:
+        raise ValueError("JPEG missing DQT for luma component")
     q = qt[c0["tq"]]
     bw, bh, bw_pad, _ = geom[c0["id"]]
     blocks = coeffs[c0["id"]]
@@ -557,9 +567,11 @@ def _jpeg_progressive_scan(
         # corrupt header — progressive DC scans must have Se == 0
         raise ValueError("progressive DC scan with Se != 0")
     for cid, dc_t, ac_t in scan_comps:
-        need = (0, dc_t) if ss == 0 and ah == 0 else None
-        if ss > 0 and ah >= 0:
-            need = (1, ac_t)
+        if cid not in geom:
+            raise ValueError("progressive scan references undeclared component")
+        # DC-first scans need the DC table; any AC scan needs the AC
+        # table (DC refinement reads raw bits, no table)
+        need = (1, ac_t) if ss > 0 else ((0, dc_t) if ah == 0 else None)
         if need is not None and need not in huff:
             raise ValueError("progressive scan references undefined Huffman table")
     bits = _JpegBits(data, pos)

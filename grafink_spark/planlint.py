@@ -58,7 +58,7 @@ def _iter_logical(jplan):
 
 
 def oversized_broadcasts(
-    df: DataFrame, max_bytes: int = BROADCAST_MAX_BYTES
+    df: DataFrame, max_bytes: int | None = None
 ) -> list[int]:
     """Catalyst size estimates (bytes) of every broadcast-HINTED join
     side in ``df``'s optimized logical plan that exceeds ``max_bytes``.
@@ -70,6 +70,15 @@ def oversized_broadcasts(
     estimate is the hinted subtree's optimized-plan statistics (the
     same numbers :func:`util.plan_size_bytes` gates on). Unknown-size
     sentinels are skipped — no estimate, no verdict."""
+    if max_bytes is None:
+        # honor the same session override maybe_broadcast gates on, so
+        # "the maybe_broadcast ceiling" is literally one number
+        try:
+            max_bytes = int(
+                df.sparkSession.conf.get("spark.grafink.broadcastMaxBytes")
+            )
+        except Exception:
+            max_bytes = BROADCAST_MAX_BYTES
     too_big: list[int] = []
     try:
         jplan = df._jdf.queryExecution().optimizedPlan()
@@ -116,9 +125,7 @@ def lint_plan(df: DataFrame, broadcast_max_bytes: int | None = None) -> list[str
         found.add("bnlj")
     if "Exchange SinglePartition" in plan:
         found.add("single-part")
-    if oversized_broadcasts(
-        df, broadcast_max_bytes if broadcast_max_bytes is not None else BROADCAST_MAX_BYTES
-    ):
+    if oversized_broadcasts(df, broadcast_max_bytes):
         found.add("oversized-broadcast")
     return sorted(found)
 

@@ -115,11 +115,16 @@ def pin(
         or current.removeprefix("file:").startswith(req)
     ):
         sc.setCheckpointDir(checkpoint_dir)
-    if not eager:
-        return df.checkpoint(eager=False)
-    # persist first: an eager reliable checkpoint runs a SECOND job to
-    # write the files — without a persist that job recomputes the
-    # whole lineage (Spark's own docs recommend caching first)
+    # reliable checkpoints are ALWAYS taken eagerly, even for
+    # eager=False pins: a lazy reliable checkpoint cannot be wrapped in
+    # persist/unpersist (it materializes at some later action), so
+    # Spark would re-run the whole un-persisted lineage a second time
+    # to write the checkpoint files — doubling exactly the corpus-scale
+    # work the pin exists to run once. Trading the laziness for
+    # single-computation is right at the design point this conf serves.
+    #
+    # persist first: the checkpoint write is a SECOND job — without a
+    # persist it recomputes the lineage (Spark's docs recommend caching)
     df = df.persist()
     try:
         return df.checkpoint()
