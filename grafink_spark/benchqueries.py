@@ -7268,7 +7268,10 @@ def q_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("o_totalprice").cast("decimal(27,6)")).alias("_sum"),
         F.count(F.lit(1)).alias("_n"),
     )
-    out = j.join(F.broadcast(seg), "c_mktsegment")
+    # seg is 5 true rows but Catalyst's post-aggregate estimate inherits
+    # the join product, so a forced hint trips the oversized-broadcast
+    # lint; size-gate it and let AQE broadcast from runtime sizes
+    out = j.join(maybe_broadcast(seg), "c_mktsegment")
     loo = F.when(
         F.col("_n") > 1,
         (F.col("_sum") - F.col("o_totalprice").cast("decimal(27,6)"))

@@ -22,7 +22,7 @@ import math
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from grafink_spark.util import pin, pin_lazy
+from grafink_spark.util import maybe_broadcast, pin, pin_lazy
 
 from grafink_spark.llm.dedup import cosine_similarity
 
@@ -779,9 +779,13 @@ def bitext_mine(
 
     means_a = knn_mean("a_id")
     means_b = knn_mean("b_id")
+    # means_a/means_b carry ONE ROW PER SIDE VECTOR — side-cardinality,
+    # which grows with the data (the round-5 oversized-broadcast lint
+    # caught the old forced hints). Size-gated: small sides broadcast,
+    # big sides degrade to shuffle equi joins on the id keys.
     margins = (
-        scored.join(F.broadcast(means_a), "a_id")
-        .join(F.broadcast(means_b), "b_id")
+        scored.join(maybe_broadcast(means_a), "a_id")
+        .join(maybe_broadcast(means_b), "b_id")
         .withColumn(
             "margin",
             F.col("_cs") / ((F.col("_m_a_id") + F.col("_m_b_id")) / 2),

@@ -54,7 +54,6 @@ AUDIT: dict[tuple[str, str], str] = {
     ("benchqueries.py", "nations"): "FIXED TPC-H nation (25 rows)",
     ("benchqueries.py", "pos"): "ONE_ROW positive-balance average fold (Q22)",
     ("benchqueries.py", "region"): "FIXED TPC-H region (5 rows)",
-    ("benchqueries.py", "seg"): "GROUP per-market-segment aggregate (5 segments)",
     ("benchqueries.py", "sn"): "FIXED named-nation subset of nation (<=25 rows)",
     ("benchqueries.py", "tot"): "ONE_ROW global total fold",
     ("benchqueries.py", "total"): "ONE_ROW global total fold (Q11 threshold)",
@@ -74,8 +73,6 @@ AUDIT: dict[tuple[str, str], str] = {
     ("llm/simsearch.py", "_centroid_matrix"): "FIXED IVF centroid matrix (nlist rows, parameter not data)",
     ("llm/simsearch.py", "a"): "QUERY anchor set (hard-negative mining contract: anchors are the probe side)",
     ("llm/simsearch.py", "b"): "QUERY B-side of cross-set cosine (caller-bounded evaluation set)",
-    ("llm/simsearch.py", "means_a"): "GROUP per-a_id means over the k-bounded scored pairs",
-    ("llm/simsearch.py", "means_b"): "GROUP per-b_id means over the k-bounded scored pairs",
     ("llm/simsearch.py", "q"): "QUERY query vectors (top-k search contract; brute path also flag-gated)",
     ("maintenance.py", "n_valid"): "ONE_ROW valid-row count",
     ("ops.py", "aliased"): "DRIVER per-(partition, group) offsets (<= numPartitions + |groups| rows, just collected)",
