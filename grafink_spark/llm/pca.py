@@ -306,7 +306,13 @@ def covariance_partials(
         .groupBy("i")
         .agg(F.sum("x").alias("sx"))
     )
-    return sxx, sx, emb.count()
+    # n must count only rows that CONTRIBUTED: explode silently drops
+    # NULL/empty vectors from sxx/sx, so counting them here would
+    # deflate every covariance cell and mean by the bad-row fraction
+    n = emb.where(
+        F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) > 0)
+    ).count()
+    return sxx, sx, n
 
 
 def covariance_from_partials(parts) -> DataFrame:

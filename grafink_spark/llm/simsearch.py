@@ -782,10 +782,13 @@ def bitext_mine(
     # means_a/means_b carry ONE ROW PER SIDE VECTOR — side-cardinality,
     # which grows with the data (the round-5 oversized-broadcast lint
     # caught the old forced hints). Size-gated: small sides broadcast,
-    # big sides degrade to shuffle equi joins on the id keys.
+    # big sides degrade to shuffle equi joins on the id keys. The
+    # means derive from the CHECKPOINTED scored table (unknown Catalyst
+    # stats), so the gate reads the original sides as size PROXIES —
+    # a per-id means table is never bigger than its id-carrying input.
     margins = (
-        scored.join(maybe_broadcast(means_a), "a_id")
-        .join(maybe_broadcast(means_b), "b_id")
+        scored.join(maybe_broadcast(means_a, size_proxy=a), "a_id")
+        .join(maybe_broadcast(means_b, size_proxy=b), "b_id")
         .withColumn(
             "margin",
             F.col("_cs") / ((F.col("_m_a_id") + F.col("_m_b_id")) / 2),

@@ -35,7 +35,11 @@ def plan_size_bytes(df: DataFrame) -> int | None:
     return size
 
 
-def maybe_broadcast(df: DataFrame, max_bytes: int | None = None) -> DataFrame:
+def maybe_broadcast(
+    df: DataFrame,
+    max_bytes: int | None = None,
+    size_proxy: DataFrame | None = None,
+) -> DataFrame:
     """Broadcast hint gated on Catalyst's size estimate.
 
     An unconditional ``F.broadcast`` on a dimension table that grows
@@ -48,6 +52,14 @@ def maybe_broadcast(df: DataFrame, max_bytes: int | None = None) -> DataFrame:
     ``spark.grafink.broadcastMaxBytes`` conf); above the threshold — or
     when no estimate exists — it returns the frame unhinted and lets
     AQE pick the join strategy from runtime sizes.
+
+    ``size_proxy``: gate on ANOTHER frame's estimate instead of
+    ``df``'s own.  For a frame whose lineage passes through a
+    checkpoint or an aggregate, Catalyst's stats are the unknown
+    sentinel / a join-product guess — useless either way; when the
+    caller knows a frame that UPPER-BOUNDS ``df`` (e.g. per-id means
+    are never bigger than the id-carrying input), gating on the proxy
+    restores the small-side broadcast without risking an over-hint.
     """
     from pyspark.sql import functions as F
 
@@ -56,7 +68,7 @@ def maybe_broadcast(df: DataFrame, max_bytes: int | None = None) -> DataFrame:
             max_bytes = int(df.sparkSession.conf.get(_BROADCAST_CONF_KEY))
         except Exception:
             max_bytes = BROADCAST_MAX_BYTES
-    size = plan_size_bytes(df)
+    size = plan_size_bytes(size_proxy if size_proxy is not None else df)
     if size is not None and size <= max_bytes:
         return F.broadcast(df)
     return df

@@ -96,3 +96,20 @@ def test_arrow_covariance_agrees_with_exact(spark):
     arrow = {(r.i, r.j): r.c for r in covariance_matrix_arrow(emb).collect()}
     assert set(exact) == set(arrow)
     assert max(abs(exact[k] - arrow[k]) for k in exact) < 1e-12
+
+
+def test_covariance_ignores_null_and_empty_vectors(spark):
+    """Rows whose vector is NULL or empty never reach the sums (explode
+    drops them), so n must not count them either — otherwise every
+    covariance cell and mean deflates by the bad-row fraction."""
+    from grafink_spark.llm.pca import covariance_matrix
+
+    good = [(i, [float(i % 3), 1.0]) for i in range(30)]
+    dirty = good + [(100, None), (101, [])]
+    c_good = {(r.i, r.j): r.c for r in covariance_matrix(
+        spark.createDataFrame(good, "vec_id long, embedding array<float>")
+    ).collect()}
+    c_dirty = {(r.i, r.j): r.c for r in covariance_matrix(
+        spark.createDataFrame(dirty, "vec_id long, embedding array<float>")
+    ).collect()}
+    assert c_good == c_dirty

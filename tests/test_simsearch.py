@@ -389,3 +389,27 @@ def test_hard_triplet_mining_zero_norm_guard(spark):
     r = hard_triplet_mining(emb, emb.where(emb.vec_id == 1)).collect()[0]
     assert r.neg_id == 3  # the real nearest impostor, not the zero vector
     assert r.neg_cos == r.neg_cos  # not NaN
+
+
+def test_bitext_means_broadcast_gate_uses_side_proxies(spark, tmp_path):
+    """The per-id means tables derive from a checkpointed pair table
+    (unknown Catalyst stats), so their broadcast gate reads the
+    ORIGINAL sides as size proxies — small parquet-backed sides (the
+    real input shape; createDataFrame locals carry no stats) must
+    still produce broadcast hash joins rather than sort-merge shuffles
+    of the full pair table."""
+    from grafink_spark.llm.simsearch import bitext_mine
+
+    pa, pb = str(tmp_path / "a.parquet"), str(tmp_path / "b.parquet")
+    spark.createDataFrame(
+        [(i, [1.0, float(i % 3)]) for i in range(8)],
+        "vec_id long, embedding array<float>",
+    ).write.parquet(pa)
+    spark.createDataFrame(
+        [(100 + i, [1.0, float(i % 3)]) for i in range(8)],
+        "vec_id long, embedding array<float>",
+    ).write.parquet(pb)
+    out = bitext_mine(spark.read.parquet(pa), spark.read.parquet(pb), k=2, threshold=0.0)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert out.count() > 0
