@@ -54,6 +54,11 @@ HEADLINE = [
     "repetition_signals",
     "contamination",
     "semantic_dedup",
+    # NOTE: semantic_dedup_auto times the ORACLE-PINNED expr pair
+    # backend (slow by declaration - bit-replayable in SQL); the
+    # PRODUCTION default (arrow) is the semantic_dedup_arrow /
+    # semantic_dedup_auto_arrow entries - read those as the
+    # production cost. (bench_results notes carry the same caveat.)
     "semantic_dedup_auto",
     "semantic_dedup_arrow",
     "bm25_search",
