@@ -590,3 +590,290 @@ def test_real_decode_kernel_jpeg_truncated_raises_value_error():
     truncated = full[: len(full) - 4]
     with pytest.raises(ValueError):
         mm.real_decode_kernel(1, truncated)
+
+
+# ---- randomized baseline-vs-progressive equivalence (property test) ----
+
+def _cat(v):
+    return v.bit_length()
+
+
+class _GenJpeg:
+    """General test encoder: arbitrary per-block zigzag coefficients as
+    (a) one baseline scan, (b) a progressive successive-approximation
+    ladder (DC/AC first at Al=L, refinements L-1..0, EOB0 per block).
+    AC symbols get len-5 canonical codes built from whatever (r, s)
+    pairs the data needs."""
+
+    def __init__(self, width, height, blocks, q=16, levels=2):
+        self.width, self.height = width, height
+        self.blocks = blocks  # list of dict zigzag_k -> int
+        self.q, self.L = q, levels
+
+    def _tables(self, symbols):
+        import struct as st
+        counts = bytearray(16)
+        counts[4] = len(symbols)  # all length-5 canonical codes
+        lut = {s: (i, 5) for i, s in enumerate(symbols)}
+        seg = bytes([0x10]) + bytes(counts) + bytes(symbols)
+        return seg, lut
+
+    def _headers(self, sof, ac_symbols):
+        import struct as st
+        out = bytearray(b"\xff\xd8")
+        out += _seg(0xDB, bytes([0x00]) + bytes([self.q] * 64))
+        out += _seg(
+            sof,
+            bytes([8]) + st.pack(">HH", self.height, self.width) + bytes([1, 1, 0x11, 0]),
+        )
+        dc_counts, dc_syms, _ = _dc_codes(8)
+        out += _seg(0xC4, bytes([0x00]) + dc_counts + dc_syms)
+        seg, self._ac_lut = self._tables(ac_symbols)
+        out += _seg(0xC4, seg)
+        return out
+
+    def _put_ac(self, w, sym, val_bits=None, nbits=0):
+        code, ln = self._ac_lut[sym]
+        w.put(code, ln)
+        if nbits:
+            w.put(val_bits, nbits)
+
+    def baseline(self):
+        syms = {0x00}
+        for blk in self.blocks:
+            ks = sorted(k for k in blk if k > 0 and blk[k])
+            prev = 0
+            for k in ks:
+                r = k - prev - 1
+                while r > 15:
+                    syms.add(0xF0)
+                    r -= 16
+                syms.add((r << 4) | _cat(abs(blk[k])))
+                prev = k
+        out = self._headers(0xC0, sorted(syms))
+        out += _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        w = _BitWriter()
+        pred = 0
+        for blk in self.blocks:
+            dc = blk.get(0, 0)
+            _put_dc_only(w, dc - pred)
+            pred = dc
+            ks = sorted(k for k in blk if k > 0 and blk[k])
+            prev = 0
+            for k in ks:
+                r = k - prev - 1
+                while r > 15:
+                    self._put_ac(w, 0xF0)
+                    r -= 16
+                v = blk[k]
+                s = _cat(abs(v))
+                self._put_ac(w, (r << 4) | s, v if v > 0 else v + (1 << s) - 1, s)
+                prev = k
+            if not ks or ks[-1] < 63:
+                self._put_ac(w, 0x00)
+        return bytes(out + w.bytes() + b"\xff\xd9")
+
+    def progressive(self):
+        L = self.L
+        # collect every AC symbol any scan emits
+        syms = {0x00}
+        for lv in range(L + 1):
+            for blk in self.blocks:
+                syms |= self._ac_scan_symbols(blk, lv, first=(lv == L))
+        out = self._headers(0xC2, sorted(syms))
+        # scan 1: DC first at Al=L
+        w = _BitWriter()
+        pred = 0
+        for blk in self.blocks:
+            dcl = blk.get(0, 0) >> L
+            _put_dc_only(w, dcl - pred)
+            pred = dcl
+        out += _seg(0xDA, bytes([1, 1, 0x00, 0, 0, L])) + w.bytes()
+        # scan 2: AC first band 1..63 at Al=L
+        w = _BitWriter()
+        for blk in self.blocks:
+            self._ac_first(w, blk, L)
+        out += _seg(0xDA, bytes([1, 1, 0x00, 1, 63, L])) + w.bytes()
+        # refinement ladder: level L-1 .. 0 (DC then AC at each level)
+        for lv in range(L - 1, -1, -1):
+            w = _BitWriter()
+            for blk in self.blocks:
+                w.put((blk.get(0, 0) >> lv) & 1, 1)
+            out += _seg(0xDA, bytes([1, 1, 0x00, 0, 0, ((lv + 1) << 4) | lv])) + w.bytes()
+            w = _BitWriter()
+            for blk in self.blocks:
+                self._ac_refine(w, blk, lv)
+            out += _seg(0xDA, bytes([1, 1, 0x00, 1, 63, ((lv + 1) << 4) | lv])) + w.bytes()
+        return bytes(out + b"\xff\xd9")
+
+    def _mag(self, v, lv):
+        return abs(v) >> lv
+
+    def _ac_scan_symbols(self, blk, lv, first):
+        syms = set()
+        if first:
+            prev = 0
+            for k in range(1, 64):
+                t = self._mag(blk.get(k, 0), lv)
+                if t == 0:
+                    continue
+                r = k - prev - 1
+                while r > 15:
+                    syms.add(0xF0)
+                    r -= 16
+                syms.add((r << 4) | _cat(t))
+                prev = k
+            syms.add(0x00)
+            return syms
+        r = 0
+        for k in range(1, 64):
+            v = blk.get(k, 0)
+            if self._mag(v, lv) == 0:
+                r += 1
+                continue
+            # ZRLs are forced at ANY nonzero position (correction or
+            # new) — the decoder's positional traversal demands it
+            while r > 15:
+                syms.add(0xF0)
+                r -= 16
+            if self._mag(v, lv + 1) != 0:
+                continue  # correction bit, no symbol
+            syms.add((r << 4) | 1)
+            r = 0
+        syms.add(0x00)
+        return syms
+
+    def _ac_first(self, w, blk, lv):
+        prev = 0
+        wrote = False
+        for k in range(1, 64):
+            v = blk.get(k, 0)
+            t = (abs(v) >> lv)
+            if t == 0:
+                continue
+            vl = t if v > 0 else -t
+            r = k - prev - 1
+            while r > 15:
+                self._put_ac(w, 0xF0)
+                r -= 16
+            s = _cat(t)
+            self._put_ac(w, (r << 4) | s, vl if vl > 0 else vl + (1 << s) - 1, s)
+            prev = k
+            wrote = True
+        if prev < 63:
+            self._put_ac(w, 0x00)  # EOB0
+
+    def _ac_refine(self, w, blk, lv):
+        # libjpeg encode_mcu_AC_refine shape: the ZRL check fires at
+        # ANY nonzero position (correction OR new — the decoder's
+        # positional traversal demands it); buffered correction bits
+        # flush after each emitted symbol; EOB0 flushes the tail
+        r = 0
+        br = []
+        emitted_any = False
+        for k in range(1, 64):
+            v = blk.get(k, 0)
+            t = self._mag(v, lv)
+            if t == 0:
+                r += 1
+                continue
+            while r > 15:
+                self._put_ac(w, 0xF0)
+                for bit in br:
+                    w.put(bit, 1)
+                br = []
+                r -= 16
+            if self._mag(v, lv + 1) != 0:
+                br.append(t & 1)
+                continue
+            self._put_ac(w, (r << 4) | 1)
+            w.put(1 if v > 0 else 0, 1)  # sign bit
+            for bit in br:
+                w.put(bit, 1)
+            br = []
+            r = 0
+            emitted_any = True
+        if r > 0 or br:
+            self._put_ac(w, 0x00)  # EOB0 covers the block tail
+            for bit in br:
+                w.put(bit, 1)
+        elif not emitted_any:
+            self._put_ac(w, 0x00)
+
+
+def test_progressive_matches_baseline_on_random_blocks():
+    """Property: for random coefficient blocks, a full successive-
+    approximation progressive ladder decodes to exactly the baseline
+    stream's mean_luma — fuzzes EOB runs, ZRL-in-refinement, buffered
+    correction bits, sign handling, and multi-level DC refinement."""
+    import random
+
+    rnd = random.Random(20260815)
+    for trial in range(40):
+        n_blocks = rnd.choice([1, 2, 3])
+        width = 8 * n_blocks - rnd.choice([0, 3])  # sometimes cropped
+        blocks = []
+        for _ in range(n_blocks):
+            blk = {0: rnd.randint(-40, 40)}
+            for _ in range(rnd.randint(0, 6)):
+                k = rnd.randint(1, 63)
+                v = rnd.randint(-15, 15)
+                if v:
+                    blk[k] = v
+            blocks.append(blk)
+        gen = _GenJpeg(width, 8, blocks, levels=rnd.choice([1, 2]))
+        d_base = mm.real_decode_kernel(1, gen.baseline())
+        d_prog = mm.real_decode_kernel(1, gen.progressive())
+        assert (d_base["width"], d_base["height"]) == (width, 8)
+        assert abs(d_prog["mean_luma"] - d_base["mean_luma"]) < 1e-9, (
+            trial, blocks, d_base["mean_luma"], d_prog["mean_luma"]
+        )
+
+
+def test_progressive_eob_run_spans_blocks_in_refinement():
+    """An EOB run emitted in a REFINEMENT scan that covers multiple
+    blocks: covered blocks read their correction bits via the
+    eobrun>0 path (no symbol), appended after the EOB symbol in block
+    order — the one decode path per-block EOB0 encoding never reaches."""
+    blocks = [{0: 16}, {0: -16, 1: 2}, {0: 8, 2: -2}]
+    gen = _GenJpeg(24, 8, blocks, levels=1)
+    d_base = mm.real_decode_kernel(1, gen.baseline())
+
+    # symbols: EOB0, (0,1), EOB1, (1,1) -> canonical len-5 codes 0..3
+    out = gen._headers(0xC2, [0x00, 0x01, 0x10, 0x11])
+    code = {0x00: 0, 0x01: 1, 0x10: 2, 0x11: 3}
+    # scan 1 — DC first at Al=1: diffs of dc>>1: 8, -8-8=-16, 4-(-8)=12
+    w = _BitWriter()
+    for diff in (8, -16, 12):
+        _put_dc_only(w, diff)
+    out += _seg(0xDA, bytes([1, 1, 0x00, 0, 0, 1])) + w.bytes()
+    # scan 2 — AC first band 1..63 at Al=1:
+    w = _BitWriter()
+    w.put(code[0x00], 5)            # b1: EOB0
+    w.put(code[0x01], 5)            # b2: (0,1) at k=1
+    w.put(1, 1)                     #     value +1
+    w.put(code[0x00], 5)            #     EOB0
+    w.put(code[0x11], 5)            # b3: (1,1) at k=2 (run 1)
+    w.put(0, 1)                     #     value -1 (extend bits: 0)
+    w.put(code[0x00], 5)            #     EOB0
+    out += _seg(0xDA, bytes([1, 1, 0x00, 1, 63, 1])) + w.bytes()
+    # scan 3 — DC refinement (Ah=1, Al=0): bits dc&1 = 0, 0, 0
+    w = _BitWriter()
+    for _ in range(3):
+        w.put(0, 1)
+    out += _seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x10])) + w.bytes()
+    # scan 4 — AC refinement (Ah=1, Al=0): EOB1 + 1 appended run bit
+    # covers b1+b2 (eobrun = 2+0); correction bits of the covered
+    # blocks follow in block order (b1: none; b2 k=1: bit 0). b3 gets
+    # its own EOB0 + correction bit.
+    w = _BitWriter()
+    w.put(code[0x10], 5)            # EOB, r=1
+    w.put(0, 1)                     # appended run bit -> eobrun = 2
+    w.put(0, 1)                     # b2 k=1 correction (2 stays 2)
+    w.put(code[0x00], 5)            # b3: EOB0
+    w.put(0, 1)                     # b3 k=2 correction (-2 stays -2)
+    out += _seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x10])) + w.bytes()
+    out += b"\xff\xd9"
+    d_prog = mm.real_decode_kernel(1, bytes(out))
+    assert (d_prog["width"], d_prog["height"]) == (24, 8)
+    assert abs(d_prog["mean_luma"] - d_base["mean_luma"]) < 1e-9
