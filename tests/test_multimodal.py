@@ -877,3 +877,106 @@ def test_progressive_eob_run_spans_blocks_in_refinement():
     d_prog = mm.real_decode_kernel(1, bytes(out))
     assert (d_prog["width"], d_prog["height"]) == (24, 8)
     assert abs(d_prog["mean_luma"] - d_base["mean_luma"]) < 1e-9
+
+
+def test_mjpeg_avi_odd_size_frames_roundtrip():
+    """RIFF chunks are word-aligned: odd-size JPEG frames exercise the
+    pad byte on mux and the aligned advance on demux (a COM segment
+    also exercises the decoder's unknown-segment skip)."""
+    def odd_jpeg(luma):
+        j = bytearray(mm.make_solid_jpeg(8, 8, luma))
+        if len(j) % 2 == 0:  # insert an odd-length COM segment after SOI
+            j = j[:2] + b"\xff\xfe\x00\x03x" + j[2:]
+        assert len(j) % 2 == 1
+        return bytes(j)
+
+    frames = [odd_jpeg(100), odd_jpeg(102), odd_jpeg(104)]
+    avi = mm.make_mjpeg_avi(frames, 8, 8)
+    _, raw = mm.demux_avi_frames(avi)
+    assert raw == frames
+    k = mm.real_video_kernel(1, avi)
+    assert k["n_frames"] == 3 and abs(k["mean_luma"] - 102.0) < 1e-9
+
+
+def _rst(n):
+    return bytes([0xFF, 0xD0 + (n % 8)])
+
+
+def test_progressive_jpeg_restart_markers():
+    """DRI=1 in a progressive stream: every scan kind (DC first, AC
+    first, DC refine, AC refine) hits a restart boundary between its
+    two data units — predictors and EOB runs must reset, and the
+    decoder must consume the RST and realign. Decodes identically to
+    the baseline twin carrying the same coefficients (itself also
+    restart-coded, covering the baseline RST path)."""
+    import struct as st
+
+    b1 = {0: 17, 1: 5}
+    b2 = {0: -16, 1: -3}
+    # width 12 CROPS block 2, so the k=1 (horizontal-basis) ACs move
+    # the mean — a wrong AC decode cannot hide behind full-block
+    # mean-invariance
+    gen = _GenJpeg(12, 8, [b1, b2], levels=1)
+
+    # --- baseline twin WITH restarts ---
+    base = bytearray(b"\xff\xd8")
+    base += _seg(0xDB, bytes([0x00]) + bytes([16] * 64))
+    base += _seg(0xC0, bytes([8]) + st.pack(">HH", 8, 12) + bytes([1, 1, 0x11, 0]))
+    dc_counts, dc_syms, _ = _dc_codes(8)
+    base += _seg(0xC4, bytes([0x00]) + dc_counts + dc_syms)
+    ac_counts, ac_syms = _ac_table([0x00, 0x03, 0x02])  # len-4 codes
+    base += _seg(0xC4, bytes([0x10]) + ac_counts + ac_syms)
+    base += _seg(0xDD, st.pack(">H", 1))  # DRI: restart every MCU
+    base += _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    w = _BitWriter()
+    _put_dc_only(w, 17)   # block 1 DC (pred starts 0)
+    w.put(1, 4)           # (0,3) at k=1
+    w.put(5, 3)
+    w.put(0, 4)           # EOB
+    base += w.bytes() + _rst(0)
+    w = _BitWriter()
+    _put_dc_only(w, -16)  # block 2 DC — PREDICTOR RESET by the restart
+    w.put(2, 4)           # (0,2) at k=1
+    w.put(0, 2)           # -3
+    w.put(0, 4)           # EOB
+    base += w.bytes() + b"\xff\xd9"
+    d_base = mm.real_decode_kernel(1, bytes(base))
+    assert (d_base["width"], d_base["height"]) == (12, 8)
+    # sanity: the twin must agree with the no-restart general encoder
+    assert abs(d_base["mean_luma"] - mm.real_decode_kernel(1, gen.baseline())["mean_luma"]) < 1e-9
+
+    # --- progressive twin WITH restarts in every scan ---
+    out = gen._headers(0xC2, [0x00, 0x01, 0x02])
+    code = {0x00: 0, 0x01: 1, 0x02: 2}
+    out += _seg(0xDD, st.pack(">H", 1))
+    # scan 1: DC first Al=1 — the restart RESETS the predictor, so
+    # each block codes its own shifted dc as a diff from 0: 8, then -8
+    w = _BitWriter(); _put_dc_only(w, 8)
+    s1 = w.bytes() + _rst(0)
+    w = _BitWriter(); _put_dc_only(w, -8)
+    out += _seg(0xDA, bytes([1, 1, 0x00, 0, 0, 1])) + s1 + w.bytes()
+    # scan 2: AC first band at Al=1 — b1 k=1: 5>>1 = +2 (cat 2);
+    # restart; b2 k=1: -3 -> -1 (cat 1)
+    w = _BitWriter()
+    w.put(code[0x02], 5); w.put(2, 2)      # (0,2), value +2
+    w.put(code[0x00], 5)                   # EOB0
+    s2 = w.bytes() + _rst(0)
+    w = _BitWriter()
+    w.put(code[0x01], 5); w.put(0, 1)      # (0,1), value -1
+    w.put(code[0x00], 5)                   # EOB0
+    out += _seg(0xDA, bytes([1, 1, 0x00, 1, 63, 1])) + s2 + w.bytes()
+    # scan 3: DC refinement — bit 17&1=1; restart; bit (-16)&1=0
+    w = _BitWriter(); w.put(1, 1)
+    s3 = w.bytes() + _rst(0)
+    w = _BitWriter(); w.put(0, 1)
+    out += _seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x10])) + s3 + w.bytes()
+    # scan 4: AC refinement — each block: EOB0 + correction bit
+    # (5: 4->5 via bit 1; -3: -2->-3 via bit 1); eobrun resets at RST
+    w = _BitWriter(); w.put(code[0x00], 5); w.put(1, 1)
+    s4 = w.bytes() + _rst(0)
+    w = _BitWriter(); w.put(code[0x00], 5); w.put(1, 1)
+    out += _seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x10])) + s4 + w.bytes()
+    out += b"\xff\xd9"
+    d_prog = mm.real_decode_kernel(1, bytes(out))
+    assert (d_prog["width"], d_prog["height"]) == (12, 8)
+    assert abs(d_prog["mean_luma"] - d_base["mean_luma"]) < 1e-9
