@@ -248,7 +248,21 @@ def _jpeg_decode(payload: bytes) -> dict:
     to advance the bitstream but their IDCT is skipped: the feature set
     needs Y alone). Progressive (SOF2) streams dispatch to the
     multi-scan decoder; arithmetic-coded streams raise
-    NotImplementedError."""
+    NotImplementedError.
+
+    Malformed-input contract: EVERY truncation/corruption path raises
+    ValueError (never struct.error/IndexError), so per-row quarantine
+    handlers can catch one exception type. Fixed-size segment unpacks
+    (DQT 16-bit tables, DRI, SOF component slices) on a truncated
+    segment would otherwise surface opaque struct.error — the wrapper
+    re-raises them here, covering the progressive and scan paths too."""
+    try:
+        return _jpeg_decode_impl(payload)
+    except struct.error as e:
+        raise ValueError(f"truncated JPEG stream: {e}") from e
+
+
+def _jpeg_decode_impl(payload: bytes) -> dict:
     pos = 2  # past SOI
     qt: dict[int, list[int]] = {}
     huff: dict[tuple[int, int], dict] = {}  # (class, id) → lut
@@ -1150,9 +1164,14 @@ def demux_avi_frames(payload: bytes) -> tuple[dict, list[bytes]]:
         )
     info: dict = {"us_per_frame": None, "n_frames_declared": None}
     frames: list[bytes] = []
-
-    def walk(lo: int, hi: int, in_movi: bool) -> None:
-        pos = lo
+    # explicit stack, not recursion: an adversarial container of deeply
+    # nested LISTs must raise ValueError (truncation checks), never
+    # RecursionError — same hazard planlint._iter_logical avoids.
+    # Frame ORDER must stay file order, so a LIST's children are
+    # scanned inline and only the parent's continuation is stacked.
+    stack: list[tuple[int, int, bool]] = [(12, len(payload), False)]
+    while stack:
+        pos, hi, in_movi = stack.pop()
         while pos + 8 <= hi:
             fourcc = payload[pos : pos + 4]
             (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
@@ -1162,8 +1181,17 @@ def demux_avi_frames(payload: bytes) -> tuple[dict, list[bytes]]:
                 raise ValueError("truncated RIFF chunk")
             if fourcc == b"LIST":
                 listtype = payload[data_lo : data_lo + 4]
-                walk(data_lo + 4, data_hi, in_movi or listtype == b"movi")
-            elif fourcc == b"avih" and size >= 16:
+                # resume the parent AFTER this LIST, then descend
+                stack.append((data_hi + (size % 2), hi, in_movi))
+                pos, hi = data_lo + 4, data_hi
+                in_movi = in_movi or listtype == b"movi"
+                continue
+            if fourcc == b"avih":
+                # avih needs 20 bytes up to dwTotalFrames; a 16-19 byte
+                # chunk would read into the NEXT chunk (or struct.error
+                # at end of buffer) — honor the ValueError contract
+                if size < 20:
+                    raise ValueError("truncated avih chunk")
                 uspf, _, _, _, nf = struct.unpack(
                     "<IIIII", payload[data_lo : data_lo + 20]
                 )
@@ -1172,8 +1200,6 @@ def demux_avi_frames(payload: bytes) -> tuple[dict, list[bytes]]:
             elif in_movi and fourcc[2:4] in (b"dc", b"db"):
                 frames.append(payload[data_lo:data_hi])
             pos = data_hi + (size % 2)  # chunks are word-aligned
-
-    walk(12, len(payload), False)
     return info, frames
 
 

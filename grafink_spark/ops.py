@@ -584,14 +584,47 @@ def _order_stats(
     hi: float,
     bins: int,
     max_pass2: int,
-    depth: int = 0,
 ) -> dict[int, float]:
     """Exact order statistics ``ks`` (1-based, sorted) of the rows in
     ``sub`` whose values span [lo, hi] — histogram bisection with
-    recursion into over-``max_pass2`` buckets (see exact_median)."""
+    recursion into over-``max_pass2`` buckets (see exact_median).
+
+    Termination is by FLOAT RESOLUTION, not a fixed depth cap: each
+    level shrinks the range ×bins, so recursion stops either because
+    the bucket fits ``max_pass2`` or because the narrowed range spans
+    fewer than ``bins`` representable doubles — at which point exact
+    per-value counts (≤ ~bins rows) resolve the ranks. A fixed cap
+    would fall back to TakeOrdered with limit = local rank for deeper
+    point masses, heaping ~n/2 rows per task — the blow-up this
+    function exists to avoid."""
     if lo == hi:
         return {k: lo for k in ks}
     width = (hi - lo) / bins
+    if width <= 0.0:
+        # histogram width underflowed: [lo, hi] spans fewer than
+        # ``bins`` representable doubles, so at most ~bins distinct
+        # values remain no matter how many ROWS span them. Exact
+        # per-value counts are a bounded aggregate (≤ ~bins rows to
+        # the driver) — walk them for the ranks instead of TakeOrdered,
+        # whose limit would be the local rank (~n/2) for a point mass.
+        # (Also dodges the (c-lo)/0 division the bucket expr would hit.)
+        out0: dict[int, float] = {}
+        vrows = (
+            sub.groupBy(c.alias("_v"))
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .orderBy("_v")
+            .collect()
+        )
+        cum_v = 0
+        ki0 = 0
+        for r in vrows:
+            cum_v += r["_c"]
+            while ki0 < len(ks) and cum_v >= ks[ki0]:
+                out0[ks[ki0]] = float(r["_v"])
+                ki0 += 1
+            if ki0 == len(ks):
+                break
+        return out0
     bucket = F.least(
         F.lit(bins - 1), F.floor((c - F.lit(lo)) / F.lit(width))
     ).cast("int")
@@ -619,9 +652,12 @@ def _order_stats(
     for b, (cum_b, bks) in per_bucket.items():
         cnt = hist[b]
         bsub = sub.where(bucket == F.lit(b))
-        # after ~3 levels width underflows double precision — the
-        # remaining bucket is (near-)constant, TakeOrdered it regardless
-        if cnt > max_pass2 and depth < 4:
+        if cnt > max_pass2:
+            # recurse on the bucket's ACTUAL [min, max] — each level
+            # shrinks the range ×bins until the bucket fits max_pass2
+            # or the width-underflow guard above resolves the ranks
+            # from bounded per-value counts (float-resolution stop;
+            # no fixed depth cap, see docstring)
             brow = bsub.agg(F.min(c).alias("lo"), F.max(c).alias("hi")).first()
             inner = _order_stats(
                 bsub,
@@ -631,7 +667,6 @@ def _order_stats(
                 float(brow["hi"]),
                 bins,
                 max_pass2,
-                depth + 1,
             )
             out.update({k: inner[k - cum_b] for k in bks})
             continue

@@ -122,9 +122,15 @@ def pin(
     # bare "file:" for the plain-local-path comparison.
     current = sc.getCheckpointDir()
     req = checkpoint_dir.rstrip("/")
+
+    def _under(live: str) -> bool:
+        # separator-aware prefix: '/data/ck2/<uuid>' must NOT match a
+        # requested '/data/ck' (a bare startswith would), while both
+        # '/data/ck' and '/data/ck/<uuid>' must.
+        return live == req or live.startswith(req + "/")
+
     if current is None or not (
-        current.startswith(req)
-        or current.removeprefix("file:").startswith(req)
+        _under(current) or _under(current.removeprefix("file:"))
     ):
         sc.setCheckpointDir(checkpoint_dir)
     # reliable checkpoints are ALWAYS taken eagerly, even for

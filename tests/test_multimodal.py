@@ -563,6 +563,70 @@ def test_avi_demux_error_paths():
         mm.demux_avi_frames(b"RIFF\x08\x00\x00\x00WAVE" + b"\x00" * 8)
 
 
+def test_avi_demux_truncated_avih_raises_valueerror():
+    """A 16-19 byte avih chunk must raise ValueError (quarantine
+    contract), not silently read the next chunk's bytes as
+    n_frames_declared or surface struct.error at end of buffer."""
+    import struct as _s
+
+    short_avih = mm._riff_chunk(b"avih", b"\x01\x00\x00\x00" * 4)  # 16B
+    body = b"AVI " + mm._riff_list(b"hdrl", short_avih)
+    avi = b"RIFF" + _s.pack("<I", len(body)) + body
+    with pytest.raises(ValueError, match="avih"):
+        mm.demux_avi_frames(avi)
+
+
+def test_avi_demux_deep_list_nesting_no_recursion_error():
+    """An adversarial container of deeply nested LISTs must walk with
+    the explicit stack (ValueError on truncation at worst), never
+    RecursionError — and frame order stays file order."""
+    import struct as _s
+    import sys
+
+    frame = mm.make_solid_jpeg(8, 8, 100)
+    inner = mm._riff_list(b"movi", mm._riff_chunk(b"00dc", frame))
+    depth = sys.getrecursionlimit() + 200
+    for _ in range(depth):
+        inner = mm._riff_list(b"JUNK", inner)
+    body = b"AVI " + inner
+    avi = b"RIFF" + _s.pack("<I", len(body)) + body
+    _, raw = mm.demux_avi_frames(avi)
+    assert raw == [frame]
+    # order preserved across siblings AFTER a nested LIST: a movi list
+    # with [frame0, LIST(junk), frame1] must yield [frame0, frame1]
+    f0, f1 = mm.make_solid_jpeg(8, 8, 100), mm.make_solid_jpeg(8, 8, 102)
+    movi = mm._riff_list(
+        b"movi",
+        mm._riff_chunk(b"00dc", f0)
+        + mm._riff_list(b"JUNK", mm._riff_chunk(b"zzzz", b"\x00\x00"))
+        + mm._riff_chunk(b"00dc", f1),
+    )
+    body2 = b"AVI " + movi
+    avi2 = b"RIFF" + _s.pack("<I", len(body2)) + body2
+    _, raw2 = mm.demux_avi_frames(avi2)
+    assert raw2 == [f0, f1]
+
+
+def test_jpeg_truncated_segments_raise_valueerror():
+    """Truncated fixed-size segment parses (16-bit DQT, DRI, SOF
+    slices) must surface as ValueError via the decode-entry wrapper,
+    honoring the one-exception quarantine contract."""
+    good = mm.make_solid_jpeg(8, 8, 100)
+    # locate the DQT segment (FFDB) and truncate inside it
+    i = good.find(b"\xff\xdb")
+    assert i > 0
+    # rewrite DQT to claim a 16-bit table (pq=1) but supply 3 bytes:
+    # header len 2 + id byte + 3 = 6
+    broken = good[:i] + b"\xff\xdb\x00\x06\x10\x01\x02\x03" + b"\xff\xd9"
+    with pytest.raises(ValueError):
+        mm._jpeg_decode(broken)
+    # DRI with an empty body: struct.error -> ValueError
+    j = good.find(b"\xff\xda")
+    broken2 = good[:j] + b"\xff\xdd\x00\x02" + good[j:]
+    with pytest.raises(ValueError):
+        mm._jpeg_decode(broken2)
+
+
 def test_sample_video_frames_spark_path(spark):
     """The 1->N mapInPandas contract on real containers: every k-th
     frame decoded, frame_idx preserved as the container index."""

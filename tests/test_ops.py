@@ -411,6 +411,34 @@ def test_exact_median_degenerate_bucket_recurses(spark):
     assert exact_median(df3, "x", bins=2, max_pass2=1) == 2.5
 
 
+def test_exact_median_float_resolution_stop(spark):
+    """Mass concentrated on ADJACENT doubles (histogram width
+    underflows to 0 before the bucket fits max_pass2): the search must
+    stop by float resolution and resolve ranks from bounded per-value
+    counts — never TakeOrdered ~n/2 rows, never recurse forever on a
+    zero-width histogram (the old depth<4 cap's failure mode)."""
+    import math
+    import statistics
+
+    from grafink_spark.ops import exact_median
+
+    base = 1000.0
+    nxt = math.nextafter(base, math.inf)
+    # two adjacent doubles dominate; (hi-lo)/bins underflows immediately
+    # inside their bucket because hi-lo is one ulp
+    vals = [base] * 400 + [nxt] * 300 + [0.0, 2000.0]
+    df = spark.createDataFrame([(v,) for v in vals], "x double").repartition(5)
+    want = statistics.median(vals)
+    assert exact_median(df, "x", bins=8, max_pass2=50) == want
+    # denormal-range variant: lo=0, hi a few subnormals up — width
+    # (hi-lo)/bins rounds to 0.0 at the TOP level
+    tiny = math.nextafter(0.0, 1.0)
+    vals2 = [0.0] * 30 + [tiny] * 41 + [tiny * 2] * 30
+    df2 = spark.createDataFrame([(v,) for v in vals2], "x double")
+    want2 = statistics.median(vals2)
+    assert exact_median(df2, "x", bins=2048, max_pass2=10) == want2
+
+
 def test_adaptive_lead_routes_by_group_cardinality(spark):
     """The probe must pick grouped_lead for few groups (no
     Window.partitionBy funnel in the plan) and the plain window for
