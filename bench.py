@@ -306,10 +306,23 @@ def main() -> int:
                 ).save()
             except Exception:
                 pass  # missing table at this sf: first query pays IO
+    def loadavg1() -> float:
+        # 1-min loadavg at query start: the per-query contention marker
+        # (round-5 verdict ask #5 — ~66 s of that round's driver
+        # headline was machine noise diagnosable only by hand). On a
+        # 32-core box, loadavg >> 32 while a query runs means OTHER
+        # processes were competing for the cores.
+        try:
+            return round(os.getloadavg()[0], 1)
+        except OSError:
+            return -1.0
+
     timings: dict[str, float] = {}
+    loadavgs: dict[str, float] = {}
     for name in headline:
         fn = QUERIES[name]
         best = float("inf")
+        loadavgs[name] = loadavg1()
         for _ in range(iters):
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
@@ -392,8 +405,10 @@ def main() -> int:
             # the scale path is the LSH/IVF ANN family, timed above
             "embedding_near_pairs",
         }
+        sf1_loadavgs: dict[str, float] = {}
         for name in [q for q in headline if q not in sf1_skip]:
             fn = QUERIES[name]
+            sf1_loadavgs[name] = loadavg1()
             t0 = time.perf_counter()
             df = fn(spark, sf1_dir)
             # EXTENDED drains via noop here too — mirrors the sf0.1
@@ -458,6 +473,12 @@ def main() -> int:
             "round": int(rnd),
             "sf": sf,
             "queries": timings,
+            # per-query 1-min loadavg at query start + the run order:
+            # bench_diff.py uses both to flag "a contiguous run-order
+            # stretch regressed together under high load" as machine
+            # contention rather than a code regression
+            "loadavg": loadavgs,
+            "run_order": headline,
             "notes": {
                 "semantic_dedup_auto": (
                     "oracle-pinned expr pair backend; the PRODUCTION "
@@ -470,6 +491,7 @@ def main() -> int:
             artifact["scale_stress"] = out["scale_stress"]
         if "sf1" in out:
             artifact["sf1"] = out["sf1"]["queries"]
+            artifact["loadavg_sf1"] = sf1_loadavgs
         path = os.path.join(root, f"bench_results_r{int(rnd):02d}.json")
         with open(path, "w") as f:
             json.dump(artifact, f, indent=1, sort_keys=True)

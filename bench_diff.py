@@ -25,7 +25,54 @@ def load(path: str) -> dict:
         return json.load(f)
 
 
-def diff_section(old: dict, new: dict, label: str, threshold: float) -> None:
+def contention_signature(
+    flagged: list[tuple], run_order: list[str] | None,
+    load_old: dict | None, load_new: dict | None,
+) -> list[str]:
+    """Heuristics separating machine contention from code regressions
+    (round-5 verdict ask #5 — that round ~66 s of the driver headline
+    was a busy machine, diagnosed by hand):
+
+    - CONTIGUITY: regressed queries clustering in one contiguous
+      run-order stretch is the signature of a noisy-neighbor window —
+      independent code regressions scatter across the run.
+    - LOADAVG: the artifact records the 1-min loadavg at each query's
+      start; a regressed query whose loadavg jumped vs the old run was
+      competing for cores.
+
+    Returns printable marker lines (empty = no signature)."""
+    out: list[str] = []
+    names = [q for _, q, _, _ in flagged]
+    if run_order and len(names) >= 3:
+        idx = {q: i for i, q in enumerate(run_order)}
+        pos = sorted(idx[q] for q in names if q in idx)
+        if len(pos) >= 3:
+            span = pos[-1] - pos[0] + 1
+            if span <= 2 * len(pos):
+                out.append(
+                    f"!! contention signature: {len(pos)} regressions fall in "
+                    f"one contiguous run-order stretch of {span} queries "
+                    f"(positions {pos[0]}-{pos[-1]}) — machine noise, not a "
+                    "code regression, is the likely cause"
+                )
+    if load_old and load_new:
+        hot = [
+            (q, load_old.get(q), load_new.get(q))
+            for q in names
+            if load_new.get(q, -1) > max(2.0 * max(load_old.get(q, 0), 1.0), 8.0)
+        ]
+        if hot:
+            out.append(
+                "!! loadavg jumped on regressed queries (old -> new): "
+                + ", ".join(f"{q} {o} -> {n}" for q, o, n in hot)
+            )
+    return out
+
+
+def diff_section(old: dict, new: dict, label: str, threshold: float,
+                 run_order: list[str] | None = None,
+                 load_old: dict | None = None,
+                 load_new: dict | None = None) -> None:
     shared = sorted(set(old) & set(new))
     added = sorted(set(new) - set(old))
     removed = sorted(set(old) - set(new))
@@ -43,6 +90,8 @@ def diff_section(old: dict, new: dict, label: str, threshold: float) -> None:
         print(f"-- regressions >= {threshold}x (and > 0.5s absolute) --")
         for ratio, q, o, n in flagged:
             print(f"  {q}: {o:.2f}s -> {n:.2f}s ({ratio:.2f}x)")
+        for line in contention_signature(flagged, run_order, load_old, load_new):
+            print(line)
     improved = [r for r in rows if r[0] <= 1 / threshold and r[2] - r[3] > 0.5]
     if improved:
         print(f"-- improvements <= {1/threshold:.2f}x --")
@@ -85,9 +134,14 @@ def main() -> int:
     print(f"diff {os.path.basename(old_path)} (round {old.get('round')}) -> "
           f"{os.path.basename(new_path)} (round {new.get('round')})")
     diff_section(old.get("queries", {}), new.get("queries", {}),
-                 f"sf{new.get('sf')}", threshold)
+                 f"sf{new.get('sf')}", threshold,
+                 run_order=new.get("run_order"),
+                 load_old=old.get("loadavg"), load_new=new.get("loadavg"))
     if old.get("sf1") and new.get("sf1"):
-        diff_section(old["sf1"], new["sf1"], "sf1", threshold)
+        diff_section(old["sf1"], new["sf1"], "sf1", threshold,
+                     run_order=new.get("run_order"),
+                     load_old=old.get("loadavg_sf1"),
+                     load_new=new.get("loadavg_sf1"))
     if old.get("scale_stress") and new.get("scale_stress"):
         diff_section(old["scale_stress"], new["scale_stress"], "scale_stress", threshold)
     return 0

@@ -7026,48 +7026,22 @@ def q_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
     k=5 cosine nearest neighbors whose label disagrees — rows where
     most neighbors disagree are label-noise candidates (the standard
     kNN-based cleaning pass before training a classifier). Composes
-    the exact top-k with one label join; integer counts → exact."""
+    the exact top-k with one label join; integer counts → exact.
+
+    This exact corpus×corpus form is the ORACLE ANCHOR (quadratic by
+    semantics, sf1-skipped in bench); :func:`q_label_noise_ivf` is the
+    production path at scale — identical aggregation over IVF
+    candidates."""
     from grafink_spark.llm.simsearch import brute_force_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
     # every vector is a query against the full corpus — partitioned
     # cross join, NOT the broadcast path (the query side is the whole
     # corpus; broadcasting it would exhaust driver/broadcast limits)
-    nn = brute_force_topk(emb, emb, k=5, broadcast_queries=False)
-    labels = emb.select("vec_id", "label")
-    tagged = (
-        nn.join(
-            labels.select(
-                F.col("vec_id").alias("query_id"), F.col("label").alias("_lq")
-            ),
-            "query_id",
-        )
-        .join(
-            labels.select(
-                F.col("vec_id").alias("neighbor_id"),
-                F.col("label").alias("_ln"),
-            ),
-            "neighbor_id",
-        )
+    nn = brute_force_topk(emb, emb, k=5, broadcast_queries=False).select(
+        "query_id", "neighbor_id"
     )
-    agg = tagged.groupBy("query_id", "_lq").agg(
-        F.count(F.lit(1)).alias("k"),
-        F.sum(
-            F.when(F.col("_ln") != F.col("_lq"), 1).otherwise(0)
-        ).alias("n_disagree"),
-    )
-    return (
-        agg.select(
-            F.col("query_id").alias("vec_id"),
-            F.col("_lq").alias("label"),
-            "n_disagree",
-            F.round(
-                F.col("n_disagree").cast("double") / F.col("k").cast("double"),
-                6,
-            ).alias("disagree_rate"),
-        )
-        .where(F.col("n_disagree") * 2 > F.col("k"))  # majority disagrees
-    )
+    return _disagree_rate(nn, emb.select("vec_id", "label"))
 
 
 SQL_LABEL_NOISE = f"""
@@ -7100,6 +7074,112 @@ FROM a WHERE n_disagree * 2 > k
 
 QUERIES.update({"label_noise": q_label_noise})
 ORACLES.update({"label_noise": SQL_LABEL_NOISE})
+
+
+def _disagree_rate(nn: DataFrame, labels: DataFrame) -> DataFrame:
+    """Shared tail of the label-noise miners: join query/neighbor
+    labels onto a (query_id, neighbor_id) candidate set and keep rows
+    where the majority of neighbors disagree with the query's label.
+    Integer counts → exact regardless of candidate source."""
+    tagged = nn.join(
+        labels.select(
+            F.col("vec_id").alias("query_id"), F.col("label").alias("_lq")
+        ),
+        "query_id",
+    ).join(
+        labels.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("_ln"),
+        ),
+        "neighbor_id",
+    )
+    agg = tagged.groupBy("query_id", "_lq").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum(
+            F.when(F.col("_ln") != F.col("_lq"), 1).otherwise(0)
+        ).alias("n_disagree"),
+    )
+    return agg.select(
+        F.col("query_id").alias("vec_id"),
+        F.col("_lq").alias("label"),
+        "n_disagree",
+        F.round(
+            F.col("n_disagree").cast("double") / F.col("k").cast("double"),
+            6,
+        ).alias("disagree_rate"),
+    ).where(F.col("n_disagree") * 2 > F.col("k"))
+
+
+def q_label_noise_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN-backed label-noise mining — the scale path for the exact
+    :func:`q_label_noise` (which is corpus×corpus by semantics and
+    stays the oracle anchor): neighbors come from IVF candidates
+    (deterministic centroids, nprobe lists per query) instead of the
+    full pair space, then the IDENTICAL disagree-rate aggregation runs
+    over them — the semantic_contamination_ivf pattern. Pair work is
+    Σ|list|·(probes landing there), realized as a partitioned equi
+    join on list_id; no cross join and no corpus-side broadcast (the
+    query side's broadcast in ivf_topk is size-gated)."""
+    from grafink_spark.llm.simsearch import ivf_topk, ivf_train
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = ivf_train(emb, nlist=8, iters=1)
+    nn = ivf_topk(emb, emb, cents, k=5, nprobe=4).select(
+        "query_id", "neighbor_id"
+    )
+    return _disagree_rate(nn, emb.select("vec_id", "label"))
+
+
+def _label_noise_ivf_sql(nlist: int = 8, dim: int = 64, nprobe: int = 4,
+                         k: int = 5) -> str:
+    """SQL replay of ivf_train(iters=1) + ivf_topk(corpus as queries)
+    + the disagree-rate tail — same tie rules as the Spark side
+    (assignment → lowest cid, probes → higher cid, rank → neighbor_id
+    ASC)."""
+    cos_qc = COSINE_SQL.format(a="q.embedding", b="c.cv")
+    cos_qn = COSINE_SQL.format(a="p.qv", b="a.embedding")
+    return f"""
+WITH {_ivf_asgn_ctes(nlist, dim)},
+probes AS (
+  SELECT vec_id AS query_id, embedding AS qv, cid AS list_id FROM (
+    SELECT q.vec_id, q.embedding, c.cid,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY {cos_qc} DESC, c.cid DESC) AS rn
+    FROM embeddings q CROSS JOIN cent c
+  ) WHERE rn <= {nprobe}
+),
+scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id, {cos_qn} AS cs
+  FROM probes p JOIN asgn a ON p.list_id = a.list_id
+  WHERE p.query_id <> a.vec_id
+),
+nn AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cs DESC, neighbor_id ASC) AS rnk
+    FROM scored) WHERE rnk <= {k}
+),
+t AS (
+  SELECT n.query_id, lq.label AS lbl_q, ln.label AS lbl_n
+  FROM nn n
+  JOIN embeddings lq ON lq.vec_id = n.query_id
+  JOIN embeddings ln ON ln.vec_id = n.neighbor_id
+),
+a AS (
+  SELECT query_id, lbl_q, count(*) AS k,
+         sum(CASE WHEN lbl_n <> lbl_q THEN 1 ELSE 0 END) AS n_disagree
+  FROM t GROUP BY 1, 2
+)
+SELECT query_id AS vec_id, lbl_q AS label, n_disagree,
+       round(n_disagree::DOUBLE / k::DOUBLE, 6) AS disagree_rate
+FROM a WHERE n_disagree * 2 > k
+"""
+
+
+SQL_LABEL_NOISE_IVF = _label_noise_ivf_sql()
+
+QUERIES.update({"label_noise_ivf": q_label_noise_ivf})
+ORACLES.update({"label_noise_ivf": SQL_LABEL_NOISE_IVF})
 
 
 def q_quantile_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8124,6 +8204,94 @@ FROM best WHERE rk = 1 AND margin >= 1.0
 
 QUERIES.update({"bitext_mine": q_bitext_mine})
 ORACLES.update({"bitext_mine": SQL_BITEXT_MINE})
+
+
+def q_bitext_mine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-backed bitext mining — the scale path for
+    :func:`q_bitext_mine` (the exact A×B form stays the oracle
+    anchor): IVF centroids train on the b side, candidates come from
+    a partitioned equi join on list_id (a probes nprobe lists), and
+    the identical ratio-margin criterion runs over candidates only —
+    llm.simsearch.bitext_mine_ivf."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = ss.bitext_mine_ivf(
+        emb.where(F.col("label") == 0),
+        emb.where(F.col("label") == 1),
+        k=4,
+        threshold=1.0,
+        nlist=8,
+        nprobe=4,
+    )
+    return out.select(
+        "a_id",
+        "b_id",
+        F.round("cosine_sim", 6).alias("cosine_sim"),
+        F.round("margin", 6).alias("margin"),
+    )
+
+
+def _bitext_ivf_sql(nlist: int = 8, dim: int = 64, nprobe: int = 4,
+                    k: int = 4) -> str:
+    """SQL replay of bitext_mine_ivf: IVF trained on the b slice
+    (lowest-id seeds + 1 Lloyd step), a-side probes (ties → higher
+    cid), candidate cosines, decimal k-NN means, ratio margin, best
+    per a_id. Mirrors SQL_BITEXT_MINE with `scored` restricted to the
+    IVF candidate pairs."""
+    b_src = "(SELECT vec_id, embedding FROM embeddings WHERE label = 1)"
+    cos_ac = COSINE_SQL.format(a="q.embedding", b="c.cv")
+    cos_ab = COSINE_SQL.format(a="p.qv", b="b.embedding")
+    return f"""
+WITH {_ivf_asgn_ctes(nlist, dim, src=b_src)},
+probes AS (
+  SELECT vec_id AS a_id, embedding AS qv, cid AS list_id FROM (
+    SELECT q.vec_id, q.embedding, c.cid,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY {cos_ac} DESC, c.cid DESC) AS rn
+    FROM (SELECT vec_id, embedding FROM embeddings WHERE label = 0) q
+    CROSS JOIN cent c
+  ) WHERE rn <= {nprobe}
+),
+scored AS (
+  SELECT p.a_id, b.vec_id AS b_id, {cos_ab} AS cs
+  FROM probes p JOIN asgn b ON p.list_id = b.list_id
+),
+ra AS (
+  SELECT a_id, b_id, cs,
+         row_number() OVER (PARTITION BY a_id ORDER BY cs DESC, b_id ASC) AS r
+  FROM scored
+),
+ma AS (
+  SELECT a_id, CAST(sum(cs::DECIMAL(20,18)) AS DOUBLE) / count(*) AS m_a
+  FROM ra WHERE r <= {k} GROUP BY 1
+),
+rb AS (
+  SELECT a_id, b_id, cs,
+         row_number() OVER (PARTITION BY b_id ORDER BY cs DESC, a_id ASC) AS r
+  FROM scored
+),
+mb AS (
+  SELECT b_id, CAST(sum(cs::DECIMAL(20,18)) AS DOUBLE) / count(*) AS m_b
+  FROM rb WHERE r <= {k} GROUP BY 1
+),
+marg AS (
+  SELECT s.a_id, s.b_id, s.cs, s.cs / ((ma.m_a + mb.m_b) / 2) AS margin
+  FROM scored s JOIN ma USING (a_id) JOIN mb USING (b_id)
+),
+best AS (
+  SELECT a_id, b_id, cs, margin,
+         row_number() OVER (PARTITION BY a_id
+                            ORDER BY margin DESC, b_id ASC) AS rk
+  FROM marg
+)
+SELECT a_id, b_id, round(cs, 6) AS cosine_sim, round(margin, 6) AS margin
+FROM best WHERE rk = 1 AND margin >= 1.0
+"""
+
+
+SQL_BITEXT_MINE_IVF = _bitext_ivf_sql()
+
+QUERIES.update({"bitext_mine_ivf": q_bitext_mine_ivf})
+ORACLES.update({"bitext_mine_ivf": SQL_BITEXT_MINE_IVF})
 
 
 def q_dedup_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -271,12 +271,20 @@ def _ivf_query_probes(
 
 
 def _probe_and_rerank(
-    c: DataFrame, q: DataFrame, k: int
+    c: DataFrame, q: DataFrame, k: int, q_size_proxy: DataFrame | None = None
 ) -> DataFrame:
-    """Equi-join probed lists against broadcast query probes, exact
-    cosine re-rank, top-k per query."""
+    """Equi-join probed lists against the query probes (broadcast when
+    the query side's size estimate allows — the point-lookup shape),
+    exact cosine re-rank, top-k per query.
+
+    The broadcast is SIZE-GATED, not forced: all-pairs consumers
+    (label-noise mining feeds the whole corpus as queries) degrade to
+    a partitioned equi join on list_id instead of OOMing the driver.
+    ``q_size_proxy``: the raw query frame, for when ``q``'s own stats
+    are a join-product guess (probes derive from a crossJoin with the
+    1-row centroid matrix)."""
     scored = (
-        c.join(F.broadcast(q), "list_id")
+        c.join(maybe_broadcast(q, size_proxy=q_size_proxy), "list_id")
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
@@ -316,7 +324,7 @@ def ivf_topk(
         "list_id",
     )
     q = _ivf_query_probes(queries, centroids, nprobe, vec_col, id_col)
-    return _probe_and_rerank(c, q, k)
+    return _probe_and_rerank(c, q, k, q_size_proxy=queries)
 
 
 def ivf_write_index(
@@ -414,7 +422,7 @@ def ivf_topk_indexed(
             "list_id",
         )
     )
-    return _probe_and_rerank(c, q, k)
+    return _probe_and_rerank(c, q, k, q_size_proxy=queries)
 
 
 def lsh_topk(
@@ -725,14 +733,19 @@ def bitext_mine(
 
     Returns (a_id, b_id, cosine_sim, margin).
 
-    Scale: this exact form scores A×B once (side_b broadcast — the
-    mined corpus streams ONE pass; both k-NN means and the final
-    argmax reuse the same scored set via an eager-free localCheckpoint
-    instead of recomputing the pair space per consumer). At real
-    corpus sizes swap the scorer for the IVF/LSH candidate generators
-    in this module and compute the same margins over candidates only;
-    the criterion itself is unchanged. k-NN means use decimal addends
-    so margins are bit-deterministic (oracle contract).
+    Scale: this exact form scores A×B once — quadratic by semantics,
+    so it is the ORACLE ANCHOR, not the production path; use
+    :func:`bitext_mine_ivf` for unbounded corpora (identical margin
+    criterion over IVF candidates only). The b side's broadcast is
+    SIZE-GATED (``maybe_broadcast``): a small mined corpus broadcasts
+    so A streams one pass with no shuffle, while a corpus-sized b
+    degrades to a partitioned cross join — slower but executable,
+    never a driver/broadcast OOM (the round-5 audit found the old
+    forced hint asserted a caller bound the registered query did not
+    satisfy). Both k-NN means and the final argmax reuse the same
+    scored set via an eager-free localCheckpoint instead of
+    recomputing the pair space per consumer. k-NN means use decimal
+    addends so margins are bit-deterministic (oracle contract).
     """
     norm = lambda v: F.sqrt(  # noqa: E731
         F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
@@ -751,8 +764,11 @@ def bitext_mine(
         lambda acc, x: acc + x,
     )
     denom = F.col("_an") * F.col("_bn")
+    # size-gated, proxied on the raw side_b input (b's own stats are
+    # exact too — project over the source — but the raw side is the
+    # honest upper bound if a caller pre-checkpoints their slice)
     scored = (
-        a.crossJoin(F.broadcast(b))
+        a.crossJoin(maybe_broadcast(b, size_proxy=side_b))
         .select(
             "a_id",
             "b_id",
@@ -789,6 +805,104 @@ def bitext_mine(
     margins = (
         scored.join(maybe_broadcast(means_a, size_proxy=a), "a_id")
         .join(maybe_broadcast(means_b, size_proxy=b), "b_id")
+        .withColumn(
+            "margin",
+            F.col("_cs") / ((F.col("_m_a_id") + F.col("_m_b_id")) / 2),
+        )
+    )
+    w_best = Window.partitionBy("a_id").orderBy(
+        F.col("margin").desc(), F.col("b_id").asc()
+    )
+    return (
+        margins.withColumn("_rk", F.row_number().over(w_best))
+        .where((F.col("_rk") == 1) & (F.col("margin") >= threshold))
+        .select(
+            "a_id",
+            "b_id",
+            F.col("_cs").alias("cosine_sim"),
+            "margin",
+        )
+    )
+
+
+def bitext_mine_ivf(
+    side_a: DataFrame,
+    side_b: DataFrame,
+    k: int = 4,
+    threshold: float = 1.0,
+    nlist: int = 8,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Candidate-backed :func:`bitext_mine` — the scale path for
+    corpus-sized sides: IVF centroids train on ``side_b`` (the mined
+    corpus; deterministic lowest-id seeds + 1 Lloyd step, so the SQL
+    oracle replays them), each b vector lands in ONE inverted list,
+    each a vector probes its ``nprobe`` nearest lists, and cosines —
+    and therefore both k-NN means and the ratio margin — are computed
+    over the matched candidates only. The margin CRITERION is
+    unchanged; recall is bounded by the probes (nprobe=nlist recovers
+    the exact pair space).
+
+    Plan/scale: the pair space is Σ|list|·(probes landing there)
+    instead of |A|·|B|, realized as a partitioned EQUI join on
+    list_id — no cross join, no corpus-side broadcast anywhere (the
+    only broadcast is the 1-row nlist×dim centroid matrix). Both
+    means consumers reuse one checkpointed candidate table, exactly
+    like the exact form. Same decimal k-NN-mean staging, so margins
+    over the candidate set are bit-deterministic (oracle contract).
+
+    Returns (a_id, b_id, cosine_sim, margin) — margins are relative
+    to CANDIDATE neighborhoods, so scores can differ from the exact
+    form where a true k-NN falls outside the probed lists; pairs
+    found by both forms carry identical cosines."""
+    centroids = ivf_train(
+        side_b, nlist=nlist, iters=1, vec_col=vec_col, id_col=id_col
+    )
+    b = ivf_assign(side_b, centroids, vec_col).select(
+        F.col(id_col).alias("b_id"),
+        "list_id",
+        F.col(vec_col).cast("array<double>").alias("_bv"),
+    )
+    a = _ivf_query_probes(side_a, centroids, nprobe, vec_col, id_col).select(
+        F.col("query_id").alias("a_id"), "_qv", "list_id"
+    )
+    # each b sits in exactly one list and probe lists are distinct, so
+    # a candidate pair appears AT MOST ONCE — no dedup needed
+    scored = (
+        b.join(a, "list_id")
+        .select(
+            "a_id",
+            "b_id",
+            cosine_similarity(F.col("_qv"), F.col("_bv")).alias("_cs"),
+        )
+        .transform(pin_lazy)
+    )
+
+    def knn_mean(part_col: str) -> DataFrame:
+        w = Window.partitionBy(part_col).orderBy(
+            F.col("_cs").desc(),
+            F.col("b_id" if part_col == "a_id" else "a_id").asc(),
+        )
+        return (
+            scored.withColumn("_r", F.row_number().over(w))
+            .where(F.col("_r") <= k)
+            .groupBy(part_col)
+            .agg(
+                (
+                    F.sum(F.col("_cs").cast("decimal(20,18)")).cast("double")
+                    / F.count(F.lit(1))
+                ).alias(f"_m_{part_col}")
+            )
+        )
+
+    # per-id means are never bigger than their id-carrying input —
+    # gate on the raw sides (the checkpointed candidate table has no
+    # Catalyst stats), same proxy pattern as the exact form
+    margins = (
+        scored.join(maybe_broadcast(knn_mean("a_id"), size_proxy=side_a), "a_id")
+        .join(maybe_broadcast(knn_mean("b_id"), size_proxy=side_b), "b_id")
         .withColumn(
             "margin",
             F.col("_cs") / ((F.col("_m_a_id") + F.col("_m_b_id")) / 2),

@@ -105,11 +105,49 @@ def oversized_broadcasts(
                 if "broadcast" not in str(strategy.get()).lower():
                     continue
                 size = int(str(side.stats().sizeInBytes()))
+                trustworthy = _leaves_have_stats(side)
             except Exception:
                 continue
-            if 0 <= size < (1 << 62) and size > max_bytes:
+            # Two kinds of non-measurement to skip (no estimate, no
+            # verdict): (1) the sentinel itself — Long.MaxValue, which
+            # projections/filters SCALE (MaxValue/4 ≈ 2^61 slips under
+            # a naive 2^62 check), hence the 2^55 bound (36 PiB, far
+            # beyond any legitimate build side; a genuinely oversized
+            # 100 TB table is 2^47); (2) any estimate derived from an
+            # unknown-stats LEAF (a checkpoint's LogicalRDD): joins
+            # and aggregates above it produce plausible-looking but
+            # meaningless numbers — the size-gate helpers handle those
+            # sides via caller-supplied proxies instead.
+            if 0 <= size < (1 << 55) and size > max_bytes and trustworthy:
                 too_big.append(size)
     return too_big
+
+
+def _leaves_have_stats(jplan) -> bool:
+    """True iff every LEAF of the (logical) subtree is a relation with
+    a real size estimate (file scan / local relation).
+
+    A ``LogicalRDD`` leaf — what a checkpoint/localCheckpoint pin
+    becomes — is excluded even when it reports a number: the RDD-level
+    byte count describes the PINNED table, and Catalyst scales it
+    through aggregates/joins above with no cardinality model, yielding
+    plausible-looking but meaningless build-side estimates (a per-id
+    means table 'measured' at 28 GB). Sides above a checkpoint are
+    therefore UNMEASURABLE at plan time: the size-gate helpers handle
+    them via caller-supplied proxies (``maybe_broadcast(size_proxy=)``)
+    and the source-level raw-broadcast audit owns the forced sites —
+    this linter only issues verdicts it can actually measure."""
+    for node in _iter_logical(jplan):
+        if node.children().size() != 0:
+            continue
+        try:
+            if node.nodeName() == "LogicalRDD":
+                return False
+            if int(str(node.stats().sizeInBytes())) >= (1 << 62):
+                return False
+        except Exception:
+            return False
+    return True
 
 
 def lint_plan(df: DataFrame, broadcast_max_bytes: int | None = None) -> list[str]:
@@ -130,6 +168,29 @@ def lint_plan(df: DataFrame, broadcast_max_bytes: int | None = None) -> list[str
     return sorted(found)
 
 
+def lint_query_build(build, broadcast_max_bytes: int | None = None) -> list[str]:
+    """Lint the FULL plan of a query produced by the zero-arg callable
+    ``build`` — the final executed plan plus every subtree pinned
+    (checkpointed) during construction.
+
+    Any checkpoint truncates lineage: the final plan shows an RDD-scan
+    leaf where the pinned subtree used to be, so a linter that reads
+    only the final plan is blind to cartesians/row-UDFs/forced
+    broadcasts upstream of every ``util.pin`` site (~70 of them) — the
+    round-5 gate missed a forced-broadcast cross join exactly this
+    way. ``build`` runs under :class:`grafink_spark.util.capture_pins`
+    so each pre-checkpoint DataFrame is linted as its own plan; the
+    union of codes over {final} ∪ {pinned subtrees} is returned."""
+    from grafink_spark.util import capture_pins
+
+    with capture_pins() as pinned:
+        df = build()
+    found = set(lint_plan(df, broadcast_max_bytes))
+    for sub in pinned:
+        found.update(lint_plan(sub, broadcast_max_bytes))
+    return sorted(found)
+
+
 def lint_registry(
     spark,
     sf_dir: str,
@@ -138,11 +199,13 @@ def lint_registry(
 ) -> dict[str, list[str]]:
     """Lint every registered query's physical plan against ``allow``.
 
-    Returns ``{query_name: [unexpected codes]}`` for queries whose plan
-    carries a code NOT in its allowlist entry — empty dict means the
-    whole registry is clean. Building a plan may execute driver-bounded
-    prep jobs (localCheckpoint pins, offset collects), so this is a
-    per-round gate, not a unit test.
+    Each query is linted with :func:`lint_query_build` — final plan
+    PLUS every pinned subtree, so lineage-truncating checkpoints can't
+    hide upstream hazards. Returns ``{query_name: [unexpected codes]}``
+    for queries whose plan carries a code NOT in its allowlist entry —
+    empty dict means the whole registry is clean. Building a plan may
+    execute driver-bounded prep jobs (localCheckpoint pins, offset
+    collects), so this is a per-round gate, not a unit test.
     """
     from grafink_spark.benchqueries import QUERIES
 
@@ -151,7 +214,7 @@ def lint_registry(
     for name, fn in QUERIES.items():
         if only and name not in only:
             continue
-        codes = set(lint_plan(fn(spark, sf_dir)))
+        codes = set(lint_query_build(lambda: fn(spark, sf_dir)))
         unexpected = codes - allow.get(name, set())
         if unexpected:
             bad[name] = sorted(unexpected)

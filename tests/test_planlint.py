@@ -39,6 +39,13 @@ _CLIQUE = (
 )
 _QUAD = "documented quadratic-by-semantics (sf1-skipped in bench)"
 _KBOUND = "pair space bounded by top-k intersection (<= C(k,2) pairs)"
+_EDGEBUILD = (
+    "pinned edge-list build: the similarity-rule DNF branch without "
+    "equality (condition-clique semantics, both sides pre-filtered to "
+    "the qualifying subset) — planner-chosen broadcast at bench SF, "
+    "degrades to shuffle at scale (unhinted); visible since the "
+    "round-6 pin-aware lint"
+)
 
 ALLOW: dict[str, tuple[set[str], str]] = {
     "ann_recall": ({"bnlj", "single-part"}, _CENTROID + "; truth side k rows"),
@@ -51,7 +58,7 @@ ALLOW: dict[str, tuple[set[str], str]] = {
     "bm25_search": ({"bnlj", "single-part"}, _SCALAR + " (N, avgdl)"),
     "column_profile": ({"single-part"}, _TOPK + " (profile fold)"),
     "community_conductance": ({"bnlj", "single-part"}, _SCALAR + " (total volume)"),
-    "degree_assortativity": ({"single-part"}, _TOPK + " (1-row correlation)"),
+    "degree_assortativity": ({"bnlj", "single-part"}, _TOPK + " (1-row correlation); " + _EDGEBUILD),
     "degree_distribution": ({"bnlj"}, _CLIQUE),
     "disjunctive_revenue": ({"single-part"}, _TOPK + " (1-row revenue)"),
     "doc_keywords": ({"bnlj", "single-part"}, _SCALAR + " (corpus df totals)"),
@@ -63,13 +70,43 @@ ALLOW: dict[str, tuple[set[str], str]] = {
     "embedding_topk": ({"bnlj", "single-part"}, _QUERYK),
     "forecast_revenue": ({"single-part"}, _TOPK + " (1-row Q6 revenue)"),
     "funnel": ({"single-part"}, _TOPK + " (stage fold)"),
-    "graph_modularity": ({"single-part"}, _TOPK + " (1-row modularity)"),
+    "graph_modularity": ({"bnlj", "single-part"}, _TOPK + " (1-row modularity); " + _EDGEBUILD),
     "hist_quantile_sketch": ({"bnlj", "single-part"}, _SCALAR + " (bounds + registers)"),
     "hybrid_rrf": ({"bnlj", "single-part"}, _SCALAR + " (BM25 stats) + top-k"),
     "important_stock": ({"bnlj", "single-part"}, _SCALAR + " (Q11 total threshold)"),
     "incremental_pca": ({"bnlj", "single-part"}, _SCALAR + " (d×d covariance fold)"),
     "join_size_estimate": ({"bnlj", "single-part"}, _SCALAR + " (KMV sketches)"),
     "label_noise": ({"bnlj"}, _QUAD + " (label-blocked all-pairs kNN)"),
+    "label_noise_ivf": ({"bnlj"}, _CENTROID + "; probe join is a size-gated equi join"),
+    "bitext_mine": (
+        {"bnlj"},
+        _QUAD
+        + " (exact A×B oracle anchor; b-side broadcast is SIZE-GATED"
+        " maybe_broadcast — small at bench SF, degrades to partitioned"
+        " cross at scale; production path is bitext_mine_ivf)",
+    ),
+    "bitext_mine_ivf": ({"bnlj"}, _CENTROID + "; candidates via equi join on list_id"),
+    "semantic_dedup": ({"bnlj"}, _CENTROID + " (pinned ivf_assign blocking)"),
+    "semantic_dedup_auto": ({"bnlj"}, _CENTROID + " (pinned ivf_assign blocking)"),
+    "semantic_dedup_arrow": ({"bnlj"}, _CENTROID + " (pinned ivf_assign blocking)"),
+    "mmr_topk": ({"bnlj", "single-part"}, _QUERYK + "; pinned brute top-k + k-bounded selection folds"),
+    "hard_triplets": ({"bnlj", "single-part"}, _QUERYK + " (anchors broadcast by mining contract; anchor-bounded folds)"),
+    "pagerank": ({"bnlj"}, _EDGEBUILD),
+    "personalized_pagerank": ({"bnlj"}, _EDGEBUILD),
+    "triangle_count": ({"bnlj"}, _EDGEBUILD),
+    "k_core": ({"bnlj"}, _EDGEBUILD),
+    "bfs_distances": ({"bnlj"}, _EDGEBUILD),
+    "clustering_coefficient": ({"bnlj"}, _EDGEBUILD),
+    "label_propagation": ({"bnlj"}, _EDGEBUILD),
+    "graph_components": ({"bnlj"}, _EDGEBUILD),
+    "hits_scores": ({"bnlj"}, _EDGEBUILD),
+    "closeness_centrality": ({"bnlj"}, _EDGEBUILD),
+    "betweenness": ({"bnlj"}, _EDGEBUILD),
+    "katz_centrality": ({"bnlj"}, _EDGEBUILD),
+    "vertex_jaccard": ({"bnlj"}, _EDGEBUILD),
+    "neighbor_features": ({"bnlj"}, _EDGEBUILD),
+    "negative_edges": ({"bnlj"}, _EDGEBUILD),
+    "normalized_adjacency": ({"bnlj"}, _EDGEBUILD),
     "mad_outliers": ({"bnlj", "single-part"}, _SCALAR + " (median/MAD bounds)"),
     "max_id": ({"single-part"}, _TOPK + " (global max fold)"),
     "mixture_sample": ({"single-part"}, _TOPK + " (per-source rate table)"),
@@ -81,7 +118,7 @@ ALLOW: dict[str, tuple[set[str], str]] = {
     "quality_deciles": ({"bnlj", "single-part"}, _SCALAR + " (decile edges)"),
     "quantile_filter": ({"bnlj", "single-part"}, _SCALAR + " (1-row quantile bound)"),
     "quantized_topk": ({"bnlj", "single-part"}, _QUERYK),
-    "ranking_agreement": ({"cartesian", "single-part"}, _KBOUND),
+    "ranking_agreement": ({"bnlj", "cartesian", "single-part"}, _KBOUND + "; pinned brute top-k feeds: " + _QUERYK),
     "seasonal_anomalies": ({"bnlj", "single-part"}, _SCALAR + " (per-series σ params)"),
     "seasonal_decompose": ({"bnlj", "single-part"}, _SCALAR + " (seasonal means)"),
     "semantic_contamination": ({"bnlj"}, _QUERYK + " (benchmark side broadcast)"),
@@ -122,6 +159,31 @@ def test_lint_flags_row_udf(spark):
     plus_one = F.udf(lambda x: x + 1, LongType())
     df = spark.range(10).select(plus_one("id").alias("y"))
     assert "row-udf" in lint_plan(df)
+
+
+def test_lint_sees_through_pins(spark):
+    """A scale hazard UPSTREAM of a pin (localCheckpoint) must still be
+    caught: the checkpoint truncates lineage in the final plan, so the
+    linter unions in every pinned subtree captured during the build —
+    the round-5 gate's blind spot, closed."""
+    from grafink_spark.planlint import lint_query_build
+    from grafink_spark.util import pin_lazy
+
+    def build():
+        a = spark.range(10)
+        b = spark.range(10).withColumnRenamed("id", "id2")
+        hidden = a.crossJoin(F.broadcast(b)).transform(pin_lazy)
+        return hidden.groupBy("id").count()
+
+    # final plan alone is blind (RDD-scan leaf where the cross was)
+    from grafink_spark.util import capture_pins
+
+    with capture_pins():
+        final_only = lint_plan(build())
+    assert "bnlj" not in final_only and "cartesian" not in final_only
+    # full lint walks the pinned subtree and flags the hidden hazard
+    codes = lint_query_build(build)
+    assert "bnlj" in codes or "cartesian" in codes
 
 
 def test_lint_clean_plan(spark):

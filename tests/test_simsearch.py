@@ -413,3 +413,65 @@ def test_bitext_means_broadcast_gate_uses_side_proxies(spark, tmp_path):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert out.count() > 0
+
+
+def test_bitext_mine_ivf_full_probe_equals_exact(spark, emb):
+    """nprobe = nlist recovers the full A×B pair space, so the IVF
+    twin must return EXACTLY the exact form's pairs, cosines, and
+    margins (same tie rules, same decimal mean staging) — and with a
+    partial probe set its pairs are a subset of the candidate-scored
+    space with identical cosines for pairs both forms emit."""
+    sub = emb.orderBy("vec_id").limit(40).cache()
+    a = sub.where(F.col("label") == 0)
+    b = sub.where(F.col("label") == 1)
+    exact = {
+        (r.a_id, r.b_id): (r.cosine_sim, r.margin)
+        for r in ss.bitext_mine(a, b, k=3, threshold=0.0).collect()
+    }
+    full = {
+        (r.a_id, r.b_id): (r.cosine_sim, r.margin)
+        for r in ss.bitext_mine_ivf(
+            a, b, k=3, threshold=0.0, nlist=4, nprobe=4
+        ).collect()
+    }
+    assert full == exact
+    # partial probes: winners may differ (margins are neighborhood-
+    # relative) but any coinciding pair carries the identical cosine
+    part = ss.bitext_mine_ivf(a, b, k=3, threshold=0.0, nlist=4, nprobe=2)
+    for r in part.collect():
+        if (r.a_id, r.b_id) in exact:
+            assert abs(exact[(r.a_id, r.b_id)][0] - r.cosine_sim) < 1e-12
+
+
+def test_bitext_mine_ivf_no_cross_join(spark, emb):
+    """The candidate generator must be an equi join on list_id: no
+    CartesianProduct and no corpus-side broadcast cross — the only
+    BNLJ allowed is the 1-row centroid matrix."""
+    a = emb.where(F.col("label") == 0)
+    b = emb.where(F.col("label") == 1)
+    out = ss.bitext_mine_ivf(a, b, k=4, nlist=8, nprobe=4)
+    from grafink_spark.planlint import lint_query_build
+
+    codes = lint_query_build(lambda: ss.bitext_mine_ivf(a, b, k=4, nlist=8, nprobe=4))
+    assert "cartesian" not in codes
+    assert "oversized-broadcast" not in codes
+    assert out.columns == ["a_id", "b_id", "cosine_sim", "margin"]
+
+
+def test_label_noise_ivf_full_probe_equals_brute(spark, emb):
+    """ivf_topk with nprobe = nlist probes every list, so candidates
+    are the full pair space and the top-k must equal brute force —
+    the subset-of-exact guarantee for the label-noise scale twin."""
+    sub = emb.orderBy("vec_id").limit(40).cache()
+    cents = ss.ivf_train(sub, nlist=4, iters=1)
+    ivf = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in ss.ivf_topk(sub, sub, cents, k=5, nprobe=4).collect()
+    }
+    brute = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in ss.brute_force_topk(
+            sub, sub, k=5, broadcast_queries=False
+        ).collect()
+    }
+    assert ivf == brute
