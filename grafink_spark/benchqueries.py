@@ -40,6 +40,9 @@ from grafink_spark.llm.multimodal import (
     make_fake_image,
     make_mjpeg_avi,
     make_solid_jpeg,
+    make_solid_jpeg_progressive,
+    payloads_from_ids,
+    real_decode_kernel,
     sample_frames,
     sample_video_frames,
 )
@@ -1532,11 +1535,7 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     payloads for the first 50 documents, extract features via the
     Arrow mapInPandas kernel."""
     docs = load_table(spark, sf_dir, "documents").orderBy("doc_id").limit(50)
-    rows = docs.select("doc_id").collect()
-    payloads = [
-        (int(r.doc_id), make_fake_image(int(r.doc_id), 32, 16)) for r in rows
-    ]
-    media = spark.createDataFrame(payloads, "doc_id long, payload binary")
+    media = payloads_from_ids(docs, lambda d: make_fake_image(d, 32, 16))
     return extract_image_features(media)
 
 
@@ -1572,12 +1571,7 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio-column plumbing: fake audio payloads for the first 50
     documents → duration/rms features via the mapInPandas kernel."""
     docs = load_table(spark, sf_dir, "documents").orderBy("doc_id").limit(50)
-    rows = docs.select("doc_id").collect()
-    payloads = [
-        (int(r.doc_id), make_fake_audio(int(r.doc_id), 1000 + 10 * int(r.doc_id)))
-        for r in rows
-    ]
-    media = spark.createDataFrame(payloads, "doc_id long, payload binary")
+    media = payloads_from_ids(docs, lambda d: make_fake_audio(d, 1000 + 10 * d))
     return extract_audio_features(media)
 
 
@@ -1617,11 +1611,7 @@ def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video-column plumbing: 1→N frame sampling (mapInPandas) over
     deterministic fake payloads — one row per 64-byte 'frame'."""
     docs = load_table(spark, sf_dir, "documents").orderBy("doc_id").limit(50)
-    rows = docs.select("doc_id").collect()
-    payloads = [
-        (int(r.doc_id), make_fake_image(int(r.doc_id), 32, 16)) for r in rows
-    ]
-    media = spark.createDataFrame(payloads, "doc_id long, payload binary")
+    media = payloads_from_ids(docs, lambda d: make_fake_image(d, 32, 16))
     frames = sample_frames(media, every_n_bytes=64)
     return frames.select(
         "doc_id",
@@ -10921,16 +10911,15 @@ def q_video_mjpeg_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampler would use; only the tiny per-frame stats rows leave the
     executor."""
     docs = load_table(spark, sf_dir, "documents").orderBy("doc_id").limit(50)
-    rows = docs.select("doc_id").collect()
-    payloads = []
-    for r in rows:
-        did = int(r.doc_id)
+
+    def make_avi(did: int) -> bytes:
         frames = [
             make_solid_jpeg(16, 16, 100 + ((did * 7 + i * 13) % 64) * 2)
             for i in range(2 + did % 3)
         ]
-        payloads.append((did, make_mjpeg_avi(frames, 16, 16, fps=10)))
-    media = spark.createDataFrame(payloads, "doc_id long, payload binary")
+        return make_mjpeg_avi(frames, 16, 16, fps=10)
+
+    media = payloads_from_ids(docs, make_avi)
     out = sample_video_frames(media, every_k=1)
     return out.select(
         "doc_id",
@@ -10957,3 +10946,39 @@ FROM f
 
 QUERIES.update({"video_mjpeg_frames": q_video_mjpeg_frames})
 ORACLES.update({"video_mjpeg_frames": SQL_VIDEO_MJPEG_FRAMES})
+
+
+def q_media_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Progressive-JPEG decode end-to-end: actual SOF2 byte streams —
+    DC successive approximation (Al=1 first scan + Ah=1 refinement),
+    EOBn-run AC band scans, and an AC refinement pass — decoded by the
+    stdlib progressive decoder through the same Arrow mapInPandas
+    kernel as the baseline media queries. Payloads are built
+    executor-side from doc_id (luma = 100 + ((doc_id*13) % 64) * 2,
+    even, so the quantized DC is integral and the decoded mean replays
+    as a closed form in SQL).
+
+    Plan/scale: one narrow map — payload bytes are born on and never
+    leave the executors; only (doc_id, dims, mean) rows return."""
+    docs = load_table(spark, sf_dir, "documents").orderBy("doc_id").limit(50)
+    media = payloads_from_ids(
+        docs,
+        lambda d: make_solid_jpeg_progressive(16, 16, 100 + ((d * 13) % 64) * 2),
+    )
+    feats = extract_image_features(media, kernel=real_decode_kernel)
+    return feats.select(
+        "doc_id",
+        "width",
+        "height",
+        F.round("mean_luma", 6).alias("mean_luma"),
+    )
+
+
+SQL_MEDIA_PROGRESSIVE = """
+SELECT doc_id, 16 AS width, 16 AS height,
+       round((100 + ((doc_id * 13) % 64) * 2)::DOUBLE, 6) AS mean_luma
+FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 50)
+"""
+
+QUERIES.update({"media_progressive": q_media_progressive})
+ORACLES.update({"media_progressive": SQL_MEDIA_PROGRESSIVE})

@@ -1105,6 +1105,142 @@ def make_solid_jpeg(width: int, height: int, luma: int, q: int = 16) -> bytes:
     return bytes(out)
 
 
+def make_solid_jpeg_progressive(
+    width: int, height: int, luma: int, q: int = 16
+) -> bytes:
+    """Deterministic PROGRESSIVE (SOF2) grayscale JPEG of a solid
+    ``luma`` image — the progressive twin of :func:`make_solid_jpeg`,
+    so registered queries can push actual SOF2 bytes through the
+    decoder with a closed-form oracle.
+
+    The coefficient ladder deliberately exercises all four T.81 §G.2
+    scan kinds: DC first with successive approximation (Al=1), an AC
+    first scan whose whole 1..63 band is one EOBn run over every
+    block, a DC refinement scan (one raw bit per block), and an AC
+    refinement scan (EOBn run again — no correction bits, since a
+    solid image has no nonzero AC history). Same exactness contract as
+    the baseline builder: even ``luma`` and flat quant ``q`` make the
+    quantized DC integral, so decode returns ``luma`` bit-exactly."""
+    if width % 8 or height % 8:
+        raise ValueError("make_solid_jpeg_progressive needs 8-multiple dims")
+    dc = (luma - 128) * 8
+    if dc % q:
+        raise ValueError("luma does not quantize exactly; pick an even luma")
+    dc //= q
+    n_blocks = (width // 8) * (height // 8)
+    # EOBn covering ALL blocks in one symbol: 2^r + appended == n_blocks
+    eob_r = n_blocks.bit_length() - 1
+    eob_extra = n_blocks - (1 << eob_r)
+
+    class _W:
+        def __init__(self):
+            self.bits: list[int] = []
+
+        def put(self, value: int, n: int) -> None:
+            for i in range(n - 1, -1, -1):
+                self.bits.append((value >> i) & 1)
+
+        def bytes(self) -> bytes:
+            bits = self.bits + [1] * (-len(self.bits) % 8)
+            out = bytearray()
+            for i in range(0, len(bits), 8):
+                b = 0
+                for bit in bits[i : i + 8]:
+                    b = (b << 1) | bit
+                out.append(b)
+                if b == 0xFF:
+                    out.append(0x00)
+            return bytes(out)
+
+    def put_dc(w: _W, diff: int) -> None:
+        cat = 0 if diff == 0 else abs(diff).bit_length()
+        if cat > 7:
+            raise ValueError("DC diff beyond category 7")
+        w.put(cat, 3)  # canonical DC code for category c IS c (len 3)
+        if cat:
+            w.put(diff if diff > 0 else diff + (1 << cat) - 1, cat)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0x00]) + bytes([q] * 64))
+    out += seg(
+        0xC2,  # SOF2: progressive DCT, Huffman
+        bytes([8]) + struct.pack(">HH", height, width) + bytes([1, 1, 0x11, 0]),
+    )
+    dc_counts = bytearray(16)
+    dc_counts[2] = 8  # 8 DC categories, all code length 3
+    out += seg(0xC4, bytes([0x00]) + bytes(dc_counts) + bytes(range(8)))
+    # AC table: the one EOBn symbol this stream needs (len-2 canonical)
+    ac_counts = bytearray(16)
+    ac_counts[1] = 1
+    out += seg(0xC4, bytes([0x10]) + bytes(ac_counts) + bytes([eob_r << 4]))
+
+    def sos(ss: int, se: int, ah: int, al: int, w: _W) -> bytes:
+        return seg(0xDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | al])) + w.bytes()
+
+    # scan 1: DC first, Al=1 — first block codes dc>>1, rest diff 0
+    w = _W()
+    put_dc(w, dc >> 1)
+    for _ in range(n_blocks - 1):
+        put_dc(w, 0)
+    out += sos(0, 0, 0, 1, w)
+    # scan 2: AC first, band 1..63, Al=1 — one EOBn run over all blocks
+    w = _W()
+    w.put(0, 2)  # the single len-2 AC code -> EOB(eob_r)
+    if eob_r:
+        w.put(eob_extra, eob_r)
+    out += sos(1, 63, 0, 1, w)
+    # scan 3: DC refinement Ah=1, Al=0 — one raw bit (dc & 1) per block
+    w = _W()
+    for _ in range(n_blocks):
+        w.put(dc & 1, 1)
+    out += sos(0, 0, 1, 0, w)
+    # scan 4: AC refinement Ah=1, Al=0 — EOBn run, zero correction bits
+    w = _W()
+    w.put(0, 2)
+    if eob_r:
+        w.put(eob_extra, eob_r)
+    out += sos(1, 63, 1, 0, w)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def payloads_from_ids(
+    df: DataFrame,
+    make: Callable[[int], bytes],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id) → (doc_id, payload) with payload bytes built EXECUTOR-
+    side by ``make(doc_id)`` inside one Arrow mapInPandas — the fixture
+    generator for the media queries.
+
+    The point is plan shape: payloads are born ON the executors and
+    stream straight into the decode kernel as a narrow map, exactly the
+    contract of a real binary-payload column scanned from parquet — no
+    driver collect(), no createDataFrame of materialized media bytes
+    (the round-5 review flagged the collect()-based generator as
+    exercising the wrong input path)."""
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    src = df.select(F.col(id_col).alias("doc_id"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = [int(x) for x in pdf["doc_id"]]
+            yield pd.DataFrame(
+                {"doc_id": ids, "payload": [make(i) for i in ids]},
+                columns=["doc_id", "payload"],
+            )
+
+    return src.mapInPandas(run, out_schema)
+
+
 def _riff_chunk(fourcc: bytes, payload: bytes) -> bytes:
     pad = b"\x00" if len(payload) % 2 else b""  # RIFF chunks word-align
     return fourcc + struct.pack("<I", len(payload)) + payload + pad

@@ -1044,3 +1044,52 @@ def test_progressive_jpeg_restart_markers():
     d_prog = mm.real_decode_kernel(1, bytes(out))
     assert (d_prog["width"], d_prog["height"]) == (12, 8)
     assert abs(d_prog["mean_luma"] - d_base["mean_luma"]) < 1e-9
+
+
+# ---- library progressive encoder (make_solid_jpeg_progressive) ----
+
+
+def test_make_solid_jpeg_progressive_matches_baseline():
+    """The library SOF2 builder must decode bit-exactly to the luma it
+    encodes — and to the baseline builder's result — across block
+    counts that exercise every EOBn width (1, 2, 4, 6, 8 blocks)."""
+    for w, h, luma in [
+        (8, 8, 128),      # 1 block, EOB0
+        (16, 8, 100),     # 2 blocks, EOB1
+        (16, 16, 226),    # 4 blocks, EOB2
+        (24, 16, 98),     # 6 blocks, EOB2 + appended bits
+        (32, 16, 162),    # 8 blocks, EOB3
+    ]:
+        p = mm.make_solid_jpeg_progressive(w, h, luma)
+        assert b"\xff\xc2" in p  # actually progressive (SOF2 marker)
+        d = mm.real_decode_kernel(1, p)
+        assert (d["width"], d["height"]) == (w, h)
+        assert abs(d["mean_luma"] - luma) < 1e-12
+        b = mm.real_decode_kernel(1, mm.make_solid_jpeg(w, h, luma))
+        assert abs(d["mean_luma"] - b["mean_luma"]) < 1e-12
+
+
+def test_make_solid_jpeg_progressive_rejects_bad_inputs():
+    with pytest.raises(ValueError):
+        mm.make_solid_jpeg_progressive(12, 8, 100)  # non-8-multiple
+    with pytest.raises(ValueError):
+        mm.make_solid_jpeg_progressive(8, 8, 101)  # odd luma: DC not integral
+
+
+def test_payloads_from_ids_executor_side_generation(spark):
+    """(doc_id) -> (doc_id, payload) built inside mapInPandas: schema,
+    per-id determinism, and decode through the real kernel — the
+    no-driver-collect fixture path the media queries use."""
+    ids = spark.range(3, 7).withColumnRenamed("id", "doc_id")
+    media = mm.payloads_from_ids(
+        ids, lambda d: mm.make_solid_jpeg_progressive(16, 16, 100 + 2 * d)
+    )
+    assert [f.simpleString() for f in media.schema.fields] == [
+        "doc_id:bigint",
+        "payload:binary",
+    ]
+    out = mm.extract_image_features(media, kernel=mm.real_decode_kernel)
+    got = sorted(
+        (r.doc_id, r.width, r.height, round(r.mean_luma, 9)) for r in out.collect()
+    )
+    assert got == [(d, 16, 16, 100.0 + 2 * d) for d in range(3, 7)]
