@@ -1290,8 +1290,9 @@ def demux_avi_frames(payload: bytes) -> tuple[dict, list[bytes]]:
     demuxer+codec libraries)."""
     if payload is None or len(payload) < 12 or payload[:4] != b"RIFF":
         if payload is not None and payload[4:8] == b"ftyp":
-            raise NotImplementedError(
-                "MP4/ISO-BMFF needs an external demuxer (ffmpeg)"
+            raise ValueError(
+                "ISO-BMFF container: use demux_mp4_frames / "
+                "demux_video_frames (stdlib MP4 demux)"
             )
         raise ValueError("not a RIFF container")
     if payload[8:12] != b"AVI ":
@@ -1339,12 +1340,334 @@ def demux_avi_frames(payload: bytes) -> tuple[dict, list[bytes]]:
     return info, frames
 
 
+# ---- MP4 / ISO-BMFF (ISO 14496-12) demux, pure stdlib ----
+#
+# MP4 is a pure INDEX format: the moov box's sample tables (stsd codec
+# entry, stsz sizes, stco/co64 chunk offsets, stsc sample→chunk runs,
+# stts durations) describe byte ranges into mdat — so DEMUX needs only
+# box arithmetic, no codec work, same as the RIFF walk. What stays
+# honestly NotImplementedError is DECODING non-JPEG codecs (H.264/HEVC
+# sample entries — avc1/hev1 — genuinely need a codec library); an
+# MJPEG-in-MP4 track ('jpeg' sample entry, the QuickTime/ISO motion-
+# JPEG layout) decodes through the existing stdlib JPEG decoder.
+
+
+def _bmff_box(fourcc: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", len(payload) + 8) + fourcc + payload
+
+
+def _bmff_full(fourcc: bytes, version: int, flags: int, payload: bytes) -> bytes:
+    return _bmff_box(fourcc, struct.pack(">I", (version << 24) | flags) + payload)
+
+
+_BMFF_MATRIX = struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+
+
+def make_mjpeg_mp4(
+    frames: list[bytes],
+    width: int,
+    height: int,
+    fps: int = 10,
+    samples_per_chunk: int = 2,
+    co64: bool = False,
+) -> bytes:
+    """Minimal spec-shaped MJPEG-in-MP4: ftyp + mdat (concatenated
+    JPEG samples) + moov with one 'vide' trak whose sample tables
+    index the mdat bytes. Samples are grouped ``samples_per_chunk``
+    per chunk so the demuxer's stsc run-walk is exercised by default
+    (a single-chunk file reads the degenerate table); ``co64`` writes
+    64-bit chunk offsets (the >4 GB-file form). Every field a demuxer
+    needs — codec fourcc, dimensions, timescale, per-sample sizes,
+    chunk offsets — is populated."""
+    timescale = 1000
+    delta = timescale // fps
+    n = len(frames)
+    ftyp = _bmff_box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isomiso2mp41")
+    mdat_payload = b"".join(frames)
+    # absolute file offsets: ftyp, then mdat's 8-byte header
+    base = len(ftyp) + 8
+    spc = max(1, samples_per_chunk)
+    chunk_offsets = []
+    off = base
+    for i in range(0, n, spc):
+        chunk_offsets.append(off)
+        off += sum(len(f) for f in frames[i : i + spc])
+    # stsc runs: every chunk holds spc samples except a short last one
+    stsc_entries = [(1, spc, 1)]
+    last = n - spc * (len(chunk_offsets) - 1)
+    if chunk_offsets and last != spc:
+        stsc_entries.append((len(chunk_offsets), last, 1))
+
+    stsd_entry = (
+        b"\x00" * 6
+        + struct.pack(">H", 1)  # data_reference_index
+        + b"\x00" * 16  # pre_defined / reserved
+        + struct.pack(">HH", width, height)
+        + struct.pack(">II", 0x00480000, 0x00480000)  # 72 dpi
+        + b"\x00" * 4
+        + struct.pack(">H", 1)  # frame_count
+        + b"\x00" * 32  # compressorname
+        + struct.pack(">Hh", 24, -1)  # depth, pre_defined
+    )
+    stbl = (
+        _bmff_full(b"stsd", 0, 0, struct.pack(">I", 1) + _bmff_box(b"jpeg", stsd_entry))
+        + _bmff_full(b"stts", 0, 0, struct.pack(">III", 1, n, delta))
+        + _bmff_full(
+            b"stsc",
+            0,
+            0,
+            struct.pack(">I", len(stsc_entries))
+            + b"".join(struct.pack(">III", *e) for e in stsc_entries),
+        )
+        + _bmff_full(
+            b"stsz",
+            0,
+            0,
+            struct.pack(">II", 0, n)
+            + b"".join(struct.pack(">I", len(f)) for f in frames),
+        )
+        + _bmff_full(
+            b"co64" if co64 else b"stco",
+            0,
+            0,
+            struct.pack(">I", len(chunk_offsets))
+            + b"".join(
+                struct.pack(">Q" if co64 else ">I", o) for o in chunk_offsets
+            ),
+        )
+    )
+    dinf = _bmff_box(
+        b"dinf",
+        _bmff_full(b"dref", 0, 0, struct.pack(">I", 1) + _bmff_full(b"url ", 0, 1, b"")),
+    )
+    minf = _bmff_box(
+        b"minf",
+        _bmff_full(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+        + dinf
+        + _bmff_box(b"stbl", stbl),
+    )
+    duration = n * delta
+    mdhd = _bmff_full(
+        b"mdhd",
+        0,
+        0,
+        struct.pack(">IIII", 0, 0, timescale, duration)
+        + struct.pack(">HH", 0x55C4, 0),  # language 'und'
+    )
+    hdlr = _bmff_full(
+        b"hdlr", 0, 0, struct.pack(">I", 0) + b"vide" + b"\x00" * 12 + b"\x00"
+    )
+    mdia = _bmff_box(b"mdia", mdhd + hdlr + minf)
+    tkhd = _bmff_full(
+        b"tkhd",
+        0,
+        3,  # enabled + in-movie
+        struct.pack(">IIIII", 0, 0, 1, 0, duration)
+        + b"\x00" * 8
+        + struct.pack(">HHHH", 0, 0, 0, 0)
+        + _BMFF_MATRIX
+        + struct.pack(">II", width << 16, height << 16),
+    )
+    trak = _bmff_box(b"trak", tkhd + mdia)
+    mvhd = _bmff_full(
+        b"mvhd",
+        0,
+        0,
+        struct.pack(">IIII", 0, 0, timescale, duration)
+        + struct.pack(">IHH", 0x00010000, 0x0100, 0)
+        + b"\x00" * 8
+        + _BMFF_MATRIX
+        + b"\x00" * 24
+        + struct.pack(">I", 2),  # next_track_id
+    )
+    moov = _bmff_box(b"moov", mvhd + trak)
+    return ftyp + _bmff_box(b"mdat", mdat_payload) + moov
+
+
+def _bmff_children(payload: bytes, lo: int, hi: int):
+    """Yield (fourcc, body_lo, body_hi) for each box in [lo, hi) —
+    flat iteration; callers descend explicitly (no recursion hazard).
+    Handles 64-bit largesize boxes; raises ValueError on truncation."""
+    pos = lo
+    while pos < hi:
+        if pos + 8 > hi:
+            raise ValueError("truncated MP4 box header")
+        (size,) = struct.unpack(">I", payload[pos : pos + 4])
+        fourcc = payload[pos + 4 : pos + 8]
+        body_lo = pos + 8
+        if size == 1:  # 64-bit largesize follows the fourcc
+            if pos + 16 > hi:
+                raise ValueError("truncated MP4 largesize box")
+            (size,) = struct.unpack(">Q", payload[pos + 8 : pos + 16])
+            body_lo = pos + 16
+        elif size == 0:  # box extends to end of enclosing scope
+            size = hi - pos
+        if size < body_lo - pos or pos + size > hi:
+            raise ValueError("truncated MP4 box")
+        yield fourcc, body_lo, pos + size
+        pos += size
+
+
+def _bmff_find(payload: bytes, lo: int, hi: int, path: list[bytes]):
+    """All (body_lo, body_hi) spans reached by descending ``path``
+    (e.g. [b'moov', b'trak']) — breadth levels via explicit frontier."""
+    frontier = [(lo, hi)]
+    for name in path:
+        nxt = []
+        for a, b in frontier:
+            for fourcc, c_lo, c_hi in _bmff_children(payload, a, b):
+                if fourcc == name:
+                    nxt.append((c_lo, c_hi))
+        frontier = nxt
+    return frontier
+
+
+def demux_mp4_frames(payload: bytes) -> tuple[dict, list[bytes]]:
+    """Walk an ISO-BMFF (MP4/MOV) container and return (header info,
+    per-sample byte payloads) for the FIRST video track, in decode
+    order — pure sample-table arithmetic (stsd/stts/stsc/stsz/stco),
+    no codec work. info['codec'] carries the sample-entry fourcc
+    ('jpeg' decodes downstream; 'avc1'/'hev1' are the honest
+    NotImplementedError swap-in at the DECODE step, not here). Raises
+    ValueError on truncated/corrupt box structure."""
+    if payload is None or len(payload) < 12 or payload[4:8] != b"ftyp":
+        raise ValueError("not an ISO-BMFF container")
+    info: dict = {
+        "us_per_frame": None,
+        "n_frames_declared": None,
+        "codec": None,
+    }
+    for trak_lo, trak_hi in _bmff_find(payload, 0, len(payload), [b"moov", b"trak"]):
+        handlers = _bmff_find(payload, trak_lo, trak_hi, [b"mdia", b"hdlr"])
+        # hdlr body: version+flags(4) + pre_defined(4) + handler_type(4)
+        if not any(payload[lo + 8 : lo + 12] == b"vide" for lo, _ in handlers):
+            continue
+        timescale = None
+        for lo, hi in _bmff_find(payload, trak_lo, trak_hi, [b"mdia", b"mdhd"]):
+            if hi - lo < 16:
+                raise ValueError("truncated mdhd box")
+            version = payload[lo]
+            timescale = struct.unpack(
+                ">I", payload[lo + (20 if version else 12) : lo + (24 if version else 16)]
+            )[0]
+        stbl = _bmff_find(
+            payload, trak_lo, trak_hi, [b"mdia", b"minf", b"stbl"]
+        )
+        if not stbl:
+            raise ValueError("video trak missing stbl")
+        s_lo, s_hi = stbl[0]
+        tables: dict[bytes, tuple[int, int]] = {}
+        for fourcc, c_lo, c_hi in _bmff_children(payload, s_lo, s_hi):
+            tables[fourcc] = (c_lo, c_hi)
+
+        def full(name: bytes, min_len: int) -> tuple[int, int]:
+            if name not in tables:
+                raise ValueError(f"stbl missing {name.decode()} box")
+            lo, hi = tables[name]
+            if hi - lo < 4 + min_len:
+                raise ValueError(f"truncated {name.decode()} box")
+            return lo + 4, hi  # skip version+flags
+
+        # codec fourcc from the first stsd sample entry
+        lo, hi = full(b"stsd", 4)
+        entries = list(_bmff_children(payload, lo + 4, hi))
+        if not entries:
+            raise ValueError("empty stsd box")
+        info["codec"] = entries[0][0].decode("latin1").strip()
+        # stts → nominal frame interval
+        lo, hi = full(b"stts", 4)
+        (n_stts,) = struct.unpack(">I", payload[lo : lo + 4])
+        if n_stts and timescale:
+            if lo + 4 + 8 > hi:
+                raise ValueError("truncated stts box")
+            _cnt, delta = struct.unpack(">II", payload[lo + 4 : lo + 12])
+            info["us_per_frame"] = delta * 1_000_000 // timescale
+        # stsz → sizes
+        lo, hi = full(b"stsz", 8)
+        fixed, n_samples = struct.unpack(">II", payload[lo : lo + 8])
+        if fixed:
+            sizes = [fixed] * n_samples
+        else:
+            if lo + 8 + 4 * n_samples > hi:
+                raise ValueError("truncated stsz box")
+            sizes = list(
+                struct.unpack(f">{n_samples}I", payload[lo + 8 : lo + 8 + 4 * n_samples])
+            )
+        info["n_frames_declared"] = n_samples
+        # stco/co64 → chunk offsets
+        if b"co64" in tables:
+            lo, hi = full(b"co64", 4)
+            (n_chunks,) = struct.unpack(">I", payload[lo : lo + 4])
+            if lo + 4 + 8 * n_chunks > hi:
+                raise ValueError("truncated co64 box")
+            offsets = list(
+                struct.unpack(f">{n_chunks}Q", payload[lo + 4 : lo + 4 + 8 * n_chunks])
+            )
+        else:
+            lo, hi = full(b"stco", 4)
+            (n_chunks,) = struct.unpack(">I", payload[lo : lo + 4])
+            if lo + 4 + 4 * n_chunks > hi:
+                raise ValueError("truncated stco box")
+            offsets = list(
+                struct.unpack(f">{n_chunks}I", payload[lo + 4 : lo + 4 + 4 * n_chunks])
+            )
+        # stsc runs → samples per chunk
+        lo, hi = full(b"stsc", 4)
+        (n_runs,) = struct.unpack(">I", payload[lo : lo + 4])
+        if lo + 4 + 12 * n_runs > hi:
+            raise ValueError("truncated stsc box")
+        runs = [
+            struct.unpack(">III", payload[lo + 4 + 12 * i : lo + 16 + 12 * i])
+            for i in range(n_runs)
+        ]
+        if not runs or runs[0][0] != 1:
+            raise ValueError("stsc table must start at chunk 1")
+        # walk chunks in order, slicing samples off each chunk's base
+        frames: list[bytes] = []
+        run_idx = 0
+        for chunk_no in range(1, len(offsets) + 1):
+            while run_idx + 1 < len(runs) and runs[run_idx + 1][0] <= chunk_no:
+                run_idx += 1
+            spc = runs[run_idx][1]
+            off = offsets[chunk_no - 1]
+            for _ in range(spc):
+                if len(frames) >= n_samples:
+                    break
+                size = sizes[len(frames)]
+                if off + size > len(payload):
+                    raise ValueError("MP4 sample range beyond end of file")
+                frames.append(payload[off : off + size])
+                off += size
+        if len(frames) != n_samples:
+            raise ValueError("stsc/stco chunks cover fewer samples than stsz")
+        return info, frames
+    raise ValueError("MP4 has no video track")
+
+
+def demux_video_frames(payload: bytes) -> tuple[dict, list[bytes]]:
+    """Container dispatch: RIFF → AVI demux, ftyp → ISO-BMFF demux.
+    Both return the same (info, frame payloads) contract; unknown
+    containers raise ValueError (quarantine) via the AVI path."""
+    if payload is not None and len(payload) >= 12 and payload[4:8] == b"ftyp":
+        return demux_mp4_frames(payload)
+    return demux_avi_frames(payload)
+
+
 def real_video_kernel(doc_id: int, payload: bytes) -> dict:
-    """Real video decode: AVI demux + per-frame baseline-JPEG decode
-    (the existing stdlib path). Returns container-level stats plus the
-    mean decoded luma across frames — the cheap corpus-quality signal
-    (black/blank video detection, exposure drift)."""
-    info, raw = demux_avi_frames(payload)
+    """Real video decode: container demux (AVI or MP4) + per-frame
+    baseline-JPEG decode (the stdlib path; an MP4 video track whose
+    sample entry is a real codec — avc1/hev1 — raises
+    NotImplementedError at this decode step). Returns container-level
+    stats plus the mean decoded luma across frames — the cheap
+    corpus-quality signal (black/blank video detection, exposure
+    drift)."""
+    info, raw = demux_video_frames(payload)
+    codec = info.get("codec")
+    if codec is not None and codec != "jpeg":
+        raise NotImplementedError(
+            f"MP4 codec {codec!r} needs an external decoder (ffmpeg); "
+            "only motion-JPEG ('jpeg' sample entries) decodes in-stdlib"
+        )
     width = height = None
     total = 0.0
     n = 0
@@ -1382,12 +1705,12 @@ def sample_video_frames(
     id_col: str = "doc_id",
     every_k: int = 1,
 ) -> DataFrame:
-    """REAL 1→N frame sampling: demux each AVI payload, decode every
-    ``every_k``-th JPEG frame, one output row per sampled frame with
-    its decoded stats. Same Arrow mapInPandas shape as sample_frames —
-    a narrow map, no shuffle; payload bytes never leave the executor.
-    frame_idx is the index IN THE CONTAINER (so sampled outputs remain
-    addressable for a later full decode)."""
+    """REAL 1→N frame sampling: demux each container payload (AVI or
+    MP4), decode every ``every_k``-th JPEG frame, one output row per
+    sampled frame with its decoded stats. Same Arrow mapInPandas shape
+    as sample_frames — a narrow map, no shuffle; payload bytes never
+    leave the executor. frame_idx is the index IN THE CONTAINER (so
+    sampled outputs remain addressable for a later full decode)."""
     src = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("_p"))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1396,7 +1719,7 @@ def sample_video_frames(
             for doc_id, payload in zip(pdf["doc_id"], pdf["_p"]):
                 if payload is None:
                     continue
-                _, raw = demux_avi_frames(bytes(payload))
+                _, raw = demux_video_frames(bytes(payload))
                 for idx in range(0, len(raw), every_k):
                     d = _jpeg_decode(raw[idx])
                     rows.append(

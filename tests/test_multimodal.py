@@ -550,9 +550,10 @@ def test_mjpeg_avi_roundtrip_and_kernel():
 
 
 def test_avi_demux_error_paths():
-    """Non-AVI containers raise NotImplementedError (honest swap-in
-    point), corrupt/truncated RIFF raises catchable ValueError."""
-    with pytest.raises(NotImplementedError):
+    """An ftyp payload routed to the AVI demuxer raises ValueError
+    pointing at the stdlib MP4 path; corrupt/truncated RIFF raises
+    catchable ValueError."""
+    with pytest.raises(ValueError, match="demux_mp4_frames"):
         mm.demux_avi_frames(b"\x00\x00\x00\x00ftyp" + b"\x00" * 16)
     with pytest.raises(ValueError):
         mm.demux_avi_frames(b"garbage")
@@ -1093,3 +1094,137 @@ def test_payloads_from_ids_executor_side_generation(spark):
         (r.doc_id, r.width, r.height, round(r.mean_luma, 9)) for r in out.collect()
     )
     assert got == [(d, 16, 16, 100.0 + 2 * d) for d in range(3, 7)]
+
+
+# ---- MP4 / ISO-BMFF demux ----
+
+
+def test_mp4_roundtrip_and_kernel():
+    """Mux N JPEG samples into an MP4, demux via the sample tables,
+    decode: byte-identical samples, header fields populated, kernel
+    stats exact."""
+    frames = [mm.make_solid_jpeg(16, 16, 100 + 2 * i) for i in range(5)]
+    mp4 = mm.make_mjpeg_mp4(frames, 16, 16, fps=10)
+    info, raw = mm.demux_mp4_frames(mp4)
+    assert raw == frames
+    assert info["codec"] == "jpeg"
+    assert info["n_frames_declared"] == 5
+    assert info["us_per_frame"] == 100_000
+    k = mm.real_video_kernel(7, mp4)
+    assert k["n_frames"] == 5
+    assert (k["width"], k["height"]) == (16, 16)
+    assert abs(k["mean_luma"] - 104.0) < 1e-9
+    assert k["duration_ms"] == 500
+
+
+def test_mp4_stsc_chunk_layouts():
+    """The stsc run-walk must reassemble samples across every chunk
+    grouping — uniform, ragged-last, one-chunk, one-sample-per-chunk
+    — and odd-size frames (no alignment padding in BMFF)."""
+    frames = [
+        mm.make_solid_jpeg(8, 8, 100 + 2 * i) + (b"\x00" * (i % 3))
+        for i in range(7)
+    ]
+    for spc in (1, 2, 3, 7, 10):
+        mp4 = mm.make_mjpeg_mp4(frames, 8, 8, samples_per_chunk=spc)
+        _, raw = mm.demux_mp4_frames(mp4)
+        assert raw == frames, f"samples_per_chunk={spc}"
+
+
+def test_mp4_codec_gate_and_dispatch():
+    """avc1 sample entries demux fine but raise NotImplementedError at
+    the DECODE step (the honest swap-in); demux_video_frames routes
+    RIFF to the AVI walk and ftyp to the BMFF walk."""
+    frames = [mm.make_solid_jpeg(8, 8, 100)]
+    mp4 = mm.make_mjpeg_mp4(frames, 8, 8)
+    h264 = mp4.replace(b"jpeg", b"avc1", 1)
+    info, raw = mm.demux_mp4_frames(h264)  # demux itself is codec-free
+    assert info["codec"] == "avc1" and raw == frames
+    with pytest.raises(NotImplementedError, match="avc1"):
+        mm.real_video_kernel(1, h264)
+    avi = mm.make_mjpeg_avi(frames, 8, 8)
+    assert mm.demux_video_frames(avi)[1] == frames
+    assert mm.demux_video_frames(mp4)[1] == frames
+
+
+def test_mp4_malformed_raises_value_error():
+    """Every malformed-structure path must raise catchable ValueError
+    (quarantine contract): truncation, bad sample ranges, missing
+    tables, no video track, stsc not starting at chunk 1."""
+    frames = [mm.make_solid_jpeg(8, 8, 100), mm.make_solid_jpeg(8, 8, 102)]
+    mp4 = mm.make_mjpeg_mp4(frames, 8, 8)
+    with pytest.raises(ValueError):
+        mm.demux_mp4_frames(mp4[: len(mp4) // 2])  # moov cut off
+    with pytest.raises(ValueError):
+        mm.demux_mp4_frames(b"\x00\x00\x00\x08free")  # no ftyp
+    # sample range beyond EOF: shrink the file after the tables point
+    import struct as st
+    i = mp4.find(b"stco")
+    (n,) = st.unpack(">I", mp4[i + 8 : i + 12])
+    grown = bytearray(mp4)
+    off0 = st.unpack(">I", mp4[i + 12 : i + 16])[0]
+    grown[i + 12 : i + 16] = st.pack(">I", len(mp4) - 4)  # point past EOF
+    with pytest.raises(ValueError, match="beyond end"):
+        mm.demux_mp4_frames(bytes(grown))
+    grown[i + 12 : i + 16] = st.pack(">I", off0)  # restore
+    # stsc first run not at chunk 1
+    j = mp4.find(b"stsc")
+    bad = bytearray(mp4)
+    bad[j + 12 : j + 16] = st.pack(">I", 2)
+    with pytest.raises(ValueError, match="chunk 1"):
+        mm.demux_mp4_frames(bytes(bad))
+    # audio-only track: flip hdlr handler to 'soun'
+    soun = mp4.replace(b"vide", b"soun")
+    with pytest.raises(ValueError, match="no video track"):
+        mm.demux_mp4_frames(soun)
+
+
+def test_mp4_largesize_and_size_zero_boxes():
+    """64-bit largesize boxes (size field == 1 + 8-byte length) and
+    to-end-of-scope boxes (size == 0) parse correctly."""
+    import struct as st
+    frames = [mm.make_solid_jpeg(8, 8, 100)]
+    mp4 = bytearray(mm.make_mjpeg_mp4(frames, 8, 8))
+    # rewrite mdat as a largesize box (its data offsets shift by 8, so
+    # patch stco too)
+    i = mp4.find(b"mdat") - 4
+    (size,) = st.unpack(">I", mp4[i : i + 4])
+    body = bytes(mp4[i + 8 : i + size])
+    large = st.pack(">I", 1) + b"mdat" + st.pack(">Q", size + 8) + body
+    out = bytearray(bytes(mp4[:i]) + large + bytes(mp4[i + size :]))
+    j = out.find(b"stco")
+    (n,) = st.unpack(">I", out[j + 8 : j + 12])
+    for e in range(n):
+        o = j + 12 + 4 * e
+        out[o : o + 4] = st.pack(">I", st.unpack(">I", out[o : o + 4])[0] + 8)
+    _, raw = mm.demux_mp4_frames(bytes(out))
+    assert raw == frames
+    # size==0: make the LAST top-level box (moov) run to end-of-file
+    k = bytes(mp4).rfind(b"moov") - 4
+    mp4[k : k + 4] = st.pack(">I", 0)
+    _, raw2 = mm.demux_mp4_frames(bytes(mp4))
+    assert raw2 == frames
+
+
+def test_mp4_co64_offsets():
+    """co64 (64-bit chunk offsets, the >4 GB-file form) is accepted
+    wherever stco is — offsets are absolute, mdat precedes moov, so
+    the two encodings index identical sample bytes."""
+    frames = [mm.make_solid_jpeg(8, 8, 100), mm.make_solid_jpeg(8, 8, 104)]
+    mp4 = mm.make_mjpeg_mp4(frames, 8, 8, samples_per_chunk=1, co64=True)
+    assert b"co64" in mp4 and b"stco" not in mp4
+    _, raw = mm.demux_mp4_frames(mp4)
+    assert raw == frames
+
+
+def test_mp4_deep_nesting_no_recursion_error():
+    """An adversarial container of deeply nested boxes must raise
+    ValueError (or parse), never RecursionError — the walk uses an
+    explicit frontier."""
+    import struct as st
+    inner = b"\x00\x00\x00\x08free"
+    for _ in range(3000):
+        inner = st.pack(">I", len(inner) + 8) + b"moov" + inner
+    payload = b"\x00\x00\x00\x14ftypisom\x00\x00\x02\x00isom" + inner
+    with pytest.raises(ValueError):
+        mm.demux_mp4_frames(payload)
