@@ -11036,3 +11036,179 @@ FROM f
 
 QUERIES.update({"video_mp4_frames": q_video_mp4_frames})
 ORACLES.update({"video_mp4_frames": SQL_VIDEO_MP4_FRAMES})
+
+
+# =================================================================
+# Product quantization (PQ / IVF-PQ) — compressed-domain ANN
+# =================================================================
+
+
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized ANN (Jégou et al. 2011): 4 subspaces × 8
+    codes trained with one deterministic Lloyd step, corpus scanned as
+    4-int codes, queries scored by additive codebook lookup (ADC).
+    Every stage — seeds, Lloyd means, code assignment, ADC fold — is
+    deterministic, so the DuckDB oracle replays codebooks, codes, and
+    distances bit-exactly."""
+    from grafink_spark.llm.simsearch import pq_topk, pq_train
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cbs = pq_train(emb, dim=64, m=4, ksub=8, iters=1)
+    queries = emb.orderBy("vec_id").limit(5)
+    out = pq_topk(emb, queries, cbs, k=3)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round("adc_dist", 6).alias("adc_dist"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ: inverted lists prune candidates (nlist=8, nprobe=4),
+    PQ codes compress scoring (m=4, ksub=8) — the FAISS IVFPQ
+    architecture as one partitioned equi join on list_id plus ADC
+    lookups; raw vectors never enter the scoring join."""
+    from grafink_spark.llm.simsearch import ivf_train, ivfpq_topk, pq_train
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = ivf_train(emb, nlist=8, iters=1)
+    cbs = pq_train(emb, dim=64, m=4, ksub=8, iters=1)
+    queries = emb.orderBy("vec_id").limit(5)
+    out = ivfpq_topk(emb, queries, cents, cbs, k=3, nprobe=4)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round("adc_dist", 6).alias("adc_dist"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def _pq_ctes(ksub: int = 8, m: int = 4, dsub: int = 16,
+             src: str = "embeddings") -> str:
+    """Shared CTE prefix replaying pq_train(iters=1) + pq_encode:
+    per-subspace seeds → initial assignment → one Lloyd mean step →
+    final codes (``codes``: neighbor_id, j, code) + final codebooks
+    (``pcb``: j, code, cv). Tie rule mirrors the Spark argmin: lowest
+    code among distance minima; a code whose cluster ends the Lloyd
+    step empty keeps its seed sub-centroid."""
+    def l2(vec_expr: str, cv: str) -> str:
+        d = f"({vec_expr} - {cv}[i])"
+        return (
+            f"list_reduce(list_transform(range(1, {dsub + 1}), "
+            f"i -> {d} * {d}), (x, y) -> x + y)"
+        )
+
+    l2_seed = l2(f"e.embedding[c.j*{dsub}+i]::DOUBLE", "c.cv")
+    return f"""pqseeds AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code,
+         list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM (SELECT vec_id, embedding FROM {src} ORDER BY vec_id LIMIT {ksub})
+),
+scb AS (
+  SELECT g.j, s.code, s.v[g.j*{dsub}+1 : (g.j+1)*{dsub}] AS cv
+  FROM pqseeds s, generate_series(0, {m - 1}) g(j)
+),
+pa0 AS (
+  SELECT vec_id, j, code FROM (
+    SELECT e.vec_id, c.j, c.code,
+           row_number() OVER (PARTITION BY e.vec_id, c.j
+                              ORDER BY {l2_seed} ASC, c.code ASC) AS rn
+    FROM {src} e CROSS JOIN scb c
+  ) WHERE rn = 1
+),
+pcb AS (
+  SELECT s.j, s.code, COALESCE(mm.cv, s.cv) AS cv
+  FROM scb s LEFT JOIN (
+    SELECT j, code, list(mv ORDER BY subpos) AS cv FROM (
+      SELECT a.j, a.code, g.subpos,
+             avg(e.embedding[a.j*{dsub} + g.subpos]::DOUBLE) AS mv
+      FROM pa0 a JOIN {src} e USING (vec_id),
+           generate_series(1, {dsub}) g(subpos)
+      GROUP BY a.j, a.code, g.subpos
+    ) GROUP BY j, code
+  ) mm ON mm.j = s.j AND mm.code = s.code
+),
+codes AS (
+  SELECT vec_id AS neighbor_id, j, code FROM (
+    SELECT e.vec_id, c.j, c.code,
+           row_number() OVER (PARTITION BY e.vec_id, c.j
+                              ORDER BY {l2_seed} ASC, c.code ASC) AS rn
+    FROM {src} e CROSS JOIN pcb c
+  ) WHERE rn = 1
+)"""
+
+
+_PQ_ADC_D = (
+    "list_reduce(list_transform(range(1, 17), "
+    "i -> (q.qv[cd.j*16+i] - pcb.cv[i]) * (q.qv[cd.j*16+i] - pcb.cv[i])), "
+    "(x, y) -> x + y)"
+)
+
+SQL_PQ_TOPK = f"""
+WITH {_pq_ctes()},
+q AS (SELECT vec_id AS query_id, list_transform(embedding, x -> x::DOUBLE) AS qv
+      FROM embeddings ORDER BY vec_id LIMIT 5),
+dj AS (
+  SELECT q.query_id, cd.neighbor_id, cd.j, {_PQ_ADC_D} AS d
+  FROM q CROSS JOIN codes cd
+  JOIN pcb ON pcb.j = cd.j AND pcb.code = cd.code
+  WHERE q.query_id <> cd.neighbor_id
+),
+adc AS (
+  SELECT query_id, neighbor_id,
+         list_reduce(list(d ORDER BY j), (x, y) -> x + y) AS dist
+  FROM dj GROUP BY query_id, neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, dist,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY dist ASC, neighbor_id ASC) AS rnk
+  FROM adc
+)
+SELECT query_id, neighbor_id, round(dist, 6) AS adc_dist, rnk AS rank
+FROM ranked WHERE rnk <= 3
+"""
+
+_IVFPQ_COS_QC = COSINE_SQL.format(a="q.qv", b="c.cv")
+
+SQL_IVFPQ_TOPK = f"""
+WITH {_ivf_asgn_ctes(8, 64)},
+{_pq_ctes()},
+q AS (SELECT vec_id AS query_id, list_transform(embedding, x -> x::DOUBLE) AS qv
+      FROM embeddings ORDER BY vec_id LIMIT 5),
+probes AS (
+  SELECT query_id, qv, cid AS list_id FROM (
+    SELECT q.query_id, q.qv, c.cid,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {_IVFPQ_COS_QC} DESC, c.cid DESC) AS rn
+    FROM q CROSS JOIN cent c
+  ) WHERE rn <= 4
+),
+cand AS (
+  SELECT p.query_id, p.qv, a.vec_id AS neighbor_id
+  FROM probes p JOIN asgn a ON p.list_id = a.list_id
+  WHERE p.query_id <> a.vec_id
+),
+dj AS (
+  SELECT q.query_id, cd.neighbor_id, cd.j, {_PQ_ADC_D} AS d
+  FROM cand q JOIN codes cd ON cd.neighbor_id = q.neighbor_id
+  JOIN pcb ON pcb.j = cd.j AND pcb.code = cd.code
+),
+adc AS (
+  SELECT query_id, neighbor_id,
+         list_reduce(list(d ORDER BY j), (x, y) -> x + y) AS dist
+  FROM dj GROUP BY query_id, neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, dist,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY dist ASC, neighbor_id ASC) AS rnk
+  FROM adc
+)
+SELECT query_id, neighbor_id, round(dist, 6) AS adc_dist, rnk AS rank
+FROM ranked WHERE rnk <= 3
+"""
+
+QUERIES.update({"pq_topk": q_pq_topk, "ivfpq_topk": q_ivfpq_topk})
+ORACLES.update({"pq_topk": SQL_PQ_TOPK, "ivfpq_topk": SQL_IVFPQ_TOPK})

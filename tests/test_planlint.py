@@ -66,6 +66,8 @@ ALLOW: dict[str, tuple[set[str], str]] = {
     "dsir_select": ({"bnlj", "single-part"}, _SCALAR + " (target distribution)"),
     "embedding_ivf_indexed": ({"bnlj"}, _CENTROID),
     "embedding_ivf_topk": ({"bnlj"}, _CENTROID + "; " + _QUERYK),
+    "pq_topk": ({"bnlj"}, "1-row PQ codebook matrix; " + _QUERYK),
+    "ivfpq_topk": ({"bnlj"}, _CENTROID + "; 1-row PQ codebook matrix; " + _QUERYK),
     "embedding_pca": ({"bnlj", "single-part"}, _SCALAR + " (d×d covariance fold)"),
     "embedding_topk": ({"bnlj", "single-part"}, _QUERYK),
     "forecast_revenue": ({"single-part"}, _TOPK + " (1-row Q6 revenue)"),
