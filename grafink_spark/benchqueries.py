@@ -11212,3 +11212,49 @@ FROM ranked WHERE rnk <= 3
 
 QUERIES.update({"pq_topk": q_pq_topk, "ivfpq_topk": q_ivfpq_topk})
 ORACLES.update({"pq_topk": SQL_PQ_TOPK, "ivfpq_topk": SQL_IVFPQ_TOPK})
+
+
+def q_media_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GIF decode end-to-end: INTERLACED 16×16 two-color checkerboard
+    GIFs (LZW decode + 4-pass de-interlace + palette lookup) through
+    the stdlib kernel. Palette colors derive from doc_id — c0 =
+    (3d%256, 5d%256, 7d%256), c1 = (11d%256, 13d%256, 17d%256) — and a
+    checkerboard holds exactly 128 pixels of each, so the decoded
+    Rec.601 mean replays as a closed form in SQL.
+
+    Plan/scale: payloads built executor-side, one narrow Arrow map."""
+    from grafink_spark.llm.multimodal import make_gif
+
+    docs = load_table(spark, sf_dir, "documents").orderBy("doc_id").limit(50)
+    idx = [(x + y) % 2 for y in range(16) for x in range(16)]
+
+    def make(d: int) -> bytes:
+        pal = [
+            (3 * d % 256, 5 * d % 256, 7 * d % 256),
+            (11 * d % 256, 13 * d % 256, 17 * d % 256),
+        ]
+        return make_gif(16, 16, idx, pal, interlace=True)
+
+    media = payloads_from_ids(docs, make)
+    feats = extract_image_features(media, kernel=real_decode_kernel)
+    return feats.select(
+        "doc_id",
+        "width",
+        "height",
+        F.round("mean_luma", 6).alias("mean_luma"),
+    )
+
+
+SQL_MEDIA_GIF = """
+SELECT doc_id, 16 AS width, 16 AS height,
+       round((
+         0.299 * ((3 * doc_id) % 256) + 0.587 * ((5 * doc_id) % 256)
+           + 0.114 * ((7 * doc_id) % 256)
+         + 0.299 * ((11 * doc_id) % 256) + 0.587 * ((13 * doc_id) % 256)
+           + 0.114 * ((17 * doc_id) % 256)
+       ) / 2.0, 6) AS mean_luma
+FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 50)
+"""
+
+QUERIES.update({"media_gif": q_media_gif})
+ORACLES.update({"media_gif": SQL_MEDIA_GIF})

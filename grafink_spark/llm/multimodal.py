@@ -752,11 +752,13 @@ def real_decode_kernel(doc_id: int, payload: bytes) -> dict:
         return {"width": None, "height": None, "mean_luma": None}
     if payload.startswith(_JPEG_SIG):
         return _jpeg_decode(payload)
+    if payload.startswith(b"GIF8"):
+        return decode_gif(payload)
     if not payload.startswith(_PNG_SIG):
         raise NotImplementedError(
-            "real_decode_kernel handles PNG and baseline JPEG; other "
-            "formats need an external codec (PIL) — or use "
-            "fake_decode_kernel"
+            "real_decode_kernel handles PNG, JPEG (baseline + "
+            "progressive), and GIF; other formats need an external "
+            "codec (PIL) — or use fake_decode_kernel"
         )
     pos = len(_PNG_SIG)
     width = height = None
@@ -1338,6 +1340,295 @@ def demux_avi_frames(payload: bytes) -> tuple[dict, list[bytes]]:
                 frames.append(payload[data_lo:data_hi])
             pos = data_hi + (size % 2)  # chunks are word-aligned
     return info, frames
+
+
+# ---- GIF (87a/89a) decode, pure stdlib ----
+#
+# GIF is LZW over palette indices — fully decodable with stdlib bit
+# arithmetic. Width/growth timing follows the de-facto giflib rule:
+# the code counter advances per code READ (decoder) / EMITTED
+# (encoder), and the read width bumps when the counter passes 2^width
+# — that one-read lag is what keeps the two sides in sync around each
+# dictionary growth boundary (hand-traced vectors pin it in tests).
+
+
+def _gif_lzw_decode(data: bytes, min_code: int, expect: int) -> list[int]:
+    """Decode a GIF LZW stream (concatenated sub-block payloads) into
+    ``expect`` palette indices. Handles clear codes, the KwKwK
+    (code == next unassigned) case, width growth to 12 bits, and the
+    4096-entry dictionary cap. Raises ValueError on corrupt streams."""
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    base = {i: (i,) for i in range(1 << min_code)}
+    table = dict(base)
+    width = min_code + 1
+    counter = end + 1  # giflib RunningCode: advances per code read
+    prev: int | None = None
+    out: list[int] = []
+    acc = nbits = 0
+    pos = 0
+    while len(out) < expect:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("truncated GIF LZW stream")
+            acc |= data[pos] << nbits  # GIF packs LSB-first
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = dict(base)
+            width = min_code + 1
+            counter = end + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        counter += 1
+        if counter > (1 << width) and width < 12:
+            width += 1
+        if prev is None:
+            entry = table.get(code)
+            if entry is None:
+                raise ValueError("GIF LZW first code not a literal")
+        elif code in table:
+            entry = table[code]
+        elif code == counter - 2:  # KwKwK: exactly the next assignment
+            entry = table[prev] + table[prev][:1]
+        else:
+            raise ValueError("GIF LZW code beyond dictionary")
+        out.extend(entry)
+        if prev is not None and counter - 2 < 4096:
+            table[counter - 2] = table[prev] + entry[:1]
+        prev = code
+    if len(out) < expect:
+        raise ValueError("GIF LZW stream ended before raster complete")
+    return out[:expect]
+
+
+def _gif_lzw_encode(indices: list[int], min_code: int) -> bytes:
+    """Greedy GIF LZW encoder (fixture/test generator) — giflib-
+    synchronized width growth, clear emitted when the dictionary
+    fills."""
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    bits: list[tuple[int, int]] = []
+
+    table: dict[tuple[int, ...], int] = {}
+    width = min_code + 1
+    counter = end + 1
+
+    def reset() -> None:
+        nonlocal table, width, counter
+        table = {(i,): i for i in range(1 << min_code)}
+        width = min_code + 1
+        counter = end + 1
+
+    reset()
+    bits.append((clear, width))
+    buf: tuple[int, ...] = ()
+    for ix in indices:
+        cand = buf + (ix,)
+        if cand in table:
+            buf = cand
+            continue
+        bits.append((table[buf], width))
+        counter += 1
+        if counter > (1 << width) and width < 12:
+            width += 1
+        # entry code = counter-1 here vs counter-2 in the decoder: the
+        # decoder's counter advances one read AHEAD of its adds (its
+        # first data code sets prev without adding), so the two sides
+        # assign identical codes end+1, end+2, ...
+        table[cand] = counter - 1
+        if counter - 1 >= 4095:
+            bits.append((clear, width))
+            reset()
+        buf = (ix,)
+    if buf:
+        bits.append((table[buf], width))
+        counter += 1
+        if counter > (1 << width) and width < 12:
+            width += 1
+    bits.append((end, width))
+    acc = nbits = 0
+    out = bytearray()
+    for code, w in bits:
+        acc |= code << nbits
+        nbits += w
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _gif_deinterlace(rows: list[list[int]]) -> list[list[int]]:
+    """Reorder interlaced GIF rows (4 passes: every 8th from 0, every
+    8th from 4, every 4th from 2, every 2nd from 1)."""
+    h = len(rows)
+    order = (
+        list(range(0, h, 8))
+        + list(range(4, h, 8))
+        + list(range(2, h, 4))
+        + list(range(1, h, 2))
+    )
+    out: list[list[int] | None] = [None] * h
+    for src, dst in enumerate(order):
+        out[dst] = rows[src]
+    return out  # type: ignore[return-value]
+
+
+def make_gif(
+    width: int,
+    height: int,
+    indices: list[int],
+    palette: list[tuple[int, int, int]],
+    interlace: bool = False,
+    n_extra_frames: int = 0,
+) -> bytes:
+    """Minimal spec-shaped GIF89a: logical screen descriptor + global
+    palette (padded to a power of two) + one LZW-coded image (optional
+    interlace) — plus ``n_extra_frames`` repeats of the same image
+    data for animated-GIF frame counting."""
+    if len(indices) != width * height:
+        raise ValueError("indices must cover width*height pixels")
+    pbits = max(1, (max(2, len(palette)) - 1).bit_length())
+    pal = list(palette) + [(0, 0, 0)] * ((1 << pbits) - len(palette))
+    min_code = max(2, pbits)
+    rows = [indices[y * width : (y + 1) * width] for y in range(height)]
+    if interlace:
+        h = height
+        order = (
+            list(range(0, h, 8))
+            + list(range(4, h, 8))
+            + list(range(2, h, 4))
+            + list(range(1, h, 2))
+        )
+        rows = [rows[dst] for dst in order]
+    flat = [ix for row in rows for ix in row]
+    lzw = _gif_lzw_encode(flat, min_code)
+    sub = bytearray()
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        sub.append(len(chunk))
+        sub += chunk
+    sub.append(0)  # block terminator
+    img = (
+        b"\x2c"
+        + struct.pack("<HHHH", 0, 0, width, height)
+        + bytes([(0x40 if interlace else 0)])
+        + bytes([min_code])
+        + bytes(sub)
+    )
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", width, height)
+    out += bytes([0x80 | (pbits - 1)])  # global palette, 2^pbits entries
+    out += b"\x00\x00"  # bg color, aspect
+    for r, g, b in pal:
+        out += bytes([r, g, b])
+    for _ in range(1 + n_extra_frames):
+        out += img
+    out += b"\x3b"  # trailer
+    return bytes(out)
+
+
+def decode_gif(payload: bytes) -> dict:
+    """Decode a GIF87a/89a payload: first frame fully (LZW + optional
+    de-interlace, local palette honored), later frames counted only.
+    Returns width/height (logical screen), mean Rec.601 luma of the
+    first frame, and n_frames. Raises ValueError on corrupt
+    structure."""
+    if payload is None or len(payload) < 13 or payload[:4] != b"GIF8":
+        raise ValueError("not a GIF payload")
+    width, height = struct.unpack("<HH", payload[6:10])
+    packed = payload[10]
+    pos = 13
+    gpal: list[tuple[int, int, int]] = []
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        if pos + 3 * n > len(payload):
+            raise ValueError("truncated GIF global palette")
+        gpal = [
+            (payload[pos + 3 * i], payload[pos + 3 * i + 1], payload[pos + 3 * i + 2])
+            for i in range(n)
+        ]
+        pos += 3 * n
+    n_frames = 0
+    mean_luma = None
+    while pos < len(payload):
+        b0 = payload[pos]
+        pos += 1
+        if b0 == 0x3B:  # trailer
+            break
+        if b0 == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while pos < len(payload) and payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if b0 != 0x2C:
+            raise ValueError(f"unknown GIF block 0x{b0:02x}")
+        if pos + 9 > len(payload):
+            raise ValueError("truncated GIF image descriptor")
+        _l, _t, iw, ih = struct.unpack("<HHHH", payload[pos : pos + 8])
+        ipacked = payload[pos + 8]
+        pos += 9
+        pal = gpal
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            if pos + 3 * n > len(payload):
+                raise ValueError("truncated GIF local palette")
+            pal = [
+                (
+                    payload[pos + 3 * i],
+                    payload[pos + 3 * i + 1],
+                    payload[pos + 3 * i + 2],
+                )
+                for i in range(n)
+            ]
+            pos += 3 * n
+        if pos >= len(payload):
+            raise ValueError("truncated GIF image data")
+        min_code = payload[pos]
+        pos += 1
+        data = bytearray()
+        while pos < len(payload) and payload[pos]:
+            ln = payload[pos]
+            if pos + 1 + ln > len(payload):
+                raise ValueError("truncated GIF data sub-block")
+            data += payload[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        if pos >= len(payload):
+            raise ValueError("GIF missing sub-block terminator")
+        pos += 1
+        n_frames += 1
+        if n_frames > 1:
+            continue  # later frames: counted, not decoded
+        if not pal:
+            raise ValueError("GIF image has no palette")
+        if not (2 <= min_code <= 8):
+            raise ValueError("bad GIF LZW minimum code size")
+        idx = _gif_lzw_decode(bytes(data), min_code, iw * ih)
+        if ipacked & 0x40:
+            rows = [idx[y * iw : (y + 1) * iw] for y in range(ih)]
+            idx = [v for row in _gif_deinterlace(rows) for v in row]
+        total = 0.0
+        for v in idx:
+            if v >= len(pal):
+                raise ValueError("GIF palette index out of range")
+            r, g, b = pal[v]
+            total += 0.299 * r + 0.587 * g + 0.114 * b
+        mean_luma = total / (iw * ih) if iw * ih else None
+    if n_frames == 0:
+        raise ValueError("GIF has no image blocks")
+    return {
+        "width": width,
+        "height": height,
+        "mean_luma": mean_luma,
+        "n_frames": n_frames,
+    }
 
 
 # ---- MP4 / ISO-BMFF (ISO 14496-12) demux, pure stdlib ----

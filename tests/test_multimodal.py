@@ -1228,3 +1228,99 @@ def test_mp4_deep_nesting_no_recursion_error():
     payload = b"\x00\x00\x00\x14ftypisom\x00\x00\x02\x00isom" + inner
     with pytest.raises(ValueError):
         mm.demux_mp4_frames(payload)
+
+
+# ---- GIF (LZW) codec ----
+
+
+def _pack_codes(bits):
+    acc = n = 0
+    out = bytearray()
+    for c, w in bits:
+        acc |= c << n
+        n += w
+        while n >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            n -= 8
+    if n:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def test_gif_lzw_hand_traced_kwkwk():
+    """The KwKwK case (code == next unassigned entry) from a
+    hand-assembled stream: [clear,1,6,1,end] at min_code=2 must decode
+    to [1,1,1,1] — code 6 is interpreted as prev + prev[0]."""
+    data = _pack_codes([(4, 3), (1, 3), (6, 3), (1, 3), (5, 3)])
+    assert mm._gif_lzw_decode(data, 2, 4) == [1, 1, 1, 1]
+
+
+def test_gif_lzw_hand_traced_width_growth():
+    """Width must bump from 2 to 3 bits after the FIRST data code at
+    min_code=1 (the giflib counter rule): [clear@2,0@2,1@3,4@3,0@3,
+    end@3] decodes to [0,1,0,1,0] — a decoder that bumps one code late
+    misreads everything after code 2."""
+    data = _pack_codes([(2, 2), (0, 2), (1, 3), (4, 3), (0, 3), (3, 3)])
+    assert mm._gif_lzw_decode(data, 1, 5) == [0, 1, 0, 1, 0]
+
+
+def test_gif_lzw_roundtrip_property():
+    """Encoder/decoder agree across palette sizes and stream lengths,
+    including streams long enough to fill the 4096-entry dictionary
+    and force mid-stream clear codes, and constant runs that build
+    deep KwKwK chains."""
+    import random
+
+    rnd = random.Random(7)
+    for min_code in (1, 2, 4, 8):
+        for length in (1, 5, 300, 9000):
+            idx = [rnd.randrange(1 << min_code) for _ in range(length)]
+            enc = mm._gif_lzw_encode(idx, min_code)
+            assert mm._gif_lzw_decode(enc, min_code, length) == idx
+    run = [1] * 5000 + [0, 1] * 500
+    enc = mm._gif_lzw_encode(run, 2)
+    assert mm._gif_lzw_decode(enc, 2, len(run)) == run
+
+
+def test_gif_decode_golden_and_interlace():
+    pal = [(10, 20, 30), (200, 100, 50), (0, 0, 0), (255, 255, 255)]
+    idx = [(x + y) % 4 for y in range(16) for x in range(8)]
+    lum = sum(
+        0.299 * pal[v][0] + 0.587 * pal[v][1] + 0.114 * pal[v][2] for v in idx
+    ) / len(idx)
+    for interlace in (False, True):
+        d = mm.decode_gif(mm.make_gif(8, 16, idx, pal, interlace=interlace))
+        assert (d["width"], d["height"], d["n_frames"]) == (8, 16, 1)
+        assert abs(d["mean_luma"] - lum) < 1e-9
+    # deinterlace row mapping itself (not just the mean): 16 rows land
+    # back in screen order from the 4-pass file order
+    rows = [[r] for r in range(16)]
+    order = [0, 8, 4, 12, 2, 6, 10, 14, 1, 3, 5, 7, 9, 11, 13, 15]
+    assert mm._gif_deinterlace([rows[0]] * 0 + [[order[i]] for i in range(16)]) == rows
+
+
+def test_gif_animated_frame_count_and_kernel_dispatch():
+    pal = [(0, 0, 0), (255, 255, 255)]
+    idx = [(x + y) % 2 for y in range(8) for x in range(8)]
+    g = mm.make_gif(8, 8, idx, pal, n_extra_frames=2)
+    assert mm.decode_gif(g)["n_frames"] == 3
+    k = mm.real_decode_kernel(1, mm.make_gif(8, 8, idx, pal))
+    assert (k["width"], k["height"]) == (8, 8)
+    assert abs(k["mean_luma"] - 127.5) < 1e-9
+
+
+def test_gif_malformed_raises_value_error():
+    pal = [(0, 0, 0), (255, 255, 255)]
+    idx = [0] * 64
+    g = mm.make_gif(8, 8, idx, pal)
+    for bad in (g[:10], g[:20], b"GIF89a" + b"\x00" * 5, g[:-2], g[:-10]):
+        with pytest.raises(ValueError):
+            mm.decode_gif(bad)
+    # LZW stream that ends mid-raster
+    with pytest.raises(ValueError, match="LZW"):
+        mm._gif_lzw_decode(b"\x04", 2, 64)
+    # code beyond the dictionary
+    data = _pack_codes([(4, 3), (1, 3), (7, 3)])  # 7 > next assignable
+    with pytest.raises(ValueError, match="beyond dictionary"):
+        mm._gif_lzw_decode(data, 2, 4)
