@@ -1217,6 +1217,29 @@ def pq_topk(
     )
 
 
+def ivfpq_encode(
+    corpus: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    codebooks: list[list[tuple[int, list[float]]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(neighbor_id, list_id, codes) — the IVF-PQ index rows: each
+    vector's inverted-list assignment plus its m-code compression. One
+    corpus pass, two 1-row broadcasts, no shuffle; persist/partition
+    the output by list_id for the ivf_write_index-style on-disk
+    layout."""
+    dsub = len(codebooks[0][0][1])
+    c = ivf_assign(corpus, centroids, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        "list_id",
+        F.col(vec_col).cast("array<double>").alias("_cv"),
+    )
+    return c.crossJoin(F.broadcast(_pq_matrix(corpus, codebooks))).select(
+        "neighbor_id", "list_id", _pq_codes_expr(F.col("_cv"), dsub).alias("codes")
+    )
+
+
 def ivfpq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -1226,6 +1249,7 @@ def ivfpq_topk(
     nprobe: int = 4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    encoded: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ: IVF lists prune WHICH vectors are candidates, PQ codes
     compress WHAT each candidate costs to score — the FAISS IVFPQ
@@ -1239,15 +1263,18 @@ def ivfpq_topk(
     documented so nobody mistakes it for the residual form). Pair
     space is Σ|list|·(probes landing there); the only broadcasts are
     the 1-row centroid and codebook matrices plus the size-gated query
-    side."""
+    side.
+
+    ``encoded``: a pre-built (neighbor_id, list_id, codes) index (see
+    :func:`ivfpq_encode`) — the production shape, where assignment +
+    encoding run ONCE per corpus and every query batch pays only
+    probes + the candidate equi join + ADC (the ann_ab stress pair
+    measures exactly this split)."""
     dsub = len(codebooks[0][0][1])
-    c = ivf_assign(corpus, centroids, vec_col).select(
-        F.col(id_col).alias("neighbor_id"),
-        "list_id",
-        F.col(vec_col).cast("array<double>").alias("_cv"),
-    )
-    c = c.crossJoin(F.broadcast(_pq_matrix(corpus, codebooks))).select(
-        "neighbor_id", "list_id", _pq_codes_expr(F.col("_cv"), dsub).alias("codes")
+    c = (
+        encoded
+        if encoded is not None
+        else ivfpq_encode(corpus, centroids, codebooks, vec_col, id_col)
     )
     q = _ivf_query_probes(queries, centroids, nprobe, vec_col, id_col)
     q = q.crossJoin(F.broadcast(_pq_matrix(queries, codebooks)))

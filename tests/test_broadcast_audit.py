@@ -95,6 +95,7 @@ AUDIT: dict[tuple[str, str, str], str] = {
     ("llm/simsearch.py", "pq_encode", "_pq_matrix"): "FIXED PQ codebook matrix (1 row, m x ksub x dsub parameter not data)",
     ("llm/simsearch.py", "pq_topk", "_pq_matrix"): "FIXED PQ codebook matrix (1 row, m x ksub x dsub parameter not data)",
     ("llm/simsearch.py", "ivfpq_topk", "_pq_matrix"): "FIXED PQ codebook matrix (1 row, m x ksub x dsub parameter not data)",
+    ("llm/simsearch.py", "ivfpq_encode", "_pq_matrix"): "FIXED PQ codebook matrix (1 row, m x ksub x dsub parameter not data)",
     ("llm/simsearch.py", "quantized_topk", "q"): "QUERY query vectors (top-k search contract, caller-bounded)",
     ("maintenance.py", "file_clustering_stats", "n_valid"): "ONE_ROW valid-row count",
     ("ops.py", "distributed_cumsum", "off_df"): "DRIVER per-partition cumulative offsets (numPartitions rows, just collected)",
