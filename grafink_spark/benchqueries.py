@@ -11258,3 +11258,43 @@ FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 50)
 
 QUERIES.update({"media_gif": q_media_gif})
 ORACLES.update({"media_gif": SQL_MEDIA_GIF})
+
+
+def q_media_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIFF decode end-to-end: BIG-ENDIAN, PackBits-compressed,
+    multi-strip (4 rows/strip) 16×16 grayscale TIFFs through the
+    stdlib kernel — IFD walk, strip reassembly, RLE decode. Row
+    values alternate a = (3·doc_id)%256 / b = (7·doc_id+11)%256 by
+    row parity, so the decoded mean is exactly (a+b)/2.
+
+    Plan/scale: payloads built executor-side, one narrow Arrow map."""
+    from grafink_spark.llm.multimodal import make_tiff
+
+    docs = load_table(spark, sf_dir, "documents").orderBy("doc_id").limit(50)
+
+    def make(d: int) -> bytes:
+        a, b = (3 * d) % 256, (7 * d + 11) % 256
+        px = bytes((a if y % 2 == 0 else b) for y in range(16) for _ in range(16))
+        return make_tiff(
+            16, 16, px, big_endian=True, packbits=True, rows_per_strip=4
+        )
+
+    media = payloads_from_ids(docs, make)
+    feats = extract_image_features(media, kernel=real_decode_kernel)
+    return feats.select(
+        "doc_id",
+        "width",
+        "height",
+        F.round("mean_luma", 6).alias("mean_luma"),
+    )
+
+
+SQL_MEDIA_TIFF = """
+SELECT doc_id, 16 AS width, 16 AS height,
+       round((((3 * doc_id) % 256) + ((7 * doc_id + 11) % 256)) / 2.0,
+             6) AS mean_luma
+FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 50)
+"""
+
+QUERIES.update({"media_tiff": q_media_tiff})
+ORACLES.update({"media_tiff": SQL_MEDIA_TIFF})

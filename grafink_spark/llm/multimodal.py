@@ -754,6 +754,8 @@ def real_decode_kernel(doc_id: int, payload: bytes) -> dict:
         return _jpeg_decode(payload)
     if payload.startswith(b"GIF8"):
         return decode_gif(payload)
+    if payload[:4] in (b"II\x2a\x00", b"MM\x00\x2a"):
+        return decode_tiff(payload)
     if not payload.startswith(_PNG_SIG):
         raise NotImplementedError(
             "real_decode_kernel handles PNG, JPEG (baseline + "
@@ -1629,6 +1631,257 @@ def decode_gif(payload: bytes) -> dict:
         "mean_luma": mean_luma,
         "n_frames": n_frames,
     }
+
+
+# ---- TIFF (6.0 baseline) decode, pure stdlib ----
+#
+# TIFF is tag-directory arithmetic: an IFD of (tag, type, count,
+# value) entries pointing at strip byte ranges. Baseline grayscale/RGB
+# with Compression=1 (none) or 32773 (PackBits RLE) decodes with
+# stdlib byte walks in either byte order; LZW/JPEG-in-TIFF variants
+# stay honest NotImplementedError swap-ins.
+
+
+def _packbits_decode(data: bytes, expect: int) -> bytes:
+    """Apple PackBits RLE (TIFF Compression 32773): n in 0..127 →
+    copy n+1 literal bytes; n in -127..-1 → repeat next byte 1-n
+    times; -128 is a no-op."""
+    out = bytearray()
+    pos = 0
+    while len(out) < expect:
+        if pos >= len(data):
+            raise ValueError("truncated PackBits stream")
+        n = data[pos]
+        pos += 1
+        if n < 128:
+            if pos + n + 1 > len(data):
+                raise ValueError("truncated PackBits literal run")
+            out += data[pos : pos + n + 1]
+            pos += n + 1
+        elif n > 128:
+            if pos >= len(data):
+                raise ValueError("truncated PackBits repeat run")
+            out += bytes([data[pos]]) * (257 - n)
+            pos += 1
+        # n == 128: no-op
+    return bytes(out[:expect])
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    """Greedy PackBits encoder (fixture generator): repeat runs ≥ 3
+    bytes become repeat packets, everything else literal packets."""
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        run = 1
+        while i + run < len(data) and data[i + run] == data[i] and run < 128:
+            run += 1
+        if run >= 3:
+            out += bytes([257 - run, data[i]])
+            i += run
+            continue
+        lit_start = i
+        while (
+            i < len(data)
+            and i - lit_start < 128
+            and not (
+                i + 2 < len(data) and data[i] == data[i + 1] == data[i + 2]
+            )
+        ):
+            i += 1
+        out += bytes([i - lit_start - 1]) + data[lit_start:i]
+    return bytes(out)
+
+
+def make_tiff(
+    width: int,
+    height: int,
+    pixels: bytes,
+    samples_per_pixel: int = 1,
+    big_endian: bool = False,
+    packbits: bool = False,
+    rows_per_strip: int | None = None,
+) -> bytes:
+    """Minimal spec-shaped baseline TIFF: header + one IFD with the
+    ten baseline tags + strip data (optionally PackBits-compressed,
+    optionally multi-strip, either byte order)."""
+    if len(pixels) != width * height * samples_per_pixel:
+        raise ValueError("pixels must cover width*height*samples")
+    bo = ">" if big_endian else "<"
+    rps = rows_per_strip or height
+    stride = width * samples_per_pixel
+    strips = [
+        pixels[y * stride : min(y + rps, height) * stride]
+        for y in range(0, height, rps)
+    ]
+    if packbits:
+        strips = [_packbits_encode(s) for s in strips]
+    n_strips = len(strips)
+
+    # layout: header(8) + IFD + [bps array if RGB] + strip tables + data
+    entries = []
+
+    def entry(tag: int, typ: int, count: int, value: int) -> bytes:
+        return struct.pack(f"{bo}HHII", tag, typ, count, value)
+
+    def short1(v: int) -> int:
+        # a SHORT stored inline is LEFT-justified in the 4-byte value
+        # slot (TIFF 6.0 §2) — high half in big-endian files
+        return (v << 16) if big_endian else v
+
+    ifd_off = 8
+    n_entries = 10
+    ifd_size = 2 + 12 * n_entries + 4
+    aux_off = ifd_off + ifd_size
+    aux = bytearray()
+    if samples_per_pixel == 3:
+        bps_off = aux_off + len(aux)
+        aux += struct.pack(f"{bo}HHH", 8, 8, 8) + b"\x00\x00"
+    if n_strips > 1:
+        offsets_off = aux_off + len(aux)
+        aux += b"\x00" * 4 * n_strips  # patched below
+        counts_off = aux_off + len(aux)
+        aux += b"".join(struct.pack(f"{bo}I", len(s)) for s in strips)
+    data_off = aux_off + len(aux)
+    offs = []
+    o = data_off
+    for s in strips:
+        offs.append(o)
+        o += len(s)
+    if n_strips > 1:
+        aux[offsets_off - aux_off : offsets_off - aux_off + 4 * n_strips] = (
+            b"".join(struct.pack(f"{bo}I", x) for x in offs)
+        )
+
+    entries.append(entry(256, 4, 1, width))  # ImageWidth LONG
+    entries.append(entry(257, 4, 1, height))  # ImageLength
+    if samples_per_pixel == 3:
+        entries.append(entry(258, 3, 3, bps_off))  # BitsPerSample offset
+    else:
+        entries.append(entry(258, 3, 1, short1(8)))
+    entries.append(entry(259, 3, 1, short1(32773 if packbits else 1)))
+    entries.append(entry(262, 3, 1, short1(1 if samples_per_pixel == 1 else 2)))
+    entries.append(
+        entry(273, 4, n_strips, offs[0] if n_strips == 1 else offsets_off)
+    )
+    entries.append(entry(277, 3, 1, short1(samples_per_pixel)))
+    entries.append(entry(278, 4, 1, rps))
+    entries.append(
+        entry(
+            279,
+            4,
+            n_strips,
+            len(strips[0]) if n_strips == 1 else counts_off,
+        )
+    )
+    entries.append(entry(284, 3, 1, short1(1)))  # PlanarConfiguration chunky
+    out = bytearray()
+    out += (b"MM\x00\x2a" if big_endian else b"II\x2a\x00") + struct.pack(
+        f"{bo}I", ifd_off
+    )
+    out += struct.pack(f"{bo}H", n_entries)
+    out += b"".join(entries)
+    out += struct.pack(f"{bo}I", 0)  # next IFD
+    out += aux
+    for s in strips:
+        out += s
+    return bytes(out)
+
+
+def decode_tiff(payload: bytes) -> dict:
+    """Decode a baseline TIFF (first IFD): grayscale or chunky RGB,
+    8 bits/sample, Compression 1 (none) or 32773 (PackBits), single or
+    multiple strips, either byte order. Returns width/height and the
+    Rec.601 mean luma. LZW/JPEG/deflate-compressed TIFFs raise
+    NotImplementedError (external codec); corrupt structure raises
+    ValueError."""
+    if payload is None or len(payload) < 8:
+        raise ValueError("not a TIFF payload")
+    if payload[:4] == b"II\x2a\x00":
+        bo = "<"
+    elif payload[:4] == b"MM\x00\x2a":
+        bo = ">"
+    else:
+        raise ValueError("not a TIFF payload")
+    (ifd_off,) = struct.unpack(f"{bo}I", payload[4:8])
+    if ifd_off + 2 > len(payload):
+        raise ValueError("truncated TIFF IFD offset")
+    (n_entries,) = struct.unpack(f"{bo}H", payload[ifd_off : ifd_off + 2])
+    if ifd_off + 2 + 12 * n_entries + 4 > len(payload):
+        raise ValueError("truncated TIFF IFD")
+    tags: dict[int, tuple[int, int, int]] = {}
+    for i in range(n_entries):
+        base = ifd_off + 2 + 12 * i
+        tag, typ, count = struct.unpack(f"{bo}HHI", payload[base : base + 8])
+        (raw,) = struct.unpack(f"{bo}I", payload[base + 8 : base + 12])
+        tags[tag] = (typ, count, raw)
+
+    def values(tag: int, default: list[int] | None = None) -> list[int]:
+        if tag not in tags:
+            if default is None:
+                raise ValueError(f"TIFF missing required tag {tag}")
+            return default
+        typ, count, raw = tags[tag]
+        size = {1: 1, 3: 2, 4: 4}.get(typ)
+        if size is None:
+            raise ValueError(f"TIFF tag {tag} has unsupported type {typ}")
+        fmt = {1: "B", 3: "H", 4: "I"}[typ]
+        if size * count <= 4:
+            buf = struct.pack(f"{bo}I", raw)[: size * count]
+        else:
+            if raw + size * count > len(payload):
+                raise ValueError(f"TIFF tag {tag} data beyond end of file")
+            buf = payload[raw : raw + size * count]
+        return list(struct.unpack(f"{bo}{count}{fmt}", buf))
+
+    width = values(256)[0]
+    height = values(257)[0]
+    spp = values(277, [1])[0]
+    bps = values(258, [8] * spp)
+    if spp not in (1, 3) or any(b != 8 for b in bps):
+        raise NotImplementedError(
+            f"TIFF samples={spp} bits={bps} unsupported (8-bit gray/RGB only)"
+        )
+    if values(284, [1])[0] != 1:
+        raise NotImplementedError("TIFF planar configuration unsupported")
+    compression = values(259, [1])[0]
+    if compression not in (1, 32773):
+        raise NotImplementedError(
+            f"TIFF compression {compression} needs an external codec "
+            "(none/PackBits decode in-stdlib)"
+        )
+    offsets = values(273)
+    counts = values(279)
+    if len(offsets) != len(counts):
+        raise ValueError("TIFF strip offset/count tables disagree")
+    rps = values(278, [height])[0] or height
+    stride = width * spp
+    raw = bytearray()
+    for si, (off, cnt) in enumerate(zip(offsets, counts)):
+        if off + cnt > len(payload):
+            raise ValueError("TIFF strip beyond end of file")
+        strip = payload[off : off + cnt]
+        n_rows = min(rps, height - si * rps)
+        if n_rows <= 0:
+            raise ValueError("TIFF has more strips than rows")
+        if compression == 32773:
+            strip = _packbits_decode(strip, n_rows * stride)
+        elif len(strip) < n_rows * stride:
+            raise ValueError("TIFF strip shorter than its rows")
+        raw += strip[: n_rows * stride]
+    if len(raw) < width * height * spp:
+        raise ValueError("TIFF strips cover fewer pixels than the image")
+    n = width * height
+    if n == 0:
+        return {"width": width, "height": height, "mean_luma": None}
+    total = 0.0
+    if spp == 1:
+        total = float(sum(raw[:n]))
+    else:
+        for i in range(n):
+            o = i * 3
+            total += 0.299 * raw[o] + 0.587 * raw[o + 1] + 0.114 * raw[o + 2]
+    return {"width": width, "height": height, "mean_luma": total / n}
 
 
 # ---- MP4 / ISO-BMFF (ISO 14496-12) demux, pure stdlib ----

@@ -1324,3 +1324,75 @@ def test_gif_malformed_raises_value_error():
     data = _pack_codes([(4, 3), (1, 3), (7, 3)])  # 7 > next assignable
     with pytest.raises(ValueError, match="beyond dictionary"):
         mm._gif_lzw_decode(data, 2, 4)
+
+
+# ---- TIFF (baseline) codec ----
+
+
+def test_packbits_roundtrip_property():
+    import random
+
+    rnd = random.Random(11)
+    cases = [
+        b"",
+        b"\x01",
+        b"a" * 500,
+        bytes(rnd.randrange(256) for _ in range(1000)),
+        b"ab" * 300,
+        b"a" * 3 + b"bcd" + b"e" * 200,
+    ]
+    for data in cases:
+        enc = mm._packbits_encode(data)
+        assert mm._packbits_decode(enc, len(data)) == data
+
+
+def test_tiff_gray_all_layouts():
+    """Gray 8-bit across both byte orders × none/PackBits × single and
+    multi strip: identical decoded mean (the left-justified inline
+    SHORT rule is what big-endian files break on first)."""
+    w, h = 7, 9
+    px = bytes((x * 13 + y * 31) % 256 for y in range(h) for x in range(w))
+    want = sum(px) / len(px)
+    for be in (False, True):
+        for pb in (False, True):
+            for rps in (None, 2, 4):
+                t = mm.make_tiff(
+                    w, h, px, 1, big_endian=be, packbits=pb, rows_per_strip=rps
+                )
+                d = mm.decode_tiff(t)
+                assert (d["width"], d["height"]) == (w, h)
+                assert abs(d["mean_luma"] - want) < 1e-9
+
+
+def test_tiff_rgb_and_kernel_dispatch():
+    w, h = 7, 9
+    rgb = bytes((i * 7) % 256 for i in range(w * h * 3))
+    want = sum(
+        0.299 * rgb[i * 3] + 0.587 * rgb[i * 3 + 1] + 0.114 * rgb[i * 3 + 2]
+        for i in range(w * h)
+    ) / (w * h)
+    for be in (False, True):
+        t = mm.make_tiff(w, h, rgb, 3, big_endian=be, packbits=True, rows_per_strip=3)
+        assert abs(mm.decode_tiff(t)["mean_luma"] - want) < 1e-9
+    px = bytes(range(63))
+    k = mm.real_decode_kernel(1, mm.make_tiff(7, 9, px))
+    assert (k["width"], k["height"]) == (7, 9)
+    assert abs(k["mean_luma"] - sum(px) / 63) < 1e-9
+
+
+def test_tiff_codec_gate_and_malformed():
+    """LZW/deflate TIFFs raise NotImplementedError (honest swap-in);
+    structural corruption raises catchable ValueError."""
+    import struct as st
+
+    px = bytes(range(63))
+    t = bytearray(mm.make_tiff(7, 9, px))
+    i = t.find(st.pack("<HHI", 259, 3, 1))
+    t[i + 8 : i + 10] = st.pack("<H", 5)  # Compression=LZW
+    with pytest.raises(NotImplementedError, match="compression 5"):
+        mm.decode_tiff(bytes(t))
+    good = mm.make_tiff(7, 9, px, packbits=True)
+    for bad in (good[:6], good[:20], good[: len(good) // 2],
+                b"II\x2a\x00" + b"\xff" * 8):
+        with pytest.raises(ValueError):
+            mm.decode_tiff(bad)
