@@ -11298,3 +11298,40 @@ FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 50)
 
 QUERIES.update({"media_tiff": q_media_tiff})
 ORACLES.update({"media_tiff": SQL_MEDIA_TIFF})
+
+
+def q_media_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BMP decode end-to-end: bottom-up 8-bit paletted 16×16 BMPs
+    (grayscale palette, padded rows) through the stdlib kernel. Row y
+    holds gray value (doc_id + 3y) % 256, so the decoded mean replays
+    as an AVG over generate_series in SQL.
+
+    Plan/scale: payloads built executor-side, one narrow Arrow map."""
+    from grafink_spark.llm.multimodal import make_bmp
+
+    docs = load_table(spark, sf_dir, "documents").orderBy("doc_id").limit(50)
+
+    def make(d: int) -> bytes:
+        px = bytes((d + 3 * y) % 256 for y in range(16) for _ in range(16))
+        return make_bmp(16, 16, px, bits=8)
+
+    media = payloads_from_ids(docs, make)
+    feats = extract_image_features(media, kernel=real_decode_kernel)
+    return feats.select(
+        "doc_id",
+        "width",
+        "height",
+        F.round("mean_luma", 6).alias("mean_luma"),
+    )
+
+
+SQL_MEDIA_BMP = """
+WITH ids AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 50)
+SELECT doc_id, 16 AS width, 16 AS height,
+       round(avg(((doc_id + 3 * g.y) % 256)::DOUBLE), 6) AS mean_luma
+FROM ids, generate_series(0, 15) g(y)
+GROUP BY doc_id
+"""
+
+QUERIES.update({"media_bmp": q_media_bmp})
+ORACLES.update({"media_bmp": SQL_MEDIA_BMP})

@@ -756,6 +756,8 @@ def real_decode_kernel(doc_id: int, payload: bytes) -> dict:
         return decode_gif(payload)
     if payload[:4] in (b"II\x2a\x00", b"MM\x00\x2a"):
         return decode_tiff(payload)
+    if payload.startswith(b"BM") and len(payload) >= 54:
+        return decode_bmp(payload)
     if not payload.startswith(_PNG_SIG):
         raise NotImplementedError(
             "real_decode_kernel handles PNG, JPEG (baseline + "
@@ -1631,6 +1633,117 @@ def decode_gif(payload: bytes) -> dict:
         "mean_luma": mean_luma,
         "n_frames": n_frames,
     }
+
+
+# ---- BMP (Windows BITMAPINFOHEADER) decode, pure stdlib ----
+
+
+def make_bmp(
+    width: int,
+    height: int,
+    pixels: bytes,
+    bits: int = 24,
+    top_down: bool = False,
+) -> bytes:
+    """Minimal spec-shaped BMP: BITMAPFILEHEADER + BITMAPINFOHEADER +
+    (8-bit: a 256-entry grayscale palette) + BI_RGB pixel rows with
+    4-byte padding, bottom-up by default (top_down writes a negative
+    height). ``pixels`` is row-major top-to-bottom: gray bytes at
+    bits=8, BGR triples at bits=24."""
+    if bits not in (8, 24):
+        raise ValueError("make_bmp supports 8- and 24-bit only")
+    spp = bits // 8
+    if len(pixels) != width * height * spp:
+        raise ValueError("pixels must cover width*height samples")
+    stride = width * spp
+    padded = (stride + 3) & ~3
+    pal = (
+        b"".join(bytes([i, i, i, 0]) for i in range(256)) if bits == 8 else b""
+    )
+    off = 14 + 40 + len(pal)
+    rows = [pixels[y * stride : (y + 1) * stride] for y in range(height)]
+    if not top_down:
+        rows = rows[::-1]
+    body = b"".join(r + b"\x00" * (padded - stride) for r in rows)
+    hdr = b"BM" + struct.pack(
+        "<IHHI", off + len(body), 0, 0, off
+    )
+    info = struct.pack(
+        "<IiiHHIIiiII",
+        40,
+        width,
+        -height if top_down else height,
+        1,
+        bits,
+        0,  # BI_RGB
+        len(body),
+        2835,
+        2835,
+        256 if bits == 8 else 0,
+        0,
+    )
+    return hdr + info + pal + body
+
+
+def decode_bmp(payload: bytes) -> dict:
+    """Decode an uncompressed (BI_RGB) BITMAPINFOHEADER BMP: 8-bit
+    paletted or 24-bit BGR, bottom-up or top-down rows, 4-byte row
+    padding. Returns width/height and the Rec.601 mean luma.
+    RLE/bitfield compression raises NotImplementedError; corrupt
+    structure raises ValueError."""
+    if payload is None or len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (off,) = struct.unpack("<I", payload[10:14])
+    hsize, width, height = struct.unpack("<Iii", payload[14:26])
+    planes, bits, compression = struct.unpack("<HHI", payload[26:34])
+    if hsize < 40:
+        raise ValueError("BMP header too small (pre-BITMAPINFOHEADER)")
+    if compression != 0:
+        raise NotImplementedError(
+            f"BMP compression {compression} unsupported (BI_RGB only)"
+        )
+    if bits not in (8, 24):
+        raise NotImplementedError(f"BMP bit depth {bits} unsupported")
+    top_down = height < 0
+    height = abs(height)
+    if width <= 0 or height == 0:
+        raise ValueError("bad BMP dimensions")
+    palette: list[tuple[int, int, int]] = []
+    if bits == 8:
+        (used,) = struct.unpack("<I", payload[46:50])
+        n = used or 256
+        pal_off = 14 + hsize
+        if pal_off + 4 * n > len(payload):
+            raise ValueError("truncated BMP palette")
+        palette = [
+            (
+                payload[pal_off + 4 * i + 2],  # stored BGRX
+                payload[pal_off + 4 * i + 1],
+                payload[pal_off + 4 * i],
+            )
+            for i in range(n)
+        ]
+    spp = bits // 8
+    stride = width * spp
+    padded = (stride + 3) & ~3
+    if off + padded * height > len(payload):
+        raise ValueError("truncated BMP pixel data")
+    total = 0.0
+    for row in range(height):
+        src = off + padded * (row if top_down else height - 1 - row)
+        line = payload[src : src + stride]
+        if bits == 8:
+            for v in line:
+                if v >= len(palette):
+                    raise ValueError("BMP palette index out of range")
+                r, g, b = palette[v]
+                total += 0.299 * r + 0.587 * g + 0.114 * b
+        else:
+            for x in range(width):
+                b, g, r = line[3 * x], line[3 * x + 1], line[3 * x + 2]
+                total += 0.299 * r + 0.587 * g + 0.114 * b
+    n_px = width * height
+    return {"width": width, "height": height, "mean_luma": total / n_px}
 
 
 # ---- TIFF (6.0 baseline) decode, pure stdlib ----

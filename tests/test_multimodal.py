@@ -1396,3 +1396,42 @@ def test_tiff_codec_gate_and_malformed():
                 b"II\x2a\x00" + b"\xff" * 8):
         with pytest.raises(ValueError):
             mm.decode_tiff(bad)
+
+
+# ---- BMP codec ----
+
+
+def test_bmp_gray_and_rgb_both_orientations():
+    """8-bit paletted and 24-bit BGR, bottom-up and top-down, with a
+    non-multiple-of-4 stride (width 7 → 1 pad byte per row)."""
+    w, h = 7, 5
+    px = bytes((x * 11 + y * 29) % 256 for y in range(h) for x in range(w))
+    want = sum(px) / len(px)
+    bgr = bytes((i * 5) % 256 for i in range(w * h * 3))
+    want24 = sum(
+        0.299 * bgr[i * 3 + 2] + 0.587 * bgr[i * 3 + 1] + 0.114 * bgr[i * 3]
+        for i in range(w * h)
+    ) / (w * h)
+    for td in (False, True):
+        d = mm.decode_bmp(mm.make_bmp(w, h, px, bits=8, top_down=td))
+        assert (d["width"], d["height"]) == (w, h)
+        assert abs(d["mean_luma"] - want) < 1e-9
+        d24 = mm.decode_bmp(mm.make_bmp(w, h, bgr, bits=24, top_down=td))
+        assert abs(d24["mean_luma"] - want24) < 1e-9
+    k = mm.real_decode_kernel(1, mm.make_bmp(w, h, px, bits=8))
+    assert abs(k["mean_luma"] - want) < 1e-9
+
+
+def test_bmp_gates_and_malformed():
+    import struct as st
+
+    w, h = 7, 5
+    px = bytes(range(35))
+    b = bytearray(mm.make_bmp(w, h, px, bits=8))
+    b[30:34] = st.pack("<I", 1)  # BI_RLE8
+    with pytest.raises(NotImplementedError, match="compression 1"):
+        mm.decode_bmp(bytes(b))
+    good = mm.make_bmp(w, h, px, bits=8)
+    for bad in (good[:30], good[:100], b"BM" + b"\x00" * 60):
+        with pytest.raises(ValueError):
+            mm.decode_bmp(bad)
