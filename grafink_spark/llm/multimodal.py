@@ -241,6 +241,36 @@ def _jpeg_extend(v: int, s: int) -> int:
     return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
 
+def _quarantined(fn, payload):
+    """Run a decoder on an untrusted payload under the one-exception
+    quarantine contract: structural exceptions a corrupt byte stream
+    can surface from slice/index/unpack arithmetic — IndexError,
+    KeyError, ZeroDivisionError, OverflowError, struct.error,
+    zlib.error — re-raise as ValueError, so per-row handlers catch ONE
+    type and a bad document can never kill the whole Spark task with
+    an opaque internal error (fuzz-pinned: tests/test_multimodal.py
+    mutates every fixture format 1000s of ways). ValueError and
+    NotImplementedError pass through untouched — they ARE the
+    contract."""
+    import zlib
+
+    try:
+        return fn(payload)
+    except (ValueError, NotImplementedError):
+        raise
+    except (
+        IndexError,
+        KeyError,
+        ZeroDivisionError,
+        OverflowError,
+        struct.error,
+        zlib.error,
+    ) as e:
+        raise ValueError(
+            f"malformed payload ({e.__class__.__name__}: {e})"
+        ) from e
+
+
 def _jpeg_decode(payload: bytes) -> dict:
     """Baseline JFIF decoder (SOF0, Huffman): width/height/mean_luma.
     Pure stdlib — Huffman entropy decode, dequantize, de-zigzag, 8×8
@@ -256,10 +286,7 @@ def _jpeg_decode(payload: bytes) -> dict:
     (DQT 16-bit tables, DRI, SOF component slices) on a truncated
     segment would otherwise surface opaque struct.error — the wrapper
     re-raises them here, covering the progressive and scan paths too."""
-    try:
-        return _jpeg_decode_impl(payload)
-    except struct.error as e:
-        raise ValueError(f"truncated JPEG stream: {e}") from e
+    return _quarantined(_jpeg_decode_impl, payload)
 
 
 def _jpeg_decode_impl(payload: bytes) -> dict:
@@ -740,6 +767,11 @@ def _jpeg_progressive_scan(
 
 
 def real_decode_kernel(doc_id: int, payload: bytes) -> dict:
+    """Quarantine wrapper: see :func:`_real_decode_kernel_impl`."""
+    return _quarantined(lambda p: _real_decode_kernel_impl(doc_id, p), payload)
+
+
+def _real_decode_kernel_impl(doc_id: int, payload: bytes) -> dict:
     """Real image decode — pure-stdlib PNG (zlib inflate + scanline
     unfilter), no third-party codec needed. Supports the common
     non-interlaced 8-bit color types (gray, gray+alpha, RGB, RGBA);
@@ -913,6 +945,11 @@ def fake_audio_kernel(doc_id: int, payload: bytes) -> dict:
 
 
 def real_audio_kernel(doc_id: int, payload: bytes) -> dict:
+    """Quarantine wrapper: see :func:`_real_audio_kernel_impl`."""
+    return _quarantined(lambda p: _real_audio_kernel_impl(doc_id, p), payload)
+
+
+def _real_audio_kernel_impl(doc_id: int, payload: bytes) -> dict:
     """Real audio decode — pure-stdlib RIFF/WAV PCM parser (8-bit
     unsigned and 16-bit signed LE, any channel count). Compressed
     formats (mp3 etc.) need an external library and raise
@@ -1288,6 +1325,11 @@ def make_mjpeg_avi(
 
 
 def demux_avi_frames(payload: bytes) -> tuple[dict, list[bytes]]:
+    """Quarantine wrapper: see :func:`_demux_avi_frames_impl`."""
+    return _quarantined(_demux_avi_frames_impl, payload)
+
+
+def _demux_avi_frames_impl(payload: bytes) -> tuple[dict, list[bytes]]:
     """Walk a RIFF-AVI container and return (header info, compressed
     frame payloads) — the '##dc'/'##db' chunks of the movi LIST, in
     file order. Pure chunk arithmetic, no codec work. Raises
@@ -1539,6 +1581,11 @@ def make_gif(
 
 
 def decode_gif(payload: bytes) -> dict:
+    """Quarantine wrapper: see :func:`_decode_gif_impl`."""
+    return _quarantined(_decode_gif_impl, payload)
+
+
+def _decode_gif_impl(payload: bytes) -> dict:
     """Decode a GIF87a/89a payload: first frame fully (LZW + optional
     de-interlace, local palette honored), later frames counted only.
     Returns width/height (logical screen), mean Rec.601 luma of the
@@ -1686,6 +1733,11 @@ def make_bmp(
 
 
 def decode_bmp(payload: bytes) -> dict:
+    """Quarantine wrapper: see :func:`_decode_bmp_impl`."""
+    return _quarantined(_decode_bmp_impl, payload)
+
+
+def _decode_bmp_impl(payload: bytes) -> dict:
     """Decode an uncompressed (BI_RGB) BITMAPINFOHEADER BMP: 8-bit
     paletted or 24-bit BGR, bottom-up or top-down rows, 4-byte row
     padding. Returns width/height and the Rec.601 mean luma.
@@ -1902,6 +1954,11 @@ def make_tiff(
 
 
 def decode_tiff(payload: bytes) -> dict:
+    """Quarantine wrapper: see :func:`_decode_tiff_impl`."""
+    return _quarantined(_decode_tiff_impl, payload)
+
+
+def _decode_tiff_impl(payload: bytes) -> dict:
     """Decode a baseline TIFF (first IFD): grayscale or chunky RGB,
     8 bits/sample, Compression 1 (none) or 32773 (PackBits), single or
     multiple strips, either byte order. Returns width/height and the
@@ -2180,6 +2237,11 @@ def _bmff_find(payload: bytes, lo: int, hi: int, path: list[bytes]):
 
 
 def demux_mp4_frames(payload: bytes) -> tuple[dict, list[bytes]]:
+    """Quarantine wrapper: see :func:`_demux_mp4_frames_impl`."""
+    return _quarantined(_demux_mp4_frames_impl, payload)
+
+
+def _demux_mp4_frames_impl(payload: bytes) -> tuple[dict, list[bytes]]:
     """Walk an ISO-BMFF (MP4/MOV) container and return (header info,
     per-sample byte payloads) for the FIRST video track, in decode
     order — pure sample-table arithmetic (stsd/stts/stsc/stsz/stco),
@@ -2311,6 +2373,11 @@ def demux_video_frames(payload: bytes) -> tuple[dict, list[bytes]]:
 
 
 def real_video_kernel(doc_id: int, payload: bytes) -> dict:
+    """Quarantine wrapper: see :func:`_real_video_kernel_impl`."""
+    return _quarantined(lambda p: _real_video_kernel_impl(doc_id, p), payload)
+
+
+def _real_video_kernel_impl(doc_id: int, payload: bytes) -> dict:
     """Real video decode: container demux (AVI or MP4) + per-frame
     baseline-JPEG decode (the stdlib path; an MP4 video track whose
     sample entry is a real codec — avc1/hev1 — raises

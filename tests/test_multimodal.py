@@ -1435,3 +1435,57 @@ def test_bmp_gates_and_malformed():
     for bad in (good[:30], good[:100], b"BM" + b"\x00" * 60):
         with pytest.raises(ValueError):
             mm.decode_bmp(bad)
+
+
+def test_codec_fuzz_quarantine_contract():
+    """Mutation fuzz across EVERY fixture format: byte flips,
+    truncations, and splices must surface only ValueError /
+    NotImplementedError — never IndexError/KeyError/struct.error/
+    ZeroDivisionError — so per-row quarantine handlers catch one type
+    and a bad document can't kill a Spark task (the _quarantined
+    wrapper at every decode entry point)."""
+    import random
+
+    rnd = random.Random(42)
+    w, h = 16, 16
+    px = bytes((x * 13 + y * 31) % 256 for y in range(h) for x in range(w))
+    board = [(x + y) % 2 for y in range(8) for x in range(8)]
+    samples = {
+        "gif": mm.make_gif(8, 8, board, [(0, 0, 0), (255, 255, 255)]),
+        "gif_i": mm.make_gif(8, 16, [0] * 128, [(9, 9, 9), (1, 2, 3)],
+                             interlace=True),
+        "tiff_le": mm.make_tiff(w, h, px),
+        "tiff_be_pb": mm.make_tiff(w, h, px, big_endian=True, packbits=True,
+                                   rows_per_strip=4),
+        "bmp8": mm.make_bmp(7, 5, bytes(range(35)), bits=8),
+        "bmp24": mm.make_bmp(7, 5, bytes(range(105)), bits=24),
+        "mp4": mm.make_mjpeg_mp4([mm.make_solid_jpeg(8, 8, 100)] * 3, 8, 8),
+        "avi": mm.make_mjpeg_avi([mm.make_solid_jpeg(8, 8, 100)] * 3, 8, 8),
+        "jpg": mm.make_solid_jpeg(16, 16, 100),
+        "jpgp": mm.make_solid_jpeg_progressive(16, 16, 100),
+        "wav": mm.make_fake_audio(1, 1000),
+    }
+    for name, payload in samples.items():
+        for _ in range(400):
+            b = bytearray(payload)
+            for _ in range(rnd.randrange(1, 6)):
+                op = rnd.random()
+                if op < 0.5 and len(b) > 1:
+                    b[rnd.randrange(len(b))] = rnd.randrange(256)
+                elif op < 0.8 and len(b) > 4:
+                    b = b[: rnd.randrange(1, len(b))]
+                else:
+                    at = rnd.randrange(len(b))
+                    b[at:at] = bytes(
+                        rnd.randrange(256) for _ in range(rnd.randrange(8))
+                    )
+            try:
+                if name in ("mp4", "avi"):
+                    mm.demux_video_frames(bytes(b))
+                    mm.real_video_kernel(1, bytes(b))
+                elif name == "wav":
+                    mm.real_audio_kernel(1, bytes(b))
+                else:
+                    mm.real_decode_kernel(1, bytes(b))
+            except (ValueError, NotImplementedError):
+                pass
