@@ -11335,3 +11335,145 @@ GROUP BY doc_id
 
 QUERIES.update({"media_bmp": q_media_bmp})
 ORACLES.update({"media_bmp": SQL_MEDIA_BMP})
+
+
+# =================================================================
+# HTML extraction / boilerplate signals (web-corpus prep)
+# =================================================================
+#
+# Deterministic HTML is synthesized from the documents table (same
+# fixture philosophy as the media payloads), then BOTH engines run the
+# IDENTICAL regex extraction pipeline on the identical strings — the
+# oracle replays the extraction, not a shortcut of the synthesis.
+
+_HTML_SYNTH_SPARK = (
+    "concat('<html><head><title>Doc ', CAST(doc_id AS STRING), "
+    "' &amp; ', source, '</title>', "
+    "'<script>var x = 1 < 2; track();</script></head><body>', "
+    "'<h1>Doc ', CAST(doc_id AS STRING), '</h1><p>', "
+    "substring(text, 1, 120), '</p>', "
+    "'<a href=\"/d/', CAST(doc_id AS STRING), '\">', "
+    "substring(text, 1, 10), '</a> <a href=\"/next\">next &gt; page</a>', "
+    "CASE WHEN doc_id % 3 = 0 THEN repeat("
+    "'<a href=\"#\">navigation menu item </a>', 8) ELSE '' END, "
+    "'<style>p { color: red }</style></body></html>')"
+)
+
+_HTML_SYNTH_DUCK = (
+    "'<html><head><title>Doc ' || doc_id || ' &amp; ' || source || "
+    "'</title>' || '<script>var x = 1 < 2; track();</script></head><body>' "
+    "|| '<h1>Doc ' || doc_id || '</h1><p>' || substring(text, 1, 120) || "
+    "'</p>' || '<a href=\"/d/' || doc_id || '\">' || "
+    "substring(text, 1, 10) || '</a> <a href=\"/next\">next &gt; page</a>' "
+    "|| CASE WHEN doc_id % 3 = 0 THEN repeat("
+    "'<a href=\"#\">navigation menu item </a>', 8) ELSE '' END || "
+    "'<style>p { color: red }</style></body></html>'"
+)
+
+# The DuckDB replay of llm/html.py's pipeline — identical patterns
+# (Java-regex ∩ RE2 subset), 'g' option standing in for Java's
+# replace-all default.
+_DUCK_STRIP = """
+synth AS (
+  SELECT doc_id, {html} AS html
+  FROM (SELECT doc_id, text, source FROM documents ORDER BY doc_id LIMIT 100)
+),
+noscript AS (
+  SELECT doc_id, regexp_replace(html,
+    '(?is)<(script|style)\\b[^>]*>.*?</(script|style)\\s*>', ' ', 'g') AS ns
+  FROM synth
+),
+sig AS (
+  SELECT doc_id,
+    trim(regexp_replace(
+      replace(replace(replace(replace(replace(replace(
+        regexp_replace(regexp_extract(ns, '(?is)<title[^>]*>(.*?)</title>', 1),
+                       '(?s)<[^>]*>', ' ', 'g'),
+        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+        '&nbsp;', ' '), '&amp;', '&'),
+      '\\s+', ' ', 'g')) AS title,
+    length(trim(regexp_replace(
+      replace(replace(replace(replace(replace(replace(
+        regexp_replace(ns, '(?s)<[^>]*>', ' ', 'g'),
+        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+        '&nbsp;', ' '), '&amp;', '&'),
+      '\\s+', ' ', 'g')))::BIGINT AS text_chars,
+    len(regexp_extract_all(ns, '(?is)<a\\b[^>]*>(.*?)</a>', 1))::BIGINT
+      AS n_links,
+    COALESCE(list_sum(list_transform(
+      regexp_extract_all(ns, '(?is)<a\\b[^>]*>(.*?)</a>', 1),
+      a -> length(trim(regexp_replace(
+        replace(replace(replace(replace(replace(replace(
+          regexp_replace(a, '(?s)<[^>]*>', ' ', 'g'),
+          '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+          '&nbsp;', ' '), '&amp;', '&'),
+        '\\s+', ' ', 'g'))))), 0)::BIGINT AS link_chars
+  FROM noscript
+)
+"""
+
+
+def q_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML → text extraction signals over synthesized markup: title
+    (entity-unescaped), visible-text length (script/style subtrees
+    dropped, tags → spaces, entities unescaped, whitespace collapsed),
+    anchor count/chars, link density. 100% Catalyst built-ins — no
+    UDF, the whole pipeline is one codegen'd projection over the scan."""
+    from grafink_spark.llm.html import html_text_signals
+
+    docs = load_table(spark, sf_dir, "documents").orderBy("doc_id").limit(100)
+    synth = docs.selectExpr("doc_id", f"{_HTML_SYNTH_SPARK} AS html")
+    sig = html_text_signals(synth)
+    return sig.select(
+        "doc_id",
+        "title",
+        "text_chars",
+        "n_links",
+        "link_chars",
+        F.round("link_density", 6).alias("link_density"),
+    )
+
+
+SQL_HTML_STRIP = f"""
+WITH {_DUCK_STRIP.format(html=_HTML_SYNTH_DUCK)}
+SELECT doc_id, title, text_chars, n_links, link_chars,
+       round(link_chars::DOUBLE / greatest(text_chars::DOUBLE, 1.0), 6)
+         AS link_density
+FROM sig
+"""
+
+
+def q_html_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-prep gate over the same extraction: documents whose
+    anchor-chrome share exceeds the CCNet-style threshold (every third
+    doc carries a synthesized navigation block) flip keep=false while
+    staying observable for datasheet accounting."""
+    from grafink_spark.llm.html import boilerplate_filter
+
+    docs = load_table(spark, sf_dir, "documents").orderBy("doc_id").limit(100)
+    synth = docs.selectExpr("doc_id", f"{_HTML_SYNTH_SPARK} AS html")
+    out = boilerplate_filter(synth, max_link_density=0.3, min_text_chars=50)
+    return out.select(
+        "doc_id",
+        "text_chars",
+        F.round("link_density", 6).alias("link_density"),
+        "keep",
+    )
+
+
+SQL_HTML_BOILERPLATE = f"""
+WITH {_DUCK_STRIP.format(html=_HTML_SYNTH_DUCK)}
+SELECT doc_id, text_chars,
+       round(link_chars::DOUBLE / greatest(text_chars::DOUBLE, 1.0), 6)
+         AS link_density,
+       (link_chars::DOUBLE / greatest(text_chars::DOUBLE, 1.0) <= 0.3
+        AND text_chars >= 50) AS keep
+FROM sig
+"""
+
+QUERIES.update(
+    {"html_strip": q_html_strip, "html_boilerplate": q_html_boilerplate}
+)
+ORACLES.update(
+    {"html_strip": SQL_HTML_STRIP, "html_boilerplate": SQL_HTML_BOILERPLATE}
+)

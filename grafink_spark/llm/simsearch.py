@@ -1158,15 +1158,32 @@ def pq_encode(
     )
 
 
-def _adc_expr(qv: Column, dsub: int) -> Column:
-    """ADC distance: Σ_j ||q_sub_j − codebook[j][codes[j]]||² — a
-    left fold over the m per-subspace lookups (deterministic addend
-    order, so the SQL twin's list_reduce replays it bit-exactly)."""
+def _adc_table_expr(qv: Column, dsub: int) -> Column:
+    """The per-QUERY ADC lookup table (FAISS's precomputed distance
+    table): ``_dtab[j][c] = ||q_sub_j − codebook[j][c]||²``, computed
+    ONCE per query row. Scoring a candidate then costs m array lookups
+    and m−1 adds — no arithmetic against the codebook per pair. The
+    round-6 stress A/B caught the difference: recomputing the
+    subvector distance per candidate made the ADC scan no faster than
+    brute force (identical per-pair FLOPs); the table restores the
+    m-lookups contract. Same expression tree per (j, c) as before, so
+    distances are bit-identical and the SQL oracles are unchanged."""
+    return F.transform(
+        F.col("_pqmat"),
+        lambda cb, j: F.transform(
+            cb, lambda c: _l2sq(F.slice(qv, j * dsub + 1, dsub), c)
+        ),
+    )
+
+
+def _adc_expr() -> Column:
+    """ADC distance: Σ_j _dtab[j][codes[j]] — a left fold over the m
+    table lookups (deterministic addend order, so the SQL twin's
+    list_reduce replays it bit-exactly)."""
     dists = F.transform(
         F.col("codes"),
-        lambda code, j: _l2sq(
-            F.slice(qv, j * dsub + 1, dsub),
-            F.element_at(F.element_at(F.col("_pqmat"), j + 1), code + 1),
+        lambda code, j: F.element_at(
+            F.element_at(F.col("_dtab"), j + 1), code + 1
         ),
     )
     return F.aggregate(dists, F.lit(0.0), lambda acc, x: acc + x)
@@ -1192,10 +1209,16 @@ def pq_topk(
     via :func:`ivfpq_topk` for sublinear candidate counts."""
     dsub = len(codebooks[0][0][1])
     codes = pq_encode(corpus, codebooks, vec_col, id_col)
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).cast("array<double>").alias("_qv"),
-    ).crossJoin(F.broadcast(_pq_matrix(queries, codebooks)))
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("_qv"),
+        )
+        .crossJoin(F.broadcast(_pq_matrix(queries, codebooks)))
+        .select(
+            "query_id", _adc_table_expr(F.col("_qv"), dsub).alias("_dtab")
+        )
+    )
     scored = codes.crossJoin(maybe_broadcast(q, size_proxy=queries)).where(
         F.col("query_id") != F.col("neighbor_id")
     )
@@ -1203,9 +1226,7 @@ def pq_topk(
         F.col("_adc").asc(), F.col("neighbor_id").asc()
     )
     return (
-        scored.select(
-            "query_id", "neighbor_id", _adc_expr(F.col("_qv"), dsub).alias("_adc")
-        )
+        scored.select("query_id", "neighbor_id", _adc_expr().alias("_adc"))
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select(
@@ -1277,7 +1298,16 @@ def ivfpq_topk(
         else ivfpq_encode(corpus, centroids, codebooks, vec_col, id_col)
     )
     q = _ivf_query_probes(queries, centroids, nprobe, vec_col, id_col)
-    q = q.crossJoin(F.broadcast(_pq_matrix(queries, codebooks)))
+    q = (
+        q.crossJoin(F.broadcast(_pq_matrix(queries, codebooks)))
+        # the table rides the (query, probed-list) rows into the join;
+        # per-candidate work is then m lookups + m−1 adds, nothing else
+        .select(
+            "query_id",
+            "list_id",
+            _adc_table_expr(F.col("_qv"), dsub).alias("_dtab"),
+        )
+    )
     scored = c.join(maybe_broadcast(q, size_proxy=queries), "list_id").where(
         F.col("query_id") != F.col("neighbor_id")
     )
@@ -1285,9 +1315,7 @@ def ivfpq_topk(
         F.col("_adc").asc(), F.col("neighbor_id").asc()
     )
     return (
-        scored.select(
-            "query_id", "neighbor_id", _adc_expr(F.col("_qv"), dsub).alias("_adc")
-        )
+        scored.select("query_id", "neighbor_id", _adc_expr().alias("_adc"))
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select(
