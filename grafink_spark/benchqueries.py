@@ -11477,3 +11477,103 @@ QUERIES.update(
 ORACLES.update(
     {"html_strip": SQL_HTML_STRIP, "html_boilerplate": SQL_HTML_BOILERPLATE}
 )
+
+
+def q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The web-corpus ingest funnel end-to-end: gzip-member WARC files
+    (built executor-side from doc_id) → response-record extraction
+    (requests skipped, non-HTML and non-200 responses filtered) →
+    HTML text/boilerplate signals per record. Each doc's WARC holds a
+    200 text/html page, a request record, an image/png response, a
+    404, and (even doc_ids) a second html page — so the filter logic
+    is observable in the output row set.
+
+    Plan/scale: WARC bytes are opaque binary units inflated inside one
+    Arrow mapInPandas (1→N rows); the HTML signal pipeline is pure
+    Catalyst on the extracted strings. Only metadata/text rows leave
+    the executor."""
+    from grafink_spark.llm.html import html_text_signals
+    from grafink_spark.llm.warc import extract_warc_records, make_warc
+
+    docs = load_table(spark, sf_dir, "documents").orderBy("doc_id").limit(50)
+
+    def make(d: int) -> bytes:
+        n = 5 + d % 7
+        page = (
+            f"<html><head><title>Doc {d}</title></head><body><p>"
+            + f"tok{d} " * n
+            + f'</p><a href="/n">nav</a></body></html>'
+        )
+        recs = [
+            {"url": f"http://ex/{d}/0", "body": page},
+            {"url": f"http://ex/{d}/req", "rtype": "request", "body": "GET /"},
+            {
+                "url": f"http://ex/{d}/img",
+                "body": b"\x89PNG!",
+                "content_type": "image/png",
+            },
+            {"url": f"http://ex/{d}/gone", "body": "<body>gone</body>",
+             "http_status": 404},
+        ]
+        if d % 2 == 0:
+            recs.append(
+                {
+                    "url": f"http://ex/{d}/extra",
+                    "body": f"<body><p>extra {d}</p></body>",
+                }
+            )
+        return make_warc(recs)
+
+    media = payloads_from_ids(docs, make)
+    recs = extract_warc_records(media)
+    sig = html_text_signals(
+        recs, keep=["record_idx", "url", "http_status", "n_bytes"]
+    )
+    return sig.select(
+        "doc_id",
+        "record_idx",
+        "url",
+        "http_status",
+        "n_bytes",
+        "title",
+        "text_chars",
+        "n_links",
+    )
+
+
+# The oracle replays BOTH layers: which records survive the WARC
+# filters (response + text/html + 200 → response-indices 0 and, for
+# even doc_ids, 3) and the identical HTML regex pipeline on the
+# identical synthesized page strings.
+SQL_WARC_EXTRACT = """
+WITH ids AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 50),
+pages AS (
+  SELECT doc_id, 0 AS record_idx,
+         'http://ex/' || doc_id || '/0' AS url,
+         '<html><head><title>Doc ' || doc_id || '</title></head><body><p>'
+           || repeat('tok' || doc_id || ' ', 5 + doc_id % 7)
+           || '</p><a href="/n">nav</a></body></html>' AS html
+  FROM ids
+  UNION ALL
+  SELECT doc_id, 3 AS record_idx,
+         'http://ex/' || doc_id || '/extra' AS url,
+         '<body><p>extra ' || doc_id || '</p></body>' AS html
+  FROM ids WHERE doc_id % 2 = 0
+)
+SELECT doc_id, record_idx::INT AS record_idx, url,
+       200 AS http_status,
+       length(html)::BIGINT AS n_bytes,
+       trim(regexp_replace(
+         regexp_replace(regexp_extract(html, '(?is)<title[^>]*>(.*?)</title>', 1),
+                        '(?s)<[^>]*>', ' ', 'g'),
+         '\\s+', ' ', 'g')) AS title,
+       length(trim(regexp_replace(
+         regexp_replace(html, '(?s)<[^>]*>', ' ', 'g'),
+         '\\s+', ' ', 'g')))::BIGINT AS text_chars,
+       len(regexp_extract_all(html, '(?is)<a\\b[^>]*>(.*?)</a>', 1))::BIGINT
+         AS n_links
+FROM pages
+"""
+
+QUERIES.update({"warc_extract": q_warc_extract})
+ORACLES.update({"warc_extract": SQL_WARC_EXTRACT})

@@ -61,14 +61,18 @@ def html_text_signals(
     df: DataFrame,
     html_col: str = "html",
     id_col: str = "doc_id",
+    keep: list[str] | None = None,
 ) -> DataFrame:
     """Per-document extraction + boilerplate signals:
 
-    (id, title, text, text_chars, n_links, link_chars, link_density)
+    (id, *keep, title, text, text_chars, n_links, link_chars,
+    link_density)
 
-    One narrow projection — every expression is a Catalyst built-in,
-    so the whole row pipeline stays inside whole-stage codegen and
-    scales as a pure map over the corpus scan."""
+    ``keep``: extra input columns carried through unchanged (e.g. the
+    WARC record index / url when the input is one row per crawled
+    record). One narrow projection — every expression is a Catalyst
+    built-in, so the whole row pipeline stays inside whole-stage
+    codegen and scales as a pure map over the corpus scan."""
     html = F.col(html_col)
     no_script = F.regexp_replace(html, _SCRIPT_STYLE, " ")
     title = F.trim(
@@ -97,6 +101,7 @@ def html_text_signals(
     text_chars = F.length(text)
     return df.select(
         F.col(id_col),
+        *[F.col(c) for c in (keep or [])],
         title.alias("title"),
         text.alias("text"),
         text_chars.cast("long").alias("text_chars"),

@@ -1,0 +1,197 @@
+"""WARC (ISO 28500) record parsing — the web-corpus ingest step.
+
+Common-Crawl-scale pipelines start from WARC: gzip members (one per
+record) of ``WARC/1.x`` header blocks + content. Both layers are
+stdlib: :mod:`gzip` decompresses multi-member streams, the header
+grammar is named-field/CRLF. This module turns a binary WARC payload
+column into one row per response record — (url, date, content-type,
+http status, body bytes) — the 1→N ``mapInPandas`` contract the media
+codecs already use, feeding straight into the HTML extraction
+operators (:mod:`grafink_spark.llm.html`).
+
+Scale shape: WARC files are processed as OPAQUE BINARY UNITS (a real
+deployment reads them with ``binaryFile`` or a custom datasource and
+keeps one file per task) — record splitting, gzip inflation, and HTTP
+header stripping all happen executor-side inside one Arrow batch; only
+the extracted text/metadata rows ever shuffle. Malformed records raise
+ValueError (quarantine contract), and ``iter_warc_records`` skips
+non-response records the way corpus pipelines do (request/metadata
+records carry no training text).
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+import struct  # noqa: F401  (parity with sibling codec modules)
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def make_warc(records: list[dict], compress: bool = True) -> bytes:
+    """Fixture/test encoder: records → WARC bytes. Each record dict:
+    ``{"url", "date", "rtype" (default 'response'), "http_status"
+    (default 200), "content_type" (default 'text/html'), "body"}``.
+    ``compress=True`` writes one gzip member PER RECORD (the
+    Common-Crawl convention that makes records independently
+    seekable)."""
+    out = bytearray()
+    for i, r in enumerate(records):
+        body = r["body"] if isinstance(r["body"], bytes) else r["body"].encode()
+        rtype = r.get("rtype", "response")
+        if rtype == "response":
+            http = (
+                f"HTTP/1.1 {r.get('http_status', 200)} OK\r\n"
+                f"Content-Type: {r.get('content_type', 'text/html')}\r\n"
+                f"Content-Length: {len(body)}\r\n\r\n"
+            ).encode()
+            content = http + body
+            ctype = "application/http; msgtype=response"
+        else:
+            content = body
+            ctype = r.get("content_type", "application/warc-fields")
+        hdr = (
+            "WARC/1.0\r\n"
+            f"WARC-Type: {rtype}\r\n"
+            f"WARC-Record-ID: <urn:uuid:rec-{i}>\r\n"
+            f"WARC-Date: {r.get('date', '2024-01-01T00:00:00Z')}\r\n"
+            f"WARC-Target-URI: {r.get('url', '')}\r\n"
+            f"Content-Type: {ctype}\r\n"
+            f"Content-Length: {len(content)}\r\n\r\n"
+        ).encode()
+        rec = hdr + content + b"\r\n\r\n"
+        out += gzip.compress(rec) if compress else rec
+    return bytes(out)
+
+
+def _parse_headers(block: bytes) -> dict[str, str]:
+    headers: dict[str, str] = {}
+    for line in block.split(b"\r\n"):
+        if not line:
+            continue
+        if b":" not in line:
+            raise ValueError("malformed WARC header line")
+        k, v = line.split(b":", 1)
+        headers[k.strip().decode("latin1").lower()] = v.strip().decode("latin1")
+    return headers
+
+
+def iter_warc_records(payload: bytes) -> Iterator[dict]:
+    """Yield response records from a WARC payload (gzip multi-member
+    or plain): ``{"url", "date", "status", "content_type", "body"}``.
+    Non-response records (warcinfo/request/metadata) are skipped; a
+    structurally broken record raises ValueError."""
+    if payload is None or len(payload) < 4:
+        raise ValueError("not a WARC payload")
+    if payload[:2] == b"\x1f\x8b":
+        try:
+            with gzip.GzipFile(fileobj=io.BytesIO(payload)) as gz:
+                data = gz.read()
+        except (OSError, EOFError) as e:
+            raise ValueError(f"malformed WARC gzip stream: {e}") from e
+    else:
+        data = payload
+    pos = 0
+    while pos < len(data):
+        # tolerate inter-record CRLF padding
+        while data[pos : pos + 2] == b"\r\n":
+            pos += 2
+        if pos >= len(data):
+            break
+        if not data.startswith(b"WARC/", pos):
+            raise ValueError("WARC record does not start with version line")
+        ver_end = data.find(b"\r\n", pos)
+        hdr_end = data.find(b"\r\n\r\n", pos)
+        if ver_end < 0 or hdr_end < 0:
+            raise ValueError("truncated WARC header block")
+        headers = _parse_headers(data[ver_end + 2 : hdr_end])
+        try:
+            length = int(headers["content-length"])
+        except (KeyError, ValueError) as e:
+            raise ValueError("WARC record missing Content-Length") from e
+        content_lo = hdr_end + 4
+        content_hi = content_lo + length
+        if content_hi > len(data):
+            raise ValueError("WARC content beyond end of payload")
+        if headers.get("warc-type") == "response":
+            content = data[content_lo:content_hi]
+            http_end = content.find(b"\r\n\r\n")
+            if http_end < 0 or not content.startswith(b"HTTP/"):
+                raise ValueError("WARC response record missing HTTP headers")
+            status_line = content.split(b"\r\n", 1)[0].split(b" ")
+            try:
+                status = int(status_line[1])
+            except (IndexError, ValueError) as e:
+                raise ValueError("malformed HTTP status line") from e
+            first_crlf = content.find(b"\r\n")
+            http_headers = _parse_headers(content[first_crlf + 2 : http_end])
+            yield {
+                "url": headers.get("warc-target-uri", ""),
+                "date": headers.get("warc-date", ""),
+                "status": status,
+                "content_type": http_headers.get("content-type", ""),
+                "body": content[http_end + 4 :],
+            }
+        pos = content_hi
+
+
+WARC_RECORD_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("record_idx", T.IntegerType()),
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_date", T.StringType()),
+        T.StructField("http_status", T.IntegerType()),
+        T.StructField("content_type", T.StringType()),
+        T.StructField("html", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+
+def extract_warc_records(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    html_only: bool = True,
+) -> DataFrame:
+    """1→N record extraction over binary WARC payloads: one row per
+    response record with its decoded HTML (latin1-safe decode — real
+    charset sniffing belongs to a downstream operator) and transfer
+    metadata. ``html_only`` keeps text/html 200s — the corpus-prep
+    default. Narrow Arrow map; WARC bytes never leave the executor."""
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("_p"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["_p"]):
+                if payload is None:
+                    continue
+                for idx, rec in enumerate(iter_warc_records(bytes(payload))):
+                    if html_only and (
+                        rec["status"] != 200
+                        or not rec["content_type"].startswith("text/html")
+                    ):
+                        continue
+                    rows.append(
+                        {
+                            "doc_id": int(doc_id),
+                            "record_idx": idx,
+                            "url": rec["url"],
+                            "warc_date": rec["date"],
+                            "http_status": rec["status"],
+                            "content_type": rec["content_type"],
+                            "html": rec["body"].decode("latin1"),
+                            "n_bytes": len(rec["body"]),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in WARC_RECORD_SCHEMA]
+            )
+
+    return src.mapInPandas(run, WARC_RECORD_SCHEMA)

@@ -1,0 +1,83 @@
+"""WARC record parsing + the WARC -> HTML extraction funnel."""
+
+import gzip
+
+import pytest
+
+from grafink_spark.llm import warc
+
+
+def _recs():
+    return [
+        {"url": "http://a/1", "body": "<html><title>One</title><p>hi</p></html>"},
+        {"url": "http://a/2", "rtype": "request", "body": "GET / HTTP/1.1"},
+        {"url": "http://a/3", "body": b"\x89PNG", "content_type": "image/png"},
+        {"url": "http://a/4", "body": "<p>gone</p>", "http_status": 404},
+        {"url": "http://a/5", "body": "<body>ok</body>"},
+    ]
+
+
+def test_iter_warc_records_both_framings():
+    """Gzip-member-per-record (the Common-Crawl convention) and plain
+    concatenated records parse identically: requests skipped, response
+    metadata + body bytes exact."""
+    for compress in (True, False):
+        out = list(warc.iter_warc_records(warc.make_warc(_recs(), compress)))
+        assert [r["url"] for r in out] == [
+            "http://a/1", "http://a/3", "http://a/4", "http://a/5",
+        ]
+        assert [r["status"] for r in out] == [200, 200, 404, 200]
+        assert out[1]["content_type"] == "image/png"
+        assert out[3]["body"] == b"<body>ok</body>"
+
+
+def test_iter_warc_records_malformed_raises_value_error():
+    w = warc.make_warc(_recs())
+    bad_cases = (
+        b"",
+        b"garbage not warc",
+        w[:40],  # truncated gzip member
+        gzip.compress(b"WARC/1.0\r\nContent-Length: 999\r\n\r\nxx"),
+        gzip.compress(b"WARC/1.0\r\nWARC-Type: response\r\n\r\n"),
+        gzip.compress(b"NOPE/1.0\r\nContent-Length: 2\r\n\r\nxx\r\n\r\n"),
+    )
+    for bad in bad_cases:
+        with pytest.raises(ValueError):
+            list(warc.iter_warc_records(bad))
+
+
+def test_extract_warc_records_spark_funnel(spark):
+    """Binary WARC payloads -> 1->N response rows -> HTML signals:
+    html_only keeps text/html 200s; record_idx counts RESPONSE
+    records; the html column feeds html_text_signals with passthrough
+    columns."""
+    from grafink_spark.llm.html import html_text_signals
+
+    payloads = [(i, warc.make_warc(_recs())) for i in (1, 2)] + [(9, None)]
+    df = spark.createDataFrame(payloads, "doc_id long, payload binary")
+    rows = warc.extract_warc_records(df).collect()
+    # per doc: responses 0(html 200), 1(png), 2(404), 3(html 200);
+    # html_only keeps 0 and 3
+    got = sorted((r.doc_id, r.record_idx, r.url) for r in rows)
+    assert got == [
+        (1, 0, "http://a/1"), (1, 3, "http://a/5"),
+        (2, 0, "http://a/1"), (2, 3, "http://a/5"),
+    ]
+    sig = html_text_signals(
+        warc.extract_warc_records(df), keep=["record_idx", "url"]
+    ).collect()
+    by = {(r.doc_id, r.record_idx): r for r in sig}
+    assert by[(1, 0)].title == "One"
+    assert by[(1, 0)].text == "One hi"
+    assert by[(1, 3)].text == "ok"
+
+
+def test_extract_warc_records_keep_all(spark):
+    """html_only=False surfaces every response record (the
+    datasheet/accounting path)."""
+    df = spark.createDataFrame(
+        [(1, warc.make_warc(_recs()))], "doc_id long, payload binary"
+    )
+    rows = warc.extract_warc_records(df, html_only=False).collect()
+    assert sorted(r.record_idx for r in rows) == [0, 1, 2, 3]
+    assert {r.http_status for r in rows} == {200, 404}
