@@ -29,7 +29,12 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from grafink_spark.llm.text import tokens
-from grafink_spark.util import ensure_min_partitions, pin, pin_lazy
+from grafink_spark.util import (
+    ensure_min_partitions,
+    maybe_broadcast,
+    pin,
+    pin_lazy,
+)
 
 
 # ------------------------------------------------------------- shingles
@@ -1817,8 +1822,12 @@ def semantic_contamination_ivf(
     # than any number, so an unguarded zero vector would always pass
     # the threshold (the exact sibling guards identically)
     cs = F.when(denom > 0, dot / denom).otherwise(F.lit(0.0))
+    # the probe side is the BENCHMARK (decontamination contract:
+    # test << corpus) — size-gated broadcast turns the list_id join
+    # into a corpus-stream with no shuffle; proxied on the raw test
+    # frame because the probes derive through the centroid crossJoin
     return (
-        c.join(t, "list_id")
+        c.join(maybe_broadcast(t, size_proxy=test), "list_id")
         .select(id_col, cs.alias("_cs"))
         .where(F.col("_cs") >= threshold)
         .groupBy(id_col)
