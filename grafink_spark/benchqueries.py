@@ -11386,16 +11386,16 @@ noscript AS (
 sig AS (
   SELECT doc_id,
     trim(regexp_replace(
-      replace(replace(replace(replace(replace(replace(
+      replace(replace(replace(replace(replace(replace(replace(
         regexp_replace(regexp_extract(ns, '(?is)<title[^>]*>(.*?)</title>', 1),
                        '(?s)<[^>]*>', ' ', 'g'),
-        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&apos;', ''''),
         '&nbsp;', ' '), '&amp;', '&'),
       '\\s+', ' ', 'g')) AS title,
     length(trim(regexp_replace(
-      replace(replace(replace(replace(replace(replace(
+      replace(replace(replace(replace(replace(replace(replace(
         regexp_replace(ns, '(?s)<[^>]*>', ' ', 'g'),
-        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&apos;', ''''),
         '&nbsp;', ' '), '&amp;', '&'),
       '\\s+', ' ', 'g')))::BIGINT AS text_chars,
     len(regexp_extract_all(ns, '(?is)<a\\b[^>]*>(.*?)</a>', 1))::BIGINT
@@ -11403,9 +11403,9 @@ sig AS (
     COALESCE(list_sum(list_transform(
       regexp_extract_all(ns, '(?is)<a\\b[^>]*>(.*?)</a>', 1),
       a -> length(trim(regexp_replace(
-        replace(replace(replace(replace(replace(replace(
+        replace(replace(replace(replace(replace(replace(replace(
           regexp_replace(a, '(?s)<[^>]*>', ' ', 'g'),
-          '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+          '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&apos;', ''''),
           '&nbsp;', ' '), '&amp;', '&'),
         '\\s+', ' ', 'g'))))), 0)::BIGINT AS link_chars
   FROM noscript

@@ -1827,7 +1827,10 @@ def semantic_contamination_ivf(
     # into a corpus-stream with no shuffle; proxied on the raw test
     # frame because the probes derive through the centroid crossJoin
     return (
-        c.join(maybe_broadcast(t, size_proxy=test), "list_id")
+        c.join(
+            maybe_broadcast(t, size_proxy=test, proxy_scale=nprobe),
+            "list_id",
+        )
         .select(id_col, cs.alias("_cs"))
         .where(F.col("_cs") >= threshold)
         .groupBy(id_col)

@@ -17,8 +17,11 @@ Semantics (deliberately boring, corpus-grade — not a browser):
 - ``<script>``/``<style>`` elements vanish WITH their contents; every
   other tag becomes a space (block/inline distinction doesn't matter
   for shingle/quality purposes).
-- The five predefined XML entities plus ``&nbsp;`` and decimal
-  ``&#NN;`` escapes unescape; unknown entities pass through verbatim.
+- The five predefined XML entities (``&lt; &gt; &quot; &apos;
+  &amp;``) plus ``&nbsp;`` and the apostrophe's decimal form
+  ``&#39;`` unescape; everything else — named entities beyond these,
+  general numeric escapes — passes through verbatim (corpus-grade,
+  not a full HTML5 entity table).
 - ``link_density`` = anchor-text chars / visible-text chars — the
   jusText/CCNet-style boilerplate signal: navigation chrome is mostly
   links, article bodies are not.
@@ -36,13 +39,14 @@ _TAG = r"(?s)<[^>]*>"
 
 
 def _unescape_entities(col: Column) -> Column:
-    """The predefined entities + nbsp + decimal escapes. &amp; LAST, so
-    double-escaped text (&amp;lt;) un-escapes exactly one level — the
-    W3C-correct order."""
+    """The five predefined XML entities + nbsp + the apostrophe's
+    decimal form. &amp; LAST, so double-escaped text (&amp;lt;)
+    un-escapes exactly one level — the W3C-correct order."""
     col = F.regexp_replace(col, "&lt;", "<")
     col = F.regexp_replace(col, "&gt;", ">")
     col = F.regexp_replace(col, "&quot;", '"')
     col = F.regexp_replace(col, "&#39;", "'")
+    col = F.regexp_replace(col, "&apos;", "'")
     col = F.regexp_replace(col, "&nbsp;", " ")
     col = F.regexp_replace(col, "&amp;", "&")
     return col

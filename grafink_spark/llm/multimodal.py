@@ -788,13 +788,15 @@ def _real_decode_kernel_impl(doc_id: int, payload: bytes) -> dict:
         return decode_gif(payload)
     if payload[:4] in (b"II\x2a\x00", b"MM\x00\x2a"):
         return decode_tiff(payload)
-    if payload.startswith(b"BM") and len(payload) >= 54:
+    if payload.startswith(b"BM"):
+        # no length pre-check: a truncated BMP is MALFORMED (decode_bmp
+        # raises ValueError), not an honest unsupported format
         return decode_bmp(payload)
     if not payload.startswith(_PNG_SIG):
         raise NotImplementedError(
             "real_decode_kernel handles PNG, JPEG (baseline + "
-            "progressive), and GIF; other formats need an external "
-            "codec (PIL) — or use fake_decode_kernel"
+            "progressive), GIF, TIFF, and BMP; other formats need an "
+            "external codec (PIL) — or use fake_decode_kernel"
         )
     pos = len(_PNG_SIG)
     width = height = None
@@ -1173,6 +1175,11 @@ def make_solid_jpeg_progressive(
     n_blocks = (width // 8) * (height // 8)
     # EOBn covering ALL blocks in one symbol: 2^r + appended == n_blocks
     eob_r = n_blocks.bit_length() - 1
+    if eob_r > 14:
+        # T.81 defines EOBn only for r <= 14 (r = 15 is ZRL) — beyond
+        # 2^15 blocks the run must be split; this fixture builder
+        # refuses rather than emit a structurally invalid stream
+        raise ValueError("image beyond 2^15 blocks: EOBn run not encodable")
     eob_extra = n_blocks - (1 << eob_r)
 
     class _W:
@@ -1510,18 +1517,24 @@ def _gif_lzw_encode(indices: list[int], min_code: int) -> bytes:
     return bytes(out)
 
 
-def _gif_deinterlace(rows: list[list[int]]) -> list[list[int]]:
-    """Reorder interlaced GIF rows (4 passes: every 8th from 0, every
-    8th from 4, every 4th from 2, every 2nd from 1)."""
-    h = len(rows)
-    order = (
+def _gif_interlace_order(h: int) -> list[int]:
+    """Screen-row order of the 4 GIF interlace passes (every 8th from
+    0, every 8th from 4, every 4th from 2, every 2nd from 1) — the ONE
+    definition both the encoder and decoder use, so the pass table can
+    never desynchronize between them."""
+    return (
         list(range(0, h, 8))
         + list(range(4, h, 8))
         + list(range(2, h, 4))
         + list(range(1, h, 2))
     )
-    out: list[list[int] | None] = [None] * h
-    for src, dst in enumerate(order):
+
+
+def _gif_deinterlace(rows: list[list[int]]) -> list[list[int]]:
+    """Reorder interlaced GIF rows from file (pass) order back to
+    screen order."""
+    out: list[list[int] | None] = [None] * len(rows)
+    for src, dst in enumerate(_gif_interlace_order(len(rows))):
         out[dst] = rows[src]
     return out  # type: ignore[return-value]
 
@@ -1545,14 +1558,7 @@ def make_gif(
     min_code = max(2, pbits)
     rows = [indices[y * width : (y + 1) * width] for y in range(height)]
     if interlace:
-        h = height
-        order = (
-            list(range(0, h, 8))
-            + list(range(4, h, 8))
-            + list(range(2, h, 4))
-            + list(range(1, h, 2))
-        )
-        rows = [rows[dst] for dst in order]
+        rows = [rows[dst] for dst in _gif_interlace_order(height)]
     flat = [ix for row in rows for ix in row]
     lzw = _gif_lzw_encode(flat, min_code)
     sub = bytearray()
@@ -2443,7 +2449,16 @@ def sample_video_frames(
             for doc_id, payload in zip(pdf["doc_id"], pdf["_p"]):
                 if payload is None:
                     continue
-                _, raw = demux_video_frames(bytes(payload))
+                info, raw = demux_video_frames(bytes(payload))
+                codec = info.get("codec")
+                if codec is not None and codec != "jpeg":
+                    # same honest swap-in as real_video_kernel: a real
+                    # codec must surface as NotImplementedError, never
+                    # be fed to the JPEG decoder and quarantined as a
+                    # ValueError 'corrupt' row
+                    raise NotImplementedError(
+                        f"MP4 codec {codec!r} needs an external decoder"
+                    )
                 for idx in range(0, len(raw), every_k):
                     d = _jpeg_decode(raw[idx])
                     rows.append(

@@ -271,7 +271,11 @@ def _ivf_query_probes(
 
 
 def _probe_and_rerank(
-    c: DataFrame, q: DataFrame, k: int, q_size_proxy: DataFrame | None = None
+    c: DataFrame,
+    q: DataFrame,
+    k: int,
+    q_size_proxy: DataFrame | None = None,
+    proxy_scale: float = 1.0,
 ) -> DataFrame:
     """Equi-join probed lists against the query probes (broadcast when
     the query side's size estimate allows — the point-lookup shape),
@@ -282,9 +286,15 @@ def _probe_and_rerank(
     a partitioned equi join on list_id instead of OOMing the driver.
     ``q_size_proxy``: the raw query frame, for when ``q``'s own stats
     are a join-product guess (probes derive from a crossJoin with the
-    1-row centroid matrix)."""
+    1-row centroid matrix); ``proxy_scale``: the probes-frame
+    expansion over that raw frame (~nprobe rows per query)."""
     scored = (
-        c.join(maybe_broadcast(q, size_proxy=q_size_proxy), "list_id")
+        c.join(
+            maybe_broadcast(
+                q, size_proxy=q_size_proxy, proxy_scale=proxy_scale
+            ),
+            "list_id",
+        )
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
@@ -324,7 +334,7 @@ def ivf_topk(
         "list_id",
     )
     q = _ivf_query_probes(queries, centroids, nprobe, vec_col, id_col)
-    return _probe_and_rerank(c, q, k, q_size_proxy=queries)
+    return _probe_and_rerank(c, q, k, q_size_proxy=queries, proxy_scale=nprobe)
 
 
 def ivf_write_index(
@@ -422,7 +432,7 @@ def ivf_topk_indexed(
             "list_id",
         )
     )
-    return _probe_and_rerank(c, q, k, q_size_proxy=queries)
+    return _probe_and_rerank(c, q, k, q_size_proxy=queries, proxy_scale=nprobe)
 
 
 def lsh_topk(
@@ -1219,9 +1229,12 @@ def pq_topk(
             "query_id", _adc_table_expr(F.col("_qv"), dsub).alias("_dtab")
         )
     )
-    scored = codes.crossJoin(maybe_broadcast(q, size_proxy=queries)).where(
-        F.col("query_id") != F.col("neighbor_id")
-    )
+    # _dtab is m*ksub doubles per row vs the proxy's m*dsub-double
+    # vector: scale the gate by the ratio so the proxy stays a bound
+    dtab_scale = max(1.0, len(codebooks[0]) / dsub)
+    scored = codes.crossJoin(
+        maybe_broadcast(q, size_proxy=queries, proxy_scale=dtab_scale)
+    ).where(F.col("query_id") != F.col("neighbor_id"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("_adc").asc(), F.col("neighbor_id").asc()
     )
@@ -1308,9 +1321,13 @@ def ivfpq_topk(
             _adc_table_expr(F.col("_qv"), dsub).alias("_dtab"),
         )
     )
-    scored = c.join(maybe_broadcast(q, size_proxy=queries), "list_id").where(
-        F.col("query_id") != F.col("neighbor_id")
-    )
+    # nprobe rows per query, each carrying the m*ksub-double _dtab:
+    # both expansions over the raw query frame go into the gate
+    dtab_scale = nprobe * max(1.0, len(codebooks[0]) / dsub)
+    scored = c.join(
+        maybe_broadcast(q, size_proxy=queries, proxy_scale=dtab_scale),
+        "list_id",
+    ).where(F.col("query_id") != F.col("neighbor_id"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("_adc").asc(), F.col("neighbor_id").asc()
     )

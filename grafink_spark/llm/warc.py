@@ -88,10 +88,14 @@ def iter_warc_records(payload: bytes) -> Iterator[dict]:
     if payload is None or len(payload) < 4:
         raise ValueError("not a WARC payload")
     if payload[:2] == b"\x1f\x8b":
+        import zlib
+
         try:
             with gzip.GzipFile(fileobj=io.BytesIO(payload)) as gz:
                 data = gz.read()
-        except (OSError, EOFError) as e:
+        except (OSError, EOFError, zlib.error) as e:
+            # zlib.error is NOT an OSError — without it a corrupt
+            # deflate body escapes the ValueError quarantine contract
             raise ValueError(f"malformed WARC gzip stream: {e}") from e
     else:
         data = payload

@@ -177,7 +177,10 @@ def ann_ab(spark: SparkSession, mode: str, scale: float = 1.0) -> DataFrame:
     queries = synthetic_embeddings(spark, 128, dim)
     if mode == "brute":
         return ss.brute_force_topk(corpus, queries, k=10)
-    key = (id(spark), n)
+    # keyed by applicationId, not id(spark): id() values are reused
+    # after GC, which could hand a NEW session a pinned index bound to
+    # a stopped SparkContext
+    key = (spark.sparkContext.applicationId, n)
     if key not in _ANN_INDEX_CACHE:
         sample = corpus.limit(1024)
         cents = ss.ivf_train(sample, nlist=16, iters=1)

@@ -39,6 +39,7 @@ def maybe_broadcast(
     df: DataFrame,
     max_bytes: int | None = None,
     size_proxy: DataFrame | None = None,
+    proxy_scale: float = 1.0,
 ) -> DataFrame:
     """Broadcast hint gated on Catalyst's size estimate.
 
@@ -60,6 +61,14 @@ def maybe_broadcast(
     caller knows a frame that UPPER-BOUNDS ``df`` (e.g. per-id means
     are never bigger than the id-carrying input), gating on the proxy
     restores the small-side broadcast without risking an over-hint.
+
+    ``proxy_scale``: the known expansion factor between the proxy and
+    ``df`` when the proxy is NOT an upper bound by itself — an IVF
+    probes frame is ~nprobe× its raw query frame (one row per probed
+    list, each carrying the vector), so gating on the raw frame alone
+    would under-estimate by nprobe and a near-ceiling query set could
+    earn a forced hint on a frame nprobe× the ceiling.  The proxy
+    estimate is multiplied by this factor before the comparison.
     """
     from pyspark.sql import functions as F
 
@@ -69,7 +78,7 @@ def maybe_broadcast(
         except Exception:
             max_bytes = BROADCAST_MAX_BYTES
     size = plan_size_bytes(size_proxy if size_proxy is not None else df)
-    if size is not None and size <= max_bytes:
+    if size is not None and size * proxy_scale <= max_bytes:
         return F.broadcast(df)
     return df
 

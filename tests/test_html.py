@@ -17,7 +17,7 @@ def pages(spark):
         ),
         (
             2,
-            "<body><p>&lt;tag&gt; &quot;quoted&quot; &#39;q&#39;"
+            "<body><p>&lt;tag&gt; &quot;quoted&quot; &#39;q&apos;"
             " &nbsp;spaced &amp;lt;double</p></body>",
         ),
         (3, "<body><a>one</a><a>two <b>bold</b></a>no links here</body>"),
@@ -35,7 +35,7 @@ def test_visible_text_and_title(spark, pages):
     assert out[1].text == "T & A Hello world a link"
     assert out[1].n_links == 1 and out[1].link_chars == len("a link")
     # entity unescaping, one level only (&amp;lt; -> &lt;)
-    assert out[2].text == "<tag> \"quoted\" 'q' spaced &lt;double"
+    assert out[2].text == "<tag> \"quoted\" 'q' spaced &lt;double"  # &#39;/&apos; both unescape
     # nested tags inside anchors stripped for link_chars
     assert out[3].n_links == 2
     assert out[3].link_chars == len("one") + len("two bold")

@@ -1489,3 +1489,22 @@ def test_codec_fuzz_quarantine_contract():
                     mm.real_decode_kernel(1, bytes(b))
             except (ValueError, NotImplementedError):
                 pass
+
+
+def test_sample_video_frames_codec_gate(spark):
+    """A real-codec MP4 (avc1) must surface NotImplementedError from
+    the Spark sampler — never be fed to the JPEG decoder and die as a
+    ValueError 'corrupt' row (the two video entry points agree)."""
+    mp4 = mm.make_mjpeg_mp4([mm.make_solid_jpeg(8, 8, 100)], 8, 8)
+    h264 = mp4.replace(b"jpeg", b"avc1", 1)
+    df = spark.createDataFrame([(1, h264)], "doc_id long, payload binary")
+    with pytest.raises(Exception) as ei:
+        mm.sample_video_frames(df).collect()
+    assert "NotImplementedError" in str(ei.value)
+
+
+def test_make_solid_jpeg_progressive_block_limit():
+    """EOBn is defined only for r <= 14: a request beyond 2^15 blocks
+    must refuse with ValueError, not emit an invalid stream."""
+    with pytest.raises(ValueError, match="2\\^15 blocks"):
+        mm.make_solid_jpeg_progressive(2048, 1024, 128)

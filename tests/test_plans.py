@@ -699,3 +699,20 @@ def test_nation_volume_shipping_single_fact_exchange(spark):
     ]
     assert len(exchanges) <= 2, exchanges
     assert "CartesianProduct" not in plan
+
+
+def test_maybe_broadcast_proxy_scale_gates_expanded_frames(spark):
+    """A proxy that UNDER-estimates an expanded frame (IVF probes are
+    ~nprobe x their raw query frame) must decline the hint once the
+    scaled estimate crosses the ceiling — and keep it when it fits."""
+    from grafink_spark.util import maybe_broadcast, plan_size_bytes
+
+    df = spark.range(1000).selectExpr("id", "id * 2 AS v")
+    size = plan_size_bytes(df)
+    assert size is not None and size > 0
+    # ceiling just above the raw estimate: unscaled passes...
+    hinted = maybe_broadcast(df, max_bytes=size + 1, size_proxy=df)
+    assert "ResolvedHint" in hinted._jdf.queryExecution().analyzed().toString()
+    # ...but a 4x expansion over the same proxy must be declined
+    plain = maybe_broadcast(df, max_bytes=size + 1, size_proxy=df, proxy_scale=4.0)
+    assert "ResolvedHint" not in plain._jdf.queryExecution().analyzed().toString()
