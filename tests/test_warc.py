@@ -81,3 +81,36 @@ def test_extract_warc_records_keep_all(spark):
     rows = warc.extract_warc_records(df, html_only=False).collect()
     assert sorted(r.record_idx for r in rows) == [0, 1, 2, 3]
     assert {r.http_status for r in rows} == {200, 404}
+
+
+def test_warc_fuzz_quarantine_contract():
+    """Mutation fuzz (flips/truncations/splices over both framings):
+    the parser surfaces only ValueError — never zlib.error/IndexError/
+    struct.error — so one corrupt crawl file can't kill a Spark task."""
+    import random
+
+    rnd = random.Random(99)
+    recs = [
+        {"url": "http://a/1", "body": "<html><p>hi</p></html>"},
+        {"url": "http://a/2", "rtype": "request", "body": "GET /"},
+        {"url": "http://a/3", "body": b"\x89PNG", "content_type": "image/png"},
+    ]
+    for compress in (True, False):
+        payload = warc.make_warc(recs, compress)
+        for _ in range(600):
+            b = bytearray(payload)
+            for _ in range(rnd.randrange(1, 6)):
+                op = rnd.random()
+                if op < 0.5 and len(b) > 1:
+                    b[rnd.randrange(len(b))] = rnd.randrange(256)
+                elif op < 0.8 and len(b) > 4:
+                    b = b[: rnd.randrange(1, len(b))]
+                else:
+                    at = rnd.randrange(len(b))
+                    b[at:at] = bytes(
+                        rnd.randrange(256) for _ in range(rnd.randrange(8))
+                    )
+            try:
+                list(warc.iter_warc_records(bytes(b)))
+            except ValueError:
+                pass
