@@ -1405,6 +1405,15 @@ def _demux_avi_frames_impl(payload: bytes) -> tuple[dict, list[bytes]]:
 # dictionary growth boundary (hand-traced vectors pin it in tests).
 
 
+# Decode-side pixel budget: a GIF image descriptor can declare up to
+# 65535×65535 (~4.3e9) pixels in 4 header bytes, and LZW amplifies a
+# few-KB stream thousands-fold — an unchecked crafted payload (LZW
+# bomb) would OOM the executor BEFORE any exception fires, which the
+# ValueError quarantine cannot catch. 2^26 (= 8192×8192) is far above
+# any sane GIF frame and far below executor memory.
+GIF_MAX_PIXELS = 1 << 26
+
+
 def _gif_lzw_decode(data: bytes, min_code: int, expect: int) -> list[int]:
     """Decode a GIF LZW stream (concatenated sub-block payloads) into
     ``expect`` palette indices. Handles clear codes, the KwKwK
@@ -1667,6 +1676,15 @@ def _decode_gif_impl(payload: bytes) -> dict:
             raise ValueError("GIF image has no palette")
         if not (2 <= min_code <= 8):
             raise ValueError("bad GIF LZW minimum code size")
+        # LZW-bomb guard: absolute budget, plus an amplification bound —
+        # a C-code stream (codes ≥ 3 bits → ≤ 8/3 per byte) can emit at
+        # most ~C²/2 symbols below the 4096-entry cap, so 4096 symbols
+        # per stream byte over-covers every legitimate encoding while
+        # rejecting few-KB payloads that declare billions of pixels
+        if iw * ih > GIF_MAX_PIXELS or iw * ih > 4096 * max(1, len(data)):
+            raise ValueError(
+                f"GIF raster {iw}x{ih} exceeds decode pixel budget"
+            )
         idx = _gif_lzw_decode(bytes(data), min_code, iw * ih)
         if ipacked & 0x40:
             rows = [idx[y * iw : (y + 1) * iw] for y in range(ih)]

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import gzip
 import io
+import re
 import struct  # noqa: F401  (parity with sibling codec modules)
 from collections.abc import Iterator
 
@@ -44,11 +45,29 @@ def make_warc(records: list[dict], compress: bool = True) -> bytes:
         body = r["body"] if isinstance(r["body"], bytes) else r["body"].encode()
         rtype = r.get("rtype", "response")
         if rtype == "response":
-            http = (
-                f"HTTP/1.1 {r.get('http_status', 200)} OK\r\n"
-                f"Content-Type: {r.get('content_type', 'text/html')}\r\n"
-                f"Content-Length: {len(body)}\r\n\r\n"
-            ).encode()
+            if r.get("chunked"):
+                # RFC 9112 §7.1 chunked framing, split in two chunks so
+                # the reassembly path is actually exercised
+                half = max(1, len(body) // 2)
+                chunks = [c for c in (body[:half], body[half:]) if c]
+                framed = (
+                    b"".join(
+                        b"%x\r\n%s\r\n" % (len(c), c) for c in chunks
+                    )
+                    + b"0\r\n\r\n"
+                )
+                http = (
+                    f"HTTP/1.1 {r.get('http_status', 200)} OK\r\n"
+                    f"Content-Type: {r.get('content_type', 'text/html')}\r\n"
+                    "Transfer-Encoding: chunked\r\n\r\n"
+                ).encode()
+                body = framed
+            else:
+                http = (
+                    f"HTTP/1.1 {r.get('http_status', 200)} OK\r\n"
+                    f"Content-Type: {r.get('content_type', 'text/html')}\r\n"
+                    f"Content-Length: {len(body)}\r\n\r\n"
+                ).encode()
             content = http + body
             ctype = "application/http; msgtype=response"
         else:
@@ -78,6 +97,55 @@ def _parse_headers(block: bytes) -> dict[str, str]:
         k, v = line.split(b":", 1)
         headers[k.strip().decode("latin1").lower()] = v.strip().decode("latin1")
     return headers
+
+
+def _dechunk(body: bytes) -> bytes:
+    """Reassemble an HTTP/1.1 ``Transfer-Encoding: chunked`` body
+    (RFC 9112 §7.1): hex size line (chunk extensions after ``;``
+    ignored) → chunk data → CRLF, terminated by a zero-size chunk
+    (trailer fields, if any, are ignored). Any framing defect raises
+    ValueError — the quarantine contract; a malformed chunk size in
+    untrusted crawl bytes must never escape as a different exception
+    or an infinite loop."""
+    out = bytearray()
+    pos = 0
+    while True:
+        nl = body.find(b"\r\n", pos)
+        if nl < 0:
+            raise ValueError("truncated chunk-size line")
+        size_tok = body[pos:nl].split(b";", 1)[0].strip()
+        try:
+            size = int(size_tok, 16)
+        except ValueError as e:
+            raise ValueError(f"malformed chunk size {size_tok!r}") from e
+        if size < 0:
+            raise ValueError("negative chunk size")
+        pos = nl + 2
+        if size == 0:
+            return bytes(out)
+        hi = pos + size
+        if hi + 2 > len(body):
+            raise ValueError("chunk data beyond end of body")
+        if body[hi : hi + 2] != b"\r\n":
+            raise ValueError("missing CRLF after chunk data")
+        out += body[pos:hi]
+        pos = hi + 2
+
+
+def _decode_body(body: bytes, content_type: str) -> str:
+    """Decode a response body: the declared ``charset=`` parameter
+    first (case-insensitive, quotes tolerated), then UTF-8, then
+    latin-1 — which is total (every byte sequence decodes), so the
+    decode NEVER raises. Real crawls mix charsets freely; a wrong
+    or unknown label must degrade to lossless-per-byte text, not
+    kill the task."""
+    m = re.search(r"charset=[\"']?([\w.:-]+)", content_type, re.I)
+    for enc in ([m.group(1)] if m else []) + ["utf-8"]:
+        try:
+            return body.decode(enc)
+        except (LookupError, UnicodeDecodeError, ValueError):
+            continue
+    return body.decode("latin1")
 
 
 def iter_warc_records(payload: bytes) -> Iterator[dict]:
@@ -117,6 +185,11 @@ def iter_warc_records(payload: bytes) -> Iterator[dict]:
             length = int(headers["content-length"])
         except (KeyError, ValueError) as e:
             raise ValueError("WARC record missing Content-Length") from e
+        if length < 0:
+            # a negative length would move pos BACKWARD and re-parse
+            # the same header forever — the one non-progress case in
+            # this loop, so it must be a hard quarantine error
+            raise ValueError(f"negative WARC Content-Length {length}")
         content_lo = hdr_end + 4
         content_hi = content_lo + length
         if content_hi > len(data):
@@ -133,12 +206,15 @@ def iter_warc_records(payload: bytes) -> Iterator[dict]:
                 raise ValueError("malformed HTTP status line") from e
             first_crlf = content.find(b"\r\n")
             http_headers = _parse_headers(content[first_crlf + 2 : http_end])
+            body = content[http_end + 4 :]
+            if "chunked" in http_headers.get("transfer-encoding", "").lower():
+                body = _dechunk(body)
             yield {
                 "url": headers.get("warc-target-uri", ""),
                 "date": headers.get("warc-date", ""),
                 "status": status,
                 "content_type": http_headers.get("content-type", ""),
-                "body": content[http_end + 4 :],
+                "body": body,
             }
         pos = content_hi
 
@@ -164,9 +240,11 @@ def extract_warc_records(
     html_only: bool = True,
 ) -> DataFrame:
     """1→N record extraction over binary WARC payloads: one row per
-    response record with its decoded HTML (latin1-safe decode — real
-    charset sniffing belongs to a downstream operator) and transfer
-    metadata. ``html_only`` keeps text/html 200s — the corpus-prep
+    response record with its decoded HTML (declared charset → UTF-8 →
+    latin-1 fallback, so the decode is total) and transfer metadata.
+    Chunked transfer-encoding bodies are reassembled by the record
+    parser before they get here. ``html_only`` keeps text/html 200s
+    (content-type compared case-insensitively) — the corpus-prep
     default. Narrow Arrow map; WARC bytes never leave the executor."""
     src = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("_p"))
 
@@ -177,9 +255,11 @@ def extract_warc_records(
                 if payload is None:
                     continue
                 for idx, rec in enumerate(iter_warc_records(bytes(payload))):
+                    # header KEYS are lowered by the parser; VALUES are
+                    # not — real crawls carry 'Text/HTML' etc.
                     if html_only and (
                         rec["status"] != 200
-                        or not rec["content_type"].startswith("text/html")
+                        or not rec["content_type"].lower().startswith("text/html")
                     ):
                         continue
                     rows.append(
@@ -190,7 +270,9 @@ def extract_warc_records(
                             "warc_date": rec["date"],
                             "http_status": rec["status"],
                             "content_type": rec["content_type"],
-                            "html": rec["body"].decode("latin1"),
+                            "html": _decode_body(
+                                rec["body"], rec["content_type"]
+                            ),
                             "n_bytes": len(rec["body"]),
                         }
                     )

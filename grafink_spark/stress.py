@@ -181,6 +181,12 @@ def ann_ab(spark: SparkSession, mode: str, scale: float = 1.0) -> DataFrame:
     # after GC, which could hand a NEW session a pinned index bound to
     # a stopped SparkContext
     key = (spark.sparkContext.applicationId, n)
+    # evict entries from other sessions/scales: a stopped session's
+    # pinned index blocks are useless but the DataFrame refs would keep
+    # driver-side plan state alive for the process lifetime (bench runs
+    # many sessions back-to-back) — single-live-entry cache
+    for stale in [k for k in _ANN_INDEX_CACHE if k != key]:
+        del _ANN_INDEX_CACHE[stale]
     if key not in _ANN_INDEX_CACHE:
         sample = corpus.limit(1024)
         cents = ss.ivf_train(sample, nlist=16, iters=1)

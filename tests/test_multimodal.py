@@ -1326,6 +1326,29 @@ def test_gif_malformed_raises_value_error():
         mm._gif_lzw_decode(data, 2, 4)
 
 
+def test_gif_lzw_bomb_quarantined_fast():
+    """A few-byte GIF declaring a ~4.3e9-pixel raster must raise
+    ValueError BEFORE any decode allocation — the pixel-budget guard —
+    and a legit frame just under the amplification bound still
+    decodes."""
+    import struct
+    import time
+
+    pal = [(0, 0, 0), (255, 255, 255)]
+    g = bytearray(mm.make_gif(8, 8, [0] * 64, pal))
+    # image descriptor starts after header(13) + 2-entry padded
+    # palette: find the 0x2c introducer and rewrite its iw/ih
+    at = g.index(0x2C, 13)
+    g[at + 5 : at + 9] = struct.pack("<HH", 65535, 65535)
+    t0 = time.monotonic()
+    with pytest.raises(ValueError, match="pixel budget"):
+        mm.decode_gif(bytes(g))
+    assert time.monotonic() - t0 < 1.0  # guard fires, not the decoder
+    # a genuinely large-but-sane frame is untouched by the guard
+    out = mm.decode_gif(mm.make_gif(64, 64, [1] * 4096, pal))
+    assert out["mean_luma"] == pytest.approx(255.0)
+
+
 # ---- TIFF (baseline) codec ----
 
 

@@ -83,6 +83,94 @@ def test_extract_warc_records_keep_all(spark):
     assert {r.http_status for r in rows} == {200, 404}
 
 
+def test_negative_content_length_raises_not_hangs():
+    """A negative Content-Length must quarantine (ValueError), never
+    move the cursor backward and re-parse the same header forever."""
+    rec = (
+        b"WARC/1.0\r\nWARC-Type: metadata\r\n"
+        b"Content-Length: -54\r\n\r\npayload\r\n\r\n"
+    )
+    with pytest.raises(ValueError, match="negative WARC Content-Length"):
+        list(warc.iter_warc_records(rec))
+    # and inside a gzip member, same contract
+    with pytest.raises(ValueError):
+        list(warc.iter_warc_records(gzip.compress(rec)))
+
+
+def test_chunked_transfer_encoding_roundtrip():
+    """Transfer-Encoding: chunked bodies reassemble to the original
+    bytes through both framings; non-chunked siblings are untouched."""
+    body = "<html><p>" + "chunk " * 40 + "</p></html>"
+    recs = [
+        {"url": "http://a/c", "body": body, "chunked": True},
+        {"url": "http://a/p", "body": "<p>plain</p>"},
+    ]
+    for compress in (True, False):
+        out = list(warc.iter_warc_records(warc.make_warc(recs, compress)))
+        assert out[0]["body"] == body.encode()
+        assert out[1]["body"] == b"<p>plain</p>"
+
+
+def test_malformed_chunk_framing_quarantines():
+    """Bad hex size, negative size, truncated chunk, missing CRLF —
+    every framing defect is a ValueError, not a hang or IndexError."""
+    def resp(chunk_body: bytes) -> bytes:
+        http = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+            b"Transfer-Encoding: chunked\r\n\r\n" + chunk_body
+        )
+        return (
+            b"WARC/1.0\r\nWARC-Type: response\r\n"
+            b"WARC-Target-URI: http://x\r\n"
+            b"Content-Type: application/http; msgtype=response\r\n"
+            + b"Content-Length: %d\r\n\r\n" % len(http)
+            + http
+            + b"\r\n\r\n"
+        )
+
+    bad = (
+        b"zz\r\nhi\r\n0\r\n\r\n",      # non-hex size
+        b"-5\r\nhi\r\n0\r\n\r\n",      # negative size
+        b"ff\r\nhi\r\n0\r\n\r\n",      # size beyond end
+        b"2\r\nhi",                     # missing CRLF + terminator
+        b"2\r\nhiXX0\r\n\r\n",          # wrong chunk-data terminator
+        b"2\r\nhi\r\n",                 # no zero chunk
+    )
+    for cb in bad:
+        with pytest.raises(ValueError):
+            list(warc.iter_warc_records(resp(cb)))
+    ok = list(warc.iter_warc_records(resp(b"2;ext=1\r\nhi\r\n0\r\n\r\n")))
+    assert ok[0]["body"] == b"hi"  # chunk extensions are ignored
+
+
+def test_charset_fallback_decode(spark):
+    """Declared charset wins; undeclared valid UTF-8 decodes as UTF-8;
+    an unknown charset label falls back without raising; Text/HTML
+    passes the html_only filter case-insensitively."""
+    recs = [
+        {"url": "http://a/u", "body": "<p>héllo — utf</p>".encode()},
+        {
+            "url": "http://a/l",
+            "body": "<p>caf\xe9</p>".encode("cp1252"),
+            "content_type": 'text/html; charset="cp1252"',
+        },
+        {
+            "url": "http://a/x",
+            "body": b"<p>\xff raw</p>",
+            "content_type": "Text/HTML; charset=not-a-codec",
+        },
+    ]
+    df = spark.createDataFrame(
+        [(1, warc.make_warc(recs))], "doc_id long, payload binary"
+    )
+    rows = {r.url: r for r in warc.extract_warc_records(df).collect()}
+    assert rows["http://a/u"].html == "<p>héllo — utf</p>"
+    assert rows["http://a/l"].html == "<p>café</p>"
+    # \xff alone is invalid UTF-8 → latin-1 fallback, lossless per byte
+    assert rows["http://a/x"].html == "<p>\xff raw</p>"
+    assert len(rows) == 3  # Text/HTML survived the case-insensitive gate
+
+
 def test_warc_fuzz_quarantine_contract():
     """Mutation fuzz (flips/truncations/splices over both framings):
     the parser surfaces only ValueError — never zlib.error/IndexError/
@@ -94,6 +182,7 @@ def test_warc_fuzz_quarantine_contract():
         {"url": "http://a/1", "body": "<html><p>hi</p></html>"},
         {"url": "http://a/2", "rtype": "request", "body": "GET /"},
         {"url": "http://a/3", "body": b"\x89PNG", "content_type": "image/png"},
+        {"url": "http://a/4", "body": "<p>chunked body</p>", "chunked": True},
     ]
     for compress in (True, False):
         payload = warc.make_warc(recs, compress)
