@@ -404,15 +404,11 @@ def main() -> int:
             # sf, so within-block pair work is quadratic-by-semantics —
             # the scale path is the LSH/IVF ANN family, timed above
             "embedding_near_pairs",
-            # corpus-as-queries kNN with ORACLE-PINNED nlist=8: IVF
-            # candidates are n·nprobe/nlist per query = n²/2 total, so
-            # the twin proves the candidate-backed PLAN SHAPE (equi
-            # join, no broadcast), not a sub-quadratic pair count — at
-            # sf1 that is ~1.25B candidate cosines (measured hang,
-            # round 6). Real deployments grow nlist with the corpus;
-            # the oracle pins it.
-            "label_noise_ivf",
-            "bitext_mine_ivf",  # same pinned-nlist candidate volume
+            # label_noise_ivf / bitext_mine_ivf run here since round 7:
+            # their nlist is COUNT-DERIVED (max(8, ceil(sqrt(N))), the
+            # oracle replays it as a scalar subquery), so the candidate
+            # volume is ~nprobe·N^1.5 — the round-6 pinned nlist=8 kept
+            # n²/2 candidates and hung at this scale.
         }
         sf1_loadavgs: dict[str, float] = {}
         for name in [q for q in headline if q not in sf1_skip]:

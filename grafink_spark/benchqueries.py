@@ -7107,21 +7107,32 @@ def q_label_noise_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     stays the oracle anchor): neighbors come from IVF candidates
     (deterministic centroids, nprobe lists per query) instead of the
     full pair space, then the IDENTICAL disagree-rate aggregation runs
-    over them — the semantic_contamination_ivf pattern. Pair work is
-    Σ|list|·(probes landing there), realized as a partitioned equi
-    join on list_id; no cross join and no corpus-side broadcast (the
-    query side's broadcast in ivf_topk is size-gated)."""
-    from grafink_spark.llm.simsearch import ivf_topk, ivf_train
+    over them — the semantic_contamination_ivf pattern.
+
+    nlist is COUNT-DERIVED (derive_nlist = max(8, ceil(sqrt(N))), the
+    FAISS rule): candidate volume ≈ nprobe·N^1.5/… instead of the
+    quadratic ~n²/2 the round-6 pinned nlist=8 kept (47.5 s at sf0.1,
+    20× the brute form; "measured hang" at sf1). The oracle replays
+    the same derivation as a scalar subquery, so the row stays green
+    at any sf. Pair work is a partitioned SALTED equi join on list_id;
+    no cross join and no corpus-side broadcast (the query side's
+    broadcast in ivf_topk is size-gated)."""
+    from grafink_spark.llm.simsearch import derive_nlist, ivf_topk, ivf_train
 
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = ivf_train(emb, nlist=8, iters=1)
+    cents = ivf_train(emb, nlist=derive_nlist(emb.count()), iters=1)
     nn = ivf_topk(emb, emb, cents, k=5, nprobe=4).select(
         "query_id", "neighbor_id"
     )
     return _disagree_rate(nn, emb.select("vec_id", "label"))
 
 
-def _label_noise_ivf_sql(nlist: int = 8, dim: int = 64, nprobe: int = 4,
+NLIST_SQRT_SQL = (
+    "(SELECT CAST(greatest(8, ceil(sqrt(count(*)))) AS BIGINT) FROM {src})"
+)
+
+
+def _label_noise_ivf_sql(nlist: int | str, dim: int = 64, nprobe: int = 4,
                          k: int = 5) -> str:
     """SQL replay of ivf_train(iters=1) + ivf_topk(corpus as queries)
     + the disagree-rate tail — same tie rules as the Spark side
@@ -7167,7 +7178,9 @@ FROM a WHERE n_disagree * 2 > k
 """
 
 
-SQL_LABEL_NOISE_IVF = _label_noise_ivf_sql()
+SQL_LABEL_NOISE_IVF = _label_noise_ivf_sql(
+    nlist=NLIST_SQRT_SQL.format(src="embeddings")
+)
 
 QUERIES.update({"label_noise_ivf": q_label_noise_ivf})
 ORACLES.update({"label_noise_ivf": SQL_LABEL_NOISE_IVF})
@@ -8200,17 +8213,19 @@ ORACLES.update({"bitext_mine": SQL_BITEXT_MINE})
 def q_bitext_mine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candidate-backed bitext mining — the scale path for
     :func:`q_bitext_mine` (the exact A×B form stays the oracle
-    anchor): IVF centroids train on the b side, candidates come from
-    a partitioned equi join on list_id (a probes nprobe lists), and
-    the identical ratio-margin criterion runs over candidates only —
-    llm.simsearch.bitext_mine_ivf."""
+    anchor): IVF centroids train on the b side with the COUNT-DERIVED
+    nlist (max(8, ceil(sqrt(|B|))) — the API default; the round-6
+    pinned nlist=8 kept a quadratic candidate volume), candidates come
+    from a partitioned salted equi join on list_id (a probes nprobe
+    lists), and the identical ratio-margin criterion runs over
+    candidates only — llm.simsearch.bitext_mine_ivf. The oracle
+    replays the derivation as a scalar subquery over the b slice."""
     emb = load_table(spark, sf_dir, "embeddings")
     out = ss.bitext_mine_ivf(
         emb.where(F.col("label") == 0),
         emb.where(F.col("label") == 1),
         k=4,
         threshold=1.0,
-        nlist=8,
         nprobe=4,
     )
     return out.select(
@@ -8221,7 +8236,7 @@ def q_bitext_mine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bitext_ivf_sql(nlist: int = 8, dim: int = 64, nprobe: int = 4,
+def _bitext_ivf_sql(nlist: int | str, dim: int = 64, nprobe: int = 4,
                     k: int = 4) -> str:
     """SQL replay of bitext_mine_ivf: IVF trained on the b slice
     (lowest-id seeds + 1 Lloyd step), a-side probes (ties → higher
@@ -8279,7 +8294,9 @@ FROM best WHERE rk = 1 AND margin >= 1.0
 """
 
 
-SQL_BITEXT_MINE_IVF = _bitext_ivf_sql()
+SQL_BITEXT_MINE_IVF = _bitext_ivf_sql(
+    nlist=NLIST_SQRT_SQL.format(src="embeddings WHERE label = 1")
+)
 
 QUERIES.update({"bitext_mine_ivf": q_bitext_mine_ivf})
 ORACLES.update({"bitext_mine_ivf": SQL_BITEXT_MINE_IVF})

@@ -22,9 +22,84 @@ import math
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from grafink_spark.util import maybe_broadcast, pin, pin_lazy
+from grafink_spark.util import maybe_broadcast, pin, pin_lazy, would_broadcast
 
 from grafink_spark.llm.dedup import cosine_similarity
+
+
+def derive_nlist(n: int) -> int:
+    """Count-derived inverted-list count: ``max(8, ceil(sqrt(N)))`` —
+    the FAISS sizing rule for IVF-flat. It balances the two costs that
+    pull in opposite directions: the centroid scan is N·nlist dim-wide
+    cosines (wants nlist small) while the candidate join volume is
+    ≈ nprobe·N²/nlist (wants nlist large); at nlist = √N both grow as
+    N^1.5, whereas any PINNED nlist leaves the candidate join quadratic
+    in N — the round-6 "measured hang" at sf1. Deterministic, so SQL
+    oracles replay it exactly as ``greatest(8, ceil(sqrt(count(*))))``
+    (IEEE sqrt of an exact integer is correctly rounded on both
+    engines)."""
+    return max(8, math.isqrt(max(n, 1) - 1) + 1)
+
+
+def _salted_list_sides(
+    c: DataFrame,
+    q: DataFrame,
+    row_key: str,
+    nlist: int | None,
+    hot_threshold: int | None,
+) -> tuple[DataFrame, DataFrame, list[str]]:
+    """Salt a partitioned IVF candidate equi join on ``list_id``.
+
+    The join's key cardinality IS nlist, so a small nlist caps reducer
+    parallelism at nlist tasks, and a hot inverted list (skewed
+    centroid) pins one reducer no matter how large nlist is. Corpus
+    rows hash (on ``row_key``) into one of S sub-keys; probe rows
+    replicate to all S — every candidate pair still meets EXACTLY once
+    (the corpus row owns a single salt), so results are bit-identical
+    and oracles are untouched.
+
+    S per list = max(parallelism floor, hot split): the floor
+    ``ceil(shuffle_partitions / nlist)`` applies when nlist is small
+    (free — no extra job); the hot split ``ceil(|list| /
+    hot_threshold)`` (capped at the partition count) applies per
+    oversized list and needs one count probe over the corpus side —
+    driver-bounded output (only lists ≥ hot_threshold are collected,
+    ≤ N/hot_threshold rows), the samevalue hot-key pattern. The probe
+    re-executes the assignment lineage, so ``c`` is pinned first — the
+    join consumer reuses the materialized copy."""
+    spark = c.sparkSession
+    parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    floor_s = -(-parts // nlist) if (nlist and 0 < nlist < parts) else 1
+    s_expr = F.lit(floor_s)
+    hot_map: dict[int, int] = {}
+    if hot_threshold:
+        c = pin(c)
+        hot_map = {
+            int(r.list_id): min(parts, -(-int(r._n) // hot_threshold))
+            for r in (
+                c.groupBy("list_id")
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .where(F.col("_n") >= hot_threshold)
+                .collect()
+            )
+        }
+        hot_map = {k: v for k, v in hot_map.items() if v > floor_s}
+        if hot_map:
+            m = F.create_map(
+                *[F.lit(x) for kv in hot_map.items() for x in kv]
+            )
+            s_expr = F.coalesce(
+                m[F.col("list_id")].cast("int"), F.lit(floor_s)
+            )
+    if floor_s <= 1 and not hot_map:
+        return c, q, ["list_id"]
+    c2 = c.withColumn(
+        "_salt", F.pmod(F.hash(F.col(row_key)), s_expr).cast("int")
+    )
+    q2 = q.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), s_expr - F.lit(1)))
+    )
+    return c2, q2, ["list_id", "_salt"]
 
 
 def brute_force_topk(
@@ -168,7 +243,16 @@ def ivf_assign(
     The row's norm is staged once per ROW and the centroid norms ride
     the broadcast — the per-centroid lambda is just dot/(nv·nc), a ~3×
     cut over recomputing both norms per centroid. Same expression tree
-    per value, so results (and the SQL oracle replays) are bit-equal."""
+    per value, so results (and the SQL oracle replays) are bit-equal.
+
+    The corpus is fanned out to cluster parallelism first: the N×nlist
+    interpreted HOF cosines are CPU-bound, and a small parquet read as
+    1-2 splits would run them serially (measured 9 s → <2 s on the
+    label-noise twin); no-op at real scale where inputs already carry
+    thousands of splits."""
+    from grafink_spark.util import ensure_min_partitions
+
+    corpus = ensure_min_partitions(corpus)
     v = F.col(vec_col).cast("array<double>")
     nv = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
 
@@ -243,10 +327,20 @@ def _ivf_query_probes(
     vec_col: str,
     id_col: str,
 ) -> DataFrame:
-    """(query_id, _qv, list_id) — one row per probed inverted list.
-    Probe selection ties (equal centroid cosine) resolve to the higher
-    cid (descending struct sort)."""
+    """(query_id, _qv, _qn, list_id) — one row per probed inverted
+    list, with the query's L2 norm staged ONCE per query row (``_qn``):
+    downstream pair scoring reuses it across every candidate, cutting
+    the per-pair cosine from 3 interpreted HOF folds to 1 (same
+    expression tree as cosine_similarity, so values are bit-identical —
+    the SQL oracles' per-pair norms compute the same doubles). Probe
+    selection ties (equal centroid cosine) resolve to the higher cid
+    (descending struct sort). Queries fan out to cluster parallelism
+    first — same CPU-bound HOF rationale as ivf_assign."""
+    from grafink_spark.util import ensure_min_partitions
+
+    queries = ensure_min_partitions(queries)
     qv = F.col(vec_col).cast("array<double>")
+    qn = F.sqrt(F.aggregate(qv, F.lit(0.0), lambda acc, x: acc + x * x))
     sims = F.transform(
         F.col("_cmat"),
         lambda cvec, i: F.struct(
@@ -257,12 +351,13 @@ def _ivf_query_probes(
     probes = F.slice(F.reverse(F.array_sort(sims)), 1, nprobe)
     return (
         queries.select(
-            F.col(id_col).alias("query_id"), qv.alias("_qv")
+            F.col(id_col).alias("query_id"), qv.alias("_qv"), qn.alias("_qn")
         )
         .crossJoin(F.broadcast(_centroid_matrix(queries, centroids)))
         .select(
             "query_id",
             "_qv",
+            "_qn",
             F.explode(
                 F.transform(probes, lambda p: p.getField("c"))
             ).alias("list_id"),
@@ -276,6 +371,8 @@ def _probe_and_rerank(
     k: int,
     q_size_proxy: DataFrame | None = None,
     proxy_scale: float = 1.0,
+    nlist: int | None = None,
+    hot_threshold: int | None = None,
 ) -> DataFrame:
     """Equi-join probed lists against the query probes (broadcast when
     the query side's size estimate allows — the point-lookup shape),
@@ -284,22 +381,37 @@ def _probe_and_rerank(
     The broadcast is SIZE-GATED, not forced: all-pairs consumers
     (label-noise mining feeds the whole corpus as queries) degrade to
     a partitioned equi join on list_id instead of OOMing the driver.
+    In THAT path the join keys are salted (:func:`_salted_list_sides`)
+    so a small nlist no longer caps reducer parallelism at nlist tasks
+    and, with ``hot_threshold`` set, a skewed centroid's list splits
+    across reducers instead of pinning one.
     ``q_size_proxy``: the raw query frame, for when ``q``'s own stats
     are a join-product guess (probes derive from a crossJoin with the
     1-row centroid matrix); ``proxy_scale``: the probes-frame
     expansion over that raw frame (~nprobe rows per query)."""
+    if would_broadcast(q, size_proxy=q_size_proxy, proxy_scale=proxy_scale):
+        joined = c.join(F.broadcast(q), "list_id")
+    else:
+        c2, q2, keys = _salted_list_sides(c, q, "neighbor_id", nlist, hot_threshold)
+        joined = c2.join(q2, keys)
+    # per-pair cosine from STAGED norms (one fold per pair instead of
+    # three — measured 3x on the candidate-scoring stage); same guard
+    # and same expression trees as cosine_similarity, so every value
+    # is bit-identical to the unstaged form and the SQL oracles
+    dot = F.aggregate(
+        F.zip_with(F.col("_qv"), F.col("_cv"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    denom = F.col("_qn") * F.col("_cn")
     scored = (
-        c.join(
-            maybe_broadcast(
-                q, size_proxy=q_size_proxy, proxy_scale=proxy_scale
-            ),
-            "list_id",
-        )
-        .where(F.col("query_id") != F.col("neighbor_id"))
+        joined.where(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            cosine_similarity(F.col("_qv"), F.col("_cv")).alias("cosine_sim"),
+            F.when(denom > 0, dot / denom)
+            .otherwise(F.lit(0.0))
+            .alias("cosine_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -320,6 +432,7 @@ def ivf_topk(
     nprobe: int = 4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    hot_threshold: int | None = None,
 ) -> DataFrame:
     """IVF search: each query probes its ``nprobe`` nearest inverted
     lists; exact cosine re-rank within the probed lists. Same output
@@ -327,14 +440,24 @@ def ivf_topk(
 
     The assignment is recomputed inline here (equivalent plan above the
     scan); ``ivf_write_index`` + ``ivf_topk_indexed`` persist the
-    assignment so probes prune FILES instead."""
+    assignment so probes prune FILES instead. When the query side is
+    too big to broadcast, the candidate join is salted (small-nlist
+    parallelism floor always; ``hot_threshold`` additionally splits
+    skewed lists — results identical either way)."""
+    cv = F.col(vec_col).cast("array<double>")
     c = ivf_assign(corpus, centroids, vec_col).select(
         F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).cast("array<double>").alias("_cv"),
+        cv.alias("_cv"),
+        F.sqrt(
+            F.aggregate(cv, F.lit(0.0), lambda acc, x: acc + x * x)
+        ).alias("_cn"),
         "list_id",
     )
     q = _ivf_query_probes(queries, centroids, nprobe, vec_col, id_col)
-    return _probe_and_rerank(c, q, k, q_size_proxy=queries, proxy_scale=nprobe)
+    return _probe_and_rerank(
+        c, q, k, q_size_proxy=queries, proxy_scale=nprobe,
+        nlist=len(centroids), hot_threshold=hot_threshold,
+    )
 
 
 def ivf_write_index(
@@ -405,6 +528,7 @@ def ivf_topk_indexed(
     nprobe: int = 4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    hot_threshold: int | None = None,
 ) -> DataFrame:
     """IVF search over a persisted index: reads ONLY the probed
     ``list_id=`` partitions. The union of all queries' probe lists is
@@ -423,16 +547,23 @@ def ivf_topk_indexed(
     centroids = [(int(c), list(map(float, v))) for c, v in json.loads(raw)]
     q = _ivf_query_probes(queries, centroids, nprobe, vec_col, id_col)
     probe_ids = [r.list_id for r in q.select("list_id").distinct().collect()]
+    cv = F.col(vec_col).cast("array<double>")
     c = (
         spark.read.parquet(f"{path}/vectors")
         .where(F.col("list_id").isin(probe_ids))
         .select(
             F.col(id_col).alias("neighbor_id"),
-            F.col(vec_col).cast("array<double>").alias("_cv"),
+            cv.alias("_cv"),
+            F.sqrt(
+                F.aggregate(cv, F.lit(0.0), lambda acc, x: acc + x * x)
+            ).alias("_cn"),
             "list_id",
         )
     )
-    return _probe_and_rerank(c, q, k, q_size_proxy=queries, proxy_scale=nprobe)
+    return _probe_and_rerank(
+        c, q, k, q_size_proxy=queries, proxy_scale=nprobe,
+        nlist=len(centroids), hot_threshold=hot_threshold,
+    )
 
 
 def lsh_topk(
@@ -840,10 +971,11 @@ def bitext_mine_ivf(
     side_b: DataFrame,
     k: int = 4,
     threshold: float = 1.0,
-    nlist: int = 8,
+    nlist: int | None = None,
     nprobe: int = 4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    hot_threshold: int | None = None,
 ) -> DataFrame:
     """Candidate-backed :func:`bitext_mine` — the scale path for
     corpus-sized sides: IVF centroids train on ``side_b`` (the mined
@@ -855,37 +987,62 @@ def bitext_mine_ivf(
     unchanged; recall is bounded by the probes (nprobe=nlist recovers
     the exact pair space).
 
-    Plan/scale: the pair space is Σ|list|·(probes landing there)
-    instead of |A|·|B|, realized as a partitioned EQUI join on
+    ``nlist`` defaults to COUNT-DERIVED from the b side
+    (:func:`derive_nlist` = max(8, ceil(sqrt(|B|)))): at √N lists the
+    candidate volume is ≈ nprobe·|A|·√|B| instead of the quadratic
+    nprobe·|A|·|B|/nlist a pinned nlist decays to — the round-6
+    "measured hang" at sf1 was exactly nlist=8 keeping ~half the full
+    pair space. A pinned nlist stays supported for reproducing a fixed
+    blocking. Deterministic, so the SQL oracle replays the derivation
+    as a scalar subquery.
+
+    Plan/scale: the candidate join is a partitioned EQUI join on
     list_id — no cross join, no corpus-side broadcast anywhere (the
-    only broadcast is the 1-row nlist×dim centroid matrix). Both
-    means consumers reuse one checkpointed candidate table, exactly
-    like the exact form. Same decimal k-NN-mean staging, so margins
-    over the candidate set are bit-deterministic (oracle contract).
+    only broadcast is the 1-row nlist×dim centroid matrix) — and its
+    keys are salted (:func:`_salted_list_sides`): the parallelism
+    floor kicks in automatically when nlist < shuffle partitions, and
+    ``hot_threshold`` splits skewed lists. Both means consumers reuse
+    one checkpointed candidate table, exactly like the exact form.
+    Same decimal k-NN-mean staging, so margins over the candidate set
+    are bit-deterministic (oracle contract).
 
     Returns (a_id, b_id, cosine_sim, margin) — margins are relative
     to CANDIDATE neighborhoods, so scores can differ from the exact
     form where a true k-NN falls outside the probed lists; pairs
     found by both forms carry identical cosines."""
+    if nlist is None:
+        nlist = derive_nlist(side_b.count())
     centroids = ivf_train(
         side_b, nlist=nlist, iters=1, vec_col=vec_col, id_col=id_col
     )
+    bv = F.col(vec_col).cast("array<double>")
     b = ivf_assign(side_b, centroids, vec_col).select(
         F.col(id_col).alias("b_id"),
         "list_id",
-        F.col(vec_col).cast("array<double>").alias("_bv"),
+        bv.alias("_bv"),
+        F.sqrt(
+            F.aggregate(bv, F.lit(0.0), lambda acc, x: acc + x * x)
+        ).alias("_bn"),
     )
     a = _ivf_query_probes(side_a, centroids, nprobe, vec_col, id_col).select(
-        F.col("query_id").alias("a_id"), "_qv", "list_id"
+        F.col("query_id").alias("a_id"), "_qv", "_qn", "list_id"
     )
     # each b sits in exactly one list and probe lists are distinct, so
-    # a candidate pair appears AT MOST ONCE — no dedup needed
+    # a candidate pair appears AT MOST ONCE — no dedup needed. Norms
+    # are STAGED per row (1 fold per pair, bit-identical values).
+    b, a, join_keys = _salted_list_sides(b, a, "b_id", nlist, hot_threshold)
+    dot = F.aggregate(
+        F.zip_with(F.col("_qv"), F.col("_bv"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    denom = F.col("_qn") * F.col("_bn")
     scored = (
-        b.join(a, "list_id")
+        b.join(a, join_keys)
         .select(
             "a_id",
             "b_id",
-            cosine_similarity(F.col("_qv"), F.col("_bv")).alias("_cs"),
+            F.when(denom > 0, dot / denom).otherwise(F.lit(0.0)).alias("_cs"),
         )
         .transform(pin_lazy)
     )

@@ -108,6 +108,61 @@ def skew_clique(spark: SparkSession, scale: float = 1.0) -> DataFrame:
     return rule.classify(empty, rows)
 
 
+def ann_ivf_skew(spark: SparkSession, mode: str, scale: float = 1.0) -> DataFrame:
+    """IVF candidate join under worst-case centroid skew: half the
+    corpus collapses onto one direction (plus per-vector jitter), so
+    ONE inverted list holds ~n/2 rows, and the query side is a corpus
+    slice too big to broadcast (the all-pairs mining shape — the
+    broadcast gate is pinned shut so the stress models that shape at
+    stress-harness size). The list_id equi join then sends every hot
+    pair to a single reducer unless the list is split.
+
+    ``mode='plain'`` — no hot split: the hot list's ~queries×n/2
+    cosines run in one task while 31 cores idle.
+    ``mode='hot'`` — ``hot_threshold`` salts the join
+    (:func:`grafink_spark.llm.simsearch._salted_list_sides`): corpus
+    rows hash across ceil(|list|/threshold) sub-keys, probe rows
+    replicate, every task busy. Results are identical; the timing
+    ratio is the measurement."""
+    from grafink_spark.llm import simsearch as ss
+
+    n = int(8_000 * scale)
+    dim = 32
+    base = synthetic_embeddings(spark, n, dim)
+    hot_dir = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: 1.0
+        + (F.abs(F.hash(F.col("vec_id") * 17 + i)) % 100) / 10000.0,
+    )
+    corpus = base.select(
+        "vec_id",
+        F.when(F.col("vec_id") % 2 == 0, hot_dir)
+        .otherwise(F.col("embedding"))
+        .alias("embedding"),
+    )
+    queries = corpus.limit(max(64, int(1_024 * scale)))
+    cents = ss.ivf_train(corpus, nlist=32, iters=1)
+    conf_key = "spark.grafink.broadcastMaxBytes"
+    old = spark.conf.get(conf_key, None)
+    spark.conf.set(conf_key, "1")
+    try:
+        # gate decision is made eagerly at build time, so restoring the
+        # conf afterwards does not re-enable the broadcast
+        return ss.ivf_topk(
+            corpus,
+            queries,
+            cents,
+            k=10,
+            nprobe=2,
+            hot_threshold=(256 if mode == "hot" else None),
+        )
+    finally:
+        if old is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, old)
+
+
 def pagerank_numeric(
     spark: SparkSession, mode: str, scale: float = 1.0
 ) -> DataFrame:
@@ -214,6 +269,8 @@ STRESS = {
         spark, "reference", s
     ),
     "skew_clique": skew_clique,
+    "ann_ivf_skew_plain": lambda spark, s=1.0: ann_ivf_skew(spark, "plain", s),
+    "ann_ivf_skew_hot": lambda spark, s=1.0: ann_ivf_skew(spark, "hot", s),
     "pagerank_exact": lambda spark, s=1.0: pagerank_numeric(
         spark, "exact", s
     ),

@@ -72,15 +72,29 @@ def maybe_broadcast(
     """
     from pyspark.sql import functions as F
 
+    if would_broadcast(df, max_bytes, size_proxy, proxy_scale):
+        return F.broadcast(df)
+    return df
+
+
+def would_broadcast(
+    df: DataFrame,
+    max_bytes: int | None = None,
+    size_proxy: DataFrame | None = None,
+    proxy_scale: float = 1.0,
+) -> bool:
+    """The :func:`maybe_broadcast` gate as a predicate — for callers
+    that pick a different PLAN per outcome (e.g. the IVF candidate
+    join salts its shuffle keys only when the query side is too big to
+    broadcast: salting a broadcast join would just replicate the
+    build side for nothing)."""
     if max_bytes is None:
         try:
             max_bytes = int(df.sparkSession.conf.get(_BROADCAST_CONF_KEY))
         except Exception:
             max_bytes = BROADCAST_MAX_BYTES
     size = plan_size_bytes(size_proxy if size_proxy is not None else df)
-    if size is not None and size * proxy_scale <= max_bytes:
-        return F.broadcast(df)
-    return df
+    return size is not None and size * proxy_scale <= max_bytes
 
 
 CHECKPOINT_DIR_CONF = "spark.grafink.checkpointDir"

@@ -477,6 +477,62 @@ def test_label_noise_ivf_full_probe_equals_brute(spark, emb):
     assert ivf == brute
 
 
+def test_derive_nlist_matches_sql_rule():
+    """max(8, ceil(sqrt(N))) — and the DuckDB replay computes the same
+    integers for every N the tables can hit (including perfect
+    squares, where IEEE sqrt is exact)."""
+    import duckdb
+
+    cases = [0, 1, 2, 63, 64, 65, 500, 2000, 10000, 20000, 123456]
+    for n in cases:
+        got = ss.derive_nlist(n)
+        (want,) = duckdb.sql(
+            f"SELECT greatest(8, CAST(ceil(sqrt({max(n, 1)})) AS BIGINT))"
+        ).fetchone()
+        assert got == want, (n, got, want)
+    assert ss.derive_nlist(500) == 23
+    assert ss.derive_nlist(10000) == 100
+
+
+def test_salted_ivf_join_results_identical(spark, emb):
+    """Forcing the partitioned path (broadcast gate shut) with and
+    without hot-list salting must give bit-identical top-k — salting
+    changes partitioning only. Also: the floor salt engages when
+    nlist < shuffle partitions (join keys include _salt)."""
+    conf_key = "spark.grafink.broadcastMaxBytes"
+    cents = ss.ivf_train(emb, nlist=4, iters=1)
+    baseline = sorted(
+        tuple(r)
+        for r in ss.ivf_topk(emb, emb, cents, k=3, nprobe=2).collect()
+    )
+    spark.conf.set(conf_key, "1")
+    try:
+        forced = ss.ivf_topk(emb, emb, cents, k=3, nprobe=2)
+        hot = ss.ivf_topk(emb, emb, cents, k=3, nprobe=2, hot_threshold=50)
+        assert "_salt" in forced._jdf.queryExecution().optimizedPlan().toString()
+        assert sorted(tuple(r) for r in forced.collect()) == baseline
+        assert sorted(tuple(r) for r in hot.collect()) == baseline
+    finally:
+        spark.conf.unset(conf_key)
+
+
+def test_bitext_mine_ivf_count_derived_default(spark, emb):
+    """nlist=None derives from the b-side count; the mined pairs'
+    cosines still agree with the exact form where both find a pair."""
+    a = emb.where(F.col("label") == 0)
+    b = emb.where(F.col("label") == 1)
+    out = ss.bitext_mine_ivf(a, b, k=3, threshold=0.0)
+    exact = {
+        (r.a_id, r.b_id): r.cosine_sim
+        for r in ss.bitext_mine(a, b, k=3, threshold=0.0).collect()
+    }
+    rows = out.collect()
+    assert rows
+    for r in rows:
+        if (r.a_id, r.b_id) in exact:
+            assert abs(exact[(r.a_id, r.b_id)] - r.cosine_sim) < 1e-12
+
+
 # ---- product quantization (PQ / IVF-PQ) ----
 
 
