@@ -389,6 +389,20 @@ def main() -> int:
         from grafink_spark.sfgen import ensure  # noqa: E402
 
         sf1_dir = os.environ.get("SPARK_GRAFT_SF1_DIR") or ensure()
+        if not only:
+            # pre-touch sf1 tables into the OS page cache (mirrors the
+            # sf0.1 loop): three rounds running, the biggest "sf1
+            # regressions" were first-touch IO + machine noise in
+            # whichever queries ran first over a cold table
+            from grafink_spark.sources.tables import TABLES, load_table
+
+            for t in TABLES:
+                try:
+                    load_table(spark, sf1_dir, t).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                except Exception:
+                    pass
         sf1_timings: dict[str, float] = {}
         # quadratic-by-semantics entries: similarity_multi's OUTPUT,
         # semantic_dedup's pinned-nlist pair space (the count-derived
@@ -425,6 +439,30 @@ def main() -> int:
                 df.collect()
             sf1_timings[name] = round(time.perf_counter() - t0, 3)
             print(f"# sf1 {name}: {sf1_timings[name]:.3f}s", file=sys.stderr)
+        # Single-iteration sf1 numbers are noisy (round-6 verdict ask
+        # #5: spurious 2-4x "regressions" in untouched code every
+        # round). Re-run the slowest N once and keep the min — the
+        # slow tail is where one contended iteration distorts the
+        # round-over-round diff the most per second of re-run budget.
+        rerun_n = int(os.environ.get("SPARK_GRAFT_SF1_RERUN", "20"))
+        for name in sorted(
+            sf1_timings, key=sf1_timings.get, reverse=True
+        )[:rerun_n]:
+            fn = QUERIES[name]
+            t0 = time.perf_counter()
+            df = fn(spark, sf1_dir)
+            if name in NOOP_DRAIN or name in EXTENDED:
+                df.write.format("noop").mode("overwrite").save()
+            else:
+                df.collect()
+            again = round(time.perf_counter() - t0, 3)
+            if again < sf1_timings[name]:
+                print(
+                    f"# sf1 rerun {name}: {sf1_timings[name]:.3f}s -> "
+                    f"{again:.3f}s",
+                    file=sys.stderr,
+                )
+                sf1_timings[name] = again
         # semantic dedup at the API default: count-derived nlist
         # (max(8, ceil(N/target_per_list)) — per-vector pair work
         # constant as the corpus grows)
@@ -464,6 +502,41 @@ def main() -> int:
     # bench_results_r{n}.json; n = 1 + the highest existing BENCH_r
     # artifact (the driver writes those per round), overridable via
     # SPARK_GRAFT_ROUND. Smoke subsets (BENCH_ONLY) never clobber it.
+    # Prefix-filter effectiveness counters for the two lossless
+    # set-similarity joins — the slowest sf1 rows (round-6 verdict ask
+    # #4: "lossless by design" is only a defensible cost while the
+    # prefix filter discriminates, and timings alone can't show that).
+    # Diagnostics pass OUTSIDE the timed loops; skipped for smoke
+    # subsets. SPARK_GRAFT_FILTER_STATS=0 skips.
+    filter_stats: dict[str, dict] = {}
+    if not only and os.environ.get("SPARK_GRAFT_FILTER_STATS", "1") != "0":
+        from grafink_spark.llm.dedup import (  # noqa: E402
+            apss_filter_stats,
+            ssjoin_filter_stats,
+        )
+        from grafink_spark.sources.tables import load_table  # noqa: E402
+        from grafink_spark.util import ensure_min_partitions  # noqa: E402
+
+        stat_dirs = {"sf0.1": sf_dir}
+        if "sf1" in out:
+            stat_dirs["sf1"] = sf1_dir
+        for tag, d in stat_dirs.items():
+            docs = ensure_min_partitions(load_table(spark, d, "documents"))
+            t0 = time.perf_counter()
+            filter_stats[f"ssjoin_exact@{tag}"] = ssjoin_filter_stats(
+                docs, k=3, threshold=0.5
+            )
+            filter_stats[f"apss_cosine@{tag}"] = apss_filter_stats(
+                docs, threshold=(9, 10), k=3
+            )
+            print(
+                f"# filter_stats {tag}: {filter_stats[f'ssjoin_exact@{tag}']}"
+                f" / {filter_stats[f'apss_cosine@{tag}']}"
+                f" ({time.perf_counter() - t0:.1f}s)",
+                file=sys.stderr,
+            )
+        out["filter_stats"] = filter_stats
+
     if not only:
         root = os.path.dirname(os.path.abspath(__file__))
         rnd = os.environ.get("SPARK_GRAFT_ROUND")
@@ -490,6 +563,17 @@ def main() -> int:
                     "default (arrow) is timed as semantic_dedup_arrow / "
                     "semantic_dedup_auto_arrow"
                 ),
+                "label_noise_ivf": (
+                    "count-derived nlist (max(8, ceil(sqrt(N))), "
+                    "sampled 64x-nlist training) since round 7 — sf1 "
+                    "runs where the round-6 pinned nlist=8 hung; at "
+                    "sf0.1 (n=2000) the brute form's 2-job plan still "
+                    "wins on fixed overhead, crossover is before sf1"
+                ),
+                "bitext_mine_ivf": (
+                    "count-derived nlist trained on the b slice since "
+                    "round 7; exact A-x-B form stays the oracle anchor"
+                ),
             },
         }
         if "scale_stress" in out:
@@ -497,6 +581,8 @@ def main() -> int:
         if "sf1" in out:
             artifact["sf1"] = out["sf1"]["queries"]
             artifact["loadavg_sf1"] = sf1_loadavgs
+        if filter_stats:
+            artifact["filter_stats"] = filter_stats
         path = os.path.join(root, f"bench_results_r{int(rnd):02d}.json")
         with open(path, "w") as f:
             json.dump(artifact, f, indent=1, sort_keys=True)

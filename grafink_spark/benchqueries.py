@@ -1701,26 +1701,34 @@ def q_embedding_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_asgn_ctes(nlist: int | str, dim: int, src: str = "embeddings") -> str:
+def _ivf_asgn_ctes(
+    nlist: int | str, dim: int, src: str = "embeddings",
+    train_src: str | None = None,
+) -> str:
     """Shared CTE prefix replaying ivf_train(iters=1) + ivf_assign:
     seeds → initial assignment → one Lloyd mean step → final assignment
     (``asgn``: vec_id, embedding, list_id). Tie rule mirrors the Spark
     side: lowest cid among cosine maxima. ``nlist`` may be a SQL
     expression string (e.g. a count-derived scalar subquery) — DuckDB
-    accepts subqueries in LIMIT."""
+    accepts subqueries in LIMIT. ``train_src``: train (seeds + the
+    Lloyd mean step) on a different relation than the one assigned —
+    the sampled-training replay (Spark side trains on the lowest-id
+    prefix; seeds drawn from a lowest-id SAMPLE equal seeds drawn from
+    the full corpus, so only the means differ)."""
+    t = train_src or src
     cos_sc = COSINE_SQL.format(a="e.embedding", b="s.cv")
     cos_cc = COSINE_SQL.format(a="e.embedding", b="c.cv")
     return f"""seeds AS (
   SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
          list_transform(embedding, x -> x::DOUBLE) AS cv
-  FROM (SELECT vec_id, embedding FROM {src} ORDER BY vec_id LIMIT {nlist})
+  FROM (SELECT vec_id, embedding FROM {t} ORDER BY vec_id LIMIT {nlist})
 ),
 a0 AS (
   SELECT vec_id, embedding, cid FROM (
     SELECT e.vec_id, e.embedding, s.cid,
            row_number() OVER (PARTITION BY e.vec_id
                               ORDER BY {cos_sc} DESC, s.cid ASC) AS rn
-    FROM {src} e CROSS JOIN seeds s
+    FROM {t} e CROSS JOIN seeds s
   ) WHERE rn = 1
 ),
 cent AS (
@@ -7120,7 +7128,14 @@ def q_label_noise_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from grafink_spark.llm.simsearch import derive_nlist, ivf_topk, ivf_train
 
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = ivf_train(emb, nlist=derive_nlist(emb.count()), iters=1)
+    nlist = derive_nlist(emb.count())
+    # FAISS-style sampled training: seeds + the Lloyd step see only the
+    # lowest-id 64·nlist rows (LIMIT past the row count = full corpus at
+    # small sf), so training cost is O(nlist²·64) — independent of N —
+    # while assignment/probing still cover the full corpus
+    cents = ivf_train(
+        emb.orderBy("vec_id").limit(64 * nlist), nlist=nlist, iters=1
+    )
     nn = ivf_topk(emb, emb, cents, k=5, nprobe=4).select(
         "query_id", "neighbor_id"
     )
@@ -7130,10 +7145,15 @@ def q_label_noise_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 NLIST_SQRT_SQL = (
     "(SELECT CAST(greatest(8, ceil(sqrt(count(*)))) AS BIGINT) FROM {src})"
 )
+TRAIN_64X_SQL = (
+    "(SELECT vec_id, embedding FROM {src} ORDER BY vec_id LIMIT "
+    "(SELECT CAST(64 * greatest(8, ceil(sqrt(count(*)))) AS BIGINT) "
+    "FROM {src}))"
+)
 
 
 def _label_noise_ivf_sql(nlist: int | str, dim: int = 64, nprobe: int = 4,
-                         k: int = 5) -> str:
+                         k: int = 5, train_src: str | None = None) -> str:
     """SQL replay of ivf_train(iters=1) + ivf_topk(corpus as queries)
     + the disagree-rate tail — same tie rules as the Spark side
     (assignment → lowest cid, probes → higher cid, rank → neighbor_id
@@ -7141,7 +7161,7 @@ def _label_noise_ivf_sql(nlist: int | str, dim: int = 64, nprobe: int = 4,
     cos_qc = COSINE_SQL.format(a="q.embedding", b="c.cv")
     cos_qn = COSINE_SQL.format(a="p.qv", b="a.embedding")
     return f"""
-WITH {_ivf_asgn_ctes(nlist, dim)},
+WITH {_ivf_asgn_ctes(nlist, dim, train_src=train_src)},
 probes AS (
   SELECT vec_id AS query_id, embedding AS qv, cid AS list_id FROM (
     SELECT q.vec_id, q.embedding, c.cid,
@@ -7179,7 +7199,8 @@ FROM a WHERE n_disagree * 2 > k
 
 
 SQL_LABEL_NOISE_IVF = _label_noise_ivf_sql(
-    nlist=NLIST_SQRT_SQL.format(src="embeddings")
+    nlist=NLIST_SQRT_SQL.format(src="embeddings"),
+    train_src=TRAIN_64X_SQL.format(src="embeddings"),
 )
 
 QUERIES.update({"label_noise_ivf": q_label_noise_ivf})
@@ -8237,17 +8258,17 @@ def q_bitext_mine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bitext_ivf_sql(nlist: int | str, dim: int = 64, nprobe: int = 4,
-                    k: int = 4) -> str:
+                    k: int = 4, train_src: str | None = None) -> str:
     """SQL replay of bitext_mine_ivf: IVF trained on the b slice
-    (lowest-id seeds + 1 Lloyd step), a-side probes (ties → higher
-    cid), candidate cosines, decimal k-NN means, ratio margin, best
-    per a_id. Mirrors SQL_BITEXT_MINE with `scored` restricted to the
-    IVF candidate pairs."""
+    (lowest-id seeds + 1 Lloyd step over the sampled training prefix),
+    a-side probes (ties → higher cid), candidate cosines, decimal
+    k-NN means, ratio margin, best per a_id. Mirrors SQL_BITEXT_MINE
+    with `scored` restricted to the IVF candidate pairs."""
     b_src = "(SELECT vec_id, embedding FROM embeddings WHERE label = 1)"
     cos_ac = COSINE_SQL.format(a="q.embedding", b="c.cv")
     cos_ab = COSINE_SQL.format(a="p.qv", b="b.embedding")
     return f"""
-WITH {_ivf_asgn_ctes(nlist, dim, src=b_src)},
+WITH {_ivf_asgn_ctes(nlist, dim, src=b_src, train_src=train_src)},
 probes AS (
   SELECT vec_id AS a_id, embedding AS qv, cid AS list_id FROM (
     SELECT q.vec_id, q.embedding, c.cid,
@@ -8295,7 +8316,10 @@ FROM best WHERE rk = 1 AND margin >= 1.0
 
 
 SQL_BITEXT_MINE_IVF = _bitext_ivf_sql(
-    nlist=NLIST_SQRT_SQL.format(src="embeddings WHERE label = 1")
+    nlist=NLIST_SQRT_SQL.format(src="embeddings WHERE label = 1"),
+    train_src=TRAIN_64X_SQL.format(
+        src="(SELECT vec_id, embedding FROM embeddings WHERE label = 1)"
+    ),
 )
 
 QUERIES.update({"bitext_mine_ivf": q_bitext_mine_ivf})
@@ -11594,3 +11618,68 @@ FROM pages
 
 QUERIES.update({"warc_extract": q_warc_extract})
 ORACLES.update({"warc_extract": SQL_WARC_EXTRACT})
+
+
+def q_gremlin_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 Gremlin STRING surface end-to-end under the oracle (round-6
+    verdict ask #7): build a real graph store (suppliers as vertices
+    with their nation key as a property; same-nation cliques written
+    through GraphStore.write_edges, which materializes BOTH directions
+    — EdgeProcessor.scala:122-130), then route
+
+        g.V().has('nkey', '7').outE('exactmatch').has('value', 'nkey')
+
+    through ``parse()`` + :class:`grafink_spark.gremlin.GremlinExecutor`
+    — the migration path a reference user's REPL transcript takes — NOT
+    through GraphQuery directly. The trailing select is projection for
+    the comparator only.
+
+    Plan/scale: the store round-trips through parquet partitioned by
+    edge label (label pruning at the scan); the vertex restriction
+    reaches the edge side as a semi-join on src. The temp store is
+    rebuilt per invocation — real deployments query a persisted store,
+    so the write is setup cost, not query cost."""
+    import os
+    import shutil
+    import tempfile
+
+    from grafink_spark.graph.query import GraphQuery
+    from grafink_spark.graph.storage import GraphStore
+    from grafink_spark.gremlin import GremlinExecutor
+
+    sup = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("id"),
+        F.col("s_nationkey").cast("string").alias("nkey"),
+    )
+    edges = SameValueClassifier(["nkey"]).classify(sup.limit(0), sup)
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "grafink_gremlin_" + sf_dir.strip("/").replace("/", "_"),
+    )
+    shutil.rmtree(root, ignore_errors=True)  # write_* APPEND by contract
+    store = GraphStore(spark, root, task_size=2500, parallelism=4)
+    store.write_vertices(sup, label="alert")
+    store.write_edges(edges, SameValueClassifier(["nkey"]))
+    out = GremlinExecutor(GraphQuery(store)).run(
+        "g.V().has('nkey', '7').outE('exactmatch').has('value', 'nkey')"
+    )
+    return out.select("src", "dst", "propVal")
+
+
+SQL_GREMLIN_EDGES = """
+WITH p AS (
+  SELECT a.s_suppkey AS sa, b.s_suppkey AS sb
+  FROM supplier a JOIN supplier b
+    ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey
+  WHERE a.s_nationkey = 7
+),
+both_dirs AS (
+  SELECT sa AS src, sb AS dst FROM p
+  UNION ALL
+  SELECT sb AS src, sa AS dst FROM p
+)
+SELECT src, dst, 'nkey' AS propVal FROM both_dirs
+"""
+
+QUERIES.update({"gremlin_edges": q_gremlin_edges})
+ORACLES.update({"gremlin_edges": SQL_GREMLIN_EDGES})

@@ -1519,6 +1519,23 @@ def set_similarity_join(
     candidate verification joins the shingle sets back by id (pairs
     only — never all-pairs). A boilerplate-heavy corpus shifts its
     common shingles out of every prefix automatically."""
+    return _ssjoin_frames(df, text_col, id_col, k, threshold)["out"]
+
+
+def _ssjoin_frames(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> dict[str, DataFrame]:
+    """:func:`set_similarity_join` staged: ``prefix_pairs`` (distinct
+    pairs sharing a prefix token), ``candidates`` (after the PPJoin
+    length filter — exactly the pairs that pay a full set-intersection
+    verify), ``out`` (pairs passing the threshold). The stages exist so
+    filter EFFECTIVENESS is measurable (:func:`ssjoin_filter_stats`) —
+    a lossless join whose prefix filter stops discriminating silently
+    degrades to all-pairs, and nothing in the timing alone says so."""
     from grafink_spark.llm.text import tokens as _tokens
 
     base = (
@@ -1575,7 +1592,7 @@ def set_similarity_join(
             ),
         )
     )
-    cand = (
+    prefix_pairs = (
         buckets.select(F.explode(pair_structs).alias("_p"))
         .select(F.col("_p.id_a"), F.col("_p.id_b"))
         .distinct()
@@ -1585,8 +1602,8 @@ def set_similarity_join(
     # into the verify join
     sizes = base.select("_id", F.size("_s").alias("_n"))
     cand = (
-        cand.join(sizes.select(F.col("_id").alias("id_a"),
-                               F.col("_n").alias("_na")), "id_a")
+        prefix_pairs.join(sizes.select(F.col("_id").alias("id_a"),
+                                       F.col("_n").alias("_na")), "id_a")
         .join(sizes.select(F.col("_id").alias("id_b"),
                            F.col("_n").alias("_nb")), "id_b")
         .where(
@@ -1599,7 +1616,7 @@ def set_similarity_join(
     b = base.select(F.col("_id").alias("id_b"), F.col("_s").alias("_sb"))
     inter = F.size(F.array_intersect("_sa", "_sb"))
     union = F.size("_sa") + F.size("_sb") - inter
-    return (
+    out = (
         cand.join(a, "id_a")
         .join(b, "id_b")
         .select(
@@ -1609,6 +1626,35 @@ def set_similarity_join(
         )
         .where(F.col("jaccard_sim") >= threshold)
     )
+    return {"prefix_pairs": prefix_pairs, "candidates": cand, "out": out}
+
+
+def ssjoin_filter_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> dict[str, int]:
+    """Prefix-filter effectiveness counters for
+    :func:`set_similarity_join` — ``n_docs``, ``all_pairs`` (the
+    C(n,2) a filterless join would verify), ``prefix_pairs``,
+    ``candidates`` (post length filter = pairs actually verified) and
+    ``emitted``. Diagnostics pass, NOT part of the timed query: the
+    bench harness records these per round so a degrading prefix
+    (template-heavy corpora, shrinking vocabulary) is visible as a
+    rising candidates/emitted ratio rather than an unexplained
+    slowdown. Shared stages run once (base is lazily checkpointed
+    inside the builder)."""
+    frames = _ssjoin_frames(df, text_col, id_col, k, threshold)
+    n = df.count()
+    return {
+        "n_docs": n,
+        "all_pairs": n * (n - 1) // 2,
+        "prefix_pairs": frames["prefix_pairs"].count(),
+        "candidates": frames["candidates"].count(),
+        "emitted": frames["out"].count(),
+    }
 
 
 def weighted_cosine_join(
@@ -1646,6 +1692,20 @@ def weighted_cosine_join(
     all-pairs. Stopword-heavy mass sits LAST in the canonical order,
     so ubiquitous terms leave every prefix as soon as the rare head
     carries ≥ (1−t²) of the norm."""
+    return _apss_frames(df, text_col, id_col, threshold, k)["out"]
+
+
+def _apss_frames(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: tuple[int, int] = (7, 10),
+    k: int | None = None,
+) -> dict[str, DataFrame]:
+    """:func:`weighted_cosine_join` staged: ``candidates`` (distinct
+    pairs surviving prefix × positional filtering — the pairs whose
+    full dot product is computed) and ``out``. Stages exposed for
+    :func:`apss_filter_stats` — same rationale as the PPJoin sibling."""
     from pyspark.sql import Window
 
     from grafink_spark.llm.text import tokens as _tokens
@@ -1762,7 +1822,7 @@ def weighted_cosine_join(
             * F.col("t_b").cast(dec)
         )
     )
-    return out.select(
+    final = out.select(
         "id_a",
         "id_b",
         "dot",
@@ -1773,6 +1833,29 @@ def weighted_cosine_join(
             / F.sqrt((F.col("t_a") * F.col("t_b")).cast("double"))
         ).alias("cosine_sim"),
     )
+    return {"candidates": cand, "out": final}
+
+
+def apss_filter_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: tuple[int, int] = (7, 10),
+    k: int | None = None,
+) -> dict[str, int]:
+    """Prefix+positional-filter effectiveness counters for
+    :func:`weighted_cosine_join`: ``n_docs``, ``all_pairs``,
+    ``candidates`` (pairs whose dot product is actually computed),
+    ``emitted``. Diagnostics pass, recorded per bench round — see
+    :func:`ssjoin_filter_stats`."""
+    frames = _apss_frames(df, text_col, id_col, threshold, k)
+    n = df.count()
+    return {
+        "n_docs": n,
+        "all_pairs": n * (n - 1) // 2,
+        "candidates": frames["candidates"].count(),
+        "emitted": frames["out"].count(),
+    }
 
 
 def semantic_contamination_ivf(

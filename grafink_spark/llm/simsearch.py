@@ -976,6 +976,7 @@ def bitext_mine_ivf(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     hot_threshold: int | None = None,
+    train_per_list: int | None = 64,
 ) -> DataFrame:
     """Candidate-backed :func:`bitext_mine` — the scale path for
     corpus-sized sides: IVF centroids train on ``side_b`` (the mined
@@ -1012,8 +1013,18 @@ def bitext_mine_ivf(
     found by both forms carry identical cosines."""
     if nlist is None:
         nlist = derive_nlist(side_b.count())
+    # FAISS-style sampled training: seeds + the Lloyd step see only the
+    # lowest-id train_per_list·nlist rows (a LIMIT past |B| is the full
+    # slice, so small corpora are unchanged) — training cost is
+    # O(nlist²·train_per_list) instead of |B|·nlist, while every b
+    # vector is still assigned and searchable. None = train on all of B.
+    train = (
+        side_b.orderBy(id_col).limit(train_per_list * nlist)
+        if train_per_list
+        else side_b
+    )
     centroids = ivf_train(
-        side_b, nlist=nlist, iters=1, vec_col=vec_col, id_col=id_col
+        train, nlist=nlist, iters=1, vec_col=vec_col, id_col=id_col
     )
     bv = F.col(vec_col).cast("array<double>")
     b = ivf_assign(side_b, centroids, vec_col).select(

@@ -87,6 +87,7 @@ AUDIT: dict[tuple[str, str, str], str] = {
     ("llm/pca.py", "power_iteration", "tr"): "ONE_ROW trace scalar",
     ("llm/search.py", "bm25_search", "stats"): "ONE_ROW BM25 corpus stats (N, avgdl)",
     ("llm/simsearch.py", "_ivf_query_probes", "_centroid_matrix"): "FIXED IVF centroid matrix (1 row, nlist x dim parameter not data)",
+    ("llm/simsearch.py", "_probe_and_rerank", "q"): "GATED behind would_broadcast (same size gate as maybe_broadcast, split out so the non-broadcast branch can salt its shuffle keys); over-limit query sides take the salted partitioned equi join",
     ("llm/simsearch.py", "brute_force_topk", "q"): "GATED broadcast_queries flag; docstring names broadcast_queries=False for corpus-sized query sides",
     ("llm/simsearch.py", "hard_triplet_mining", "a"): "QUERY anchor set (hard-negative mining contract: anchors are the probe side; docstring names the IVF/LSH swap for corpus-sized anchor sets)",
     ("llm/simsearch.py", "ivf_assign", "_centroid_matrix"): "FIXED IVF centroid matrix (1 row, nlist x dim parameter not data)",

@@ -585,6 +585,37 @@ def test_set_similarity_join_is_lossless_vs_brute_force(spark):
     assert len(expect) > 0  # the fixture actually exercises matches
 
 
+def test_filter_stats_consistent_with_join_output(spark):
+    """ssjoin/apss filter-effectiveness counters: emitted equals the
+    join's actual row count, candidates bound emitted from above, and
+    the prefix filter is genuinely sub-quadratic on a mixed corpus."""
+    from grafink_spark.llm.dedup import (
+        apss_filter_stats,
+        set_similarity_join,
+        ssjoin_filter_stats,
+        weighted_cosine_join,
+    )
+
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta"]
+    rows = [
+        (i, " ".join([vocab[(i + j) % len(vocab)] for j in range(5)] * 3))
+        for i in range(30)
+    ] + [(100 + i, f"unique{i} token{i} body{i} tail{i}") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    s = ssjoin_filter_stats(df, k=3, threshold=0.4)
+    assert s["n_docs"] == 50 and s["all_pairs"] == 50 * 49 // 2
+    assert s["emitted"] == set_similarity_join(df, k=3, threshold=0.4).count()
+    assert s["emitted"] <= s["candidates"] <= s["prefix_pairs"]
+    assert s["candidates"] < s["all_pairs"]  # the filter filters
+
+    a = apss_filter_stats(df, threshold=(7, 10), k=3)
+    assert a["emitted"] == weighted_cosine_join(
+        df, threshold=(7, 10), k=3
+    ).count()
+    assert a["emitted"] <= a["candidates"] < a["all_pairs"]
+
+
 def test_set_similarity_join_plan_has_no_cartesian(spark):
     from grafink_spark.llm.dedup import set_similarity_join
 
