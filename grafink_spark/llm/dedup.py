@@ -1571,46 +1571,59 @@ def _ssjoin_frames(
     )
     n = F.size("_arr")
     p = (n - F.ceil(F.lit(float(threshold)) * n) + 1).cast("int")
+    # prefix rows carry the token's 1-based POSITION in the rarity
+    # order and the set size — the candidate join is a prefix×prefix
+    # equi self-join on the token (streams a hot token's pairs through
+    # a sort-merge join instead of materializing its whole bucket in
+    # one collect_list row — the old plan's row-size/skew hazard),
+    # filtered in place
     prefix = ordered.select(
         "_id",
-        F.explode(
+        n.alias("_n"),
+        F.posexplode(
             F.slice(F.expr("transform(_arr, x -> x._h)"), 1, p)
-        ).alias("_h"),
+        ).alias("_pos", "_h"),
+    ).select("_id", "_n", (F.col("_pos") + 1).alias("_i"), "_h")
+    pa = prefix.select(
+        "_h",
+        F.col("_id").alias("id_a"),
+        F.col("_i").alias("_ia"),
+        F.col("_n").alias("_na"),
     )
-    buckets = (
-        prefix.groupBy("_h")
-        .agg(F.array_sort(F.collect_list("_id")).alias("_ids"))
-        .where(F.size("_ids") > 1)
+    pb = prefix.select(
+        "_h",
+        F.col("_id").alias("id_b"),
+        F.col("_i").alias("_ib"),
+        F.col("_n").alias("_nb"),
     )
-    ids = F.col("_ids")
-    pair_structs = F.flatten(
-        F.transform(
-            ids,
-            lambda x, i: F.transform(
-                F.slice(ids, i + F.lit(2), F.size(ids)),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-            ),
-        )
+    t = float(threshold)
+    raw = pa.join(pb, "_h").where(F.col("id_a") < F.col("id_b"))
+    prefix_pairs = raw.select("id_a", "id_b").distinct()
+    # length filter (PPJoin): J >= t forces t*max(na,nb) <= min(na,nb)
+    length_ok = F.least("_na", "_nb").cast("double") >= F.lit(t) * F.greatest(
+        "_na", "_nb"
     )
-    prefix_pairs = (
-        buckets.select(F.explode(pair_structs).alias("_p"))
-        .select(F.col("_p.id_a"), F.col("_p.id_b"))
-        .distinct()
+    # positional filter (PPJoin+, Xiao et al. WWW'08): at a shared
+    # prefix token sitting at 1-based positions (i, j) of the rarity
+    # orders, the overlap is bounded by 1 + min(na-i, nb-j) (everything
+    # before the match on each side is disjoint by "first match", the
+    # rest can overlap at most pairwise). J >= t needs overlap O with
+    # O·(1+t) >= t·(na+nb); a qualifying pair's FIRST shared prefix
+    # token always passes, so dropping rows that fail loses nothing.
+    # The 1e-9 slack only ever KEEPS borderline rows (float t), so
+    # losslessness is unconditional; for exactly-representable t (0.5)
+    # every product is exact and the slack is inert.
+    ubound = 1 + F.least(
+        F.col("_na") - F.col("_ia"), F.col("_nb") - F.col("_ib")
     )
-    # length filter (PPJoin): J >= t forces t*max(na,nb) <= min(na,nb);
-    # prune on a NARROW size table before shipping the shingle arrays
-    # into the verify join
-    sizes = base.select("_id", F.size("_s").alias("_n"))
+    positional_ok = (
+        ubound.cast("double") * F.lit(1.0 + t)
+        >= F.lit(t) * (F.col("_na") + F.col("_nb")).cast("double") - F.lit(1e-9)
+    )
     cand = (
-        prefix_pairs.join(sizes.select(F.col("_id").alias("id_a"),
-                                       F.col("_n").alias("_na")), "id_a")
-        .join(sizes.select(F.col("_id").alias("id_b"),
-                           F.col("_n").alias("_nb")), "id_b")
-        .where(
-            F.least("_na", "_nb").cast("double")
-            >= F.lit(float(threshold)) * F.greatest("_na", "_nb")
-        )
+        raw.where(length_ok & positional_ok)
         .select("id_a", "id_b")
+        .distinct()
     )
     a = base.select(F.col("_id").alias("id_a"), F.col("_s").alias("_sa"))
     b = base.select(F.col("_id").alias("id_b"), F.col("_s").alias("_sb"))
@@ -1796,13 +1809,38 @@ def _apss_frames(
         .select("id_a", "id_b")
         .distinct()
     )
-    a = tc.select(F.col("_id").alias("id_a"), "_term", F.col("_c").alias("_ca"))
-    b = tc.select(F.col("_id").alias("id_b"), "_term", F.col("_c").alias("_cb"))
+    # Verification: per-doc term-count MAPS joined to the pairs, dot
+    # product as a row-local map_zip_with fold. The previous per-term
+    # explode join shipped |pairs|·terms-per-doc rows through a shuffle
+    # (~1B rows at sf1 — measured 38 s of the query's 44 s); this keeps
+    # the verify at |pairs| rows with union-sized per-row work (sf1:
+    # 44 → ~12 s). Integer products summed as long — exact in any
+    # order, so the all-pairs SQL oracle is untouched.
+    vecs = tc.groupBy("_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("_term", "_c"))
+        ).alias("_m")
+    )
+    a = vecs.select(F.col("_id").alias("id_a"), F.col("_m").alias("_ma"))
+    b = vecs.select(F.col("_id").alias("id_b"), F.col("_m").alias("_mb"))
+    dot_col = F.aggregate(
+        F.map_values(
+            F.map_zip_with(
+                "_ma",
+                "_mb",
+                lambda k, x, y: F.when(
+                    x.isNotNull() & y.isNotNull(), x * y
+                ).otherwise(F.lit(0).cast("long")),
+            )
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
     dots = (
         cand.join(a, "id_a")
-        .join(b, ["id_b", "_term"])
-        .groupBy("id_a", "id_b")
-        .agg(F.sum(F.col("_ca") * F.col("_cb")).alias("dot"))
+        .join(b, "id_b")
+        .select("id_a", "id_b", dot_col.alias("dot"))
+        .where(F.col("dot") > 0)
     )
     out = (
         dots.join(
