@@ -7125,18 +7125,23 @@ def q_label_noise_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     at any sf. Pair work is a partitioned SALTED equi join on list_id;
     no cross join and no corpus-side broadcast (the query side's
     broadcast in ivf_topk is size-gated)."""
-    from grafink_spark.llm.simsearch import derive_nlist, ivf_topk, ivf_train
+    from grafink_spark.llm.simsearch import (
+        derive_nlist,
+        ivf_topk_allpairs,
+        ivf_train,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
     nlist = derive_nlist(emb.count())
     # FAISS-style sampled training: seeds + the Lloyd step see only the
     # lowest-id 64·nlist rows (LIMIT past the row count = full corpus at
     # small sf), so training cost is O(nlist²·64) — independent of N —
-    # while assignment/probing still cover the full corpus
+    # while assignment/probing still cover the full corpus. The fused
+    # all-pairs search computes assignment + probes in one corpus pass.
     cents = ivf_train(
         emb.orderBy("vec_id").limit(64 * nlist), nlist=nlist, iters=1
     )
-    nn = ivf_topk(emb, emb, cents, k=5, nprobe=4).select(
+    nn = ivf_topk_allpairs(emb, cents, k=5, nprobe=4).select(
         "query_id", "neighbor_id"
     )
     return _disagree_rate(nn, emb.select("vec_id", "label"))

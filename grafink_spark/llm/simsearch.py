@@ -365,6 +365,81 @@ def _ivf_query_probes(
     )
 
 
+def ivf_topk_allpairs(
+    corpus: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    hot_threshold: int | None = None,
+) -> DataFrame:
+    """All-pairs IVF kNN (queries == corpus — the mining shape behind
+    label-noise / near-dup passes): the assignment argmax (lowest cid
+    on ties, ivf_assign's rule) and the top-``nprobe`` probe lists
+    (higher cid on ties, the probes rule) are computed from ONE
+    centroid-similarity array in ONE pass over the corpus, pinned, and
+    both candidate-join sides read the materialized copy — where
+    ``ivf_topk(corpus, corpus, …)`` pays two full N×nlist HOF passes
+    plus a re-scan. Values are bit-identical to the two-pass path (same
+    expression trees), so SQL oracles replay unchanged. The pinned
+    frame kills Catalyst stats, so the broadcast gate reads the RAW
+    corpus as the probe side's size proxy (×nprobe): a bench-sized
+    corpus still gets the broadcast-join fast path, a real one degrades
+    to the salted partitioned equi join. Output schema matches
+    brute_force_topk."""
+    from grafink_spark.util import ensure_min_partitions
+
+    corpus = ensure_min_partitions(corpus)
+    v = F.col(vec_col).cast("array<double>")
+    nv = F.sqrt(
+        F.aggregate(F.col("_v"), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+
+    def cos_to(cvec, nc):
+        dot = F.aggregate(
+            F.zip_with(F.col("_v"), cvec, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        denom = F.col("_n") * nc
+        return F.when(denom > 0, dot / denom).otherwise(F.lit(0.0))
+
+    sims = F.zip_with(F.col("_cmat"), F.col("_cnorms"), cos_to)
+    best = (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
+    probe_structs = F.transform(
+        sims,
+        lambda s, i: F.struct(s.alias("s"), i.cast("int").alias("c")),
+    )
+    probes = F.transform(
+        F.slice(F.reverse(F.array_sort(probe_structs)), 1, nprobe),
+        lambda p: p.getField("c"),
+    )
+    fused = (
+        corpus.select(F.col(id_col).alias("_id"), v.alias("_v"))
+        .withColumn("_n", nv)
+        .crossJoin(F.broadcast(_centroid_matrix(corpus, centroids)))
+        .select("_id", "_v", "_n", best.alias("list_id"), probes.alias("_probes"))
+        .transform(pin)
+    )
+    c = fused.select(
+        F.col("_id").alias("neighbor_id"),
+        F.col("_v").alias("_cv"),
+        F.col("_n").alias("_cn"),
+        "list_id",
+    )
+    q = fused.select(
+        F.col("_id").alias("query_id"),
+        F.col("_v").alias("_qv"),
+        F.col("_n").alias("_qn"),
+        F.explode("_probes").alias("list_id"),
+    )
+    return _probe_and_rerank(
+        c, q, k, q_size_proxy=corpus, proxy_scale=nprobe,
+        nlist=len(centroids), hot_threshold=hot_threshold,
+    )
+
+
 def _probe_and_rerank(
     c: DataFrame,
     q: DataFrame,

@@ -516,6 +516,26 @@ def test_salted_ivf_join_results_identical(spark, emb):
         spark.conf.unset(conf_key)
 
 
+def test_ivf_topk_allpairs_equals_two_pass(spark, emb):
+    """The fused one-pass (assignment + probes from one similarity
+    array) must be bit-identical to ivf_topk(corpus, corpus, ...) —
+    same tie rules (assign → lowest cid, probes → higher cid), same
+    staged norms — at partial AND full probe counts."""
+    cents = ss.ivf_train(emb, nlist=8, iters=1)
+    for nprobe in (2, 8):
+        two = sorted(
+            tuple(r)
+            for r in ss.ivf_topk(emb, emb, cents, k=4, nprobe=nprobe).collect()
+        )
+        fused = sorted(
+            tuple(r)
+            for r in ss.ivf_topk_allpairs(
+                emb, cents, k=4, nprobe=nprobe
+            ).collect()
+        )
+        assert fused == two
+
+
 def test_bitext_mine_ivf_count_derived_default(spark, emb):
     """nlist=None derives from the b-side count; the mined pairs'
     cosines still agree with the exact form where both find a pair."""
