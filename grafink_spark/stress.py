@@ -140,7 +140,10 @@ def ann_ivf_skew(spark: SparkSession, mode: str, scale: float = 1.0) -> DataFram
         .otherwise(F.col("embedding"))
         .alias("embedding"),
     )
-    queries = corpus.limit(max(64, int(1_024 * scale)))
+    # enough probe rows that the candidate join dominates the shared
+    # train/assign overhead — the plain/hot timing gap IS the
+    # single-reducer pair scan, so the join must be the biggest stage
+    queries = corpus.limit(max(64, int(2_048 * scale)))
     cents = ss.ivf_train(corpus, nlist=32, iters=1)
     conf_key = "spark.grafink.broadcastMaxBytes"
     old = spark.conf.get(conf_key, None)

@@ -91,6 +91,7 @@ AUDIT: dict[tuple[str, str, str], str] = {
     ("llm/simsearch.py", "brute_force_topk", "q"): "GATED broadcast_queries flag; docstring names broadcast_queries=False for corpus-sized query sides",
     ("llm/simsearch.py", "hard_triplet_mining", "a"): "QUERY anchor set (hard-negative mining contract: anchors are the probe side; docstring names the IVF/LSH swap for corpus-sized anchor sets)",
     ("llm/simsearch.py", "ivf_assign", "_centroid_matrix"): "FIXED IVF centroid matrix (1 row, nlist x dim parameter not data)",
+    ("llm/simsearch.py", "ivf_topk_allpairs", "_centroid_matrix"): "FIXED IVF centroid matrix (1 row, nlist x dim parameter not data)",
     ("llm/simsearch.py", "lsh_topk", "q"): "QUERY query vectors (top-k search contract, caller-bounded)",
     ("llm/simsearch.py", "pq_train", "_pq_matrix"): "FIXED PQ codebook matrix (1 row, m x ksub x dsub parameter not data)",
     ("llm/simsearch.py", "pq_encode", "_pq_matrix"): "FIXED PQ codebook matrix (1 row, m x ksub x dsub parameter not data)",
