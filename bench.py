@@ -317,25 +317,53 @@ def main() -> int:
         except OSError:
             return -1.0
 
-    timings: dict[str, float] = {}
-    loadavgs: dict[str, float] = {}
-    for name in headline:
+    def run_once(name: str, dir_: str) -> float:
         fn = QUERIES[name]
-        best = float("inf")
-        loadavgs[name] = loadavg1()
-        for _ in range(iters):
-            t0 = time.perf_counter()
-            df = fn(spark, sf_dir)
-            # EXTENDED entries drain via noop too: executes the full
-            # plan with zero driver-side materialization regardless of
-            # result size.
-            if name in NOOP_DRAIN or name in EXTENDED:
-                df.write.format("noop").mode("overwrite").save()
-            else:
-                df.collect()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
-        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+        t0 = time.perf_counter()
+        df = fn(spark, dir_)
+        # EXTENDED entries drain via noop too: executes the full
+        # plan with zero driver-side materialization regardless of
+        # result size.
+        if name in NOOP_DRAIN or name in EXTENDED:
+            df.write.format("noop").mode("overwrite").save()
+        else:
+            df.collect()
+        return round(time.perf_counter() - t0, 3)
+
+    # Pass-SEPARATED iterations (round-7 verdict Missing #1): the old
+    # per-query back-to-back best-of-2 put both samples of a query
+    # inside the same wall-clock window, so one multi-minute burst of
+    # external load poisoned BOTH iterations of every query it
+    # overlapped — bench_diff's own detector flagged 36 spurious r07
+    # "regressions" in one contiguous run-order stretch. Running each
+    # iteration as its own full sweep puts the whole suite's duration
+    # between a query's samples; a contention window would have to
+    # recur at the same run-order position to survive the min. Same
+    # total work as before — the iterations are reordered, not added.
+    samples: dict[str, list[float]] = {name: [] for name in headline}
+    loadavgs: dict[str, list[float]] = {name: [] for name in headline}
+    for p in range(iters):
+        for name in headline:
+            loadavgs[name].append(loadavg1())
+            t = run_once(name, sf_dir)
+            samples[name].append(t)
+            print(f"# pass{p} {name}: {t:.3f}s", file=sys.stderr)
+    timings = {n: round(min(s), 3) for n, s in samples.items()}
+    # Third safeguard, mirroring the sf1 loop: one extra run of the
+    # slowest N — they dominate the headline total, so per second of
+    # re-run budget they are where residual contention distorts the
+    # round-over-round diff most. Every observation stays in `samples`
+    # (the artifact records them all; `queries` is the per-query min).
+    rerun_n = int(os.environ.get("SPARK_GRAFT_SF_RERUN", "25"))
+    for name in sorted(timings, key=timings.get, reverse=True)[:rerun_n]:
+        again = run_once(name, sf_dir)
+        samples[name].append(again)
+        if again < timings[name]:
+            print(
+                f"# rerun {name}: {timings[name]:.3f}s -> {again:.3f}s",
+                file=sys.stderr,
+            )
+            timings[name] = again
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -423,39 +451,39 @@ def main() -> int:
             # oracle replays it as a scalar subquery), so the candidate
             # volume is ~nprobe·N^1.5 — the round-6 pinned nlist=8 kept
             # n²/2 candidates and hung at this scale.
+            # apss_cosine_map exists to keep the MAP verify backend
+            # oracle-checked + sf0.1-timed now that the auto gate picks
+            # the join backend below ~500k candidates; at sf1 the auto
+            # entry (apss_cosine) ALREADY resolves to the map backend
+            # (5.3M candidates), so timing the forced-map twin here
+            # would pay ~40 s to measure the same plan twice.
+            "apss_cosine_map",
         }
+        sf1_samples: dict[str, list[float]] = {}
         sf1_loadavgs: dict[str, float] = {}
         for name in [q for q in headline if q not in sf1_skip]:
-            fn = QUERIES[name]
             sf1_loadavgs[name] = loadavg1()
-            t0 = time.perf_counter()
-            df = fn(spark, sf1_dir)
-            # EXTENDED drains via noop here too — mirrors the sf0.1
-            # loop, so the two sections time the same work and a
+            # run_once drains EXTENDED via noop here too — mirrors the
+            # sf0.1 loop, so the two sections time the same work and a
             # wide-result EXTENDED query can't OOM the driver at sf1
-            if name in NOOP_DRAIN or name in EXTENDED:
-                df.write.format("noop").mode("overwrite").save()
-            else:
-                df.collect()
-            sf1_timings[name] = round(time.perf_counter() - t0, 3)
+            sf1_timings[name] = run_once(name, sf1_dir)
+            sf1_samples[name] = [sf1_timings[name]]
             print(f"# sf1 {name}: {sf1_timings[name]:.3f}s", file=sys.stderr)
         # Single-iteration sf1 numbers are noisy (round-6 verdict ask
         # #5: spurious 2-4x "regressions" in untouched code every
         # round). Re-run the slowest N once and keep the min — the
         # slow tail is where one contended iteration distorts the
         # round-over-round diff the most per second of re-run budget.
+        # BOTH observations land in the artifact's sf1_samples (the
+        # round-7 advisor flagged that silently keeping the min both
+        # hides the policy from cross-round comparisons and can mask
+        # real contention); sf1 stays the per-query min.
         rerun_n = int(os.environ.get("SPARK_GRAFT_SF1_RERUN", "20"))
         for name in sorted(
             sf1_timings, key=sf1_timings.get, reverse=True
         )[:rerun_n]:
-            fn = QUERIES[name]
-            t0 = time.perf_counter()
-            df = fn(spark, sf1_dir)
-            if name in NOOP_DRAIN or name in EXTENDED:
-                df.write.format("noop").mode("overwrite").save()
-            else:
-                df.collect()
-            again = round(time.perf_counter() - t0, 3)
+            again = run_once(name, sf1_dir)
+            sf1_samples[name].append(again)
             if again < sf1_timings[name]:
                 print(
                     f"# sf1 rerun {name}: {sf1_timings[name]:.3f}s -> "
@@ -551,13 +579,26 @@ def main() -> int:
             "round": int(rnd),
             "sf": sf,
             "queries": timings,
-            # per-query 1-min loadavg at query start + the run order:
-            # bench_diff.py uses both to flag "a contiguous run-order
-            # stretch regressed together under high load" as machine
-            # contention rather than a code regression
+            # EVERY observation per query, in run order (pass 0, pass
+            # 1, then the slow-tail re-run if taken): `queries` is the
+            # per-query min, and a cross-round reader can see exactly
+            # which runs produced it instead of trusting an overwrite
+            "samples": samples,
+            # per-query 1-min loadavg at each pass's query start + the
+            # run order: bench_diff.py uses both to flag "a contiguous
+            # run-order stretch regressed together under high load" as
+            # machine contention rather than a code regression
             "loadavg": loadavgs,
             "run_order": headline,
             "notes": {
+                "methodology": (
+                    "since round 8 the sf0.1 iterations run as "
+                    "pass-separated full sweeps plus a slow-tail "
+                    "re-run (min kept, all samples recorded); rounds "
+                    "<= 7 were back-to-back best-of-2, so cross-round "
+                    "diffs against r07 and earlier mix this policy "
+                    "change with real movement"
+                ),
                 "semantic_dedup_auto": (
                     "oracle-pinned expr pair backend; the PRODUCTION "
                     "default (arrow) is timed as semantic_dedup_arrow / "
@@ -580,6 +621,7 @@ def main() -> int:
             artifact["scale_stress"] = out["scale_stress"]
         if "sf1" in out:
             artifact["sf1"] = out["sf1"]["queries"]
+            artifact["sf1_samples"] = sf1_samples
             artifact["loadavg_sf1"] = sf1_loadavgs
         if filter_stats:
             artifact["filter_stats"] = filter_stats

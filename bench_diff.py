@@ -56,10 +56,20 @@ def contention_signature(
                     "code regression, is the likely cause"
                 )
     if load_old and load_new:
+        def _load(v) -> float:
+            # r08+ artifacts record a loadavg PER PASS (list); the kept
+            # timing is the min over passes, so the telling load figure
+            # is the lowest one — if even the least-loaded pass ran hot,
+            # contention explains a slow min. Pre-r08: scalar.
+            if isinstance(v, list):
+                return min(v) if v else 0.0
+            return float(v or 0.0)
+
         hot = [
-            (q, load_old.get(q), load_new.get(q))
+            (q, _load(load_old.get(q)), _load(load_new.get(q)))
             for q in names
-            if load_new.get(q, -1) > max(2.0 * max(load_old.get(q, 0), 1.0), 8.0)
+            if _load(load_new.get(q))
+            > max(2.0 * max(_load(load_old.get(q)), 1.0), 8.0)
         ]
         if hot:
             out.append(

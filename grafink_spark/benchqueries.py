@@ -8673,8 +8673,29 @@ JOIN tot tb ON tb.doc_id = d.id_b
 WHERE 100::HUGEINT * d.dot * d.dot >= 81::HUGEINT * ta.tt * tb.tt
 """
 
-QUERIES.update({"apss_cosine": q_apss_cosine})
-ORACLES.update({"apss_cosine": SQL_APSS_COSINE})
+def q_apss_cosine_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`q_apss_cosine` with the verify backend FORCED to the
+    map_zip_with path. Since round 8 the default gates on candidate
+    count (join verify below ~500k candidates, map above — the
+    measured crossover), so at oracle scale the auto entry exercises
+    only the join backend; this row keeps the scale backend
+    oracle-certified every round and, in the bench artifact, gives the
+    per-round A/B that shows the crossover is still set right
+    (llm/dedup.py _apss_frames)."""
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    out = dd.weighted_cosine_join(docs, threshold=(9, 10), k=3, verify="map")
+    return out.select(
+        "id_a",
+        "id_b",
+        F.col("dot").cast("long").alias("dot"),
+        F.col("t_a").cast("long").alias("t_a"),
+        F.col("t_b").cast("long").alias("t_b"),
+        F.round("cosine_sim", 6).alias("cosine_sim"),
+    )
+
+
+QUERIES.update({"apss_cosine": q_apss_cosine, "apss_cosine_map": q_apss_cosine_map})
+ORACLES.update({"apss_cosine": SQL_APSS_COSINE, "apss_cosine_map": SQL_APSS_COSINE})
 
 
 def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -11642,9 +11663,13 @@ def q_gremlin_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan/scale: the store round-trips through parquet partitioned by
     edge label (label pruning at the scan); the vertex restriction
     reaches the edge side as a semi-join on src. The temp store is
-    rebuilt per invocation — real deployments query a persisted store,
-    so the write is setup cost, not query cost."""
-    import os
+    rebuilt per invocation in a PRIVATE mkdtemp dir (a fixed path let
+    two bench/oracle processes on the same machine race each other —
+    round-7 advisor) and removed before returning; the driver-bounded
+    result (one nation's clique edges) is re-materialized as a local
+    DataFrame so the returned frame doesn't dangle on deleted parquet.
+    Real deployments query a persisted store — the write is setup
+    cost, not query cost."""
     import shutil
     import tempfile
 
@@ -11657,18 +11682,18 @@ def q_gremlin_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_nationkey").cast("string").alias("nkey"),
     )
     edges = SameValueClassifier(["nkey"]).classify(sup.limit(0), sup)
-    root = os.path.join(
-        tempfile.gettempdir(),
-        "grafink_gremlin_" + sf_dir.strip("/").replace("/", "_"),
-    )
-    shutil.rmtree(root, ignore_errors=True)  # write_* APPEND by contract
-    store = GraphStore(spark, root, task_size=2500, parallelism=4)
-    store.write_vertices(sup, label="alert")
-    store.write_edges(edges, SameValueClassifier(["nkey"]))
-    out = GremlinExecutor(GraphQuery(store)).run(
-        "g.V().has('nkey', '7').outE('exactmatch').has('value', 'nkey')"
-    )
-    return out.select("src", "dst", "propVal")
+    root = tempfile.mkdtemp(prefix="grafink_gremlin_")
+    try:
+        store = GraphStore(spark, root, task_size=2500, parallelism=4)
+        store.write_vertices(sup, label="alert")
+        store.write_edges(edges, SameValueClassifier(["nkey"]))
+        out = GremlinExecutor(GraphQuery(store)).run(
+            "g.V().has('nkey', '7').outE('exactmatch').has('value', 'nkey')"
+        )
+        res = out.select("src", "dst", "propVal")
+        return spark.createDataFrame(res.collect(), res.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 SQL_GREMLIN_EDGES = """

@@ -1681,6 +1681,7 @@ def weighted_cosine_join(
     id_col: str = "doc_id",
     threshold: tuple[int, int] = (7, 10),
     k: int | None = None,
+    verify: str = "auto",
 ) -> DataFrame:
     """EXACT cosine set-similarity self-join over term-COUNT vectors —
     every pair with cosine ≥ num/den, guaranteed (the AllPairs/APSS
@@ -1709,8 +1710,38 @@ def weighted_cosine_join(
     candidate pairs back to the count table — pairs only, never
     all-pairs. Stopword-heavy mass sits LAST in the canonical order,
     so ubiquitous terms leave every prefix as soon as the rare head
-    carries ≥ (1−t²) of the norm."""
-    return _apss_frames(df, text_col, id_col, threshold, k)["out"]
+    carries ≥ (1−t²) of the norm.
+
+    ``verify`` picks the dot-product backend — both produce identical
+    integer-exact rows (asserted by ``test_dedup.py``):
+
+    - ``"join"``: explode the candidate pairs against the per-term
+      count table and sum products. Cost ∝ |candidates|·terms-per-doc
+      rows through one shuffle — cheapest while candidates are sparse.
+    - ``"map"``: join per-doc term→count MAPS to the pairs and fold
+      ``map_zip_with`` row-locally. Cost ∝ corpus rows to build the
+      maps + |candidates| union-sized row-local folds — the 100 TB
+      backend (a billion-candidate join would shuffle ~terms-per-doc×
+      that in exploded rows), but the map build dominates when
+      candidates are few (measured sf0.1: 9.2 s map vs 2.7 s join on
+      61 k candidates; sf1: 38 s map vs 44 s join on 5.3 M).
+    - ``"auto"`` (default): pin the candidate frame, count it, and
+      gate on :data:`APSS_MAP_VERIFY_MIN_CANDIDATES` (session conf
+      ``spark.grafink.apssMapVerifyMinCandidates`` overrides). The
+      count is not wasted work — the pin means candidate generation
+      runs once either way, and at the design point where counting
+      anything is expensive the gate resolves to ``"map"`` exactly
+      because the count is large."""
+    return _apss_frames(df, text_col, id_col, threshold, k, verify)["out"]
+
+
+# Crossover between the two APSS verify backends, in candidate pairs.
+# Measured on the sf0.1/sf1 documents corpora (see weighted_cosine_join
+# docstring): join verify wins at 61k candidates (2.7 vs 9.2 s), map
+# verify wins at 5.3M (38 vs 44 s); the geometric midpoint ~5e5 splits
+# the measured regimes with ~order-of-magnitude margin on each side.
+APSS_MAP_VERIFY_MIN_CANDIDATES = 500_000
+_APSS_VERIFY_CONF_KEY = "spark.grafink.apssMapVerifyMinCandidates"
 
 
 def _apss_frames(
@@ -1719,6 +1750,7 @@ def _apss_frames(
     id_col: str = "doc_id",
     threshold: tuple[int, int] = (7, 10),
     k: int | None = None,
+    verify: str = "auto",
 ) -> dict[str, DataFrame]:
     """:func:`weighted_cosine_join` staged: ``candidates`` (distinct
     pairs surviving prefix × positional filtering — the pairs whose
@@ -1814,39 +1846,78 @@ def _apss_frames(
         .select("id_a", "id_b")
         .distinct()
     )
-    # Verification: per-doc term-count MAPS joined to the pairs, dot
-    # product as a row-local map_zip_with fold. The previous per-term
-    # explode join shipped |pairs|·terms-per-doc rows through a shuffle
-    # (~1B rows at sf1 — measured 38 s of the query's 44 s); this keeps
-    # the verify at |pairs| rows with union-sized per-row work (sf1:
-    # 44 → ~12 s). Integer products summed as long — exact in any
-    # order, so the all-pairs SQL oracle is untouched.
-    vecs = tc.groupBy("_id").agg(
-        F.map_from_entries(
-            F.collect_list(F.struct("_term", "_c"))
-        ).alias("_m")
-    )
-    a = vecs.select(F.col("_id").alias("id_a"), F.col("_m").alias("_ma"))
-    b = vecs.select(F.col("_id").alias("id_b"), F.col("_m").alias("_mb"))
-    dot_col = F.aggregate(
-        F.map_values(
-            F.map_zip_with(
-                "_ma",
-                "_mb",
-                lambda k, x, y: F.when(
-                    x.isNotNull() & y.isNotNull(), x * y
-                ).otherwise(F.lit(0).cast("long")),
+    # Verification backend (see weighted_cosine_join docstring for the
+    # measured crossover). Both are integer-exact in any order, so the
+    # all-pairs SQL oracle is untouched by the choice.
+    if verify not in ("auto", "map", "join"):
+        raise ValueError(f"verify must be auto|map|join, got {verify!r}")
+    if verify == "auto":
+        # pin so candidate generation (the prefix pipeline — the
+        # expensive subtree) runs ONCE: the gate's count materializes
+        # the checkpoint, the verify join below reuses it
+        cand = cand.transform(pin_lazy)
+        try:
+            floor = int(df.sparkSession.conf.get(_APSS_VERIFY_CONF_KEY))
+        except Exception:
+            floor = APSS_MAP_VERIFY_MIN_CANDIDATES
+        verify = "map" if cand.count() >= floor else "join"
+    if verify == "join":
+        # sparse-candidate backend: explode the pairs against the
+        # per-term count table, sum products through one shuffle —
+        # |cand|·terms-per-doc rows, cheapest while candidates are few
+        dots = (
+            cand.join(
+                tc.select(
+                    F.col("_id").alias("id_a"),
+                    "_term",
+                    F.col("_c").alias("_ca"),
+                ),
+                "id_a",
             )
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
-    dots = (
-        cand.join(a, "id_a")
-        .join(b, "id_b")
-        .select("id_a", "id_b", dot_col.alias("dot"))
-        .where(F.col("dot") > 0)
-    )
+            .join(
+                tc.select(
+                    F.col("_id").alias("id_b"),
+                    "_term",
+                    F.col("_c").alias("_cb"),
+                ),
+                ["id_b", "_term"],
+            )
+            .groupBy("id_a", "id_b")
+            .agg(F.sum(F.col("_ca") * F.col("_cb")).alias("dot"))
+        )
+    else:
+        # scale backend: per-doc term-count MAPS joined to the pairs,
+        # dot product as a row-local map_zip_with fold. The explode
+        # join above would ship |pairs|·terms-per-doc rows through a
+        # shuffle (~1B rows at sf1 — measured 38 s of the query's
+        # 44 s); this keeps the verify at |pairs| rows with union-sized
+        # per-row work (sf1: 44 → ~12 s).
+        vecs = tc.groupBy("_id").agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("_term", "_c"))
+            ).alias("_m")
+        )
+        a = vecs.select(F.col("_id").alias("id_a"), F.col("_m").alias("_ma"))
+        b = vecs.select(F.col("_id").alias("id_b"), F.col("_m").alias("_mb"))
+        dot_col = F.aggregate(
+            F.map_values(
+                F.map_zip_with(
+                    "_ma",
+                    "_mb",
+                    lambda k, x, y: F.when(
+                        x.isNotNull() & y.isNotNull(), x * y
+                    ).otherwise(F.lit(0).cast("long")),
+                )
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        dots = (
+            cand.join(a, "id_a")
+            .join(b, "id_b")
+            .select("id_a", "id_b", dot_col.alias("dot"))
+            .where(F.col("dot") > 0)
+        )
     out = (
         dots.join(
             tot.select(F.col("_id").alias("id_a"), F.col("_tt").alias("t_a")),

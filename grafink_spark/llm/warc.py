@@ -245,7 +245,17 @@ def extract_warc_records(
     Chunked transfer-encoding bodies are reassembled by the record
     parser before they get here. ``html_only`` keeps text/html 200s
     (content-type compared case-insensitively) — the corpus-prep
-    default. Narrow Arrow map; WARC bytes never leave the executor."""
+    default. Narrow Arrow map; WARC bytes never leave the executor.
+
+    The QUARANTINE happens HERE, per payload: ``iter_warc_records``
+    raises ValueError on hostile framing (bad chunk sizes, negative
+    Content-Length, malformed headers — its documented contract), and
+    one poisoned crawl file must cost its own rows, not the task and,
+    after retries, the whole job. A framing error also voids the
+    payload's already-parsed records — a misparsed boundary can
+    attribute one record's bytes to the next — so the offending
+    payload contributes zero rows; every healthy payload in the batch
+    is unaffected."""
     src = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("_p"))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -254,28 +264,37 @@ def extract_warc_records(
             for doc_id, payload in zip(pdf["doc_id"], pdf["_p"]):
                 if payload is None:
                     continue
-                for idx, rec in enumerate(iter_warc_records(bytes(payload))):
-                    # header KEYS are lowered by the parser; VALUES are
-                    # not — real crawls carry 'Text/HTML' etc.
-                    if html_only and (
-                        rec["status"] != 200
-                        or not rec["content_type"].lower().startswith("text/html")
+                prows: list[dict] = []
+                try:
+                    for idx, rec in enumerate(
+                        iter_warc_records(bytes(payload))
                     ):
-                        continue
-                    rows.append(
-                        {
-                            "doc_id": int(doc_id),
-                            "record_idx": idx,
-                            "url": rec["url"],
-                            "warc_date": rec["date"],
-                            "http_status": rec["status"],
-                            "content_type": rec["content_type"],
-                            "html": _decode_body(
-                                rec["body"], rec["content_type"]
-                            ),
-                            "n_bytes": len(rec["body"]),
-                        }
-                    )
+                        # header KEYS are lowered by the parser; VALUES
+                        # are not — real crawls carry 'Text/HTML' etc.
+                        if html_only and (
+                            rec["status"] != 200
+                            or not rec["content_type"]
+                            .lower()
+                            .startswith("text/html")
+                        ):
+                            continue
+                        prows.append(
+                            {
+                                "doc_id": int(doc_id),
+                                "record_idx": idx,
+                                "url": rec["url"],
+                                "warc_date": rec["date"],
+                                "http_status": rec["status"],
+                                "content_type": rec["content_type"],
+                                "html": _decode_body(
+                                    rec["body"], rec["content_type"]
+                                ),
+                                "n_bytes": len(rec["body"]),
+                            }
+                        )
+                except ValueError:
+                    continue  # quarantined: this payload yields no rows
+                rows.extend(prows)
             yield pd.DataFrame(
                 rows, columns=[f.name for f in WARC_RECORD_SCHEMA]
             )

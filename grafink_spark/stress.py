@@ -227,7 +227,6 @@ def ann_ab(spark: SparkSession, mode: str, scale: float = 1.0) -> DataFrame:
     PQ family; build amortizes across batches (and to zero for a
     persisted index)."""
     from grafink_spark.llm import simsearch as ss
-    from grafink_spark.util import pin
 
     n = int(200_000 * scale)
     dim = 32
@@ -238,18 +237,35 @@ def ann_ab(spark: SparkSession, mode: str, scale: float = 1.0) -> DataFrame:
     # keyed by applicationId, not id(spark): id() values are reused
     # after GC, which could hand a NEW session a pinned index bound to
     # a stopped SparkContext
-    key = (spark.sparkContext.applicationId, n)
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, n)
     # evict entries from other sessions/scales: a stopped session's
     # pinned index blocks are useless but the DataFrame refs would keep
     # driver-side plan state alive for the process lifetime (bench runs
-    # many sessions back-to-back) — single-live-entry cache
+    # many sessions back-to-back) — single-live-entry cache. An evicted
+    # entry whose applicationId matches the LIVE session (same session,
+    # different scale) still holds executor storage — drop its blocks,
+    # not just the dict ref (round-7 advisor); for stopped sessions the
+    # blocks died with the executors and unpersist would just throw.
     for stale in [k for k in _ANN_INDEX_CACHE if k != key]:
+        if stale[0] == app_id:
+            try:
+                _ANN_INDEX_CACHE[stale][2].unpersist()
+            except Exception:
+                pass
         del _ANN_INDEX_CACHE[stale]
     if key not in _ANN_INDEX_CACHE:
         sample = corpus.limit(1024)
         cents = ss.ivf_train(sample, nlist=16, iters=1)
         cbs = ss.pq_train(sample, dim=dim, m=4, ksub=16, iters=1)
-        encoded = pin(ss.ivfpq_encode(corpus, cents, cbs))
+        # persist + eager count instead of pin(): same one-shot
+        # materialization and reuse, but persist() registers with the
+        # CacheManager so the same-session eviction above can actually
+        # free the blocks (a localCheckpoint's blocks have no public
+        # unpersist path). Nothing downstream needs a frozen layout —
+        # the scan is a plain list_id join over the encoded frame.
+        encoded = ss.ivfpq_encode(corpus, cents, cbs).persist()
+        encoded.count()
         _ANN_INDEX_CACHE[key] = (cents, cbs, encoded)
     cents, cbs, encoded = _ANN_INDEX_CACHE[key]
     if mode == "build":

@@ -650,7 +650,10 @@ def test_normalized_duplicates(spark):
     assert out[0].keeper_id == 1 and out[0].dup_count == 3
 
 
-def test_weighted_cosine_join_is_lossless_vs_brute_force(spark):
+@pytest.mark.parametrize("verify", ["auto", "map", "join"])
+def test_weighted_cosine_join_is_lossless_vs_brute_force(spark, verify):
+    """Both verify backends (and the size gate that picks between
+    them) produce the identical integer-exact row set."""
     import itertools
     import math
     from collections import Counter
@@ -667,7 +670,9 @@ def test_weighted_cosine_join_is_lossless_vs_brute_force(spark):
 
     got = {
         (r.id_a, r.id_b): (r.dot, r.t_a, r.t_b)
-        for r in weighted_cosine_join(df, threshold=(7, 10)).collect()
+        for r in weighted_cosine_join(
+            df, threshold=(7, 10), verify=verify
+        ).collect()
     }
 
     cnt = {i: Counter(t.split()) for i, t in rows}
@@ -685,6 +690,41 @@ def test_weighted_cosine_join_is_lossless_vs_brute_force(spark):
         assert abs(
             r.cosine_sim - r.dot / math.sqrt(r.t_a * r.t_b)
         ) < 1e-15
+
+
+def test_weighted_cosine_join_verify_gate(spark):
+    """The auto gate picks the join backend under the candidate floor
+    (tiny corpus), honors the session-conf override, and rejects
+    unknown backends."""
+    from grafink_spark.llm.dedup import _APSS_VERIFY_CONF_KEY, weighted_cosine_join
+
+    df = spark.createDataFrame(
+        [(i, f"w{i} w{i+1} w{i+2}") for i in range(10)],
+        "doc_id long, text string",
+    )
+    with pytest.raises(ValueError, match="verify must be"):
+        weighted_cosine_join(df, verify="bogus")
+    # conf floor of 0 forces the map backend even on a tiny corpus —
+    # visible as map_zip_with in the executed plan
+    old = spark.conf.get(_APSS_VERIFY_CONF_KEY, None)
+    try:
+        spark.conf.set(_APSS_VERIFY_CONF_KEY, "0")
+        plan = (
+            weighted_cosine_join(df, verify="auto")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "map_zip_with" in plan
+    finally:
+        if old is None:
+            spark.conf.unset(_APSS_VERIFY_CONF_KEY)
+        else:
+            spark.conf.set(_APSS_VERIFY_CONF_KEY, old)
+    # default floor (500k): tiny corpus -> join backend, no maps
+    plan = (
+        weighted_cosine_join(df, verify="auto")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "map_zip_with" not in plan
 
 
 def test_weighted_cosine_join_plan_has_no_cartesian(spark):

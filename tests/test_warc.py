@@ -83,6 +83,55 @@ def test_extract_warc_records_keep_all(spark):
     assert {r.http_status for r in rows} == {200, 404}
 
 
+def test_extract_warc_records_quarantines_hostile_payload(spark):
+    """ONE hostile payload (bad chunk framing) in a batch must cost
+    its own rows only — not the task (and after retries the job): the
+    round-7 advisor flagged that iter_warc_records' ValueError
+    escaped the DataFrame funnel unwrapped. The hostile payload leads
+    with a HEALTHY record so the test also proves partial rows from a
+    poisoned payload are voided (a misparsed boundary can attribute
+    one record's bytes to the next), while healthy payloads keep all
+    their rows."""
+    good_http = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        b"Content-Length: 11\r\n\r\n<p>fine</p>"
+    )
+    good_rec = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: http://ok/first\r\n"
+        b"Content-Type: application/http; msgtype=response\r\n"
+        + b"Content-Length: %d\r\n\r\n" % len(good_http)
+        + good_http
+        + b"\r\n\r\n"
+    )
+    bad_http = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        b"Transfer-Encoding: chunked\r\n\r\nzz\r\nhi\r\n0\r\n\r\n"
+    )
+    bad_rec = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: http://bad/chunks\r\n"
+        b"Content-Type: application/http; msgtype=response\r\n"
+        + b"Content-Length: %d\r\n\r\n" % len(bad_http)
+        + bad_http
+        + b"\r\n\r\n"
+    )
+    hostile = good_rec + bad_rec  # healthy record FIRST, then poison
+    with pytest.raises(ValueError):  # parser contract unchanged
+        list(warc.iter_warc_records(hostile))
+    df = spark.createDataFrame(
+        [(1, warc.make_warc(_recs())), (2, hostile), (3, good_rec)],
+        "doc_id long, payload binary",
+    )
+    rows = warc.extract_warc_records(df).collect()
+    got = sorted((r.doc_id, r.url) for r in rows)
+    assert got == [
+        (1, "http://a/1"),
+        (1, "http://a/5"),
+        (3, "http://ok/first"),
+    ]
+
+
 def test_negative_content_length_raises_not_hangs():
     """A negative Content-Length must quarantine (ValueError), never
     move the cursor backward and re-parse the same header forever."""
