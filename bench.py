@@ -275,7 +275,9 @@ def main() -> int:
     # queries, not session startup.
     QUERIES["max_id"](spark, sf_dir).collect()
 
-    iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "2"))
+    # floor of 1: zero iterations would leave every sample list empty
+    # and min() would crash after the warm-up scans already ran
+    iters = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "2")))
     # Smoke-run subset: SPARK_GRAFT_BENCH_ONLY=q1,q2 limits the headline
     # set (local iteration / CI smoke); unset = full headline set.
     all_names = HEADLINE + EXTENDED
@@ -356,6 +358,10 @@ def main() -> int:
     # (the artifact records them all; `queries` is the per-query min).
     rerun_n = int(os.environ.get("SPARK_GRAFT_SF_RERUN", "25"))
     for name in sorted(timings, key=timings.get, reverse=True)[:rerun_n]:
+        # loadavg recorded for the re-run too: samples[q] and
+        # loadavgs[q] stay index-aligned, so a reader can tell which
+        # load was behind whichever sample became the kept min
+        loadavgs[name].append(loadavg1())
         again = run_once(name, sf_dir)
         samples[name].append(again)
         if again < timings[name]:
@@ -393,15 +399,36 @@ def main() -> int:
             "pagerank_exact": 0.25 * stress_scale,
             "pagerank_double": 0.25 * stress_scale,
         }
+        # Two pass-separated sweeps, min kept (same rationale as the
+        # headline loop): stress entries were single-shot, and both
+        # r07 and r08 artifacts carried a contended skew-pair number
+        # that needed a hand re-run to explain. All samples recorded.
         stress: dict[str, float] = {}
-        for name, fn in STRESS.items():
-            t0 = time.perf_counter()
-            fn(spark, per_entry.get(name, stress_scale)).write.format(
-                "noop"
-            ).mode("overwrite").save()
-            stress[name] = round(time.perf_counter() - t0, 3)
-            print(f"# stress {name}: {stress[name]:.3f}s", file=sys.stderr)
+        stress_samples: dict[str, list[float]] = {n: [] for n in STRESS}
+        for _ in range(2):
+            for name, fn in STRESS.items():
+                t0 = time.perf_counter()
+                fn(spark, per_entry.get(name, stress_scale)).write.format(
+                    "noop"
+                ).mode("overwrite").save()
+                stress_samples[name].append(
+                    round(time.perf_counter() - t0, 3)
+                )
+                print(
+                    f"# stress {name}: {stress_samples[name][-1]:.3f}s",
+                    file=sys.stderr,
+                )
+        # ann_ivfpq_build caches its index per (session, n) — its
+        # second pass measures the cache hit, not the build, so the
+        # honest number is the FIRST sample (both are still recorded).
+        # The sibling scan entry reuses the cache BY DESIGN (that's
+        # the amortized-index cost it measures), so min is right there.
+        stress = {
+            n: (s[0] if n == "ann_ivfpq_build" else min(s))
+            for n, s in stress_samples.items()
+        }
         out["scale_stress"] = stress
+        out["scale_stress_samples"] = stress_samples
 
     # sf1 section: the headline set at 10× the default scale, over data
     # synthesized from sf0.1 by key-offset replication (sfgen.py,
@@ -460,9 +487,9 @@ def main() -> int:
             "apss_cosine_map",
         }
         sf1_samples: dict[str, list[float]] = {}
-        sf1_loadavgs: dict[str, float] = {}
+        sf1_loadavgs: dict[str, list[float]] = {}
         for name in [q for q in headline if q not in sf1_skip]:
-            sf1_loadavgs[name] = loadavg1()
+            sf1_loadavgs[name] = [loadavg1()]
             # run_once drains EXTENDED via noop here too — mirrors the
             # sf0.1 loop, so the two sections time the same work and a
             # wide-result EXTENDED query can't OOM the driver at sf1
@@ -482,6 +509,7 @@ def main() -> int:
         for name in sorted(
             sf1_timings, key=sf1_timings.get, reverse=True
         )[:rerun_n]:
+            sf1_loadavgs[name].append(loadavg1())
             again = run_once(name, sf1_dir)
             sf1_samples[name].append(again)
             if again < sf1_timings[name]:
@@ -619,6 +647,7 @@ def main() -> int:
         }
         if "scale_stress" in out:
             artifact["scale_stress"] = out["scale_stress"]
+            artifact["scale_stress_samples"] = out["scale_stress_samples"]
         if "sf1" in out:
             artifact["sf1"] = out["sf1"]["queries"]
             artifact["sf1_samples"] = sf1_samples

@@ -1854,12 +1854,16 @@ def _apss_frames(
     if verify == "auto":
         # pin so candidate generation (the prefix pipeline — the
         # expensive subtree) runs ONCE: the gate's count materializes
-        # the checkpoint, the verify join below reuses it
+        # the checkpoint, the verify join below reuses it. NOTE this
+        # makes auto-mode construction EAGER (the count runs at build
+        # time, like the IVF family's count-derived nlist); callers
+        # that only want a plan should pass verify="join"/"map".
         cand = cand.transform(pin_lazy)
-        try:
-            floor = int(df.sparkSession.conf.get(_APSS_VERIFY_CONF_KEY))
-        except Exception:
-            floor = APSS_MAP_VERIFY_MIN_CANDIDATES
+        raw = df.sparkSession.conf.get(_APSS_VERIFY_CONF_KEY, None)
+        # a MALFORMED conf value must raise, not silently fall back
+        floor = (
+            APSS_MAP_VERIFY_MIN_CANDIDATES if raw is None else int(raw)
+        )
         verify = "map" if cand.count() >= floor else "join"
     if verify == "join":
         # sparse-candidate backend: explode the pairs against the

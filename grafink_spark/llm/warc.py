@@ -264,6 +264,10 @@ def extract_warc_records(
             for doc_id, payload in zip(pdf["doc_id"], pdf["_p"]):
                 if payload is None:
                     continue
+                # resolved OUTSIDE the try: a null/NaN doc_id is a
+                # schema violation that must fail loudly, not be
+                # misclassified as hostile WARC framing
+                did = int(doc_id)
                 prows: list[dict] = []
                 try:
                     for idx, rec in enumerate(
@@ -280,7 +284,7 @@ def extract_warc_records(
                             continue
                         prows.append(
                             {
-                                "doc_id": int(doc_id),
+                                "doc_id": did,
                                 "record_idx": idx,
                                 "url": rec["url"],
                                 "warc_date": rec["date"],

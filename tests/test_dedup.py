@@ -727,7 +727,12 @@ def test_weighted_cosine_join_verify_gate(spark):
     assert "map_zip_with" not in plan
 
 
-def test_weighted_cosine_join_plan_has_no_cartesian(spark):
+@pytest.mark.parametrize("verify", ["join", "map"])
+def test_weighted_cosine_join_plan_has_no_cartesian(spark, verify):
+    """Explicit backends, NOT auto: auto pins the candidate frame (a
+    localCheckpoint), which hides the prefix self-join — the only
+    cartesian-risk subtree — behind a LogicalRDD scan, so the guard
+    would be blind to a regression there."""
     from grafink_spark.llm.dedup import weighted_cosine_join
 
     df = spark.createDataFrame(
@@ -735,7 +740,7 @@ def test_weighted_cosine_join_plan_has_no_cartesian(spark):
         "doc_id long, text string",
     )
     plan = (
-        weighted_cosine_join(df)
+        weighted_cosine_join(df, verify=verify)
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "CartesianProduct" not in plan
