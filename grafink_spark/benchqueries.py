@@ -8654,9 +8654,14 @@ def q_apss_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_APSS_COSINE = f"""
 WITH sh AS ({_SHINGLES_SQL}),
 tc AS (
-  SELECT doc_id, term, count(*) AS c FROM (
-    SELECT doc_id, unnest(s) AS term FROM sh
-  ) GROUP BY 1, 2
+  -- 60-bit md5 feature keys, the same hash the Spark side applies:
+  -- colliding shingles merge into one count identically in both
+  -- engines, so the cosine is bit-defined over the hashed space
+  SELECT doc_id,
+         ('0x' || substr(md5(term), 1, 15))::BIGINT AS term,
+         count(*) AS c
+  FROM (SELECT doc_id, unnest(s) AS term FROM sh)
+  GROUP BY 1, 2
 ),
 tot AS (SELECT doc_id, sum(c * c) AS tt FROM tc GROUP BY 1),
 dots AS (

@@ -1705,6 +1705,12 @@ def weighted_cosine_join(
 
     Returns (id_a, id_b, dot, t_a, t_b, cosine_sim), id_a < id_b.
 
+    Features are 60-bit md5-hashed term keys (r8): both engines apply
+    the identical hash, so the result is bit-defined over the hashed
+    space; distinct terms colliding (≈4e-5 expected collisions at a
+    10M-term vocabulary) merge into one count — the same trade the
+    Jaccard sibling makes with 32-bit shingle hashes.
+
     Scale: one shuffle for term counts, one for the df table join +
     per-doc window, one for prefix buckets; verification joins the
     candidate pairs back to the count table — pairs only, never
@@ -1778,6 +1784,22 @@ def _apss_frames(
             "_id",
             F.explode(shingles_from_tokens(F.col("_t"), k)).alias("_term"),
         )
+    )
+    # 60-bit md5 feature keys (same engine-portable idiom as the
+    # Jaccard sibling's 32-bit shingle hashes, 2^28× more headroom):
+    # every downstream stage — the term-count shuffle, the df join,
+    # the rarity-order window sort, the prefix×prefix candidate join,
+    # and the verify maps shipped twice per candidate pair — keys on
+    # an 8-byte long instead of a shingle string (measured sf1
+    # alternating A/B, best-of-2: 44.9 → 39.7 s, ~11%). Colliding
+    # terms MERGE into one feature identically in both engines (the
+    # oracle applies the same hash), so the output stays bit-defined;
+    # expected collisions at a 10M-term vocabulary are ~4e-5.
+    feats = feats.select(
+        "_id",
+        F.conv(F.substring(F.md5(F.col("_term")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("_term"),
     )
     tc = (
         feats.groupBy("_id", "_term")
