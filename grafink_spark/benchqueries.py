@@ -812,6 +812,15 @@ _BASE_HASH_SQL = (
     "list_transform(s, x -> ('0x' || substr(md5(x), 1, 8))::BIGINT) AS bh"
 )
 
+# 60-bit md5 keys for the exact-verify shingle SETS (r8) — the same
+# hash the Spark side stores its sets under (llm/dedup.py hash60):
+# colliding shingles merge identically in both engines, so every
+# Jaccard/containment over these sets is bit-defined
+_HASHED_SET_SQL = (
+    "list_distinct(list_transform(s, x -> "
+    "('0x' || substr(md5(x), 1, 15))::BIGINT))"
+)
+
 
 def _shingles_sql(src: str = "documents") -> str:
     return f"""
@@ -896,7 +905,7 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _jaccard_pairs_sql(src: str = "documents") -> str:
     return f"""
 WITH cand AS ({_lsh_candidates_sql(src)}),
-sh AS (SELECT doc_id, list_distinct(s) AS ds FROM ({_shingles_sql(src)})),
+sh AS (SELECT doc_id, {_HASHED_SET_SQL} AS ds FROM ({_shingles_sql(src)})),
 j AS (
   SELECT c.id_a, c.id_b,
          len(list_intersect(a.ds, b.ds)) /
@@ -931,7 +940,7 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _containment_pairs_sql(src: str = "documents") -> str:
     return f"""
 WITH cand AS ({_lsh_candidates_sql(src)}),
-sh AS (SELECT doc_id, list_distinct(s) AS ds FROM ({_shingles_sql(src)})),
+sh AS (SELECT doc_id, {_HASHED_SET_SQL} AS ds FROM ({_shingles_sql(src)})),
 j AS (
   SELECT c.id_a, c.id_b,
          CASE WHEN len(a.ds) > 0
@@ -976,7 +985,7 @@ def _minhash_estimate_sql(src: str = "documents") -> str:
     )
     return f"""
 WITH cand AS ({_lsh_candidates_sql(src)}),
-shd AS (SELECT doc_id, list_distinct(s) AS ds FROM ({_shingles_sql(src)})),
+shd AS (SELECT doc_id, {_HASHED_SET_SQL} AS ds FROM ({_shingles_sql(src)})),
 sig AS (SELECT doc_id, {_sig_sql(16)}
         FROM (SELECT doc_id, {_BASE_HASH_SQL} FROM ({_shingles_sql(src)}))),
 j AS (
@@ -2224,8 +2233,8 @@ xcand AS (
   FROM nb n JOIN cb c
     ON (n.b0 = c.b0 OR n.b1 = c.b1 OR n.b2 = c.b2 OR n.b3 = c.b3)
 ),
-shn AS (SELECT doc_id, list_distinct(s) AS ds FROM ({_shingles_sql("newd")})),
-shc AS (SELECT doc_id, list_distinct(s) AS ds FROM ({_shingles_sql("corp")})),
+shn AS (SELECT doc_id, {_HASHED_SET_SQL} AS ds FROM ({_shingles_sql("newd")})),
+shc AS (SELECT doc_id, {_HASHED_SET_SQL} AS ds FROM ({_shingles_sql("corp")})),
 crosshit AS (
   SELECT DISTINCT c.id_a FROM xcand c
   JOIN shn a ON a.doc_id = c.id_a
@@ -8380,7 +8389,14 @@ def q_ssjoin_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_SSJOIN_EXACT = f"""
 WITH sh AS (
-  SELECT doc_id, list_distinct(s) AS ds FROM ({_SHINGLES_SQL})
+  -- 60-bit md5 shingle keys, the same hash the Spark side stores its
+  -- shingle sets under (r8): colliding shingles merge identically in
+  -- both engines, so the Jaccard is bit-defined over the hashed space
+  SELECT doc_id,
+         list_distinct(
+           list_transform(s, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT)
+         ) AS ds
+  FROM ({_SHINGLES_SQL})
 )
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        round(len(list_intersect(a.ds, b.ds))::DOUBLE /

@@ -150,6 +150,25 @@ def shingle_hashes(sh: Column) -> Column:
     )
 
 
+def hash60(col: Column) -> Column:
+    """60-bit md5 feature key: first 15 md5 hex chars as a long — the
+    engine-portable idiom (DuckDB replays it as
+    ``('0x' || substr(md5(x), 1, 15))::BIGINT``). The exact-verify
+    family (ssjoin / APSS / the LSH-verified Jaccard skeleton) stores
+    shingle SETS under these keys instead of strings: every verify
+    join ships ~half the bytes and compares 8-byte longs, and the
+    result stays bit-defined because both engines merge colliding
+    shingles identically (~4e-5 expected collisions at a 10M-feature
+    vocabulary)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def hash60_set(sh: Column) -> Column:
+    """Distinct 60-bit keys of a shingle array — the hashed SET the
+    verify joins intersect (:func:`hash60` for the rationale)."""
+    return F.array_distinct(F.transform(sh, hash60))
+
+
 def signature_from_hashes(bh: Column, num_hashes: int = 16) -> Column:
     """MinHash signature from a *pre-projected* base-hash array column.
 
@@ -305,13 +324,17 @@ def _paired_shingles(
     ngram_jaccard_pairs / containment_pairs — pairs come from an
     explicit candidate list or equi-join blocking, never all-pairs."""
     df = ensure_min_partitions(df)
+    # hashed sets (r8): the pair joins below ship every candidate's two
+    # shingle sets — as 60-bit longs they cost half the bytes and the
+    # array_intersect compares longs (see hash60; the oracles replay
+    # the identical hash)
     sh = df.select(
         F.col(id_col).alias("_id"),
         tokens(F.col(text_col)).alias("_t"),
         *[F.col(c) for c in (block_by or [])],
     ).select(
         "_id",
-        F.array_distinct(shingles_from_tokens(F.col("_t"), k)).alias("_sh"),
+        hash60_set(shingles_from_tokens(F.col("_t"), k)).alias("_sh"),
         *[F.col(c) for c in (block_by or [])],
     )
     if candidates is None:
@@ -417,11 +440,14 @@ def minhash_jaccard_estimate(
     )
     # stage base hashes as a real column: signature_from_hashes
     # references its input once per hash term, so an inline
-    # shingle_hashes() would re-run the md5 scan num_hashes x per row
+    # shingle_hashes() would re-run the md5 scan num_hashes x per row.
+    # The SIGNATURE keeps deriving from the 32-bit hashes of the
+    # shingle STRINGS (the banding/oracle contract); only the exact-
+    # verify set switches to 60-bit keys (hash60 — half the join bytes)
     bh = sh.select("_id", "_sh", shingle_hashes(F.col("_sh")).alias("_bh"))
     both = bh.select(
         "_id",
-        "_sh",
+        hash60_set(F.col("_sh")).alias("_sh"),
         signature_from_hashes(F.col("_bh"), num_hashes).alias("_sig"),
     )
     paired = candidates.join(
@@ -1516,6 +1542,12 @@ def set_similarity_join(
 
     Returns (id_a, id_b, jaccard_sim), id_a < id_b.
 
+    The shingle SETS are 60-bit md5 keys end-to-end (r8): both engines
+    apply the identical hash, so the Jaccard is bit-defined over the
+    hashed space; distinct shingles colliding (~vanishing at 60 bits)
+    merge into one set element in both engines — the same trade
+    :func:`weighted_cosine_join` makes.
+
     Scale: the global order is rarity-first (document frequency asc,
     60-bit shingle hash as tie-break) — prefixes hold a document's
     RAREST shingles, so bucket sizes track how often rare shingles
@@ -1549,21 +1581,18 @@ def _ssjoin_frames(
         )
         .select(
             "_id",
-            F.array_distinct(shingles_from_tokens(F.col("_t"), k)).alias(
-                "_s"
-            ),
+            # the shingle SET lives as 60-bit md5 keys end-to-end (r8):
+            # the prefix machinery below always hashed, but the verify
+            # intersected shingle STRINGS — hashing once here (hash60)
+            # makes the verify compare 8-byte longs (and the arrays it
+            # ships half the bytes), and drops the second md5 scan the
+            # old `tok` projection paid. Measured sf1 best-of-3:
+            # 29.5 → 14.5 s.
+            hash60_set(shingles_from_tokens(F.col("_t"), k)).alias("_s"),
         )
     )
     base = base.transform(pin_lazy)
-    tok = base.select(
-        "_id",
-        F.explode("_s").alias("_g"),
-    ).select(
-        "_id",
-        F.conv(F.substring(F.md5(F.col("_g")), 1, 15), 16, 10)
-        .cast("long")
-        .alias("_h"),
-    )
+    tok = base.select("_id", F.explode("_s").alias("_h"))
     freq = tok.groupBy("_h").agg(F.count(F.lit(1)).alias("_df"))
     ordered = (
         tok.join(freq, "_h")
@@ -1795,12 +1824,7 @@ def _apss_frames(
     # terms MERGE into one feature identically in both engines (the
     # oracle applies the same hash), so the output stays bit-defined;
     # expected collisions at a 10M-term vocabulary are ~4e-5.
-    feats = feats.select(
-        "_id",
-        F.conv(F.substring(F.md5(F.col("_term")), 1, 15), 16, 10)
-        .cast("long")
-        .alias("_term"),
-    )
+    feats = feats.select("_id", hash60(F.col("_term")).alias("_term"))
     tc = (
         feats.groupBy("_id", "_term")
         .agg(F.count(F.lit(1)).alias("_c"))
