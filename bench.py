@@ -478,13 +478,16 @@ def main() -> int:
             # oracle replays it as a scalar subquery), so the candidate
             # volume is ~nprobe·N^1.5 — the round-6 pinned nlist=8 kept
             # n²/2 candidates and hung at this scale.
-            # apss_cosine_map exists to keep the MAP verify backend
-            # oracle-checked + sf0.1-timed now that the auto gate picks
-            # the join backend below ~500k candidates; at sf1 the auto
-            # entry (apss_cosine) ALREADY resolves to the map backend
-            # (5.3M candidates), so timing the forced-map twin here
-            # would pay ~40 s to measure the same plan twice.
+            # the forced verify-backend twins exist to keep every APSS
+            # backend oracle-checked + sf0.1-timed; at sf1 the auto
+            # entry (apss_cosine) resolves to the ARROW backend (5.3M
+            # candidates ≥ the 500k floor, r9), so timing the
+            # forced-arrow twin here would measure the same plan
+            # twice, and the forced-map twin would pay ~40 s for a
+            # backend whose sf1 cost is already recorded (r8: 31.9 s)
+            # and whose certification lives at sf0.1.
             "apss_cosine_map",
+            "apss_cosine_arrow",
         }
         sf1_samples: dict[str, list[float]] = {}
         sf1_loadavgs: dict[str, list[float]] = {}

@@ -8408,8 +8408,33 @@ WHERE len(list_intersect(a.ds, b.ds))::DOUBLE /
 """
 
 
-QUERIES.update({"ssjoin_exact": q_ssjoin_exact})
-ORACLES.update({"ssjoin_exact": SQL_SSJOIN_EXACT})
+def q_ssjoin_exact_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`q_ssjoin_exact` with the verify backend FORCED to the
+    Arrow kernel (r9, shared with the APSS cosine sibling): sorted
+    60-bit key arrays joined to the candidate pairs, intersection
+    sizes via one numpy ``searchsorted`` per pair
+    (llm/dedup.py _ssjoin_arrow_sim). The Jaccard is the identical
+    IEEE division, so the full all-pairs oracle applies unchanged;
+    the expr row stays the anchor, this row is the backend A/B."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = dd.set_similarity_join(docs, k=3, threshold=0.5, verify="arrow")
+    return out.select(
+        "id_a", "id_b", F.round("jaccard_sim", 6).alias("jaccard_sim")
+    )
+
+
+QUERIES.update(
+    {
+        "ssjoin_exact": q_ssjoin_exact,
+        "ssjoin_exact_arrow": q_ssjoin_exact_arrow,
+    }
+)
+ORACLES.update(
+    {
+        "ssjoin_exact": SQL_SSJOIN_EXACT,
+        "ssjoin_exact_arrow": SQL_SSJOIN_EXACT,
+    }
+)
 
 
 # ---------------------------------------------- round-3 third batch
@@ -8696,13 +8721,11 @@ WHERE 100::HUGEINT * d.dot * d.dot >= 81::HUGEINT * ta.tt * tb.tt
 
 def q_apss_cosine_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """:func:`q_apss_cosine` with the verify backend FORCED to the
-    map_zip_with path. Since round 8 the default gates on candidate
-    count (join verify below ~500k candidates, map above — the
-    measured crossover), so at oracle scale the auto entry exercises
-    only the join backend; this row keeps the scale backend
+    map_zip_with path — the zero-Python fallback backend. The auto
+    gate picks join below ~500k candidates and (since round 9) the
+    Arrow kernel above; this row keeps the map backend
     oracle-certified every round and, in the bench artifact, gives the
-    per-round A/B that shows the crossover is still set right
-    (llm/dedup.py _apss_frames)."""
+    per-round backend A/B at sf0.1 (llm/dedup.py _apss_frames)."""
     docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
     out = dd.weighted_cosine_join(docs, threshold=(9, 10), k=3, verify="map")
     return out.select(
@@ -8715,8 +8738,46 @@ def q_apss_cosine_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES.update({"apss_cosine": q_apss_cosine, "apss_cosine_map": q_apss_cosine_map})
-ORACLES.update({"apss_cosine": SQL_APSS_COSINE, "apss_cosine_map": SQL_APSS_COSINE})
+def q_apss_cosine_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`q_apss_cosine` with the verify backend FORCED to the
+    Arrow kernel (r9 — the named lever since round 7): sorted 60-bit
+    key/count arrays joined to the candidate pairs, dots computed
+    per-pair as one numpy ``searchsorted`` + masked product-sum
+    (llm/dedup.py _apss_arrow_dot). Integer-exact and bit-identical
+    to the expr backends, so the FULL all-pairs oracle applies
+    unchanged — the row certifies the production scale backend, not a
+    weaker rows-only check. At sf0.1 the auto entry resolves to the
+    join backend (61k candidates < the 500k floor), so this forced
+    twin is what keeps the Arrow path timed and certified there; at
+    sf1 the auto entry (apss_cosine) IS this plan."""
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    out = dd.weighted_cosine_join(
+        docs, threshold=(9, 10), k=3, verify="arrow"
+    )
+    return out.select(
+        "id_a",
+        "id_b",
+        F.col("dot").cast("long").alias("dot"),
+        F.col("t_a").cast("long").alias("t_a"),
+        F.col("t_b").cast("long").alias("t_b"),
+        F.round("cosine_sim", 6).alias("cosine_sim"),
+    )
+
+
+QUERIES.update(
+    {
+        "apss_cosine": q_apss_cosine,
+        "apss_cosine_map": q_apss_cosine_map,
+        "apss_cosine_arrow": q_apss_cosine_arrow,
+    }
+)
+ORACLES.update(
+    {
+        "apss_cosine": SQL_APSS_COSINE,
+        "apss_cosine_map": SQL_APSS_COSINE,
+        "apss_cosine_arrow": SQL_APSS_COSINE,
+    }
+)
 
 
 def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -11690,7 +11751,10 @@ def q_gremlin_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     result (one nation's clique edges) is re-materialized as a local
     DataFrame so the returned frame doesn't dangle on deleted parquet.
     Real deployments query a persisted store — the write is setup
-    cost, not query cost."""
+    cost, not query cost. Scale bound of the collect: one nation's
+    clique is ~(SF·400)² directed edges — fine at the bench scales
+    (sf1: ~160k rows) but quadratic in suppliers-per-nation, so any
+    larger-SF corpus should cap it with a limit before collecting."""
     import shutil
     import tempfile
 
@@ -11734,3 +11798,125 @@ SELECT src, dst, 'nkey' AS propVal FROM both_dirs
 
 QUERIES.update({"gremlin_edges": q_gremlin_edges})
 ORACLES.update({"gremlin_edges": SQL_GREMLIN_EDGES})
+
+
+def q_gremlin_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 Gremlin degree-count traversal through the STRING parser
+    (round-7/8 verdict carry): the reference's REPL transcripts count
+    out-edges of a property-restricted vertex set —
+    ``g.V().has('recipe','asteroids').outE().count()``
+    (``README.md:419-489``, ``docs/TestJGraph7_exploration.md:34-120``)
+    — here over the same supplier graph :func:`q_gremlin_edges`
+    builds, restricted to one nation:
+
+        g.V().has('nkey', '7').outE('exactmatch').count()
+
+    Routed through ``parse()`` + GremlinExecutor (NOT GraphQuery): the
+    vertex restriction narrows the vertex frame, ``outE`` semi-joins
+    edges on src, ``count`` is the terminal. The store holds only the
+    two nations the traversal could touch — the oracle replays the
+    same restriction — so the setup write stays small while the
+    traversal still proves restriction → semi-join → aggregate.
+
+    Plan/scale: the count is a distributed aggregate over the
+    label-pruned edge scan; only the single count row reaches the
+    driver."""
+    import shutil
+    import tempfile
+
+    from grafink_spark.graph.query import GraphQuery
+    from grafink_spark.graph.storage import GraphStore
+    from grafink_spark.gremlin import GremlinExecutor
+
+    sup = (
+        load_table(spark, sf_dir, "supplier")
+        .where(F.col("s_nationkey").isin(7, 11))
+        .select(
+            F.col("s_suppkey").alias("id"),
+            F.col("s_nationkey").cast("string").alias("nkey"),
+        )
+    )
+    edges = SameValueClassifier(["nkey"]).classify(sup.limit(0), sup)
+    root = tempfile.mkdtemp(prefix="grafink_gremlin_deg_")
+    try:
+        store = GraphStore(spark, root, task_size=2500, parallelism=4)
+        store.write_vertices(sup, label="alert")
+        store.write_edges(edges, SameValueClassifier(["nkey"]))
+        n = GremlinExecutor(GraphQuery(store)).run(
+            "g.V().has('nkey', '7').outE('exactmatch').count()"
+        )
+        return spark.createDataFrame([(int(n),)], "n_edges long")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+# Both directions of every same-nation pair are materialized
+# (EdgeProcessor.scala:122-130), so edges anchored at nation-7 src
+# vertices number n7·(n7−1).
+SQL_GREMLIN_DEGREE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_edges
+FROM supplier a JOIN supplier b
+  ON a.s_nationkey = b.s_nationkey AND a.s_suppkey <> b.s_suppkey
+WHERE a.s_nationkey = 7
+"""
+
+
+def q_gremlin_valuemap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 Gremlin ``valueMap(true)`` through the STRING parser
+    (round-7/8 verdict carry): the reference transcripts inspect one
+    vertex's full property map — ``g.V(28928).valueMap(true)``
+    (``docs/TestJGraph7_exploration.md:34-120``). Here:
+
+        g.V(1).valueMap(true)
+
+    over a vertex-only supplier store; the executor's single-id fast
+    path filters the vertex scan to one row and ``value_map`` returns
+    every stored property (TinkerPop's ``true`` = include id+label,
+    which the store's columns carry natively). The dict is
+    re-materialized as a one-row frame for the comparator.
+
+    Plan/scale: a point lookup — min/max-pruned parquet scan of the
+    vertex table, one row to the driver."""
+    import shutil
+    import tempfile
+
+    from grafink_spark.graph.query import GraphQuery
+    from grafink_spark.graph.storage import GraphStore
+    from grafink_spark.gremlin import GremlinExecutor
+
+    sup = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("id"),
+        F.col("s_nationkey").cast("string").alias("nkey"),
+    )
+    root = tempfile.mkdtemp(prefix="grafink_gremlin_vm_")
+    try:
+        store = GraphStore(spark, root, task_size=2500, parallelism=4)
+        store.write_vertices(sup, label="alert")
+        vm = GremlinExecutor(GraphQuery(store)).run("g.V(1).valueMap(true)")
+        return spark.createDataFrame(
+            [(int(vm["id"]), str(vm["label"]), str(vm["nkey"]))],
+            "id long, label string, nkey string",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+SQL_GREMLIN_VALUEMAP = """
+SELECT s_suppkey AS id, 'alert' AS label,
+       CAST(s_nationkey AS VARCHAR) AS nkey
+FROM supplier WHERE s_suppkey = 1
+"""
+
+
+QUERIES.update(
+    {
+        "gremlin_degree": q_gremlin_degree,
+        "gremlin_valuemap": q_gremlin_valuemap,
+    }
+)
+ORACLES.update(
+    {
+        "gremlin_degree": SQL_GREMLIN_DEGREE,
+        "gremlin_valuemap": SQL_GREMLIN_VALUEMAP,
+    }
+)

@@ -159,7 +159,14 @@ def hash60(col: Column) -> Column:
     join ships ~half the bytes and compares 8-byte longs, and the
     result stays bit-defined because both engines merge colliding
     shingles identically (~4e-5 expected collisions at a 10M-feature
-    vocabulary)."""
+    vocabulary). Expected collisions grow as V²/2^61 in vocabulary
+    size V: at the 100 TB design point (V ≈ 10^11–10^12 shingles)
+    that is ~10^4–10^5 colliding PAIRS corpus-wide — still at most
+    one merged element in any one document's set, so per-pair scores
+    move by ≤ 1/|set| — but "exact" means exact over the hashed
+    space, not the raw strings. Because the SQL oracle co-applies
+    the identical hash, the correctness gate is structurally blind
+    to this trade; this docstring is the guardrail."""
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
@@ -294,13 +301,23 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     candidates: DataFrame | None = None,
     block_by: list[str] | None = None,
+    prune_to_candidates: bool = False,
 ) -> DataFrame:
     """Pairs with shingle-Jaccard ≥ threshold: (id_a, id_b, jaccard_sim).
 
     Pair generation is never all-pairs: pass ``candidates`` (id_a, id_b —
     e.g. from minhash_lsh_candidates) or ``block_by`` columns (equi-join
-    blocking). Verification joins the shingle arrays back by id."""
-    paired = _paired_shingles(df, text_col, id_col, k, candidates, block_by)
+    blocking). Verification joins the shingle arrays back by id.
+
+    ``prune_to_candidates``: semi-join the doc side to the candidate
+    id set before building shingle sets — pays when candidates touch
+    a small fraction of docs (the incremental new×corpus case:
+    measured sf1 18.4 → 13.5 s); pure overhead when they touch most
+    of the corpus (batch self-dedup: the same switch cost
+    dedup_provenance +4 s), hence opt-in per call site."""
+    paired = _paired_shingles(
+        df, text_col, id_col, k, candidates, block_by, prune_to_candidates
+    )
     return (
         paired.select(
             "id_a",
@@ -318,12 +335,38 @@ def _paired_shingles(
     k: int,
     candidates: DataFrame | None,
     block_by: list[str] | None,
+    prune_to_candidates: bool = False,
 ) -> DataFrame:
     """Candidate pairs joined back to their distinct k-shingle sets:
     (id_a, id_b, _sh_a, _sh_b). The shared verify skeleton under
     ngram_jaccard_pairs / containment_pairs — pairs come from an
     explicit candidate list or equi-join blocking, never all-pairs."""
     df = ensure_min_partitions(df)
+    prune = prune_to_candidates and candidates is not None
+    if prune:
+        # Only candidate-TOUCHED documents need shingle sets (r9): the
+        # default plan tokenizes + hashes the FULL corpus and ships
+        # every document's set into the verify shuffle even when
+        # candidates touch a small fraction of docs — exactly the
+        # incremental case (new×corpus banding yields candidates over
+        # the new batch plus its collisions, not the whole corpus).
+        # Semi-joining the doc side to the candidate id set first
+        # bounds the tokenize scan AND the set shuffle by touched
+        # docs. The candidate frame now feeds three consumers (the
+        # semi-join + both verify joins), so pin it — without the pin,
+        # candidate generation (often a full LSH banding pass) would
+        # re-run per consumer. Output is unchanged: the verify joins
+        # were already inner on the candidate ids. Opt-in per call
+        # site — measured A/B in the ngram_jaccard_pairs docstring.
+        candidates = candidates.transform(pin_lazy)
+        touched = (
+            candidates.select(F.col("id_a").alias("__cand_id"))
+            .union(candidates.select(F.col("id_b").alias("__cand_id")))
+            .distinct()
+        )
+        df = df.join(
+            touched, F.col(id_col) == F.col("__cand_id"), "left_semi"
+        )
     # hashed sets (r8): the pair joins below ship every candidate's two
     # shingle sets — as 60-bit longs they cost half the bytes and the
     # array_intersect compares longs (see hash60; the oracles replay
@@ -337,6 +380,10 @@ def _paired_shingles(
         hash60_set(shingles_from_tokens(F.col("_t"), k)).alias("_sh"),
         *[F.col(c) for c in (block_by or [])],
     )
+    if prune:
+        # sh feeds BOTH verify joins — pinned, the semi-join + tokenize
+        # + md5 pipeline runs once instead of once per side
+        sh = sh.transform(pin_lazy)
     if candidates is None:
         if not block_by:
             raise ValueError("provide candidates or block_by (no all-pairs mode)")
@@ -1057,7 +1104,15 @@ def drop_incremental_near_duplicates(
     """New-batch rows surviving dedup against BOTH the historical corpus
     (LSH candidates → Jaccard ≥ threshold → drop the new side) and then
     the batch itself (drop_near_duplicates). Ids must be unique across
-    the two inputs."""
+    the two inputs.
+
+    The verify prunes to candidate-touched docs (r9): candidates are
+    new×corpus only, so only the new batch plus its band collisions —
+    never the whole historical corpus — gets tokenized and shipped
+    into the verify joins (measured sf1: 18.4 → 13.5 s; at the 100 TB
+    design point the daily batch is orders of magnitude smaller than
+    the corpus, so this bounds the verify by the batch, not the
+    archive)."""
     cand = incremental_lsh_candidates(
         new, corpus, text_col, id_col, num_hashes, k, bands
     )
@@ -1065,7 +1120,8 @@ def drop_incremental_near_duplicates(
         corpus.select(F.col(id_col), F.col(text_col))
     )
     hits = ngram_jaccard_pairs(
-        both, text_col, id_col, k, threshold, candidates=cand
+        both, text_col, id_col, k, threshold, candidates=cand,
+        prune_to_candidates=True,
     )
     dropped = hits.select(F.col("id_a").alias(id_col)).distinct()
     survivors = new.join(dropped, id_col, "left_anti")
@@ -1528,6 +1584,7 @@ def set_similarity_join(
     id_col: str = "doc_id",
     k: int = 3,
     threshold: float = 0.5,
+    verify: str = "expr",
 ) -> DataFrame:
     """EXACT set-similarity self-join over distinct k-shingle sets —
     every pair with Jaccard ≥ ``threshold``, guaranteed (prefix
@@ -1555,8 +1612,15 @@ def set_similarity_join(
     for the per-doc re-sort, one for the prefix buckets, then
     candidate verification joins the shingle sets back by id (pairs
     only — never all-pairs). A boilerplate-heavy corpus shifts its
-    common shingles out of every prefix automatically."""
-    return _ssjoin_frames(df, text_col, id_col, k, threshold)["out"]
+    common shingles out of every prefix automatically.
+
+    ``verify`` picks the set-intersection backend — identical row sets
+    (asserted by ``test_dedup.py``): ``"expr"`` (default, the oracle
+    anchor) verifies with Catalyst ``array_intersect``; ``"arrow"``
+    ships each side's sorted key array and intersects batch-vectorized
+    in numpy (:func:`_ssjoin_arrow_sim`), the same kernel family as
+    the APSS cosine sibling."""
+    return _ssjoin_frames(df, text_col, id_col, k, threshold, verify)["out"]
 
 
 def _ssjoin_frames(
@@ -1565,6 +1629,7 @@ def _ssjoin_frames(
     id_col: str = "doc_id",
     k: int = 3,
     threshold: float = 0.5,
+    verify: str = "expr",
 ) -> dict[str, DataFrame]:
     """:func:`set_similarity_join` staged: ``prefix_pairs`` (distinct
     pairs sharing a prefix token), ``candidates`` (after the PPJoin
@@ -1659,20 +1724,45 @@ def _ssjoin_frames(
         .select("id_a", "id_b")
         .distinct()
     )
-    a = base.select(F.col("_id").alias("id_a"), F.col("_s").alias("_sa"))
-    b = base.select(F.col("_id").alias("id_b"), F.col("_s").alias("_sb"))
-    inter = F.size(F.array_intersect("_sa", "_sb"))
-    union = F.size("_sa") + F.size("_sb") - inter
-    out = (
-        cand.join(a, "id_a")
-        .join(b, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            (inter.cast("double") / union).alias("jaccard_sim"),
+    if verify == "expr":
+        a = base.select(F.col("_id").alias("id_a"), F.col("_s").alias("_sa"))
+        b = base.select(F.col("_id").alias("id_b"), F.col("_s").alias("_sb"))
+        inter = F.size(F.array_intersect("_sa", "_sb"))
+        union = F.size("_sa") + F.size("_sb") - inter
+        out = (
+            cand.join(a, "id_a")
+            .join(b, "id_b")
+            .select(
+                "id_a",
+                "id_b",
+                (inter.cast("double") / union).alias("jaccard_sim"),
+            )
+            .where(F.col("jaccard_sim") >= threshold)
         )
-        .where(F.col("jaccard_sim") >= threshold)
-    )
+    elif verify == "arrow":
+        # batched verify (r9, shared with the APSS sibling): sorted
+        # key arrays joined to the pairs, intersections counted in one
+        # numpy pass per Arrow batch. Same candidate-bounded shuffle;
+        # the Jaccard is the identical IEEE division (int64 sizes are
+        # exactly representable), so the row set is bit-identical.
+        sorted_sets = base.select("_id", F.array_sort("_s").alias("_ss"))
+        a = sorted_sets.select(
+            F.col("_id").alias("id_a"), F.col("_ss").alias("_ka")
+        )
+        b = sorted_sets.select(
+            F.col("_id").alias("id_b"), F.col("_ss").alias("_kb")
+        )
+        out = (
+            cand.join(a, "id_a")
+            .join(b, "id_b")
+            .mapInPandas(
+                _ssjoin_arrow_sim,
+                schema="id_a long, id_b long, jaccard_sim double",
+            )
+            .where(F.col("jaccard_sim") >= threshold)
+        )
+    else:
+        raise ValueError(f"verify must be expr|arrow, got {verify!r}")
     return {"prefix_pairs": prefix_pairs, "candidates": cand, "out": out}
 
 
@@ -1702,6 +1792,90 @@ def ssjoin_filter_stats(
         "candidates": frames["candidates"].count(),
         "emitted": frames["out"].count(),
     }
+
+
+# ------------------------------------------ Arrow verify kernels (r9)
+#
+# The exact-verify family's scale bottleneck was never candidate
+# generation (prefix-filtered, measured per round via filter_stats) but
+# the per-pair verify: the map backend's map_zip_with fold runs in
+# Catalyst's interpreter at ~µs/entry. These kernels do the same
+# integer-exact work in numpy over Arrow-shipped sorted 60-bit key
+# arrays: per pair, ONE C-level ``searchsorted`` of the a-side keys
+# into the b-side (both ascending-sorted and distinct by
+# construction) plus a masked product-sum — ~10 µs/pair of Python
+# dispatch around C array ops, versus the interpreter's per-ENTRY
+# dispatch. Measured on a 10k-pair × 300-entry batch: 0.10 s/batch
+# (a batch-global dense-rank composite + one searchsorted variant
+# benched 0.75 s — the global sort over every flattened entry costs
+# more than the per-row loop it saves; with ~300-entry sides the
+# Python overhead is already amortized by the row's C work).
+
+
+def _apss_arrow_dot(batches):
+    """mapInPandas kernel for the APSS ``verify="arrow"`` backend:
+    rows (id_a, id_b, _ka, _ca, _kb, _cb) → (id_a, id_b, dot) with
+    dot = Σ c_a·c_b over shared keys — integer-exact (int64 products
+    and sums, never float accumulation), so the output is
+    bit-identical to the map/join backends."""
+    import numpy as np
+    import pandas as pd
+
+    for pdf in batches:
+        n = len(pdf)
+        kas, cas = pdf["_ka"].to_numpy(), pdf["_ca"].to_numpy()
+        kbs, cbs = pdf["_kb"].to_numpy(), pdf["_cb"].to_numpy()
+        dot = np.zeros(n, dtype=np.int64)
+        for i in range(n):
+            a, b = np.asarray(kas[i]), np.asarray(kbs[i])
+            if not len(a) or not len(b):
+                continue
+            idx = np.searchsorted(b, a)
+            idx[idx == len(b)] = len(b) - 1
+            m = b[idx] == a
+            if m.any():
+                ca = np.asarray(cas[i], dtype=np.int64)
+                cb = np.asarray(cbs[i], dtype=np.int64)
+                dot[i] = int((ca[m] * cb[idx[m]]).sum())
+        yield pd.DataFrame(
+            {
+                "id_a": pdf["id_a"].to_numpy(),
+                "id_b": pdf["id_b"].to_numpy(),
+                "dot": dot,
+            }
+        )
+
+
+def _ssjoin_arrow_sim(batches):
+    """mapInPandas kernel for the PPJoin ``verify="arrow"`` backend:
+    rows (id_a, id_b, _ka, _kb) → (id_a, id_b, jaccard_sim).
+    Intersection sizes are exact integers; the Jaccard is the same
+    single IEEE division the expr backend computes (int64 set sizes
+    are exactly representable), so the row set is bit-identical."""
+    import numpy as np
+    import pandas as pd
+
+    for pdf in batches:
+        n = len(pdf)
+        kas, kbs = pdf["_ka"].to_numpy(), pdf["_kb"].to_numpy()
+        jac = np.zeros(n, dtype=np.float64)
+        for i in range(n):
+            a, b = np.asarray(kas[i]), np.asarray(kbs[i])
+            if not len(a) or not len(b):
+                continue
+            idx = np.searchsorted(b, a)
+            idx[idx == len(b)] = len(b) - 1
+            inter = int((b[idx] == a).sum())
+            union = len(a) + len(b) - inter
+            if union > 0:
+                jac[i] = inter / union
+        yield pd.DataFrame(
+            {
+                "id_a": pdf["id_a"].to_numpy(),
+                "id_b": pdf["id_b"].to_numpy(),
+                "jaccard_sim": jac,
+            }
+        )
 
 
 def weighted_cosine_join(
@@ -1747,26 +1921,36 @@ def weighted_cosine_join(
     so ubiquitous terms leave every prefix as soon as the rare head
     carries ≥ (1−t²) of the norm.
 
-    ``verify`` picks the dot-product backend — both produce identical
-    integer-exact rows (asserted by ``test_dedup.py``):
+    ``verify`` picks the dot-product backend — all three produce
+    identical integer-exact rows (asserted by ``test_dedup.py``):
 
     - ``"join"``: explode the candidate pairs against the per-term
       count table and sum products. Cost ∝ |candidates|·terms-per-doc
       rows through one shuffle — cheapest while candidates are sparse.
     - ``"map"``: join per-doc term→count MAPS to the pairs and fold
       ``map_zip_with`` row-locally. Cost ∝ corpus rows to build the
-      maps + |candidates| union-sized row-local folds — the 100 TB
-      backend (a billion-candidate join would shuffle ~terms-per-doc×
-      that in exploded rows), but the map build dominates when
-      candidates are few (measured sf0.1: 9.2 s map vs 2.7 s join on
-      61 k candidates; sf1: 38 s map vs 44 s join on 5.3 M).
+      maps + |candidates| union-sized row-local folds — bounded like
+      arrow but the fold runs in Catalyst's interpreter (measured
+      sf0.1: 9.2 s map vs 2.7 s join on 61 k candidates; sf1: 38 s
+      map vs 44 s join on 5.3 M).
+    - ``"arrow"``: join per-doc SORTED key/count arrays to the pairs
+      and compute the dots batch-vectorized in numpy over Arrow
+      batches (:func:`_apss_arrow_dot`) — same data movement as map
+      (candidate-bounded, never |candidates|·terms exploded rows),
+      with the per-pair fold replaced by a few C-level array passes
+      per ~10k-pair batch. The 100 TB verify backend.
     - ``"auto"`` (default): pin the candidate frame, count it, and
       gate on :data:`APSS_MAP_VERIFY_MIN_CANDIDATES` (session conf
-      ``spark.grafink.apssMapVerifyMinCandidates`` overrides). The
-      count is not wasted work — the pin means candidate generation
-      runs once either way, and at the design point where counting
-      anything is expensive the gate resolves to ``"map"`` exactly
-      because the count is large."""
+      ``spark.grafink.apssMapVerifyMinCandidates`` overrides) —
+      ``"join"`` below the floor, ``"arrow"`` above it. The count is
+      not wasted work — the pin means candidate generation runs once
+      either way, and at the design point where counting anything is
+      expensive the gate resolves to the batched backend exactly
+      because the count is large. NOTE the pin makes auto-mode
+      construction EAGER (the gate's count runs at build time) and
+      its checkpoint blocks live until the returned frame is GC'd;
+      callers that only want a plan should pass an explicit
+      backend."""
     return _apss_frames(df, text_col, id_col, threshold, k, verify)["out"]
 
 
@@ -1893,24 +2077,26 @@ def _apss_frames(
         .distinct()
     )
     # Verification backend (see weighted_cosine_join docstring for the
-    # measured crossover). Both are integer-exact in any order, so the
+    # measured crossover). All are integer-exact in any order, so the
     # all-pairs SQL oracle is untouched by the choice.
-    if verify not in ("auto", "map", "join"):
-        raise ValueError(f"verify must be auto|map|join, got {verify!r}")
+    if verify not in ("auto", "map", "join", "arrow"):
+        raise ValueError(
+            f"verify must be auto|map|join|arrow, got {verify!r}"
+        )
     if verify == "auto":
         # pin so candidate generation (the prefix pipeline — the
         # expensive subtree) runs ONCE: the gate's count materializes
         # the checkpoint, the verify join below reuses it. NOTE this
         # makes auto-mode construction EAGER (the count runs at build
         # time, like the IVF family's count-derived nlist); callers
-        # that only want a plan should pass verify="join"/"map".
+        # that only want a plan should pass an explicit backend.
         cand = cand.transform(pin_lazy)
         raw = df.sparkSession.conf.get(_APSS_VERIFY_CONF_KEY, None)
         # a MALFORMED conf value must raise, not silently fall back
         floor = (
             APSS_MAP_VERIFY_MIN_CANDIDATES if raw is None else int(raw)
         )
-        verify = "map" if cand.count() >= floor else "join"
+        verify = "arrow" if cand.count() >= floor else "join"
     if verify == "join":
         # sparse-candidate backend: explode the pairs against the
         # per-term count table, sum products through one shuffle —
@@ -1935,13 +2121,52 @@ def _apss_frames(
             .groupBy("id_a", "id_b")
             .agg(F.sum(F.col("_ca") * F.col("_cb")).alias("dot"))
         )
+    elif verify == "arrow":
+        # batched scale backend (r9): per-doc SORTED (key array, count
+        # array) pairs joined to the candidates — the same
+        # candidate-bounded data movement as the map backend — then
+        # one Arrow-batched numpy pass computes every pair's dot
+        # (:func:`_apss_arrow_dot`). Replaces the map backend's
+        # per-pair interpreted map_zip_with fold, the named lever for
+        # apss_cosine since round 7 (sf1: 31.9 s auto/map → target
+        # <20 s; the oracle is untouched because the dots are
+        # bit-identical int64s).
+        arr = tc.groupBy("_id").agg(
+            F.array_sort(
+                F.collect_list(F.struct("_term", "_c"))
+            ).alias("_a")
+        ).select(
+            "_id",
+            F.expr("transform(_a, x -> x._term)").alias("_ks"),
+            F.expr("transform(_a, x -> x._c)").alias("_cs"),
+        )
+        a = arr.select(
+            F.col("_id").alias("id_a"),
+            F.col("_ks").alias("_ka"),
+            F.col("_cs").alias("_ca"),
+        )
+        b = arr.select(
+            F.col("_id").alias("id_b"),
+            F.col("_ks").alias("_kb"),
+            F.col("_cs").alias("_cb"),
+        )
+        dots = (
+            cand.join(a, "id_a")
+            .join(b, "id_b")
+            .mapInPandas(
+                _apss_arrow_dot, schema="id_a long, id_b long, dot long"
+            )
+            .where(F.col("dot") > 0)
+        )
     else:
-        # scale backend: per-doc term-count MAPS joined to the pairs,
+        # map backend: per-doc term-count MAPS joined to the pairs,
         # dot product as a row-local map_zip_with fold. The explode
         # join above would ship |pairs|·terms-per-doc rows through a
         # shuffle (~1B rows at sf1 — measured 38 s of the query's
         # 44 s); this keeps the verify at |pairs| rows with union-sized
-        # per-row work (sf1: 44 → ~12 s).
+        # per-row work (sf1: 44 → ~12 s). Kept selectable (and
+        # oracle-pinned via the apss_cosine_map registry row) as the
+        # zero-Python fallback for clusters without Arrow.
         vecs = tc.groupBy("_id").agg(
             F.map_from_entries(
                 F.collect_list(F.struct("_term", "_c"))

@@ -238,6 +238,7 @@ def extract_warc_records(
     payload_col: str = "payload",
     id_col: str = "doc_id",
     html_only: bool = True,
+    quarantined=None,
 ) -> DataFrame:
     """1→N record extraction over binary WARC payloads: one row per
     response record with its decoded HTML (declared charset → UTF-8 →
@@ -255,8 +256,20 @@ def extract_warc_records(
     payload's already-parsed records — a misparsed boundary can
     attribute one record's bytes to the next — so the offending
     payload contributes zero rows; every healthy payload in the batch
-    is unaffected."""
+    is unaffected.
+
+    Quarantines are OBSERVABLE (r9 advisor: a silently dropped crawl
+    file is indistinguishable from an empty one): every quarantined
+    payload increments a Spark accumulator and logs its doc_id to the
+    executor's stderr. Pass ``quarantined`` (an
+    ``sparkContext.accumulator(0)``) to read the count after an
+    action; left None, one is still created so the executor-side log
+    line always fires."""
+    import sys
+
     src = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("_p"))
+    if quarantined is None:
+        quarantined = df.sparkSession.sparkContext.accumulator(0)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -268,37 +281,44 @@ def extract_warc_records(
                 # schema violation that must fail loudly, not be
                 # misclassified as hostile WARC framing
                 did = int(doc_id)
-                prows: list[dict] = []
                 try:
-                    for idx, rec in enumerate(
-                        iter_warc_records(bytes(payload))
+                    # the try covers ONLY the parser (the generator is
+                    # fully drained here): row assembly below runs
+                    # outside it, so a future bug there fails loudly
+                    # instead of masquerading as hostile framing
+                    recs = list(iter_warc_records(bytes(payload)))
+                except ValueError as e:
+                    # quarantined: this payload yields no rows
+                    quarantined.add(1)
+                    print(
+                        f"WARC quarantine: doc_id={did}: {e}",
+                        file=sys.stderr,
+                    )
+                    continue
+                for idx, rec in enumerate(recs):
+                    # header KEYS are lowered by the parser; VALUES
+                    # are not — real crawls carry 'Text/HTML' etc.
+                    if html_only and (
+                        rec["status"] != 200
+                        or not rec["content_type"]
+                        .lower()
+                        .startswith("text/html")
                     ):
-                        # header KEYS are lowered by the parser; VALUES
-                        # are not — real crawls carry 'Text/HTML' etc.
-                        if html_only and (
-                            rec["status"] != 200
-                            or not rec["content_type"]
-                            .lower()
-                            .startswith("text/html")
-                        ):
-                            continue
-                        prows.append(
-                            {
-                                "doc_id": did,
-                                "record_idx": idx,
-                                "url": rec["url"],
-                                "warc_date": rec["date"],
-                                "http_status": rec["status"],
-                                "content_type": rec["content_type"],
-                                "html": _decode_body(
-                                    rec["body"], rec["content_type"]
-                                ),
-                                "n_bytes": len(rec["body"]),
-                            }
-                        )
-                except ValueError:
-                    continue  # quarantined: this payload yields no rows
-                rows.extend(prows)
+                        continue
+                    rows.append(
+                        {
+                            "doc_id": did,
+                            "record_idx": idx,
+                            "url": rec["url"],
+                            "warc_date": rec["date"],
+                            "http_status": rec["status"],
+                            "content_type": rec["content_type"],
+                            "html": _decode_body(
+                                rec["body"], rec["content_type"]
+                            ),
+                            "n_bytes": len(rec["body"]),
+                        }
+                    )
             yield pd.DataFrame(
                 rows, columns=[f.name for f in WARC_RECORD_SCHEMA]
             )

@@ -549,7 +549,8 @@ def test_dedup_provenance_verdict_precedence(spark):
     assert set(out) == {1, 2, 3, 4, 5}
 
 
-def test_set_similarity_join_is_lossless_vs_brute_force(spark):
+@pytest.mark.parametrize("verify", ["expr", "arrow"])
+def test_set_similarity_join_is_lossless_vs_brute_force(spark, verify):
     import itertools
 
     from grafink_spark.llm.dedup import set_similarity_join
@@ -564,7 +565,9 @@ def test_set_similarity_join_is_lossless_vs_brute_force(spark):
 
     got = {
         (r.id_a, r.id_b): r.jaccard_sim
-        for r in set_similarity_join(df, k=3, threshold=0.4).collect()
+        for r in set_similarity_join(
+            df, k=3, threshold=0.4, verify=verify
+        ).collect()
     }
 
     # brute force ground truth on distinct 3-shingle sets
@@ -650,9 +653,9 @@ def test_normalized_duplicates(spark):
     assert out[0].keeper_id == 1 and out[0].dup_count == 3
 
 
-@pytest.mark.parametrize("verify", ["auto", "map", "join"])
+@pytest.mark.parametrize("verify", ["auto", "map", "join", "arrow"])
 def test_weighted_cosine_join_is_lossless_vs_brute_force(spark, verify):
-    """Both verify backends (and the size gate that picks between
+    """All three verify backends (and the size gate that picks between
     them) produce the identical integer-exact row set."""
     import itertools
     import math
@@ -704,8 +707,8 @@ def test_weighted_cosine_join_verify_gate(spark):
     )
     with pytest.raises(ValueError, match="verify must be"):
         weighted_cosine_join(df, verify="bogus")
-    # conf floor of 0 forces the map backend even on a tiny corpus —
-    # visible as map_zip_with in the executed plan
+    # conf floor of 0 forces the batched scale backend even on a tiny
+    # corpus — visible as the Arrow python-eval node in the plan
     old = spark.conf.get(_APSS_VERIFY_CONF_KEY, None)
     try:
         spark.conf.set(_APSS_VERIFY_CONF_KEY, "0")
@@ -713,21 +716,21 @@ def test_weighted_cosine_join_verify_gate(spark):
             weighted_cosine_join(df, verify="auto")
             ._jdf.queryExecution().executedPlan().toString()
         )
-        assert "map_zip_with" in plan
+        assert "MapInPandas" in plan
     finally:
         if old is None:
             spark.conf.unset(_APSS_VERIFY_CONF_KEY)
         else:
             spark.conf.set(_APSS_VERIFY_CONF_KEY, old)
-    # default floor (500k): tiny corpus -> join backend, no maps
+    # default floor (500k): tiny corpus -> join backend, no python
     plan = (
         weighted_cosine_join(df, verify="auto")
         ._jdf.queryExecution().executedPlan().toString()
     )
-    assert "map_zip_with" not in plan
+    assert "MapInPandas" not in plan and "map_zip_with" not in plan
 
 
-@pytest.mark.parametrize("verify", ["join", "map"])
+@pytest.mark.parametrize("verify", ["join", "map", "arrow"])
 def test_weighted_cosine_join_plan_has_no_cartesian(spark, verify):
     """Explicit backends, NOT auto: auto pins the candidate frame (a
     localCheckpoint), which hides the prefix self-join — the only
