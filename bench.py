@@ -402,33 +402,50 @@ def main() -> int:
         # Two pass-separated sweeps, min kept (same rationale as the
         # headline loop): stress entries were single-shot, and both
         # r07 and r08 artifacts carried a contended skew-pair number
-        # that needed a hand re-run to explain. All samples recorded.
+        # that needed a hand re-run to explain. All samples recorded,
+        # each with its loadavg (r9 — the skew-pair "bimodality" the
+        # r8 verdict flagged bisected to per-session one-time plan
+        # compilation, NOT contention: fresh-session ann_ivf_skew_hot
+        # alone runs 15.3 → 4.9 → 4.1 s on an idle box, so sample 0
+        # of any stress entry carries its plan's compile cost and the
+        # min is the steady-state number; loadavg lets a reader rule
+        # contention in or out per sample instead of by anecdote).
         stress: dict[str, float] = {}
         stress_samples: dict[str, list[float]] = {n: [] for n in STRESS}
+        stress_loadavg: dict[str, list[float]] = {n: [] for n in STRESS}
+
+        def stress_once(name: str, fn) -> None:
+            stress_loadavg[name].append(loadavg1())
+            t0 = time.perf_counter()
+            fn(spark, per_entry.get(name, stress_scale)).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            stress_samples[name].append(round(time.perf_counter() - t0, 3))
+            print(
+                f"# stress {name}: {stress_samples[name][-1]:.3f}s",
+                file=sys.stderr,
+            )
+
         for _ in range(2):
             for name, fn in STRESS.items():
-                t0 = time.perf_counter()
-                fn(spark, per_entry.get(name, stress_scale)).write.format(
-                    "noop"
-                ).mode("overwrite").save()
-                stress_samples[name].append(
-                    round(time.perf_counter() - t0, 3)
-                )
-                print(
-                    f"# stress {name}: {stress_samples[name][-1]:.3f}s",
-                    file=sys.stderr,
-                )
-        # ann_ivfpq_build caches its index per (session, n) — its
-        # second pass measures the cache hit, not the build, so the
-        # honest number is the FIRST sample (both are still recorded).
-        # The sibling scan entry reuses the cache BY DESIGN (that's
-        # the amortized-index cost it measures), so min is right there.
+                stress_once(name, fn)
+        # Unstable entries get ONE extra sample: with both sweep
+        # samples ≥1.5× apart, the min rests on a single observation —
+        # a third confirms it is the steady state, not a fluke.
+        # ann_ivfpq_build is exempt: its pass-2+ samples measure the
+        # index cache hit BY DESIGN, so divergence there is expected
+        # and the honest number is the FIRST sample.
+        for name, fn in STRESS.items():
+            s = stress_samples[name]
+            if name != "ann_ivfpq_build" and max(s) >= 1.5 * min(s):
+                stress_once(name, fn)
         stress = {
             n: (s[0] if n == "ann_ivfpq_build" else min(s))
             for n, s in stress_samples.items()
         }
         out["scale_stress"] = stress
         out["scale_stress_samples"] = stress_samples
+        out["scale_stress_loadavg"] = stress_loadavg
 
     # sf1 section: the headline set at 10× the default scale, over data
     # synthesized from sf0.1 by key-offset replication (sfgen.py,
@@ -488,6 +505,14 @@ def main() -> int:
             # and whose certification lives at sf0.1.
             "apss_cosine_map",
             "apss_cosine_arrow",
+            # ssjoin's expr verify (JVM array_intersect) BEATS the
+            # arrow kernel at sf1 (idle A/B r9: expr 17.0-17.5 s vs
+            # arrow 18.8-24.8 s — intersection is already native, so
+            # Arrow only adds serialization; unlike APSS, where the
+            # map_zip_with fold was interpreted). expr stays the
+            # production path; the arrow twin stays oracle-certified
+            # at sf0.01 and A/B-timed at sf0.1 (par: 3.5 vs 3.7 s).
+            "ssjoin_exact_arrow",
         }
         sf1_samples: dict[str, list[float]] = {}
         sf1_loadavgs: dict[str, list[float]] = {}
@@ -651,6 +676,7 @@ def main() -> int:
         if "scale_stress" in out:
             artifact["scale_stress"] = out["scale_stress"]
             artifact["scale_stress_samples"] = out["scale_stress_samples"]
+            artifact["scale_stress_loadavg"] = out["scale_stress_loadavg"]
         if "sf1" in out:
             artifact["sf1"] = out["sf1"]["queries"]
             artifact["sf1_samples"] = sf1_samples

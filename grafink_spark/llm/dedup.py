@@ -1617,9 +1617,14 @@ def set_similarity_join(
     ``verify`` picks the set-intersection backend — identical row sets
     (asserted by ``test_dedup.py``): ``"expr"`` (default, the oracle
     anchor) verifies with Catalyst ``array_intersect``; ``"arrow"``
-    ships each side's sorted key array and intersects batch-vectorized
-    in numpy (:func:`_ssjoin_arrow_sim`), the same kernel family as
-    the APSS cosine sibling."""
+    ships each side's sorted key array and intersects in numpy
+    (:func:`_ssjoin_arrow_sim`), the same kernel family as the APSS
+    cosine sibling. Unlike APSS — whose map backend folded in the
+    Catalyst INTERPRETER and gains 2-3× from the kernel — the
+    native ``array_intersect`` already wins here (idle sf1 A/B:
+    expr 17.0-17.5 s vs arrow 18.8-24.8 s; sf0.1 par), so expr stays
+    the default at every scale and arrow exists as the certified
+    backend A/B."""
     return _ssjoin_frames(df, text_col, id_col, k, threshold, verify)["out"]
 
 

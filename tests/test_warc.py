@@ -123,13 +123,17 @@ def test_extract_warc_records_quarantines_hostile_payload(spark):
         [(1, warc.make_warc(_recs())), (2, hostile), (3, good_rec)],
         "doc_id long, payload binary",
     )
-    rows = warc.extract_warc_records(df).collect()
+    acc = spark.sparkContext.accumulator(0)
+    rows = warc.extract_warc_records(df, quarantined=acc).collect()
     got = sorted((r.doc_id, r.url) for r in rows)
     assert got == [
         (1, "http://a/1"),
         (1, "http://a/5"),
         (3, "http://ok/first"),
     ]
+    # quarantines are observable (r9 advisor): exactly the one hostile
+    # payload incremented the drop counter
+    assert acc.value == 1
 
 
 def test_negative_content_length_raises_not_hangs():
