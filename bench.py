@@ -313,11 +313,59 @@ def main() -> int:
         # (round-5 verdict ask #5 — ~66 s of that round's driver
         # headline was machine noise diagnosable only by hand). On a
         # 32-core box, loadavg >> 32 while a query runs means OTHER
-        # processes were competing for the cores.
+        # processes were competing for the cores. CAVEAT (measured r9):
+        # on this VM's kernel loadavg reads 20+ while vmstat shows 100%
+        # idle and zero D-state threads — it decays over ~15 min and
+        # cannot adjudicate contention alone; read it together with the
+        # memweather probe below.
         try:
             return round(os.getloadavg()[0], 1)
         except OSError:
             return -1.0
+
+    def memweather() -> dict:
+        # Host memory "weather" probe (r9). Measured on this VM:
+        # copies between PRE-TOUCHED buffers run a rock-stable
+        # ~16 GB/s, while FIRST-TOUCH of freshly mmapped pages
+        # intermittently collapses 30-100x (a 256 MB first-touch copy
+        # swung 0.37 s - 11.7 s across consecutive minutes on an idle
+        # guest) — the host demand-allocates guest pages and its fault
+        # path is sometimes pathologically slow. Anything that grows
+        # memory mid-query (JVM heap expansion, Arrow/netty buffers,
+        # shuffle maps, fresh Python-worker arenas) can therefore run
+        # 2-10x slow with zero code cause; identical queries measured
+        # 16.6 / 29.6 / 34 / 68 / 107 s across idle same-code sessions
+        # while a cache-resident CPU loop stayed within 10%. This is
+        # the measured mechanism behind the r7 "contention stretch",
+        # r8's cms_heavy_hitters flag, and the skew-pair bimodality.
+        # fresh_gbps: MB/ms of faulting+writing a fresh 64 MB mapping
+        # (numpy frees >128 KB blocks via munmap, so every probe call
+        # faults genuinely fresh pages). touched_gbps: copy bandwidth
+        # between those now-touched buffers. Healthy ≈ 1-2 / ~16;
+        # fresh_gbps << 0.5 = bad weather for every sample near it.
+        import numpy as np
+
+        sz = 1 << 26  # 64 MB
+        t0 = time.perf_counter()
+        a = np.ones(sz, dtype=np.uint8)
+        fresh = sz / max(time.perf_counter() - t0, 1e-9) / 1e9
+        b = np.ones(sz, dtype=np.uint8)
+        t0 = time.perf_counter()
+        np.copyto(b, a)
+        touched = sz / max(time.perf_counter() - t0, 1e-9) / 1e9
+        del a, b
+        return {
+            "fresh_gbps": round(fresh, 2),
+            "touched_gbps": round(touched, 1),
+        }
+
+    memw: list[dict] = []
+
+    def weather(phase: str) -> None:
+        w = memweather()
+        w["phase"] = phase
+        memw.append(w)
+        print(f"# memweather {phase}: {w}", file=sys.stderr)
 
     def run_once(name: str, dir_: str) -> float:
         fn = QUERIES[name]
@@ -345,7 +393,9 @@ def main() -> int:
     samples: dict[str, list[float]] = {name: [] for name in headline}
     loadavgs: dict[str, list[float]] = {name: [] for name in headline}
     for p in range(iters):
-        for name in headline:
+        for i, name in enumerate(headline):
+            if i % 25 == 0:
+                weather(f"pass{p}@{i}")
             loadavgs[name].append(loadavg1())
             t = run_once(name, sf_dir)
             samples[name].append(t)
@@ -357,6 +407,7 @@ def main() -> int:
     # round-over-round diff most. Every observation stays in `samples`
     # (the artifact records them all; `queries` is the per-query min).
     rerun_n = int(os.environ.get("SPARK_GRAFT_SF_RERUN", "25"))
+    weather("sf_rerun")
     for name in sorted(timings, key=timings.get, reverse=True)[:rerun_n]:
         # loadavg recorded for the re-run too: samples[q] and
         # loadavgs[q] stay index-aligned, so a reader can tell which
@@ -413,6 +464,7 @@ def main() -> int:
         stress: dict[str, float] = {}
         stress_samples: dict[str, list[float]] = {n: [] for n in STRESS}
         stress_loadavg: dict[str, list[float]] = {n: [] for n in STRESS}
+        weather("stress")
 
         def stress_once(name: str, fn) -> None:
             stress_loadavg[name].append(loadavg1())
@@ -476,6 +528,7 @@ def main() -> int:
                 except Exception:
                     pass
         sf1_timings: dict[str, float] = {}
+        weather("sf1")
         # quadratic-by-semantics entries: similarity_multi's OUTPUT,
         # semantic_dedup's pinned-nlist pair space (the count-derived
         # semantic_dedup_auto runs instead, below), and label_noise's
@@ -516,7 +569,9 @@ def main() -> int:
         }
         sf1_samples: dict[str, list[float]] = {}
         sf1_loadavgs: dict[str, list[float]] = {}
-        for name in [q for q in headline if q not in sf1_skip]:
+        for i, name in enumerate([q for q in headline if q not in sf1_skip]):
+            if i and i % 25 == 0:
+                weather(f"sf1@{i}")
             sf1_loadavgs[name] = [loadavg1()]
             # run_once drains EXTENDED via noop here too — mirrors the
             # sf0.1 loop, so the two sections time the same work and a
@@ -534,6 +589,7 @@ def main() -> int:
         # hides the policy from cross-round comparisons and can mask
         # real contention); sf1 stays the per-query min.
         rerun_n = int(os.environ.get("SPARK_GRAFT_SF1_RERUN", "20"))
+        weather("sf1_rerun")
         for name in sorted(
             sf1_timings, key=sf1_timings.get, reverse=True
         )[:rerun_n]:
@@ -645,6 +701,7 @@ def main() -> int:
             # run-order stretch regressed together under high load" as
             # machine contention rather than a code regression
             "loadavg": loadavgs,
+            "memweather": memw,
             "run_order": headline,
             "notes": {
                 "methodology": (
@@ -671,6 +728,17 @@ def main() -> int:
                     "count-derived nlist trained on the b slice since "
                     "round 7; exact A-x-B form stays the oracle anchor"
                 ),
+                "memweather": (
+                    "host memory weather probes (r9): fresh_gbps = "
+                    "first-touch bandwidth of a fresh 64 MB mapping, "
+                    "touched_gbps = copy bandwidth over pre-touched "
+                    "pages. On this VM touched is stable ~16 GB/s "
+                    "while fresh intermittently collapses 30-100x "
+                    "(host-side demand allocation) — samples taken "
+                    "near a fresh_gbps << 0.5 window are weather, not "
+                    "code; loadavg on this kernel is unreliable "
+                    "(reads 20+ on a vmstat-idle guest)"
+                ),
             },
         }
         if "scale_stress" in out:
@@ -683,6 +751,7 @@ def main() -> int:
             artifact["loadavg_sf1"] = sf1_loadavgs
         if filter_stats:
             artifact["filter_stats"] = filter_stats
+        weather("end")
         path = os.path.join(root, f"bench_results_r{int(rnd):02d}.json")
         with open(path, "w") as f:
             json.dump(artifact, f, indent=1, sort_keys=True)

@@ -1817,6 +1817,45 @@ def ssjoin_filter_stats(
 # Python overhead is already amortized by the row's C work).
 
 
+def _apss_bcast_dot(bc):
+    """Factory for the BROADCAST variant of the APSS arrow kernel:
+    the per-doc sorted (keys, counts) vectors ride to every worker
+    ONCE via ``bc`` (a SparkContext broadcast of {id: (np keys,
+    np counts)}), and the mapInPandas input is the bare candidate
+    frame (id_a, id_b) — 16 bytes/pair through Arrow instead of two
+    full vector copies per pair (~50x fewer fresh Arrow/JVM bytes at
+    sf1: 85 MB vs ~9.5 GB for 5.3 M candidates x ~53 terms). Same
+    integer-exact searchsorted dot as :func:`_apss_arrow_dot`, so the
+    row set is bit-identical. Size-gated by the caller: broadcast
+    plumbing only while the whole vector table fits comfortably in
+    one executor (conf ``spark.grafink.apssArrowBcastMaxEntries``);
+    past the gate the candidate-bounded join plumbing runs instead —
+    at the 100 TB design point (10^9+ docs) the table cannot ship
+    whole, and pair-bounded joins are the scale path."""
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        vecs = bc.value
+        for pdf in batches:
+            ia = pdf["id_a"].to_numpy()
+            ib = pdf["id_b"].to_numpy()
+            n = len(pdf)
+            dot = np.zeros(n, dtype=np.int64)
+            for i in range(n):
+                ka, ca = vecs[ia[i]]
+                kb, cb = vecs[ib[i]]
+                idx = np.searchsorted(kb, ka)
+                idx[idx == len(kb)] = len(kb) - 1
+                m = kb[idx] == ka
+                if m.any():
+                    dot[i] = int((ca[m] * cb[idx[m]]).sum())
+            yield pd.DataFrame({"id_a": ia, "id_b": ib, "dot": dot})
+
+    return gen
+
+
 def _apss_arrow_dot(batches):
     """mapInPandas kernel for the APSS ``verify="arrow"`` backend:
     rows (id_a, id_b, _ka, _ca, _kb, _cb) → (id_a, id_b, dot) with
@@ -1938,12 +1977,16 @@ def weighted_cosine_join(
       arrow but the fold runs in Catalyst's interpreter (measured
       sf0.1: 9.2 s map vs 2.7 s join on 61 k candidates; sf1: 38 s
       map vs 44 s join on 5.3 M).
-    - ``"arrow"``: join per-doc SORTED key/count arrays to the pairs
-      and compute the dots batch-vectorized in numpy over Arrow
-      batches (:func:`_apss_arrow_dot`) — same data movement as map
-      (candidate-bounded, never |candidates|·terms exploded rows),
-      with the per-pair fold replaced by a few C-level array passes
-      per ~10k-pair batch. The 100 TB verify backend.
+    - ``"arrow"``: numpy searchsorted dots over Arrow batches, with
+      size-gated plumbing (conf
+      ``spark.grafink.apssArrowBcastMaxEntries``): while the per-doc
+      sorted key/count vector table fits one executor it is
+      BROADCAST once per worker and only the bare (id_a, id_b) pairs
+      stream through Arrow (:func:`_apss_bcast_dot` — ~50x fewer
+      freshly allocated bytes than attaching vectors to every pair);
+      past the gate the vectors join onto the candidate pairs
+      (:func:`_apss_arrow_dot` — candidate-bounded movement, never
+      |candidates|·terms exploded rows). The 100 TB verify backend.
     - ``"auto"`` (default): pin the candidate frame, count it, and
       gate on :data:`APSS_MAP_VERIFY_MIN_CANDIDATES` (session conf
       ``spark.grafink.apssMapVerifyMinCandidates`` overrides) —
@@ -1966,6 +2009,15 @@ def weighted_cosine_join(
 # the measured regimes with ~order-of-magnitude margin on each side.
 APSS_MAP_VERIFY_MIN_CANDIDATES = 500_000
 _APSS_VERIFY_CONF_KEY = "spark.grafink.apssMapVerifyMinCandidates"
+
+# Broadcast gate for the arrow verify's plumbing, in (doc, term)
+# entries of the per-doc vector table. 16M entries ≈ 256 MB of key+
+# count payload — comfortable to ship once per executor; past it the
+# candidate-bounded join plumbing runs (the 100 TB path). Session conf
+# overrides (0 forces join plumbing — used by the parametrized
+# losslessness tests to cover both).
+APSS_ARROW_BCAST_MAX_ENTRIES = 16_000_000
+_APSS_BCAST_CONF_KEY = "spark.grafink.apssArrowBcastMaxEntries"
 
 
 def _apss_frames(
@@ -2128,14 +2180,21 @@ def _apss_frames(
         )
     elif verify == "arrow":
         # batched scale backend (r9): per-doc SORTED (key array, count
-        # array) pairs joined to the candidates — the same
-        # candidate-bounded data movement as the map backend — then
-        # one Arrow-batched numpy pass computes every pair's dot
-        # (:func:`_apss_arrow_dot`). Replaces the map backend's
-        # per-pair interpreted map_zip_with fold, the named lever for
-        # apss_cosine since round 7 (sf1: 31.9 s auto/map → target
-        # <20 s; the oracle is untouched because the dots are
-        # bit-identical int64s).
+        # array) vectors feeding a numpy searchsorted dot kernel. Two
+        # plumbings, one kernel family, identical int64 rows:
+        #   - BROADCAST (vector table ≤ apssArrowBcastMaxEntries
+        #     entries): ship the whole table to each worker once and
+        #     stream only (id_a, id_b) through Arrow
+        #     (:func:`_apss_bcast_dot`) — ~50x fewer freshly
+        #     allocated Arrow/JVM bytes than joining vectors onto
+        #     pairs (measured mechanism: this box's first-touch page
+        #     faults intermittently run 30-100x slow, so allocation-
+        #     lean is weather-robust, see bench.py memweather).
+        #   - JOIN (past the gate): join the vectors onto the
+        #     candidate pairs and batch the dots
+        #     (:func:`_apss_arrow_dot`) — candidate-bounded data
+        #     movement, never |cand|·terms exploded rows; the 100 TB
+        #     path where no vector table fits one executor.
         arr = tc.groupBy("_id").agg(
             F.array_sort(
                 F.collect_list(F.struct("_term", "_c"))
@@ -2145,24 +2204,45 @@ def _apss_frames(
             F.expr("transform(_a, x -> x._term)").alias("_ks"),
             F.expr("transform(_a, x -> x._c)").alias("_cs"),
         )
-        a = arr.select(
-            F.col("_id").alias("id_a"),
-            F.col("_ks").alias("_ka"),
-            F.col("_cs").alias("_ca"),
+        raw_bc = df.sparkSession.conf.get(_APSS_BCAST_CONF_KEY, None)
+        bcast_floor = (
+            APSS_ARROW_BCAST_MAX_ENTRIES if raw_bc is None else int(raw_bc)
         )
-        b = arr.select(
-            F.col("_id").alias("id_b"),
-            F.col("_ks").alias("_kb"),
-            F.col("_cs").alias("_cb"),
-        )
-        dots = (
-            cand.join(a, "id_a")
-            .join(b, "id_b")
-            .mapInPandas(
-                _apss_arrow_dot, schema="id_a long, id_b long, dot long"
+        # tc is pinned (and already materialized on the auto path), so
+        # this count is a cached-scan aggregate, not a recompute
+        if tc.count() <= bcast_floor:
+            import numpy as np
+
+            vecs = {
+                r["_id"]: (
+                    np.asarray(r["_ks"], dtype=np.int64),
+                    np.asarray(r["_cs"], dtype=np.int64),
+                )
+                for r in arr.collect()
+            }
+            bc = df.sparkSession.sparkContext.broadcast(vecs)
+            dots = cand.mapInPandas(
+                _apss_bcast_dot(bc), schema="id_a long, id_b long, dot long"
+            ).where(F.col("dot") > 0)
+        else:
+            a = arr.select(
+                F.col("_id").alias("id_a"),
+                F.col("_ks").alias("_ka"),
+                F.col("_cs").alias("_ca"),
             )
-            .where(F.col("dot") > 0)
-        )
+            b = arr.select(
+                F.col("_id").alias("id_b"),
+                F.col("_ks").alias("_kb"),
+                F.col("_cs").alias("_cb"),
+            )
+            dots = (
+                cand.join(a, "id_a")
+                .join(b, "id_b")
+                .mapInPandas(
+                    _apss_arrow_dot, schema="id_a long, id_b long, dot long"
+                )
+                .where(F.col("dot") > 0)
+            )
     else:
         # map backend: per-doc term-count MAPS joined to the pairs,
         # dot product as a row-local map_zip_with fold. The explode

@@ -653,10 +653,15 @@ def test_normalized_duplicates(spark):
     assert out[0].keeper_id == 1 and out[0].dup_count == 3
 
 
-@pytest.mark.parametrize("verify", ["auto", "map", "join", "arrow"])
+@pytest.mark.parametrize(
+    "verify", ["auto", "map", "join", "arrow", "arrow_joinplumb"]
+)
 def test_weighted_cosine_join_is_lossless_vs_brute_force(spark, verify):
     """All three verify backends (and the size gate that picks between
-    them) produce the identical integer-exact row set."""
+    them) produce the identical integer-exact row set. arrow runs
+    twice: a tiny corpus takes its BROADCAST plumbing by default, so
+    arrow_joinplumb zeroes the bcast gate conf to force the join
+    plumbing (the 100 TB path) through the same assertions."""
     import itertools
     import math
     from collections import Counter
@@ -671,12 +676,18 @@ def test_weighted_cosine_join_is_lossless_vs_brute_force(spark, verify):
         rows.append((i, " ".join(words)))
     df = spark.createDataFrame(rows, "doc_id long, text string")
 
-    got = {
-        (r.id_a, r.id_b): (r.dot, r.t_a, r.t_b)
-        for r in weighted_cosine_join(
-            df, threshold=(7, 10), verify=verify
-        ).collect()
-    }
+    if verify == "arrow_joinplumb":
+        verify = "arrow"
+        spark.conf.set("spark.grafink.apssArrowBcastMaxEntries", "0")
+    try:
+        got = {
+            (r.id_a, r.id_b): (r.dot, r.t_a, r.t_b)
+            for r in weighted_cosine_join(
+                df, threshold=(7, 10), verify=verify
+            ).collect()
+        }
+    finally:
+        spark.conf.unset("spark.grafink.apssArrowBcastMaxEntries")
 
     cnt = {i: Counter(t.split()) for i, t in rows}
     expect = {}
