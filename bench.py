@@ -559,12 +559,14 @@ def main() -> int:
             "apss_cosine_map",
             "apss_cosine_arrow",
             # ssjoin's expr verify (JVM array_intersect) BEATS the
-            # arrow kernel at sf1 (idle A/B r9: expr 17.0-17.5 s vs
-            # arrow 18.8-24.8 s — intersection is already native, so
-            # Arrow only adds serialization; unlike APSS, where the
-            # map_zip_with fold was interpreted). expr stays the
-            # production path; the arrow twin stays oracle-certified
-            # at sf0.01 and A/B-timed at sf0.1 (par: 3.5 vs 3.7 s).
+            # arrow kernel at sf1 under BOTH plumbings (same-session
+            # alternated A/B r9: expr 12.5-14.2 s vs arrow-bcast
+            # 18.0-19.3 s; join plumbing 18.8-24.8 s — intersection
+            # is already native, and at ssjoin's ~12.1M candidates
+            # the per-pair Python dispatch outweighs the Arrow-byte
+            # saving that wins for 5.3M-candidate APSS). expr stays
+            # the production path; the arrow twin stays
+            # oracle-certified at sf0.01 and A/B-timed at sf0.1.
             "ssjoin_exact_arrow",
         }
         sf1_samples: dict[str, list[float]] = {}

@@ -1617,14 +1617,20 @@ def set_similarity_join(
     ``verify`` picks the set-intersection backend — identical row sets
     (asserted by ``test_dedup.py``): ``"expr"`` (default, the oracle
     anchor) verifies with Catalyst ``array_intersect``; ``"arrow"``
-    ships each side's sorted key array and intersects in numpy
-    (:func:`_ssjoin_arrow_sim`), the same kernel family as the APSS
-    cosine sibling. Unlike APSS — whose map backend folded in the
-    Catalyst INTERPRETER and gains 2-3× from the kernel — the
-    native ``array_intersect`` already wins here (idle sf1 A/B:
-    expr 17.0-17.5 s vs arrow 18.8-24.8 s; sf0.1 par), so expr stays
-    the default at every scale and arrow exists as the certified
-    backend A/B."""
+    intersects sorted key arrays in numpy — size-gated plumbing like
+    the APSS sibling (family conf
+    ``spark.grafink.apssArrowBcastMaxEntries``): broadcast table +
+    bare-pair stream (:func:`_ssjoin_bcast_sim`) under the gate,
+    vectors-joined-to-pairs (:func:`_ssjoin_arrow_sim`) past it.
+    Unlike APSS — whose map backend folded in the Catalyst
+    INTERPRETER and gains 2-3× from the kernel — the native
+    ``array_intersect`` wins here under BOTH plumbings (same-session
+    alternated sf1 A/B r9: expr 12.5-14.2 s vs arrow-bcast
+    18.0-19.3 s; earlier join-plumbing A/B 17.0-17.5 vs 18.8-24.8;
+    sf0.1 par — ssjoin verifies ~12.1M sf1 candidates, so the
+    per-pair Python dispatch outweighs the Arrow-byte saving the
+    5.3M-candidate APSS enjoys), so expr stays the default at every
+    scale and arrow exists as the certified backend A/B."""
     return _ssjoin_frames(df, text_col, id_col, k, threshold, verify)["out"]
 
 
@@ -1746,26 +1752,54 @@ def _ssjoin_frames(
         )
     elif verify == "arrow":
         # batched verify (r9, shared with the APSS sibling): sorted
-        # key arrays joined to the pairs, intersections counted in one
-        # numpy pass per Arrow batch. Same candidate-bounded shuffle;
-        # the Jaccard is the identical IEEE division (int64 sizes are
-        # exactly representable), so the row set is bit-identical.
+        # key arrays feeding a numpy intersection kernel, with the
+        # same size-gated plumbing as APSS (family-wide conf
+        # ``spark.grafink.apssArrowBcastMaxEntries``): while the
+        # hashed shingle-set table fits one executor it is BROADCAST
+        # once per worker and only bare (id_a, id_b) pairs stream
+        # through Arrow (:func:`_ssjoin_bcast_sim` — for ssjoin the
+        # verify joins otherwise copy both sets onto each of ~12.1M
+        # sf1 candidates, ~2 orders of magnitude more fresh bytes);
+        # past the gate the candidate-bounded join plumbing runs.
+        # The Jaccard is the identical IEEE division (int64 sizes
+        # are exactly representable), so the row set is bit-identical
+        # either way.
         sorted_sets = base.select("_id", F.array_sort("_s").alias("_ss"))
-        a = sorted_sets.select(
-            F.col("_id").alias("id_a"), F.col("_ss").alias("_ka")
+        raw_bc = df.sparkSession.conf.get(_APSS_BCAST_CONF_KEY, None)
+        bcast_floor = (
+            APSS_ARROW_BCAST_MAX_ENTRIES if raw_bc is None else int(raw_bc)
         )
-        b = sorted_sets.select(
-            F.col("_id").alias("id_b"), F.col("_ss").alias("_kb")
-        )
-        out = (
-            cand.join(a, "id_a")
-            .join(b, "id_b")
-            .mapInPandas(
-                _ssjoin_arrow_sim,
+        n_entries = sorted_sets.select(
+            F.sum(F.size("_ss"))
+        ).collect()[0][0]
+        if (n_entries or 0) <= bcast_floor:
+            import numpy as np
+
+            sets = {
+                r["_id"]: np.asarray(r["_ss"], dtype=np.int64)
+                for r in sorted_sets.collect()
+            }
+            bc = df.sparkSession.sparkContext.broadcast(sets)
+            out = cand.mapInPandas(
+                _ssjoin_bcast_sim(bc),
                 schema="id_a long, id_b long, jaccard_sim double",
+            ).where(F.col("jaccard_sim") >= threshold)
+        else:
+            a = sorted_sets.select(
+                F.col("_id").alias("id_a"), F.col("_ss").alias("_ka")
             )
-            .where(F.col("jaccard_sim") >= threshold)
-        )
+            b = sorted_sets.select(
+                F.col("_id").alias("id_b"), F.col("_ss").alias("_kb")
+            )
+            out = (
+                cand.join(a, "id_a")
+                .join(b, "id_b")
+                .mapInPandas(
+                    _ssjoin_arrow_sim,
+                    schema="id_a long, id_b long, jaccard_sim double",
+                )
+                .where(F.col("jaccard_sim") >= threshold)
+            )
     else:
         raise ValueError(f"verify must be expr|arrow, got {verify!r}")
     return {"prefix_pairs": prefix_pairs, "candidates": cand, "out": out}
@@ -1846,12 +1880,53 @@ def _apss_bcast_dot(bc):
             for i in range(n):
                 ka, ca = vecs[ia[i]]
                 kb, cb = vecs[ib[i]]
+                if not len(ka) or not len(kb):
+                    continue
                 idx = np.searchsorted(kb, ka)
                 idx[idx == len(kb)] = len(kb) - 1
                 m = kb[idx] == ka
                 if m.any():
                     dot[i] = int((ca[m] * cb[idx[m]]).sum())
             yield pd.DataFrame({"id_a": ia, "id_b": ib, "dot": dot})
+
+    return gen
+
+
+def _ssjoin_bcast_sim(bc):
+    """Factory for the BROADCAST variant of the ssjoin arrow kernel:
+    per-doc sorted 60-bit shingle-key arrays ride to every worker once
+    via ``bc`` ({id: np sorted keys}) and the mapInPandas input is the
+    bare candidate frame (id_a, id_b). Same exact integer
+    intersection + single IEEE division as :func:`_ssjoin_arrow_sim`,
+    so the row set is bit-identical; same size gate as the APSS
+    sibling (family conf ``spark.grafink.apssArrowBcastMaxEntries``)
+    — past it the candidate-bounded join plumbing runs, the 100 TB
+    path."""
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        sets = bc.value
+        for pdf in batches:
+            ia = pdf["id_a"].to_numpy()
+            ib = pdf["id_b"].to_numpy()
+            n = len(pdf)
+            jac = np.zeros(n, dtype=np.float64)
+            for i in range(n):
+                a = sets[ia[i]]
+                b = sets[ib[i]]
+                if not len(a) or not len(b):
+                    continue
+                idx = np.searchsorted(b, a)
+                idx[idx == len(b)] = len(b) - 1
+                inter = int((b[idx] == a).sum())
+                union = len(a) + len(b) - inter
+                if union > 0:
+                    jac[i] = inter / union
+            yield pd.DataFrame(
+                {"id_a": ia, "id_b": ib, "jaccard_sim": jac}
+            )
 
     return gen
 

@@ -549,7 +549,7 @@ def test_dedup_provenance_verdict_precedence(spark):
     assert set(out) == {1, 2, 3, 4, 5}
 
 
-@pytest.mark.parametrize("verify", ["expr", "arrow"])
+@pytest.mark.parametrize("verify", ["expr", "arrow", "arrow_joinplumb"])
 def test_set_similarity_join_is_lossless_vs_brute_force(spark, verify):
     import itertools
 
@@ -563,12 +563,21 @@ def test_set_similarity_join_is_lossless_vs_brute_force(spark, verify):
         rows.append((i, " ".join(words)))
     df = spark.createDataFrame(rows, "doc_id long, text string")
 
-    got = {
-        (r.id_a, r.id_b): r.jaccard_sim
-        for r in set_similarity_join(
-            df, k=3, threshold=0.4, verify=verify
-        ).collect()
-    }
+    # a tiny corpus takes arrow's BROADCAST plumbing by default;
+    # arrow_joinplumb zeroes the family bcast gate conf to push the
+    # join plumbing (the 100 TB path) through the same assertions
+    if verify == "arrow_joinplumb":
+        verify = "arrow"
+        spark.conf.set("spark.grafink.apssArrowBcastMaxEntries", "0")
+    try:
+        got = {
+            (r.id_a, r.id_b): r.jaccard_sim
+            for r in set_similarity_join(
+                df, k=3, threshold=0.4, verify=verify
+            ).collect()
+        }
+    finally:
+        spark.conf.unset("spark.grafink.apssArrowBcastMaxEntries")
 
     # brute force ground truth on distinct 3-shingle sets
     def shset(text):
