@@ -7,9 +7,10 @@ pr' = (1-d)/N + d·Σ pr(src)/outdeg(src), fixed iteration count.
 
 Scale notes: each iteration is one equi join (ranks onto edges, both
 sides shuffle-partitioned by the join key) plus one keyed aggregation
-with map-side partials; lineage is cut per iteration with
-localCheckpoint so the plan stays constant-depth regardless of iters
-(the same pattern as dedup.connected_components). Dangling vertices
+with map-side partials; lineage of the evolving frame is cut every
+``PIN_EVERY`` iterations (see ``_loop_cp``) so plan depth stays
+bounded for deep loops while the default small round counts run as a
+single pin-free job. Dangling vertices
 (no out-edges) leak their mass — the common simplified variant; the
 oracle replays the identical formulation, unrolled.
 """
@@ -32,6 +33,37 @@ from grafink_spark.util import pin
 
 def _cp(df: DataFrame, checkpoint_dir: str | None = None) -> DataFrame:
     return pin(df, checkpoint_dir=checkpoint_dir)
+
+
+# In-loop lineage policy (optimization round 9). A LINEAR iteration
+# chain — each round's evolving frame consumed exactly once, by the
+# next round — needs no per-round checkpoint for single execution: the
+# undrained plan runs as ONE job with zero re-computation. A pin inside
+# such a loop therefore only bounds PLAN DEPTH (optimizer/codegen/
+# scheduler cost, which grows with the round count, never with data
+# size), but each eager pin costs a full driver→cluster job round-trip
+# plus a block-manager materialization — at bench scale ~0.3-0.5 s per
+# round of pure overhead, and at any scale one scheduling barrier per
+# round. So evolving frames in linear loops are pinned every PIN_EVERY
+# rounds rather than every round: the default 2-3 analytic rounds run
+# pin-free (one job at the drain), while a 50-round caller still gets
+# constant-bounded plan depth. Static multi-consumer frames (edge
+# lists, vertex tables — genuinely re-derived per consumer without a
+# pin) keep their unconditional pins. Results are bit-identical: the
+# same expressions evaluate either way (decimal sums are
+# partition-order independent by design).
+PIN_EVERY = 4
+
+
+def _loop_cp(
+    df: DataFrame, round_idx: int, checkpoint_dir: str | None = None
+) -> DataFrame:
+    """Pin the evolving frame of a linear iteration loop on every
+    ``PIN_EVERY``-th round (``round_idx`` counts from 0); identity
+    otherwise. See the policy note above."""
+    if (round_idx + 1) % PIN_EVERY == 0:
+        return _cp(df, checkpoint_dir)
+    return df
 
 
 def pagerank(
@@ -73,7 +105,7 @@ def pagerank(
     ed = e.join(deg, "_s").repartition("_s").transform(_cp, checkpoint_dir)
     pr = verts.withColumn("rank", F.lit(1.0 / n))
     base = (1.0 - damping) / n
-    for _ in range(iters):
+    for _i in range(iters):
         contrib = (
             ed.join(pr.withColumnRenamed("id", "_s"), "_s")
             .groupBy("_d")
@@ -102,7 +134,7 @@ def pagerank(
                     "rank"
                 ),
             )
-            .transform(_cp, checkpoint_dir)
+            .transform(_loop_cp, _i, checkpoint_dir)
         )
     return pr
 
@@ -422,7 +454,7 @@ def label_propagation(
         .withColumn("label", F.col("id"))
         .transform(_cp, checkpoint_dir)
     )
-    for _ in range(iters):
+    for _i in range(iters):
         counted = (
             both.join(labels.withColumnRenamed("id", "_v"), "_v")
             .groupBy("_u", "label")
@@ -441,7 +473,7 @@ def label_propagation(
                 ).alias("label")
             )
             .select(F.col("_u").alias("id"), "label")
-            .transform(_cp, checkpoint_dir)
+            .transform(_loop_cp, _i, checkpoint_dir)
         )
     return labels
 
@@ -479,7 +511,7 @@ def personalized_pagerank(
     is_seed = F.col("id").isin(seeds)
     restart = F.when(is_seed, F.lit(1.0 / n_seeds)).otherwise(F.lit(0.0))
     pr = verts.withColumn("rank", restart)
-    for _ in range(iters):
+    for _i in range(iters):
         contrib = (
             ed.join(pr.withColumnRenamed("id", "_s"), "_s")
             .groupBy("_d")
@@ -509,7 +541,7 @@ def personalized_pagerank(
                     + damping * F.coalesce(F.col("_in"), F.lit(0.0))
                 ).alias("rank"),
             )
-            .transform(_cp, checkpoint_dir)
+            .transform(_loop_cp, _i, checkpoint_dir)
         )
     return pr
 
@@ -643,7 +675,7 @@ def hits(
         # agree to ~1 ulp, last digit run-dependent — see pagerank)
         return F.sum(c.cast(dec)).cast("double") if exact else F.sum(c)
 
-    for _ in range(iters):
+    for _i in range(iters):
         auth_raw = (
             e_by_s.join(
                 scores.select(F.col("id").alias("_s"), "hub"), "_s"
@@ -651,11 +683,16 @@ def hits(
             .groupBy("_d")
             .agg(_dsum(F.col("hub")).alias("_a"))
         )
+        # the chain is linear within rounds (auth feeds hub_raw, scores
+        # feeds the next round); only the FINAL auth is referenced
+        # twice — by the last hub_raw and by `joined` below — a
+        # constant-factor-2 re-derivation absorbed by the `joined` pin,
+        # far cheaper than two eager pin jobs per round (_loop_cp note)
         auth = verts.join(
             auth_raw, verts["id"] == auth_raw["_d"], "left"
         ).select(
             "id", F.coalesce(F.col("_a"), F.lit(0.0)).alias("authority")
-        ).transform(_cp, checkpoint_dir)
+        ).transform(_loop_cp, _i, checkpoint_dir)
         hub_raw = (
             e_by_d.join(
                 auth.select(F.col("id").alias("_d"), "authority"), "_d"
@@ -667,7 +704,7 @@ def hits(
             hub_raw, verts["id"] == hub_raw["_s"], "left"
         ).select(
             "id", F.coalesce(F.col("_h"), F.lit(0.0)).alias("hub")
-        ).transform(_cp, checkpoint_dir)
+        ).transform(_loop_cp, _i, checkpoint_dir)
     # single deferred normalization (norms of the FINAL vectors)
     joined = scores.join(auth, "id").transform(_cp, checkpoint_dir)
     norms = joined.agg(
@@ -835,7 +872,7 @@ def katz_centrality(
     )
     ed = e.repartition("_s").transform(_cp, checkpoint_dir)
     x = verts.withColumn("katz", F.lit(float(beta)))
-    for _ in range(iters):
+    for _i in range(iters):
         contrib = (
             ed.join(x.withColumnRenamed("id", "_s"), "_s")
             .groupBy("_d")
@@ -855,6 +892,6 @@ def katz_centrality(
                     * F.coalesce(F.col("_in"), F.lit(0.0))
                 ).alias("katz"),
             )
-            .transform(_cp, checkpoint_dir)
+            .transform(_loop_cp, _i, checkpoint_dir)
         )
     return x

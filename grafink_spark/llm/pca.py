@@ -66,17 +66,39 @@ def _power(c: DataFrame, dim: int, iters: int):
         F.lit(1.0 / float(dim) ** 0.5).alias("v"),
     )
     for _ in range(iters):
-        w = (
-            c.join(v, "j")
-            .groupBy("i")
-            .agg(_ordered_dot("j", F.col("c") * F.col("v")).alias("w"))
-            .transform(pin)
+        w = c.join(v, "j").groupBy("i").agg(
+            _ordered_dot("j", F.col("c") * F.col("v")).alias("w")
         )
-        norm = w.select(
-            F.sqrt(_ordered_dot("i", F.col("w") * F.col("w"))).alias("n")
+        # Pack the whole d-vector into ONE sorted array row so the norm
+        # and the normalized components come out of a single Project:
+        # w is then referenced once at the PLAN level, the loop stays a
+        # linear chain, and the per-iteration eager pin (a full job per
+        # round — the dominant cost of the old crossJoin(broadcast)
+        # form, which referenced w from two branches) disappears. The
+        # arithmetic is bit-identical: ascending-i fold of w·w (the
+        # same order _ordered_dot produced), then one IEEE division per
+        # entry.
+        packed = (
+            w.agg(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.col("i").alias("_j"), F.col("w").alias("_t"))
+                    )
+                ).alias("_a")
+            )
+            .select(
+                "_a",
+                F.sqrt(
+                    F.aggregate(
+                        F.transform(F.col("_a"), lambda s: s["_t"] * s["_t"]),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                ).alias("_n"),
+            )
         )
-        v = w.crossJoin(F.broadcast(norm)).select(
-            F.col("i").alias("j"), (F.col("w") / F.col("n")).alias("v")
+        v = packed.select(F.explode("_a").alias("_s"), "_n").select(
+            F.col("_s._j").alias("j"), (F.col("_s._t") / F.col("_n")).alias("v")
         )
     v = v.transform(pin)
     cv = (
