@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from grafink_spark.rules.base import DST, PROP_VAL, SRC, ClassifierRule
+from grafink_spark.util import autobroadcast_threshold_bytes, would_broadcast
 from grafink_spark.rules.exp_parser import (
     Disjunct,
     col_name_to_condition,
@@ -197,6 +198,32 @@ class SimilarityClassifier(ClassifierRule):
         eq_cols = [t for t in dict.fromkeys(tokens) if t not in _NON_EQUALITY_TOKENS]
         if not self.hot_threshold or not eq_cols:
             return project(left.join(right, cond, "inner"))
+
+        # Hot-key detection is an extra full scan + aggregation +
+        # collect at PLAN-BUILD time, serial with the query (measured
+        # ~1.1 s per graph query at sf0.1, where the hot set is always
+        # empty). When the build side's size estimate sits under the
+        # session's autoBroadcastJoinThreshold the join runs as a
+        # broadcast hash join — no shuffle, so no REDUCER for a hot
+        # key's quadratic output to pin. The one hazard left is
+        # probe-side INPUT co-location (a hot key clustered into a few
+        # scan splits makes those map tasks emit the whole g_left ×
+        # g_build block; the stress similarity_skew frame is exactly
+        # this shape and its estimate sits under the threshold). So the
+        # gated plan pins the join sides explicitly: broadcast the
+        # sub-threshold side, hash-repartition the probe side on its
+        # UNIQUE id1 — an even spread by construction, which bounds any
+        # map task's hot output at (g_left / P) × g_build without
+        # knowing which keys are hot. One narrow batch-side shuffle
+        # replaces the detection scan; past the threshold — the 100 TB
+        # regime — detection and salting run exactly as before.
+        thr = autobroadcast_threshold_bytes(left.sparkSession)
+        if thr is not None and would_broadcast(right, max_bytes=thr):
+            return project(
+                left.repartition(F.col("id1")).join(
+                    F.broadcast(right), cond, "inner"
+                )
+            )
 
         # count BOTH sides: a key hot only on the loaded/right side
         # (100 left rows x 1M right rows) still produces its whole

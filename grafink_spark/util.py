@@ -97,6 +97,31 @@ def would_broadcast(
     return size is not None and size * proxy_scale <= max_bytes
 
 
+def autobroadcast_threshold_bytes(spark) -> int | None:
+    """The session's ``spark.sql.autoBroadcastJoinThreshold`` in bytes,
+    or ``None`` when auto-broadcast is disabled (-1) / unreadable.
+
+    Used to predict Catalyst's own join-strategy choice: a side whose
+    size estimate is under this value will be planned as the build side
+    of a broadcast hash join, so shuffle-reducer hazards (hot-key
+    output skew) cannot arise for that join at the current scale."""
+    try:
+        raw = str(spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+    except Exception:
+        return None
+    s = raw.strip().lower().removesuffix("b")
+    mult = 1
+    for suf, m in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30)):
+        if s.endswith(suf):
+            s, mult = s[: -len(suf)], m
+            break
+    try:
+        n = int(s) * mult
+    except ValueError:
+        return None
+    return n if n > 0 else None
+
+
 CHECKPOINT_DIR_CONF = "spark.grafink.checkpointDir"
 
 # When a capture list is installed (linting only — see capture_pins),
