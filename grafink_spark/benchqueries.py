@@ -7492,6 +7492,8 @@ def q_neighbor_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = ev.select(F.col("id").alias("_fid"), F.col("rfscore").alias("_f"))
     e = _similarity_edges_undirected(spark, sf_dir).transform(pin)
     d27 = "decimal(27,9)"
+    # pinned: consumed twice — the 1-hop output AND as the per-mid
+    # aggregate of the 2-hop pass below
     hop1 = (
         e.join(feats, e["dst"] == feats["_fid"])
         .groupBy("src")
@@ -7499,16 +7501,30 @@ def q_neighbor_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("deg"),
             F.sum(F.col("_f").cast(d27)).alias("_s1"),
         )
-    )
-    # 2-hop paths: src -> mid -> far (far may equal src; path semantics)
+    ).transform(pin)
+    # 2-hop paths src -> mid -> far (far may equal src; path
+    # semantics), AGGREGATED BEFORE THE JOIN (optimization guide §2.3):
+    # the old e×e wedge join materialized Σ_m deg(m)² path rows just to
+    # re-aggregate them per src. Per-mid sums are exactly hop1's rows
+    # (Σ_b f(b) and outdeg per mid), so one edge-sized join onto hop1
+    # replaces the quadratic wedge shuffle: n_paths = Σ_m deg(m) and
+    # _s2 = Σ_m Σ_b f(b) — decimal addition is exact and associative,
+    # so both are bit-identical to the path-row formulation the oracle
+    # replays.
     two = (
         e.select(F.col("src").alias("a"), F.col("dst").alias("m"))
-        .join(e.select(F.col("src").alias("m"), F.col("dst").alias("b")), "m")
-        .join(feats, F.col("b") == feats["_fid"])
+        .join(
+            hop1.select(
+                F.col("src").alias("m"),
+                F.col("deg").alias("_mdeg"),
+                F.col("_s1").alias("_ms"),
+            ),
+            "m",
+        )
         .groupBy("a")
         .agg(
-            F.count(F.lit(1)).alias("n_paths"),
-            F.sum(F.col("_f").cast(d27)).alias("_s2"),
+            F.sum("_mdeg").alias("n_paths"),
+            F.sum("_ms").alias("_s2"),
         )
     )
     out = hop1.join(two, hop1["src"] == two["a"], "left")
