@@ -6393,7 +6393,9 @@ def q_closeness_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     distance sums make it engine-exact."""
     from grafink_spark.graph.algorithms import closeness_centrality
 
-    edges = _similarity_edges_undirected(spark, sf_dir)
+    # pinned: consumed by the seed collect AND the BFS (whose internal
+    # pin would otherwise re-run the classifier — r9 audit)
+    edges = _similarity_edges_undirected(spark, sf_dir, checkpoint=True)
     verts = edges.select("src").unionByName(
         edges.select(F.col("dst").alias("src"))
     ).distinct()
@@ -6508,10 +6510,14 @@ def q_community_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
     → engine-exact. Composes the LPA labels with one edge join."""
     from grafink_spark.graph.algorithms import label_propagation
 
-    pairs = _similarity_pairs(spark, sf_dir)
+    # pin the classifier ONCE: both the undirected edge frame and the
+    # LPA run below consume `pairs`, and LPA's internal pin would
+    # otherwise re-execute the whole classifier pipeline (r9 audit:
+    # two classifier executions per query)
+    pairs = _similarity_pairs(spark, sf_dir).transform(pin)
     e = pairs.unionByName(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).transform(pin)
+    )
     labels = label_propagation(pairs, iters=2)
     tagged = e.join(
         labels.select(F.col("id").alias("src"), F.col("label").alias("_ls")),
@@ -9202,10 +9208,11 @@ def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-identical to the oracle bit-for-bit before rounding."""
     from grafink_spark.graph.algorithms import label_propagation
 
-    pairs = _similarity_pairs(spark, sf_dir)
+    # pin the classifier ONCE (see q_community_conductance note)
+    pairs = _similarity_pairs(spark, sf_dir).transform(pin)
     e = pairs.unionByName(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).transform(pin)
+    )
     labels = label_propagation(pairs, iters=2)
     tagged = e.join(
         labels.select(F.col("id").alias("src"), F.col("label").alias("_ls")),
