@@ -80,7 +80,6 @@ AUDIT: dict[tuple[str, str, str], str] = {
     ("llm/corpus.py", "dsir_scores", "totals"): "ONE_ROW model totals fold",
     ("llm/corpus.py", "mixture_sample", "rates"): "GROUP per-source sampling rates (source domain)",
     ("llm/dedup.py", "semantic_contamination", "t"): "QUERY test/benchmark vectors (decontamination contract: benchmark << corpus)",
-    ("llm/pca.py", "_power", "norm"): "ONE_ROW normalization scalar",
     ("llm/pca.py", "pca_components", "lam"): "ONE_ROW eigenvalue fold (d-bounded, d = embedding dim)",
     ("llm/pca.py", "pca_components", "tr"): "ONE_ROW trace scalar",
     ("llm/pca.py", "power_iteration", "lam"): "ONE_ROW eigenvalue fold (d-bounded, d = embedding dim)",
@@ -110,6 +109,7 @@ AUDIT: dict[tuple[str, str, str], str] = {
     ("ops.py", "winsorize", "bounds"): "GROUP per-group percentile band (group domain)",
     ("profile.py", "binned", "bounds"): "GROUP per-group percentile bounds (group domain)",
     ("profile.py", "psi_from_hist", "tot"): "ONE_ROW profile totals",
+    ("rules/similarity.py", "_branch_join", "right"): "GATED behind would_broadcast(autoBroadcastJoinThreshold); over-threshold build sides take hot-key detection + salting instead",
     ("rules/twomode.py", "classify", "dim"): "FIXED fixed-vertex recipe table (CSV of named recipes)",
     ("sketches.py", "cms_point_estimates", "regs"): "SKETCH count-min registers (depth x width, parameter not data)",
     ("sketches.py", "hist_quantiles", "cum"): "SKETCH cumulative histogram bins (fixed bin count)",
