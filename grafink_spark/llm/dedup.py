@@ -285,11 +285,23 @@ def minhash_lsh_candidates(
 # ----------------------------------------------------- n-gram Jaccard
 
 
-def jaccard(sh_a: Column, sh_b: Column) -> Column:
-    """Jaccard similarity of two shingle arrays (as distinct sets)."""
-    da, db = F.array_distinct(sh_a), F.array_distinct(sh_b)
+def jaccard(
+    sh_a: Column, sh_b: Column, assume_distinct: bool = False
+) -> Column:
+    """Jaccard similarity of two shingle arrays (as distinct sets).
+
+    Per-pair cost (r9): |A∪B| is computed as |A| + |B| − |A∩B| —
+    identical by inclusion–exclusion over the distinct sets — instead
+    of building a second hash table with ``array_union``; and callers
+    whose arrays are already distinct (``hash60_set`` output) pass
+    ``assume_distinct=True`` to skip the two ``array_distinct``
+    passes. Three O(|A|+|B|) set builds per pair become one."""
+    if assume_distinct:
+        da, db = sh_a, sh_b
+    else:
+        da, db = F.array_distinct(sh_a), F.array_distinct(sh_b)
     inter = F.size(F.array_intersect(da, db))
-    union = F.size(F.array_union(da, db))
+    union = F.size(da) + F.size(db) - inter
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
 
 
@@ -322,7 +334,10 @@ def ngram_jaccard_pairs(
         paired.select(
             "id_a",
             "id_b",
-            jaccard(F.col("_sh_a"), F.col("_sh_b")).alias("jaccard_sim"),
+            # _sh_a/_sh_b are hash60_set outputs — already distinct
+            jaccard(
+                F.col("_sh_a"), F.col("_sh_b"), assume_distinct=True
+            ).alias("jaccard_sim"),
         )
         .where(F.col("jaccard_sim") >= threshold)
     )
@@ -519,7 +534,8 @@ def minhash_jaccard_estimate(
         )
     )
     est = agree / F.lit(num_hashes)
-    ex = jaccard(F.col("_sh_a"), F.col("_sh_b"))
+    # _sh_a/_sh_b are hash60_set outputs — already distinct
+    ex = jaccard(F.col("_sh_a"), F.col("_sh_b"), assume_distinct=True)
     return paired.select(
         "id_a",
         "id_b",
