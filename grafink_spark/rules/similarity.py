@@ -199,32 +199,6 @@ class SimilarityClassifier(ClassifierRule):
         if not self.hot_threshold or not eq_cols:
             return project(left.join(right, cond, "inner"))
 
-        # Hot-key detection is an extra full scan + aggregation +
-        # collect at PLAN-BUILD time, serial with the query (measured
-        # ~1.1 s per graph query at sf0.1, where the hot set is always
-        # empty). When the build side's size estimate sits under the
-        # session's autoBroadcastJoinThreshold the join runs as a
-        # broadcast hash join — no shuffle, so no REDUCER for a hot
-        # key's quadratic output to pin. The one hazard left is
-        # probe-side INPUT co-location (a hot key clustered into a few
-        # scan splits makes those map tasks emit the whole g_left ×
-        # g_build block; the stress similarity_skew frame is exactly
-        # this shape and its estimate sits under the threshold). So the
-        # gated plan pins the join sides explicitly: broadcast the
-        # sub-threshold side, hash-repartition the probe side on its
-        # UNIQUE id1 — an even spread by construction, which bounds any
-        # map task's hot output at (g_left / P) × g_build without
-        # knowing which keys are hot. One narrow batch-side shuffle
-        # replaces the detection scan; past the threshold — the 100 TB
-        # regime — detection and salting run exactly as before.
-        thr = autobroadcast_threshold_bytes(left.sparkSession)
-        if thr is not None and would_broadcast(right, max_bytes=thr):
-            return project(
-                left.repartition(F.col("id1")).join(
-                    F.broadcast(right), cond, "inner"
-                )
-            )
-
         # count BOTH sides: a key hot only on the loaded/right side
         # (100 left rows x 1M right rows) still produces its whole
         # output in one partition if routing looks at the left alone
@@ -239,6 +213,36 @@ class SimilarityClassifier(ClassifierRule):
         )
         if not hot:
             return project(left.join(right, cond, "inner"))
+
+        # Hot keys exist — pick the remedy by the build side's size.
+        # Under the session's autoBroadcastJoinThreshold the cheapest
+        # safe plan is a broadcast hash join (no reducer for the hot
+        # key's quadratic output to pin) plus ONE hash-repartition of
+        # the probe side on its UNIQUE id1: an even spread by
+        # construction, bounding any map task's hot output at
+        # (g_hot / P) × g_build even when the input arrives with the
+        # hot key clustered into a few scan splits (the stress
+        # similarity_skew frame is exactly that shape — bare broadcast
+        # would emit the whole hot block from one map task). Measured
+        # on the skew stress: 4.9 s vs 8.3 s for the salted shuffle.
+        # An r9 A/B taught the ordering here: running this plan
+        # UNCONDITIONALLY (skipping detection whenever the build side
+        # fits) made the repartition a pure extra shuffle on every
+        # skew-free query — classifier sf1 2.38 s gated vs 1.19 s
+        # detect-then-plain-join, because Catalyst already broadcasts
+        # a sub-threshold side in the plain join with NO probe
+        # shuffle. Detection (~0.5 s at sf1, one narrow scan +
+        # partial agg) is the cheaper guard, so it stays
+        # unconditional and the repartition fires only for data that
+        # actually holds a hot key. Past the threshold — the 100 TB
+        # regime — the salted shuffle below is the remedy.
+        thr = autobroadcast_threshold_bytes(left.sparkSession)
+        if thr is not None and would_broadcast(right, max_bytes=thr):
+            return project(
+                left.repartition(F.col("id1")).join(
+                    F.broadcast(right), cond, "inner"
+                )
+            )
 
         def hot_pred(side: int):
             tuples = []
