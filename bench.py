@@ -360,12 +360,26 @@ def main() -> int:
         }
 
     memw: list[dict] = []
+    # fresh_gbps of the most recent probe: every sample taken after a
+    # probe is tagged with it, so the artifact can tell "this number
+    # was measured inside a degraded-bandwidth window" mechanically
+    # instead of by hand (r9 verdict ask #1 — three rounds of
+    # adjudication were spent reconstructing exactly this by eye).
+    last_fresh = [0.0]
+    # a probe below this is the documented collapse signature (healthy
+    # first-touch is ~1-2 GB/s on this VM; degraded windows read
+    # 0.01-0.05). Samples near such a probe are weather-suspect.
+    WEATHER_FRESH_MIN = float(
+        os.environ.get("SPARK_GRAFT_WEATHER_FRESH_MIN", "0.5")
+    )
 
-    def weather(phase: str) -> None:
+    def weather(phase: str) -> float:
         w = memweather()
         w["phase"] = phase
         memw.append(w)
+        last_fresh[0] = w["fresh_gbps"]
         print(f"# memweather {phase}: {w}", file=sys.stderr)
+        return last_fresh[0]
 
     def run_once(name: str, dir_: str) -> float:
         fn = QUERIES[name]
@@ -392,11 +406,15 @@ def main() -> int:
     # total work as before — the iterations are reordered, not added.
     samples: dict[str, list[float]] = {name: [] for name in headline}
     loadavgs: dict[str, list[float]] = {name: [] for name in headline}
+    # fresh_gbps of the probe nearest (before) each sample, index-
+    # aligned with samples[q] — the per-sample weather tag (r10)
+    sample_fresh: dict[str, list[float]] = {name: [] for name in headline}
     for p in range(iters):
         for i, name in enumerate(headline):
             if i % 25 == 0:
                 weather(f"pass{p}@{i}")
             loadavgs[name].append(loadavg1())
+            sample_fresh[name].append(last_fresh[0])
             t = run_once(name, sf_dir)
             samples[name].append(t)
             print(f"# pass{p} {name}: {t:.3f}s", file=sys.stderr)
@@ -408,11 +426,33 @@ def main() -> int:
     # (the artifact records them all; `queries` is the per-query min).
     rerun_n = int(os.environ.get("SPARK_GRAFT_SF_RERUN", "25"))
     weather("sf_rerun")
-    for name in sorted(timings, key=timings.get, reverse=True)[:rerun_n]:
+    rerun = sorted(timings, key=timings.get, reverse=True)[:rerun_n]
+    # Weather gate (r10, r9 verdict ask #1): any query whose EVERY
+    # sample so far was taken near a collapsed probe
+    # (fresh < WEATHER_FRESH_MIN) gets a re-run slot too — its min is
+    # uninterpretable until at least one sample lands in an OK window.
+    # Capped (slowest first, they dominate the total) so a fully
+    # degraded run cannot double the driver's wall clock.
+    wcap = int(os.environ.get("SPARK_GRAFT_WEATHER_RERUN", "60"))
+    suspects = [
+        n
+        for n in sorted(timings, key=timings.get, reverse=True)
+        if n not in rerun
+        and all(f < WEATHER_FRESH_MIN for f in sample_fresh[n])
+    ][:wcap]
+    if suspects:
+        print(
+            f"# weather rerun: {len(suspects)} suspect queries",
+            file=sys.stderr,
+        )
+    for j, name in enumerate(rerun + suspects):
         # loadavg recorded for the re-run too: samples[q] and
         # loadavgs[q] stay index-aligned, so a reader can tell which
         # load was behind whichever sample became the kept min
+        if j and j % 10 == 0:
+            weather(f"sf_rerun@{j}")
         loadavgs[name].append(loadavg1())
+        sample_fresh[name].append(last_fresh[0])
         again = run_once(name, sf_dir)
         samples[name].append(again)
         if again < timings[name]:
@@ -421,6 +461,12 @@ def main() -> int:
                 file=sys.stderr,
             )
             timings[name] = again
+    # per-query verdict: at least one sample was taken near a healthy
+    # probe. False means every number for this query is weather-band.
+    weather_ok = {
+        n: any(f >= WEATHER_FRESH_MIN for f in sample_fresh[n])
+        for n in headline
+    }
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -571,10 +617,12 @@ def main() -> int:
         }
         sf1_samples: dict[str, list[float]] = {}
         sf1_loadavgs: dict[str, list[float]] = {}
+        sf1_fresh: dict[str, list[float]] = {}
         for i, name in enumerate([q for q in headline if q not in sf1_skip]):
             if i and i % 25 == 0:
                 weather(f"sf1@{i}")
             sf1_loadavgs[name] = [loadavg1()]
+            sf1_fresh[name] = [last_fresh[0]]
             # run_once drains EXTENDED via noop here too — mirrors the
             # sf0.1 loop, so the two sections time the same work and a
             # wide-result EXTENDED query can't OOM the driver at sf1
@@ -592,10 +640,29 @@ def main() -> int:
         # real contention); sf1 stays the per-query min.
         rerun_n = int(os.environ.get("SPARK_GRAFT_SF1_RERUN", "20"))
         weather("sf1_rerun")
-        for name in sorted(
+        sf1_rerun = sorted(
             sf1_timings, key=sf1_timings.get, reverse=True
-        )[:rerun_n]:
+        )[:rerun_n]
+        # weather gate, mirroring the sf0.1 pass: single-sample sf1
+        # rows whose one observation sits in a collapsed window get a
+        # second chance (slowest first, capped)
+        wcap1 = int(os.environ.get("SPARK_GRAFT_SF1_WEATHER_RERUN", "30"))
+        sf1_suspects = [
+            n
+            for n in sorted(sf1_timings, key=sf1_timings.get, reverse=True)
+            if n not in sf1_rerun
+            and all(f < WEATHER_FRESH_MIN for f in sf1_fresh[n])
+        ][:wcap1]
+        if sf1_suspects:
+            print(
+                f"# sf1 weather rerun: {len(sf1_suspects)} suspect queries",
+                file=sys.stderr,
+            )
+        for j, name in enumerate(sf1_rerun + sf1_suspects):
+            if j and j % 10 == 0:
+                weather(f"sf1_rerun@{j}")
             sf1_loadavgs[name].append(loadavg1())
+            sf1_fresh[name].append(last_fresh[0])
             again = run_once(name, sf1_dir)
             sf1_samples[name].append(again)
             if again < sf1_timings[name]:
@@ -605,6 +672,10 @@ def main() -> int:
                     file=sys.stderr,
                 )
                 sf1_timings[name] = again
+        sf1_weather_ok = {
+            n: any(f >= WEATHER_FRESH_MIN for f in fs)
+            for n, fs in sf1_fresh.items()
+        }
         # semantic dedup at the API default: count-derived nlist
         # (max(8, ceil(N/target_per_list)) — per-vector pair work
         # constant as the corpus grows)
@@ -704,6 +775,13 @@ def main() -> int:
             # machine contention rather than a code regression
             "loadavg": loadavgs,
             "memweather": memw,
+            # r10 weather gate: fresh_gbps of the probe nearest each
+            # sample (index-aligned with `samples`), and the per-query
+            # verdict — False means EVERY sample of that query was
+            # taken inside a collapsed-bandwidth window and its number
+            # is weather-band, not steady state
+            "sample_fresh": sample_fresh,
+            "weather_ok": weather_ok,
             "run_order": headline,
             "notes": {
                 "methodology": (
@@ -730,6 +808,18 @@ def main() -> int:
                     "count-derived nlist trained on the b slice since "
                     "round 7; exact A-x-B form stays the oracle anchor"
                 ),
+                "weather_gate": (
+                    "r10: sample_fresh tags every sample with the "
+                    "nearest probe's fresh_gbps; queries whose every "
+                    "sample sat near a probe under "
+                    "SPARK_GRAFT_WEATHER_FRESH_MIN (default 0.5) are "
+                    "re-run in the slow-tail pass (capped, slowest "
+                    "first) and flagged weather_ok=false if still "
+                    "unconfirmed; the one-line JSON adds weather_ok / "
+                    "weather_fresh_median_gbps / "
+                    "weather_suspect_queries (additions only — timed "
+                    "regions and existing fields unchanged)"
+                ),
                 "memweather": (
                     "host memory weather probes (r9): fresh_gbps = "
                     "first-touch bandwidth of a fresh 64 MB mapping, "
@@ -751,6 +841,8 @@ def main() -> int:
             artifact["sf1"] = out["sf1"]["queries"]
             artifact["sf1_samples"] = sf1_samples
             artifact["loadavg_sf1"] = sf1_loadavgs
+            artifact["sf1_sample_fresh"] = sf1_fresh
+            artifact["sf1_weather_ok"] = sf1_weather_ok
         if filter_stats:
             artifact["filter_stats"] = filter_stats
         weather("end")
@@ -759,6 +851,20 @@ def main() -> int:
             json.dump(artifact, f, indent=1, sort_keys=True)
         print(f"# wrote {path}", file=sys.stderr)
 
+    # Run-level weather verdict (r10, additions-only fields): median
+    # fresh-touch bandwidth over every probe of the run, plus how many
+    # queries never got a sample in a healthy window. A reader (or
+    # PERF tooling) can separate "this run's numbers are steady-state"
+    # from "this run executed inside the documented bandwidth
+    # collapse" mechanically.
+    fresh_all = sorted(w["fresh_gbps"] for w in memw)
+    fresh_median = fresh_all[len(fresh_all) // 2] if fresh_all else -1.0
+    n_suspect = sum(1 for v in weather_ok.values() if not v)
+    if "sf1" in out:
+        n_suspect += sum(1 for v in sf1_weather_ok.values() if not v)
+    out["weather_ok"] = fresh_median >= WEATHER_FRESH_MIN
+    out["weather_fresh_median_gbps"] = round(fresh_median, 2)
+    out["weather_suspect_queries"] = n_suspect
     print(json.dumps(out))
     # Compact summary LAST: the full JSON line (100+ queries) can exceed
     # the driver's captured stdout tail, front-truncating the one line it
@@ -771,6 +877,11 @@ def main() -> int:
                 "unit": out["unit"],
                 "sf": out["sf"],
                 "n_queries": len(timings),
+                "weather_ok": out["weather_ok"],
+                "weather_fresh_median_gbps": out[
+                    "weather_fresh_median_gbps"
+                ],
+                "weather_suspect_queries": n_suspect,
             }
         )
     )
