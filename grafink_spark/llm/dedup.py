@@ -1685,9 +1685,18 @@ def _ssjoin_frames(
     )
     base = base.transform(pin_lazy)
     tok = base.select("_id", F.explode("_s").alias("_h"))
-    freq = tok.groupBy("_h").agg(F.count(F.lit(1)).alias("_df"))
+    # r10 (guide §2.4, same rewrite as the APSS sibling): document
+    # frequency as a WINDOW count over the _h partition instead of a
+    # separate aggregation joined back onto tok — one Exchange of the
+    # token rows instead of two (the agg's and the join's). _df values
+    # are identical integers, so the rarity order (and therefore every
+    # prefix, candidate, and output row) is unchanged.
+    from pyspark.sql import Window as _W
+
     ordered = (
-        tok.join(freq, "_h")
+        tok.withColumn(
+            "_df", F.count(F.lit(1)).over(_W.partitionBy("_h"))
+        )
         .groupBy("_id")
         .agg(
             F.array_sort(
@@ -1874,40 +1883,59 @@ def ssjoin_filter_stats(
 
 def _apss_bcast_dot(bc):
     """Factory for the BROADCAST variant of the APSS arrow kernel:
-    the per-doc sorted (keys, counts) vectors ride to every worker
-    ONCE via ``bc`` (a SparkContext broadcast of {id: (np keys,
-    np counts)}), and the mapInPandas input is the bare candidate
-    frame (id_a, id_b) — 16 bytes/pair through Arrow instead of two
-    full vector copies per pair (~50x fewer fresh Arrow/JVM bytes at
-    sf1: 85 MB vs ~9.5 GB for 5.3 M candidates x ~53 terms). Same
-    integer-exact searchsorted dot as :func:`_apss_arrow_dot`, so the
-    row set is bit-identical. Size-gated by the caller: broadcast
-    plumbing only while the whole vector table fits comfortably in
-    one executor (conf ``spark.grafink.apssArrowBcastMaxEntries``);
-    past the gate the candidate-bounded join plumbing runs instead —
-    at the 100 TB design point (10^9+ docs) the table cannot ship
-    whole, and pair-bounded joins are the scale path."""
+    the whole vector table rides to every worker ONCE via ``bc``, and
+    the mapInPandas input is the bare candidate frame (id_a, id_b) —
+    16 bytes/pair through Arrow instead of two full vector copies per
+    pair (~50x fewer fresh Arrow/JVM bytes at sf1: 85 MB vs ~9.5 GB
+    for 5.3 M candidates x ~53 terms). Same integer-exact searchsorted
+    dot as :func:`_apss_arrow_dot`, so the row set is bit-identical.
+
+    ``bc`` holds FOUR flat int64 arrays ``(uids, offs, keys, counts)``
+    — doc ids ascending, per-doc offset fences, and the concatenated
+    per-doc ascending key/count vectors (r10; previously a dict of
+    100k small numpy arrays whose pickle/unpickle cost ~100k fresh
+    allocations PER WORKER — the exact shape this host's first-touch
+    collapse punishes 30-100x, and the measured mechanism behind the
+    49-95 s driver-run outliers). Unpickling is now four contiguous
+    buffer copies; per-pair vectors are zero-copy slice views; the
+    id→row lookup is one vectorized searchsorted per batch.
+
+    Size-gated by the caller: broadcast plumbing only while the whole
+    vector table fits comfortably in one executor (conf
+    ``spark.grafink.apssArrowBcastMaxEntries``); past the gate the
+    candidate-bounded join plumbing runs instead — at the 100 TB
+    design point (10^9+ docs) the table cannot ship whole, and
+    pair-bounded joins are the scale path."""
 
     def gen(batches):
         import numpy as np
         import pandas as pd
 
-        vecs = bc.value
+        uids, offs, keys, counts = bc.value
         for pdf in batches:
             ia = pdf["id_a"].to_numpy()
             ib = pdf["id_b"].to_numpy()
             n = len(pdf)
+            # candidate ids come from prefix ⊂ tc, so every id is
+            # present in uids and searchsorted is an exact lookup
+            pa = np.searchsorted(uids, ia)
+            pb = np.searchsorted(uids, ib)
+            sa, ea = offs[pa], offs[pa + 1]
+            sb, eb = offs[pb], offs[pb + 1]
             dot = np.zeros(n, dtype=np.int64)
             for i in range(n):
-                ka, ca = vecs[ia[i]]
-                kb, cb = vecs[ib[i]]
+                ka = keys[sa[i]:ea[i]]
+                kb = keys[sb[i]:eb[i]]
                 if not len(ka) or not len(kb):
                     continue
                 idx = np.searchsorted(kb, ka)
                 idx[idx == len(kb)] = len(kb) - 1
                 m = kb[idx] == ka
                 if m.any():
-                    dot[i] = int((ca[m] * cb[idx[m]]).sum())
+                    dot[i] = int(
+                        (counts[sa[i]:ea[i]][m]
+                         * counts[sb[i]:eb[i]][idx[m]]).sum()
+                    )
             yield pd.DataFrame({"id_a": ia, "id_b": ib, "dot": dot})
 
     return gen
@@ -2167,25 +2195,42 @@ def _apss_frames(
         .agg(F.count(F.lit(1)).alias("_c"))
         .transform(pin_lazy)
     )
-    freq = tc.groupBy("_term").agg(F.count(F.lit(1)).alias("_df"))
-    # pinned BEFORE ranked captures it, so all three consumers (the
-    # window chain + the two verification joins) share one aggregation
+    # pinned for the OUT verification joins (t_a/t_b); the ranked
+    # pipeline below no longer joins it (window form, r10)
     tot = tc.groupBy("_id").agg(
         F.sum(F.col("_c") * F.col("_c")).alias("_tt")
     ).transform(pin_lazy)
-    w = Window.partitionBy("_id").orderBy(F.col("_df").asc(), F.col("_term").asc())
+    # r10 (guide §2.4 "share one exchange"): document frequency and the
+    # squared norm were separate aggregations joined back onto tc
+    # (freq: one Exchange for the agg + an SMJ shuffle of tc; tot: a
+    # second join). Both are plain per-partition quantities, so compute
+    # them as WINDOW aggregates over the exchanges the ranked pipeline
+    # already pays: _df = count over the _term partition, _tt = sum
+    # over the _id partition the running-sum window sorts anyway. Two
+    # Exchanges of tc total instead of four — measured sf1 alternated
+    # A/B (tools/apss_ab.py, min of 4): candidates 6.72 → 5.26 s; the
+    # candidate set is row-identical at sf0.1 and sf1 (long-integer
+    # counts/sums — bit-exact under any grouping).
+    wi = Window.partitionBy("_id").orderBy(
+        F.col("_df").asc(), F.col("_term").asc()
+    )
     ranked = (
-        tc.join(freq, "_term")
+        tc.withColumn(
+            "_df", F.count(F.lit(1)).over(Window.partitionBy("_term"))
+        )
+        .withColumn(
+            "_tt",
+            F.sum(F.col("_c") * F.col("_c")).over(Window.partitionBy("_id")),
+        )
         .withColumn(
             "_s",
             F.coalesce(
                 F.sum(F.col("_c") * F.col("_c")).over(
-                    w.rowsBetween(Window.unboundedPreceding, -1)
+                    wi.rowsBetween(Window.unboundedPreceding, -1)
                 ),
                 F.lit(0),
             ),
         )
-        .join(tot, "_id")
     )
     dec = "decimal(38,0)"
     # prefix feeds BOTH sides of the candidate self-join — pin it, or
@@ -2291,15 +2336,6 @@ def _apss_frames(
         #     (:func:`_apss_arrow_dot`) — candidate-bounded data
         #     movement, never |cand|·terms exploded rows; the 100 TB
         #     path where no vector table fits one executor.
-        arr = tc.groupBy("_id").agg(
-            F.array_sort(
-                F.collect_list(F.struct("_term", "_c"))
-            ).alias("_a")
-        ).select(
-            "_id",
-            F.expr("transform(_a, x -> x._term)").alias("_ks"),
-            F.expr("transform(_a, x -> x._c)").alias("_cs"),
-        )
         raw_bc = df.sparkSession.conf.get(_APSS_BCAST_CONF_KEY, None)
         bcast_floor = (
             APSS_ARROW_BCAST_MAX_ENTRIES if raw_bc is None else int(raw_bc)
@@ -2309,25 +2345,57 @@ def _apss_frames(
         if tc.count() <= bcast_floor:
             import numpy as np
 
-            # toPandas, not collect: the Arrow transfer hands the
-            # list columns over columnar (~4.8 s -> ~1 s for the sf1
-            # 50k-doc table vs per-Row deserialization)
-            apdf = arr.toPandas()
-            ids = apdf["_id"].to_numpy()
-            kss = apdf["_ks"].to_numpy()
-            css = apdf["_cs"].to_numpy()
-            vecs = {
-                int(ids[i]): (
-                    np.asarray(kss[i], dtype=np.int64),
-                    np.asarray(css[i], dtype=np.int64),
+            # FLAT vector table (r10): skip the per-doc collect_list
+            # aggregation entirely — order the pinned (id, term, count)
+            # rows and let the Arrow toPandas transfer hand over three
+            # contiguous int64 columns. Offsets come from one
+            # vectorized boundary scan; the broadcast ships four flat
+            # buffers instead of a dict of ~2 numpy arrays per doc
+            # (whose pickle/unpickle churned ~100k small allocations
+            # per worker — see _apss_bcast_dot). orderBy(_id, _term)
+            # gives every doc's keys ascending, which the searchsorted
+            # kernel requires.
+            vdf = (
+                tc.select("_id", "_term", "_c")
+                .orderBy("_id", "_term")
+                .toPandas()
+            )
+            ids_all = vdf["_id"].to_numpy()
+            keys_flat = np.ascontiguousarray(
+                vdf["_term"].to_numpy(), dtype=np.int64
+            )
+            counts_flat = np.ascontiguousarray(
+                vdf["_c"].to_numpy(), dtype=np.int64
+            )
+            bound = np.flatnonzero(np.diff(ids_all)) + 1
+            offs = np.concatenate(
+                ([0], bound, [len(ids_all)])
+            ).astype(np.int64)
+            if len(ids_all):
+                uids = np.ascontiguousarray(
+                    ids_all[offs[:-1]], dtype=np.int64
                 )
-                for i in range(len(apdf))
-            }
-            bc = df.sparkSession.sparkContext.broadcast(vecs)
+            else:  # empty corpus: no fences beyond the [0, 0] pair
+                uids = np.empty(0, dtype=np.int64)
+            bc = df.sparkSession.sparkContext.broadcast(
+                (uids, offs, keys_flat, counts_flat)
+            )
             dots = cand.mapInPandas(
                 _apss_bcast_dot(bc), schema="id_a long, id_b long, dot long"
             ).where(F.col("dot") > 0)
         else:
+            # join plumbing (past the gate): per-doc sorted vectors
+            # attach to the candidate pairs — candidate-bounded data
+            # movement, the 100 TB path
+            arr = tc.groupBy("_id").agg(
+                F.array_sort(
+                    F.collect_list(F.struct("_term", "_c"))
+                ).alias("_a")
+            ).select(
+                "_id",
+                F.expr("transform(_a, x -> x._term)").alias("_ks"),
+                F.expr("transform(_a, x -> x._c)").alias("_cs"),
+            )
             a = arr.select(
                 F.col("_id").alias("id_a"),
                 F.col("_ks").alias("_ka"),
