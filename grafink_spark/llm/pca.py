@@ -57,6 +57,19 @@ def covariance_matrix(
     return covariance_from_partials([covariance_partials(emb, vec_col)])
 
 
+# Pin the evolving eigenvector every Nth round: the packed-d-vector
+# loop (r9) is a linear chain, but letting all 8 iterations pile into
+# ONE plan trades 16 tiny jobs for a Catalyst tree whose analysis/
+# optimization cost exceeds them (r10 3-way alternated A/B at sf0.1,
+# tools/pca_oldnew.py: packed-unpinned 6.83/4.52/5.46 s vs
+# packed+pin-every-4 6.77/3.86/4.50 s for pca_components/
+# embedding_pca/incremental_pca; the r8 pin-every-round form sits
+# between). Same bound the iterative graph loops use (PIN_EVERY=4,
+# graph/algorithms.py) — constant plan depth for deep loops, a
+# handful of materialization barriers instead of one per round.
+_PIN_EVERY = 4
+
+
 def _power(c: DataFrame, dim: int, iters: int):
     """(v, lam): dominant unit eigenvector (j, v) and 1-row Rayleigh
     eigenvalue of an already-checkpointed covariance DataFrame."""
@@ -65,7 +78,7 @@ def _power(c: DataFrame, dim: int, iters: int):
         F.col("id").cast("int").alias("j"),
         F.lit(1.0 / float(dim) ** 0.5).alias("v"),
     )
-    for _ in range(iters):
+    for it in range(iters):
         w = c.join(v, "j").groupBy("i").agg(
             _ordered_dot("j", F.col("c") * F.col("v")).alias("w")
         )
@@ -100,6 +113,10 @@ def _power(c: DataFrame, dim: int, iters: int):
         v = packed.select(F.explode("_a").alias("_s"), "_n").select(
             F.col("_s._j").alias("j"), (F.col("_s._t") / F.col("_n")).alias("v")
         )
+        # bound the linear chain's plan depth (see _PIN_EVERY above);
+        # a pin materializes exact rows, so arithmetic is unchanged
+        if (it + 1) % _PIN_EVERY == 0 and it + 1 < iters:
+            v = v.transform(pin)
     v = v.transform(pin)
     cv = (
         c.join(v, "j")
