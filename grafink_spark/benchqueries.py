@@ -8578,7 +8578,11 @@ WITH cand AS ({_lsh_candidates_sql()}),
 ids AS (SELECT DISTINCT d FROM (
   SELECT id_a AS d FROM cand UNION ALL SELECT id_b FROM cand)),
 bg AS (
-  SELECT doc_id AS _doc, g, count(*) AS c FROM (
+  -- 60-bit md5 gram keys, co-applied with the Spark side (hash60):
+  -- colliding grams merge their counts identically in both engines
+  SELECT doc_id AS _doc,
+         ('0x' || substr(md5(g), 1, 15))::BIGINT AS g,
+         count(*) AS c FROM (
     SELECT doc_id,
            unnest(list_transform(range(1, len(t)),
                                  i -> array_to_string(t[i:i+1], ' '))) AS g
@@ -9464,7 +9468,11 @@ WITH pairs AS (
   QUALIFY id_b IS NOT NULL
 ),
 bg AS (
-  SELECT doc_id AS _doc, g, count(*) AS c FROM (
+  -- 60-bit md5 gram keys, co-applied with the Spark side (hash60):
+  -- colliding grams merge their counts identically in both engines
+  SELECT doc_id AS _doc,
+         ('0x' || substr(md5(g), 1, 15))::BIGINT AS g,
+         count(*) AS c FROM (
     SELECT doc_id,
            unnest(list_transform(range(1, len(t)),
                                  i -> array_to_string(t[i:i+1], ' '))) AS g

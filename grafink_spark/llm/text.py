@@ -304,6 +304,18 @@ def ngram_multiset(col: Column | str, n: int = 2) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+# Crossover between rouge_overlap's two clip backends, in candidate
+# pairs (the APSS_MAP_VERIFY_MIN_CANDIDATES convention): the explode
+# join wins at sf0.1's ~25k pairs (2.66 vs 2.94 s), the row-local map
+# fold wins at sf1's 249k (9.5 vs 11.2 s, every alternated rep) — the
+# geometric midpoint ~80k splits the measured regimes; 100k keeps a
+# round number with margin on the join side, where the absolute stakes
+# are sub-second. Session conf overrides (0 forces the map path — used
+# by tests to pin both backends).
+ROUGE_MAP_CLIP_MIN_PAIRS = 100_000
+_ROUGE_CLIP_CONF_KEY = "spark.grafink.rougeMapClipMinPairs"
+
+
 def rouge_overlap(
     docs: DataFrame,
     pairs: DataFrame,
@@ -320,10 +332,33 @@ def rouge_overlap(
     candidates, retrieval results, or generated-vs-source links.
 
     Plan: one explode + hash-agg builds per-doc n-gram count tables for
-    ONLY the docs appearing in pairs (semi-join prune), then the clip is
-    an equi join on (doc, gram) — work is Σ pair-gram overlap, never
-    corpus×corpus. All counts are integers, so P/R/F1 are single IEEE
-    divisions of exact integers — engine-identical before rounding.
+    ONLY the docs appearing in pairs (semi-join prune), then the clip
+    runs through one of two value-identical backends gated on pair
+    volume (``ROUGE_MAP_CLIP_MIN_PAIRS``): an equi join on (doc, gram)
+    while pairs are sparse, a row-local map fold past the floor — work
+    is Σ pair-gram overlap either way, never corpus×corpus. All counts
+    are integers, so P/R/F1 are single IEEE divisions of exact
+    integers — engine-identical before rounding. NOTE the pair-count
+    gate makes construction EAGER (the pin below materializes first).
+
+    Gram keys are 60-bit md5 hashes (r10, the ssjoin/APSS hash60
+    idiom): the count table's shuffle, the two clip joins, and the
+    per-pair comparisons ship 8-byte longs instead of n-gram strings,
+    and the SQL oracle co-applies the identical hash so the result
+    stays bit-defined over the hashed gram space. Collision trade,
+    written out because clipped MULTISET counts merge on collision
+    (unlike the set-membership the Jaccard family hashes): two
+    distinct grams colliding merge their per-doc counts, which leaves
+    ``n_ref``/``n_cand`` exactly unchanged (sums are preserved) and
+    can only INCREASE ``clip`` for a pair containing both grams, by at
+    most the smaller merged count (min is superadditive:
+    min(a1+a2, b1+b2) ≥ min(a1,b1) + min(a2,b2)). Expected colliding
+    gram pairs within one candidate pair's union of m distinct grams
+    is C(m,2)/2^60 ≈ 1.7e-10 at m = 2·10^4; at the 100 TB design
+    point (~10^12 scored pairs) that is ~10^2 pairs corpus-wide whose
+    clip overcounts by a count of 1-2 grams — scores move by
+    ≤ ~2/n_grams on those rows, and both engines merge identically,
+    so cross-engine equality is unconditional.
 
     ``pairs`` and the gram-count table are each referenced by several
     joins below; without pinning, Catalyst would re-derive the full
@@ -337,33 +372,92 @@ def rouge_overlap(
         .union(pairs.select(F.col(cand_col).alias("_d")))
         .distinct()
     )
+    # local import: dedup imports this module at top level (tokens), so
+    # the hash60 dependency must resolve at call time, not import time
+    from grafink_spark.llm.dedup import hash60
+
     g = (
         docs.join(ids, F.col(id_col) == F.col("_d"), "left_semi")
         .select(
             F.col(id_col).alias("_doc"),
-            F.explode(ngram_multiset(F.col(text_col), n)).alias("g"),
+            F.explode(ngram_multiset(F.col(text_col), n)).alias("_g"),
         )
+        .select("_doc", hash60(F.col("_g")).alias("g"))
         .groupBy("_doc", "g")
         .agg(F.count(F.lit(1)).alias("c"))
         .transform(pin)
     )
     tot = g.groupBy("_doc").agg(F.sum("c").alias("ntot"))
-    ov = (
-        pairs.join(
-            g.select(
-                F.col("_doc").alias(ref_col), "g", F.col("c").alias("_ca")
-            ),
-            ref_col,
-        )
-        .join(
-            g.select(
-                F.col("_doc").alias(cand_col), "g", F.col("c").alias("_cb")
-            ),
-            [cand_col, "g"],
-        )
-        .groupBy(ref_col, cand_col)
-        .agg(F.sum(F.least("_ca", "_cb")).alias("clip"))
+    # Clip backend, gated on pair volume (r10): the join form explodes
+    # each pair against its ref doc's FULL gram table (|pairs|·grams-
+    # per-doc rows — 75M at sf1 for 249k pairs) and shuffles that for
+    # the cand-side equi-join; the map form attaches per-doc gram-count
+    # MAPS to the pairs (|pairs| rows at any scale; row size bounded by
+    # the doc's distinct grams — the same trade the APSS map verify
+    # documents) and folds min(c_a, c_b) row-locally. Both are exact
+    # integer arithmetic in any order, so the row sets are bit-
+    # identical (proved: 248,979 sf1 rows equal). Measured crossover
+    # (alternated same-session A/B): at sf1's 249k pairs the map form
+    # wins every paired rep (11.2 → 9.5 s on rouge_pairs); at sf0.1's
+    # ~25k pairs the per-doc map build costs more than the small
+    # explode saves (2.66 → 2.94 s) — so the map engages above
+    # ROUGE_MAP_CLIP_MIN_PAIRS. The count is a cached-scan aggregate
+    # (pairs is pinned above, its checkpoint already materialized).
+    raw_floor = docs.sparkSession.conf.get(_ROUGE_CLIP_CONF_KEY, None)
+    floor = (
+        ROUGE_MAP_CLIP_MIN_PAIRS if raw_floor is None else int(raw_floor)
     )
+    if pairs.count() >= floor:
+        vecs = g.groupBy("_doc").agg(
+            F.map_from_entries(F.collect_list(F.struct("g", "c"))).alias(
+                "_m"
+            )
+        )
+        clip_col = F.aggregate(
+            F.map_values(
+                F.map_zip_with(
+                    "_ma",
+                    "_mb",
+                    lambda k, x, y: F.when(
+                        x.isNotNull() & y.isNotNull(), F.least(x, y)
+                    ).otherwise(F.lit(0).cast("long")),
+                )
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        ov = (
+            pairs.join(
+                vecs.select(
+                    F.col("_doc").alias(ref_col), F.col("_m").alias("_ma")
+                ),
+                ref_col,
+            )
+            .join(
+                vecs.select(
+                    F.col("_doc").alias(cand_col), F.col("_m").alias("_mb")
+                ),
+                cand_col,
+            )
+            .select(ref_col, cand_col, clip_col.alias("clip"))
+        )
+    else:
+        ov = (
+            pairs.join(
+                g.select(
+                    F.col("_doc").alias(ref_col), "g", F.col("c").alias("_ca")
+                ),
+                ref_col,
+            )
+            .join(
+                g.select(
+                    F.col("_doc").alias(cand_col), "g", F.col("c").alias("_cb")
+                ),
+                [cand_col, "g"],
+            )
+            .groupBy(ref_col, cand_col)
+            .agg(F.sum(F.least("_ca", "_cb")).alias("clip"))
+        )
     out = (
         pairs.join(ov, [ref_col, cand_col], "left")
         .join(

@@ -177,3 +177,38 @@ def test_rouge_overlap_short_doc_no_grams(spark):
     r = rouge_overlap(docs, pairs, n=2).collect()[0]
     assert (r.clip, r.n_ref, r.n_cand) == (0, 2, 0)
     assert (r.precision, r.recall, r.f1) == (0.0, 0.0, 0.0)
+
+
+def test_rouge_overlap_map_clip_backend_identical(spark):
+    """The map-fold clip backend (forced via the session conf, the
+    r10 pair-volume gate) returns the exact row set of the sparse
+    explode-join backend — including zero-overlap and no-gram pairs."""
+    from grafink_spark.llm.text import rouge_overlap
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b c"),
+            (2, "a b x"),
+            (3, "p q"),
+            (4, "z"),  # no bigrams at all
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3)], "id_a long, id_b long"
+    )
+    join_rows = sorted(
+        rouge_overlap(docs, pairs, n=2).collect(), key=lambda r: (r.id_a, r.id_b)
+    )
+    spark.conf.set("spark.grafink.rougeMapClipMinPairs", "0")
+    try:
+        map_rows = sorted(
+            rouge_overlap(docs, pairs, n=2).collect(),
+            key=lambda r: (r.id_a, r.id_b),
+        )
+    finally:
+        spark.conf.unset("spark.grafink.rougeMapClipMinPairs")
+    assert join_rows == map_rows
+    # the map path really computed clips (not all-zero degenerate)
+    by = {(r.id_a, r.id_b): r for r in map_rows}
+    assert by[(1, 2)].clip == 1 and by[(1, 4)].clip == 0
