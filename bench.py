@@ -263,6 +263,50 @@ NOOP_DRAIN = {
 }
 
 
+# Queries excluded from the sf1 section (module-level so the sf1
+# scaling harness, tools/sf1scale.py, times the identical set):
+# quadratic-by-semantics entries — similarity_multi's OUTPUT,
+# semantic_dedup's pinned-nlist pair space (the count-derived
+# semantic_dedup_auto runs in its dedicated block instead), and
+# label_noise's all-pairs kNN (O(n^2) cosines — the scale path is the
+# IVF/LSH ANN family, measured separately).
+SF1_SKIP = {
+    "similarity_multi",
+    "semantic_dedup",
+    "semantic_dedup_auto",  # timed by main()'s dedicated block
+    "label_noise",
+    # label-blocked ALL-PAIRS cosine: blocks grow linearly with
+    # sf, so within-block pair work is quadratic-by-semantics —
+    # the scale path is the LSH/IVF ANN family, timed above
+    "embedding_near_pairs",
+    # label_noise_ivf / bitext_mine_ivf run here since round 7:
+    # their nlist is COUNT-DERIVED (max(8, ceil(sqrt(N))), the
+    # oracle replays it as a scalar subquery), so the candidate
+    # volume is ~nprobe·N^1.5 — the round-6 pinned nlist=8 kept
+    # n²/2 candidates and hung at this scale.
+    # the forced verify-backend twins exist to keep every APSS
+    # backend oracle-checked + sf0.1-timed; at sf1 the auto
+    # entry (apss_cosine) resolves to the ARROW backend (5.3M
+    # candidates ≥ the 500k floor, r9), so timing the
+    # forced-arrow twin here would measure the same plan
+    # twice, and the forced-map twin would pay ~40 s for a
+    # backend whose sf1 cost is already recorded (r8: 31.9 s)
+    # and whose certification lives at sf0.1.
+    "apss_cosine_map",
+    "apss_cosine_arrow",
+    # ssjoin's expr verify (JVM array_intersect) BEATS the
+    # arrow kernel at sf1 under BOTH plumbings (same-session
+    # alternated A/B r9: expr 12.5-14.2 s vs arrow-bcast
+    # 18.0-19.3 s; join plumbing 18.8-24.8 s — intersection
+    # is already native, and at ssjoin's ~12.1M candidates
+    # the per-pair Python dispatch outweighs the Arrow-byte
+    # saving that wins for 5.3M-candidate APSS). expr stays
+    # the production path; the arrow twin stays
+    # oracle-certified at sf0.01 and A/B-timed at sf0.1.
+    "ssjoin_exact_arrow",
+}
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -575,46 +619,7 @@ def main() -> int:
                     pass
         sf1_timings: dict[str, float] = {}
         weather("sf1")
-        # quadratic-by-semantics entries: similarity_multi's OUTPUT,
-        # semantic_dedup's pinned-nlist pair space (the count-derived
-        # semantic_dedup_auto runs instead, below), and label_noise's
-        # all-pairs kNN (O(n^2) cosines — the scale path is the IVF/LSH
-        # ANN family, measured separately)
-        sf1_skip = {
-            "similarity_multi",
-            "semantic_dedup",
-            "semantic_dedup_auto",  # timed by the dedicated block below
-            "label_noise",
-            # label-blocked ALL-PAIRS cosine: blocks grow linearly with
-            # sf, so within-block pair work is quadratic-by-semantics —
-            # the scale path is the LSH/IVF ANN family, timed above
-            "embedding_near_pairs",
-            # label_noise_ivf / bitext_mine_ivf run here since round 7:
-            # their nlist is COUNT-DERIVED (max(8, ceil(sqrt(N))), the
-            # oracle replays it as a scalar subquery), so the candidate
-            # volume is ~nprobe·N^1.5 — the round-6 pinned nlist=8 kept
-            # n²/2 candidates and hung at this scale.
-            # the forced verify-backend twins exist to keep every APSS
-            # backend oracle-checked + sf0.1-timed; at sf1 the auto
-            # entry (apss_cosine) resolves to the ARROW backend (5.3M
-            # candidates ≥ the 500k floor, r9), so timing the
-            # forced-arrow twin here would measure the same plan
-            # twice, and the forced-map twin would pay ~40 s for a
-            # backend whose sf1 cost is already recorded (r8: 31.9 s)
-            # and whose certification lives at sf0.1.
-            "apss_cosine_map",
-            "apss_cosine_arrow",
-            # ssjoin's expr verify (JVM array_intersect) BEATS the
-            # arrow kernel at sf1 under BOTH plumbings (same-session
-            # alternated A/B r9: expr 12.5-14.2 s vs arrow-bcast
-            # 18.0-19.3 s; join plumbing 18.8-24.8 s — intersection
-            # is already native, and at ssjoin's ~12.1M candidates
-            # the per-pair Python dispatch outweighs the Arrow-byte
-            # saving that wins for 5.3M-candidate APSS). expr stays
-            # the production path; the arrow twin stays
-            # oracle-certified at sf0.01 and A/B-timed at sf0.1.
-            "ssjoin_exact_arrow",
-        }
+        sf1_skip = SF1_SKIP
         sf1_samples: dict[str, list[float]] = {}
         sf1_loadavgs: dict[str, list[float]] = {}
         sf1_fresh: dict[str, list[float]] = {}
