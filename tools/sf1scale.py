@@ -47,6 +47,12 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("out")
     ap.add_argument("--rerun", type=int, default=10)
+    ap.add_argument(
+        "--only",
+        default="",
+        help="comma-separated subset (e.g. the big sf1 rows) — scaling "
+        "ratios only need the rows where parallelism can show",
+    )
     args = ap.parse_args()
 
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "")
@@ -66,6 +72,9 @@ def main() -> int:
             pass
 
     names = [q for q in HEADLINE + EXTENDED if q not in SF1_SKIP]
+    if args.only:
+        wanted = {n.strip() for n in args.only.split(",") if n.strip()}
+        names = [q for q in names if q in wanted]
 
     def run_once(name: str) -> float:
         fn = QUERIES[name]
